@@ -1,0 +1,88 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Session factory + table loaders for the graft engine.
+  *
+  * Local-mode defaults are sized for the driver's `local[32]` box; on a real
+  * cluster the same settings scale by letting AQE coalesce/split shuffle
+  * partitions at runtime.
+  */
+object GraftSession {
+
+  /** Spark confs every graft session wants, local or cluster. */
+  val defaults: Map[String, String] = Map(
+    "spark.sql.session.timeZone" -> "UTC",
+    "spark.sql.adaptive.enabled" -> "true",
+    "spark.sql.adaptive.coalescePartitions.enabled" -> "true",
+    "spark.sql.adaptive.skewJoin.enabled" -> "true",
+    // events.parquet carries TIMESTAMP(NANOS); Spark reads it as long
+    // (nanos since epoch) with this flag, and Tables.events converts.
+    "spark.sql.legacy.parquet.nanosAsLong" -> "true",
+    "spark.ui.enabled" -> "false"
+  )
+
+  def local(cores: Int = 32, shufflePartitions: Int = 32): SparkSession = {
+    val b = SparkSession.builder()
+      .master(s"local[$cores]")
+      .appName("graft")
+      .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
+    defaults.foreach { case (k, v) => b.config(k, v) }
+    val spark = b.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    functions.registerAll(spark)
+    spark
+  }
+
+  /** Apply graft defaults + function registration to an existing session
+    * (e.g. the one the driver's Verify/Bench mains created).
+    */
+  def prepare(spark: SparkSession): SparkSession = {
+    defaults.foreach { case (k, v) =>
+      // legacy.parquet.nanosAsLong is a static conf — only settable at
+      // session build; ignore failures for an already-built session.
+      try spark.conf.set(k, v) catch { case _: Exception => () }
+    }
+    functions.registerAll(spark)
+    spark
+  }
+}
+
+/** Loaders for the driver's testdata star schema (TESTDATA.md). Each helper
+  * also registers a temp view named after the table so oracle-equivalent SQL
+  * can run through `spark.sql`.
+  */
+object Tables {
+  private def load(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val df = spark.read.parquet(s"$dir/$name.parquet")
+    df.createOrReplaceTempView(name)
+    df
+  }
+
+  def region(s: SparkSession, d: String): DataFrame = load(s, d, "region")
+  def nation(s: SparkSession, d: String): DataFrame = load(s, d, "nation")
+  def customer(s: SparkSession, d: String): DataFrame = load(s, d, "customer")
+  def supplier(s: SparkSession, d: String): DataFrame = load(s, d, "supplier")
+  def part(s: SparkSession, d: String): DataFrame = load(s, d, "part")
+  def orders(s: SparkSession, d: String): DataFrame = load(s, d, "orders")
+  def lineitem(s: SparkSession, d: String): DataFrame = load(s, d, "lineitem")
+  def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
+  def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
+
+  /** `events` carries parquet TIMESTAMP(NANOS). With
+    * `spark.sql.legacy.parquet.nanosAsLong` the raw read yields a long; we
+    * convert to a microsecond TimestampType column (truncating, like DuckDB
+    * does when it casts ns → µs timestamps).
+    */
+  def events(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val raw = s.read.parquet(s"$d/events.parquet")
+    val df = raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      case _ => raw
+    }
+    df.createOrReplaceTempView("events")
+    df
+  }
+}

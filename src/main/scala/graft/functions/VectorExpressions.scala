@@ -1,0 +1,197 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types._
+
+/** Catalyst expressions for dense-vector math over `array<float>` /
+  * `array<double>` columns.
+  *
+  * The reference workload scores candidates by dot product against a query
+  * vector (reference `README.md:73-75`) and profiles embeddings via L2 norms
+  * and pairwise cosine similarity (reference
+  * `scripts/generate_benchmark_reports.py:271-273,527-539`). At 2688 dims ×
+  * 10M rows a boxed UDF dominates CPU, so these are native expressions with
+  * whole-stage codegen: the generated code loops over [[ArrayData]] with
+  * primitive `getFloat`/`getDouble` accessors — no per-row allocation, stays
+  * inside the WholeStageCodegen stage.
+  *
+  * Accumulation is sequential left-to-right in double precision, which is
+  * also what the DuckDB oracle SQL (`list_sum(list_transform(...))`) does —
+  * keeping float semantics reproducible across engines.
+  *
+  * Arrays are expected dense (no null elements); mismatched lengths use the
+  * common prefix.
+  */
+trait VectorKernelSupport { self: Expression =>
+  protected def elementTypeOf(e: Expression): DataType =
+    e.dataType.asInstanceOf[ArrayType].elementType
+
+  protected def checkVectorInput(exprs: Seq[Expression]): TypeCheckResult = {
+    val bad = exprs.collectFirst {
+      case e if !e.dataType.isInstanceOf[ArrayType] ||
+        !Seq(FloatType, DoubleType).contains(elementTypeOf(e)) => e
+    }
+    bad match {
+      case Some(e) => TypeCheckResult.TypeCheckFailure(
+        s"${self.prettyName} requires array<float> or array<double>, got ${e.dataType.sql}")
+      case None => TypeCheckResult.TypeCheckSuccess
+    }
+  }
+
+  /** Java source fragment reading element i of `arr` as a double. */
+  protected def readElem(arr: String, t: DataType, i: String): String = t match {
+    case DoubleType => s"$arr.getDouble($i)"
+    case _          => s"(double)$arr.getFloat($i)"
+  }
+
+  /** Interpreted-path accessor: element i of `ad` as double. */
+  protected def elemAt(ad: ArrayData, t: DataType, i: Int): Double = t match {
+    case DoubleType => ad.getDouble(i)
+    case _          => ad.getFloat(i).toDouble
+  }
+}
+
+/** `vec_dot(a, b)` — dot product in double precision. */
+case class DotProduct(left: Expression, right: Expression)
+    extends BinaryExpression with VectorKernelSupport {
+
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "vec_dot"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    checkVectorInput(Seq(left, right))
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val lt = elementTypeOf(left); val rt = elementTypeOf(right)
+    val n = math.min(x.numElements(), y.numElements())
+    var acc = 0.0
+    var i = 0
+    while (i < n) { acc += elemAt(x, lt, i) * elemAt(y, rt, i); i += 1 }
+    acc
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val lt = elementTypeOf(left); val rt = elementTypeOf(right)
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i"); val n = ctx.freshName("n")
+      val acc = ctx.freshName("acc")
+      s"""
+         |final int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $acc = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $acc += ${readElem(a, lt, i)} * ${readElem(b, rt, i)};
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+/** `vec_norm(a)` — L2 norm in double precision. */
+case class L2Norm(child: Expression)
+    extends UnaryExpression with VectorKernelSupport {
+
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "vec_norm"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    checkVectorInput(Seq(child))
+
+  override def nullSafeEval(a: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val t = elementTypeOf(child)
+    val n = x.numElements()
+    var acc = 0.0
+    var i = 0
+    while (i < n) { val v = elemAt(x, t, i); acc += v * v; i += 1 }
+    math.sqrt(acc)
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val t = elementTypeOf(child)
+    nullSafeCodeGen(ctx, ev, a => {
+      val i = ctx.freshName("i"); val n = ctx.freshName("n")
+      val acc = ctx.freshName("acc"); val v = ctx.freshName("v")
+      s"""
+         |final int $n = $a.numElements();
+         |double $acc = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  final double $v = ${readElem(a, t, i)};
+         |  $acc += $v * $v;
+         |}
+         |${ev.value} = java.lang.Math.sqrt($acc);
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** `vec_cos(a, b)` — cosine similarity, `dot / (norm(a) * norm(b))`, single
+  * pass. Returns 0.0 when either vector has zero norm. The `sqrt(xx) *
+  * sqrt(yy)` form (not `sqrt(xx*yy)`) is deliberate: the DuckDB oracle SQL
+  * uses the same association so results match to the last ulp.
+  */
+case class CosineSimilarity(left: Expression, right: Expression)
+    extends BinaryExpression with VectorKernelSupport {
+
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "vec_cos"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    checkVectorInput(Seq(left, right))
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val lt = elementTypeOf(left); val rt = elementTypeOf(right)
+    val n = math.min(x.numElements(), y.numElements())
+    var xy = 0.0; var xx = 0.0; var yy = 0.0
+    var i = 0
+    while (i < n) {
+      val xi = elemAt(x, lt, i); val yi = elemAt(y, rt, i)
+      xy += xi * yi; xx += xi * xi; yy += yi * yi
+      i += 1
+    }
+    val denom = math.sqrt(xx) * math.sqrt(yy)
+    if (denom == 0.0) 0.0 else xy / denom
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val lt = elementTypeOf(left); val rt = elementTypeOf(right)
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i"); val n = ctx.freshName("n")
+      val xy = ctx.freshName("xy"); val xx = ctx.freshName("xx")
+      val yy = ctx.freshName("yy"); val xi = ctx.freshName("xi")
+      val yi = ctx.freshName("yi"); val den = ctx.freshName("den")
+      s"""
+         |final int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $xy = 0.0; double $xx = 0.0; double $yy = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  final double $xi = ${readElem(a, lt, i)};
+         |  final double $yi = ${readElem(b, rt, i)};
+         |  $xy += $xi * $yi; $xx += $xi * $xi; $yy += $yi * $yi;
+         |}
+         |final double $den = java.lang.Math.sqrt($xx) * java.lang.Math.sqrt($yy);
+         |${ev.value} = ($den == 0.0) ? 0.0 : $xy / $den;
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}

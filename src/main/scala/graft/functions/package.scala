@@ -1,0 +1,32 @@
+package graft
+
+import org.apache.spark.sql.graft.Bridge
+import org.apache.spark.sql.{Column, SparkSession}
+
+/** Column-API entry points for graft's custom expressions, mirroring
+  * `org.apache.spark.sql.functions`. Also registers SQL names so
+  * `spark.sql("SELECT vec_dot(a, b) ...")` works.
+  */
+package object functions {
+
+  /** Dot product of two `array<float|double>` columns (double result). */
+  def vec_dot(a: Column, b: Column): Column =
+    Bridge.column(DotProduct(Bridge.expression(a), Bridge.expression(b)))
+
+  /** L2 norm of an `array<float|double>` column (double result). */
+  def vec_norm(a: Column): Column =
+    Bridge.column(L2Norm(Bridge.expression(a)))
+
+  /** Cosine similarity of two `array<float|double>` columns. */
+  def vec_cos(a: Column, b: Column): Column =
+    Bridge.column(CosineSimilarity(Bridge.expression(a), Bridge.expression(b)))
+
+  /** Register vec_dot / vec_norm / vec_cos with the session's function
+    * registry for SQL use.
+    */
+  def registerAll(spark: SparkSession): Unit = {
+    Bridge.registerFunction(spark, "vec_dot", es => DotProduct(es(0), es(1)))
+    Bridge.registerFunction(spark, "vec_norm", es => L2Norm(es.head))
+    Bridge.registerFunction(spark, "vec_cos", es => CosineSimilarity(es(0), es(1)))
+  }
+}

@@ -1,0 +1,418 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+import org.apache.spark.sql.{Column, SparkSession}
+
+/** Relational operator inventory over the TPC-H-ish star schema: scans with
+  * pushdown, conjunctive filters, every join shape (broadcast-hash dim joins,
+  * shuffled fact joins, semi/anti/outer), hash aggregation, window functions,
+  * top-k (`TakeOrderedAndProject`), set ops, scalar string/math/date
+  * functions, histograms and moment statistics.
+  *
+  * These back the profiling surface of the reference
+  * (`scripts/generate_benchmark_reports.py:119-219` — count/avg/min/max/
+  * stddev, grouped top-10 frequency with percentage, histogram binning) and
+  * the correctness gate's star-schema suite.
+  */
+object RelationalQueries {
+
+  private def dec2(c: Column): Column = c.cast(DecimalType(18, 2))
+  private def pct(c: Column): Column = c.cast(DecimalType(3, 2))
+  /** Order-independent exact sum of a 2-decimal double column. */
+  private def dsum(c: Column): Column = sum(dec2(c)).cast("double")
+
+  val all: Seq[QueryDef] = Seq(
+
+    // ---- aggregation core (reference gbr.py:119-219 stat shapes) ----
+    QueryDef(
+      "q01_pricing_summary",
+      (s, d) => {
+        val li = Tables.lineitem(s, d)
+        val discPrice = dec2(col("l_extendedprice")) * (lit(1) - pct(col("l_discount")))
+        val charge = discPrice * (lit(1) + pct(col("l_tax")))
+        li.groupBy(col("l_returnflag"), col("l_linestatus"))
+          .agg(
+            sum(col("l_quantity")).as("sum_qty"),
+            dsum(col("l_extendedprice")).as("sum_base_price"),
+            sum(discPrice).cast("double").as("sum_disc_price"),
+            sum(charge).cast("double").as("sum_charge"),
+            (sum(col("l_quantity")) / count(lit(1))).as("avg_qty"),
+            (dsum(col("l_extendedprice")) / count(lit(1))).as("avg_price"),
+            (sum(pct(col("l_discount"))).cast("double") / count(lit(1))).as("avg_disc"),
+            count(lit(1)).as("count_order"))
+          .orderBy(col("l_returnflag"), col("l_linestatus"))
+      },
+      Some("""SELECT l_returnflag, l_linestatus,
+        sum(l_quantity) AS sum_qty,
+        CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+        CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(3,2)))) AS DOUBLE) AS sum_disc_price,
+        CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(3,2))) * (1 + CAST(l_tax AS DECIMAL(3,2)))) AS DOUBLE) AS sum_charge,
+        sum(l_quantity) / count(*) AS avg_qty,
+        CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_price,
+        CAST(sum(CAST(l_discount AS DECIMAL(3,2))) AS DOUBLE) / count(*) AS avg_disc,
+        count(*) AS count_order
+        FROM lineitem GROUP BY l_returnflag, l_linestatus
+        ORDER BY l_returnflag, l_linestatus""")),
+
+    // ---- scan + filter pushdown + top-k without global sort ----
+    QueryDef(
+      "q02_filtered_topk",
+      (s, d) => {
+        Tables.lineitem(s, d)
+          .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+            col("l_shipdate") < lit("1997-01-01").cast("timestamp") &&
+            col("l_quantity") > 30)
+          .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
+          .orderBy(desc("l_extendedprice"), col("l_orderkey"), col("l_linenumber"))
+          .limit(50)
+      },
+      Some("""SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01' AND l_quantity > 30
+        ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber LIMIT 50""")),
+
+    // ---- fact-to-fact join + grouped revenue + top-k ----
+    QueryDef(
+      "q03_top_revenue_orders",
+      (s, d) => {
+        val li = Tables.lineitem(s, d)
+        val o = Tables.orders(s, d)
+        val revenue = dec2(col("l_extendedprice")) * (lit(1) - pct(col("l_discount")))
+        o.filter(col("o_orderstatus") === "O")
+          .join(li, col("l_orderkey") === col("o_orderkey"))
+          .groupBy(col("o_orderkey"), col("o_orderdate"))
+          .agg(sum(revenue).cast("double").as("revenue"))
+          .select(col("o_orderkey"), col("o_orderdate").cast("string").as("o_date"),
+            col("revenue"))
+          .orderBy(desc("revenue"), col("o_orderkey"))
+          .limit(10)
+      },
+      Some("""SELECT o_orderkey, CAST(o_orderdate AS VARCHAR) AS o_date,
+        CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(3,2)))) AS DOUBLE) AS revenue
+        FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+        WHERE o_orderstatus = 'O'
+        GROUP BY o_orderkey, o_orderdate
+        ORDER BY revenue DESC, o_orderkey LIMIT 10""")),
+
+    // ---- broadcast-hash star join over dims ----
+    QueryDef(
+      "q04_region_rollup",
+      (s, d) => {
+        val c = Tables.customer(s, d)
+        val n = Tables.nation(s, d)
+        val r = Tables.region(s, d)
+        c.join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+          .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+          .groupBy(col("r_name"), col("n_name"))
+          .agg(count(lit(1)).as("n_cust"), dsum(col("c_acctbal")).as("sum_bal"))
+          .orderBy(col("r_name"), col("n_name"))
+      },
+      Some("""SELECT r_name, n_name, count(*) AS n_cust,
+        CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_bal
+        FROM customer JOIN nation ON c_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        GROUP BY r_name, n_name ORDER BY r_name, n_name""")),
+
+    // ---- left-semi join (EXISTS) ----
+    QueryDef(
+      "q05_exists_orders",
+      (s, d) => {
+        val c = Tables.customer(s, d)
+        val o = Tables.orders(s, d)
+        c.join(o, col("c_custkey") === col("o_custkey"), "left_semi")
+          .groupBy(col("c_mktsegment")).agg(count(lit(1)).as("n"))
+          .orderBy(col("c_mktsegment"))
+      },
+      Some("""SELECT c_mktsegment, count(*) AS n FROM customer
+        WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        GROUP BY c_mktsegment ORDER BY c_mktsegment""")),
+
+    // ---- left-anti join (NOT EXISTS) ----
+    QueryDef(
+      "q06_anti_join_customers",
+      (s, d) => {
+        val c = Tables.customer(s, d)
+        val o = Tables.orders(s, d)
+        val n = Tables.nation(s, d)
+        c.join(o, col("c_custkey") === col("o_custkey"), "left_anti")
+          .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+          .groupBy(col("n_name")).agg(count(lit(1)).as("n"))
+          .orderBy(col("n_name"))
+      },
+      Some("""SELECT n_name, count(*) AS n
+        FROM customer JOIN nation ON c_nationkey = n_nationkey
+        WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        GROUP BY n_name ORDER BY n_name""")),
+
+    // ---- left outer join preserving zero-count rows ----
+    QueryDef(
+      "q07_outer_order_counts",
+      (s, d) => {
+        val c = Tables.customer(s, d)
+        val o = Tables.orders(s, d)
+        c.join(o, col("c_custkey") === col("o_custkey"), "left_outer")
+          .groupBy(col("c_custkey"))
+          .agg(count(col("o_orderkey")).as("n_orders"))
+          .orderBy(col("c_custkey"))
+      },
+      Some("""SELECT c_custkey, count(o_orderkey) AS n_orders
+        FROM customer LEFT JOIN orders ON o_custkey = c_custkey
+        GROUP BY c_custkey ORDER BY c_custkey""")),
+
+    // ---- window: ranking within partition ----
+    QueryDef(
+      "q08_window_top2",
+      (s, d) => {
+        val o = Tables.orders(s, d)
+        val w = Window.partitionBy(col("o_custkey"))
+          .orderBy(desc("o_totalprice"), col("o_orderkey"))
+        o.withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= 2)
+          .select("o_custkey", "o_orderkey", "rn")
+          .orderBy(col("o_custkey"), col("rn"))
+      },
+      Some("""SELECT o_custkey, o_orderkey, rn FROM (
+        SELECT o_custkey, o_orderkey,
+          row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        FROM orders) t WHERE rn <= 2 ORDER BY o_custkey, rn""")),
+
+    // ---- window: running total (frame spec) ----
+    QueryDef(
+      "q09_running_total",
+      (s, d) => {
+        val o = Tables.orders(s, d)
+        val w = Window.partitionBy(col("o_custkey"))
+          .orderBy(col("o_orderdate"), col("o_orderkey"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        o.select(col("o_custkey"), col("o_orderkey"),
+            sum(dec2(col("o_totalprice"))).over(w).cast("double").as("running"))
+          .orderBy(col("o_custkey"), col("o_orderkey"))
+      },
+      Some("""SELECT o_custkey, o_orderkey,
+        CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+          PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running
+        FROM orders ORDER BY o_custkey, o_orderkey""")),
+
+    // ---- set operations ----
+    QueryDef(
+      "q10_union_custkeys",
+      (s, d) => {
+        val c = Tables.customer(s, d)
+        c.filter(col("c_mktsegment") === "BUILDING").select("c_custkey")
+          .union(c.filter(col("c_acctbal") > 9000).select("c_custkey"))
+          .distinct()
+          .orderBy(col("c_custkey"))
+      },
+      Some("""SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+        UNION SELECT c_custkey FROM customer WHERE c_acctbal > 9000
+        ORDER BY c_custkey""")),
+
+    QueryDef(
+      "q11_intersect_custkeys",
+      (s, d) => {
+        val c = Tables.customer(s, d)
+        c.filter(col("c_mktsegment") === "BUILDING").select("c_custkey")
+          .intersect(c.filter(col("c_acctbal") > 5000).select("c_custkey"))
+          .orderBy(col("c_custkey"))
+      },
+      Some("""SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+        INTERSECT SELECT c_custkey FROM customer WHERE c_acctbal > 5000
+        ORDER BY c_custkey""")),
+
+    QueryDef(
+      "q12_except_custkeys",
+      (s, d) => {
+        val c = Tables.customer(s, d)
+        c.filter(col("c_mktsegment") === "BUILDING").select("c_custkey")
+          .except(c.filter(col("c_acctbal") > 5000).select("c_custkey"))
+          .orderBy(col("c_custkey"))
+      },
+      Some("""SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+        EXCEPT SELECT c_custkey FROM customer WHERE c_acctbal > 5000
+        ORDER BY c_custkey""")),
+
+    // ---- distinct aggregation ----
+    QueryDef(
+      "q13_distinct_parts",
+      (s, d) => {
+        Tables.lineitem(s, d)
+          .groupBy(col("l_returnflag"))
+          .agg(countDistinct(col("l_partkey")).as("n_parts"),
+            countDistinct(col("l_suppkey")).as("n_supps"),
+            count(lit(1)).as("n"))
+          .orderBy(col("l_returnflag"))
+      },
+      Some("""SELECT l_returnflag, count(DISTINCT l_partkey) AS n_parts,
+        count(DISTINCT l_suppkey) AS n_supps, count(*) AS n
+        FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")),
+
+    // ---- scalar string functions ----
+    QueryDef(
+      "q14_string_funcs",
+      (s, d) => {
+        Tables.part(s, d).select(
+            col("p_partkey"),
+            upper(substring(col("p_name"), 1, 8)).as("pfx"),
+            length(col("p_name")).cast("long").as("name_len"),
+            concat(col("p_brand"), lit("#"), col("p_type")).as("brand_type"),
+            lower(col("p_type")).as("type_lower"),
+            regexp_replace(col("p_name"), lit(" "), lit("_")).as("name_us"))
+          .orderBy(col("p_partkey"))
+      },
+      Some("""SELECT p_partkey, upper(substr(p_name, 1, 8)) AS pfx,
+        CAST(length(p_name) AS BIGINT) AS name_len,
+        concat(p_brand, '#', p_type) AS brand_type,
+        lower(p_type) AS type_lower,
+        replace(p_name, ' ', '_') AS name_us
+        FROM part ORDER BY p_partkey""")),
+
+    // ---- scalar math functions (transcendentals under rounded aggregates) ----
+    QueryDef(
+      "q15_math_funcs",
+      (s, d) => {
+        Tables.lineitem(s, d)
+          .groupBy(col("l_returnflag"))
+          .agg(
+            round(avg(log(lit(1) + col("l_quantity"))), 6).as("avg_ln_qty"),
+            round(avg(log10(col("l_extendedprice"))), 6).as("avg_log10_price"),
+            round(avg(sqrt(col("l_quantity"))), 6).as("avg_sqrt_qty"),
+            round(avg(exp(col("l_discount"))), 6).as("avg_exp_disc"),
+            sum(floor(col("l_extendedprice")).cast("long")).as("sum_floor_price"),
+            sum(ceil(col("l_quantity")).cast("long")).as("sum_ceil_qty"))
+          .orderBy(col("l_returnflag"))
+      },
+      Some("""SELECT l_returnflag,
+        round(avg(ln(1 + l_quantity)), 6) AS avg_ln_qty,
+        round(avg(log10(l_extendedprice)), 6) AS avg_log10_price,
+        round(avg(sqrt(l_quantity)), 6) AS avg_sqrt_qty,
+        round(avg(exp(l_discount)), 6) AS avg_exp_disc,
+        CAST(sum(CAST(floor(l_extendedprice) AS BIGINT)) AS BIGINT) AS sum_floor_price,
+        CAST(sum(CAST(ceil(l_quantity) AS BIGINT)) AS BIGINT) AS sum_ceil_qty
+        FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")),
+
+    // ---- date functions ----
+    QueryDef(
+      "q16_orders_by_month",
+      (s, d) => {
+        Tables.orders(s, d)
+          .groupBy(year(col("o_orderdate")).cast("long").as("y"),
+            month(col("o_orderdate")).cast("long").as("m"))
+          .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total"))
+          .orderBy(col("y"), col("m"))
+      },
+      Some("""SELECT CAST(year(o_orderdate) AS BIGINT) AS y,
+        CAST(month(o_orderdate) AS BIGINT) AS m, count(*) AS n,
+        CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        FROM orders GROUP BY y, m ORDER BY y, m""")),
+
+    // ---- histogram binning (gbr.py:287-354 hist shapes) ----
+    QueryDef(
+      "q17_price_histogram",
+      (s, d) => {
+        Tables.lineitem(s, d)
+          .groupBy(floor(col("l_extendedprice") / 10000).cast("long").as("bucket"))
+          .agg(count(lit(1)).as("n"))
+          .orderBy(col("bucket"))
+      },
+      Some("""SELECT CAST(floor(l_extendedprice / 10000) AS BIGINT) AS bucket,
+        count(*) AS n FROM lineitem GROUP BY bucket ORDER BY bucket""")),
+
+    // ---- moment statistics via exact decimal sums: stddev + Pearson corr
+    // (gbr.py:168-187 numeric profile, gbr.py:372-373 correlation matrix) ----
+    QueryDef(
+      "q18_moment_stats",
+      (s, d) => {
+        val li = Tables.lineitem(s, d)
+        val sums = li.agg(
+          count(lit(1)).as("n"),
+          sum(dec2(col("l_quantity"))).cast("double").as("sx"),
+          sum(dec2(col("l_extendedprice"))).cast("double").as("sy"),
+          sum(dec2(col("l_quantity")) * dec2(col("l_quantity"))).cast("double").as("sxx"),
+          sum(dec2(col("l_extendedprice")) * dec2(col("l_extendedprice"))).cast("double").as("syy"),
+          sum(dec2(col("l_quantity")) * dec2(col("l_extendedprice"))).cast("double").as("sxy"))
+        sums.select(
+          col("n"),
+          round((col("sx") / col("n")), 6).as("mean_qty"),
+          round((col("sy") / col("n")), 6).as("mean_price"),
+          round(sqrt((col("sxx") - col("sx") * col("sx") / col("n")) / (col("n") - 1)), 6).as("sd_qty"),
+          round(sqrt((col("syy") - col("sy") * col("sy") / col("n")) / (col("n") - 1)), 6).as("sd_price"),
+          (round((col("n") * col("sxy") - col("sx") * col("sy")) /
+            (sqrt(col("n") * col("sxx") - col("sx") * col("sx")) *
+              sqrt(col("n") * col("syy") - col("sy") * col("sy"))), 6) + 0.0).as("corr_qty_price"))
+      },
+      Some("""WITH s AS (SELECT count(*) AS n,
+          CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sx,
+          CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sy,
+          CAST(sum(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sxx,
+          CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS syy,
+          CAST(sum(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sxy
+        FROM lineitem)
+        SELECT n, round(sx / n, 6) AS mean_qty, round(sy / n, 6) AS mean_price,
+          round(sqrt((sxx - sx * sx / n) / (n - 1)), 6) AS sd_qty,
+          round(sqrt((syy - sy * sy / n) / (n - 1)), 6) AS sd_price,
+          round((n * sxy - sx * sy) / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)), 6) + 0 AS corr_qty_price
+        FROM s""")),
+
+    // ---- exact median / percentiles (gbr.py:590 median) ----
+    QueryDef(
+      "q19_percentiles",
+      (s, d) => {
+        Tables.lineitem(s, d)
+          .groupBy(col("l_returnflag"))
+          .agg(
+            round(median(col("l_extendedprice")), 4).as("med_price"),
+            round(percentile(col("l_extendedprice"), lit(0.25)), 4).as("p25_price"),
+            round(percentile(col("l_extendedprice"), lit(0.75)), 4).as("p75_price"))
+          .orderBy(col("l_returnflag"))
+      },
+      Some("""SELECT l_returnflag,
+        round(median(l_extendedprice), 4) AS med_price,
+        round(quantile_cont(l_extendedprice, 0.25), 4) AS p25_price,
+        round(quantile_cont(l_extendedprice, 0.75), 4) AS p75_price
+        FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")),
+
+    // ---- 5-way star join ----
+    QueryDef(
+      "q20_star_join",
+      (s, d) => {
+        val li = Tables.lineitem(s, d)
+        val o = Tables.orders(s, d)
+        val c = Tables.customer(s, d)
+        val n = Tables.nation(s, d)
+        val r = Tables.region(s, d)
+        val revenue = dec2(col("l_extendedprice")) * (lit(1) - pct(col("l_discount")))
+        li.join(o, col("l_orderkey") === col("o_orderkey"))
+          .join(c, col("o_custkey") === col("c_custkey"))
+          .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+          .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+          .groupBy(col("r_name"), col("o_orderpriority"))
+          .agg(count(lit(1)).as("n"), sum(revenue).cast("double").as("revenue"))
+          .orderBy(col("r_name"), col("o_orderpriority"))
+      },
+      Some("""SELECT r_name, o_orderpriority, count(*) AS n,
+        CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(3,2)))) AS DOUBLE) AS revenue
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        GROUP BY r_name, o_orderpriority ORDER BY r_name, o_orderpriority""")),
+
+    QueryDef(
+      "q21_brand_suppliers",
+      (s, d) => {
+        val li = Tables.lineitem(s, d)
+        val p = Tables.part(s, d)
+        li.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+          .groupBy(col("p_brand"))
+          .agg(countDistinct(col("l_suppkey")).as("n_supp"), count(lit(1)).as("n"))
+          .orderBy(col("p_brand"))
+      },
+      Some("""SELECT p_brand, count(DISTINCT l_suppkey) AS n_supp, count(*) AS n
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        GROUP BY p_brand ORDER BY p_brand"""))
+  )
+}

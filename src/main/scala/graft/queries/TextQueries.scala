@@ -1,0 +1,305 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Text-analysis and deduplication operators over the `documents` table —
+  * the LLM-training-data-pipeline surface: exact dedup, MinHash signatures +
+  * LSH banding, n-gram Jaccard verification, SimHash, token statistics,
+  * quality scoring, language ID, fingerprinting, n-gram profiling and
+  * deterministic sampling.
+  *
+  * Every operator here is also exposed as a reusable API in
+  * [[graft.operators.Dedup]] / [[graft.operators.TextAnalysis]]; the query
+  * forms pin the semantics against the DuckDB oracle. Cross-engine hashing
+  * uses md5 prefixes parsed as integers (identical in Spark and DuckDB), so
+  * even MinHash/SimHash are exactly verifiable.
+  *
+  * Scale notes: shingling explodes rows but not bytes (shingles are short);
+  * signatures reduce each doc to k longs before any join; LSH banding makes
+  * the candidate join key-equality (shuffle hash join on band key) instead of
+  * an O(n²) cross join — the design that survives 100 TB.
+  */
+object TextQueries {
+
+  /** Spark-side word-k-shingles of the trimmed, whitespace-split text. */
+  private def shingles(docs: DataFrame, k: Int): DataFrame = {
+    val expand =
+      (0 until k).map(j => s"w[i + $j]").mkString("concat_ws(' ', ", ", ", ")")
+    docs.select(col("doc_id"), split(trim(col("text")), "\\s+").as("w"))
+      .filter(size(col("w")) >= k)
+      .select(col("doc_id"),
+        explode(expr(s"transform(sequence(0, size(w) - $k), i -> $expand)")).as("s"))
+  }
+
+  /** DuckDB-side equivalent of [[shingles]] (1-based array indexing). */
+  private def sqlShingles(k: Int, where: String = ""): String = {
+    val expand = (0 until k).map(j => s"w[i + $j]").mkString(" || ' ' || ")
+    raw"""SELECT doc_id, $expand AS s FROM (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w
+      FROM documents $where) t_w,
+    UNNEST(generate_series(1, len(w) - ${k - 1})) AS t_i(i)"""
+  }
+
+  /** Cross-engine 60-bit hash: first 15 hex chars of md5, parsed as int. */
+  private def hash60(c: org.apache.spark.sql.Column) =
+    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+
+  val all: Seq[QueryDef] = Seq(
+
+    // ---- exact deduplication: corpus stats ----
+    QueryDef(
+      "q30_dedup_stats",
+      (s, d) => {
+        Tables.documents(s, d).agg(
+          count(lit(1)).as("n_docs"),
+          countDistinct(md5(col("text"))).as("n_unique"),
+          (count(lit(1)) - countDistinct(md5(col("text")))).as("n_dupes"))
+      },
+      Some("""SELECT count(*) AS n_docs, count(DISTINCT md5(text)) AS n_unique,
+        count(*) - count(DISTINCT md5(text)) AS n_dupes FROM documents""")),
+
+    // ---- exact deduplication: keep-first groups ----
+    QueryDef(
+      "q31_dedup_groups",
+      (s, d) => {
+        Tables.documents(s, d)
+          .groupBy(md5(col("text")).as("h"))
+          .agg(min(col("doc_id")).as("keeper"), count(lit(1)).as("n"))
+          .filter(col("n") > 1)
+          .orderBy(col("h"))
+      },
+      Some("""SELECT md5(text) AS h, min(doc_id) AS keeper, count(*) AS n
+        FROM documents GROUP BY h HAVING count(*) > 1 ORDER BY h""")),
+
+    // ---- token counting ----
+    QueryDef(
+      "q32_token_stats",
+      (s, d) => {
+        Tables.documents(s, d).select(
+            col("doc_id"),
+            size(split(trim(col("text")), "\\s+")).cast("long").as("n_tokens"),
+            length(col("text")).cast("long").as("n_chars"))
+          .orderBy(col("doc_id"))
+      },
+      Some(raw"""SELECT doc_id,
+        CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tokens,
+        CAST(length(text) AS BIGINT) AS n_chars
+        FROM documents ORDER BY doc_id""")),
+
+    // ---- quality scoring: stopword ratio + mean word length ----
+    QueryDef(
+      "q33_quality_scores",
+      (s, d) => {
+        val base = Tables.documents(s, d).select(
+          col("doc_id"),
+          size(split(trim(col("text")), "\\s+")).cast("long").as("n_tokens"),
+          regexp_count(col("text"), lit("\\b(the|a|and|of|to|in|is)\\b"))
+            .cast("long").as("stop_n"),
+          length(regexp_replace(col("text"), "\\s+", "")).cast("long").as("alpha_chars"))
+        base.select(col("doc_id"), col("n_tokens"), col("stop_n"),
+            round(col("stop_n").cast("double") / greatest(col("n_tokens"), lit(1L)), 4)
+              .as("stop_ratio"),
+            round(col("alpha_chars").cast("double") / greatest(col("n_tokens"), lit(1L)), 4)
+              .as("avg_word_len"))
+          .orderBy(col("doc_id"))
+      },
+      Some(raw"""SELECT doc_id, n_tokens, stop_n,
+        round(CAST(stop_n AS DOUBLE) / greatest(n_tokens, 1), 4) AS stop_ratio,
+        round(CAST(alpha_chars AS DOUBLE) / greatest(n_tokens, 1), 4) AS avg_word_len
+        FROM (SELECT doc_id,
+          CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tokens,
+          CAST(len(regexp_extract_all(text, '\b(the|a|and|of|to|in|is)\b')) AS BIGINT) AS stop_n,
+          CAST(length(regexp_replace(text, '\s+', '', 'g')) AS BIGINT) AS alpha_chars
+          FROM documents) t ORDER BY doc_id""")),
+
+    // ---- heuristic language ID via marker-word counts ----
+    QueryDef(
+      "q34_lang_id",
+      (s, d) => {
+        val t = col("text")
+        val en = regexp_count(t, lit("\\b(the|and|of)\\b"))
+        val de = regexp_count(t, lit("\\b(der|die|und)\\b"))
+        val es = regexp_count(t, lit("\\b(el|los|que)\\b"))
+        val fr = regexp_count(t, lit("\\b(le|les|et)\\b"))
+        val zh = regexp_count(t, lit("[\\x{4e00}-\\x{9fff}]"))
+        val pred = when(zh > 0, "zh")
+          .when(en >= de && en >= es && en >= fr && en > 0, "en")
+          .when(de >= es && de >= fr && de > 0, "de")
+          .when(es >= fr && es > 0, "es")
+          .when(fr > 0, "fr")
+          .otherwise("und")
+        Tables.documents(s, d).select(pred.as("lang_pred"))
+          .groupBy(col("lang_pred")).agg(count(lit(1)).as("n"))
+          .orderBy(col("lang_pred"))
+      },
+      Some(raw"""SELECT lang_pred, count(*) AS n FROM (
+        SELECT CASE
+          WHEN zh > 0 THEN 'zh'
+          WHEN en >= de AND en >= es AND en >= fr AND en > 0 THEN 'en'
+          WHEN de >= es AND de >= fr AND de > 0 THEN 'de'
+          WHEN es >= fr AND es > 0 THEN 'es'
+          WHEN fr > 0 THEN 'fr'
+          ELSE 'und' END AS lang_pred
+        FROM (SELECT
+          len(regexp_extract_all(text, '\b(the|and|of)\b')) AS en,
+          len(regexp_extract_all(text, '\b(der|die|und)\b')) AS de,
+          len(regexp_extract_all(text, '\b(el|los|que)\b')) AS es,
+          len(regexp_extract_all(text, '\b(le|les|et)\b')) AS fr,
+          len(regexp_extract_all(text, '[\x{4e00}-\x{9fff}]')) AS zh
+          FROM documents) t0) t1
+        GROUP BY lang_pred ORDER BY lang_pred""")),
+
+    // ---- document fingerprinting (normalize + hash) ----
+    QueryDef(
+      "q35_fingerprints",
+      (s, d) => {
+        Tables.documents(s, d).select(
+            col("doc_id"),
+            md5(lower(regexp_replace(trim(col("text")), "\\s+", " "))).as("fp"))
+          .orderBy(col("doc_id"))
+      },
+      Some(raw"""SELECT doc_id,
+        md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fp
+        FROM documents ORDER BY doc_id""")),
+
+    // ---- n-gram profile: top-20 word bigrams ----
+    QueryDef(
+      "q36_top_bigrams",
+      (s, d) => {
+        shingles(Tables.documents(s, d), 2)
+          .groupBy(col("s").as("bg")).agg(count(lit(1)).as("n"))
+          .orderBy(desc("n"), col("bg"))
+          .limit(20)
+      },
+      Some(raw"""SELECT s AS bg, count(*) AS n FROM (${sqlShingles(2)}) sh
+        GROUP BY bg ORDER BY n DESC, bg LIMIT 20""")),
+
+    // ---- MinHash signatures: 8 permutations over word 3-shingles ----
+    QueryDef(
+      "q37_minhash_sigs",
+      (s, d) => {
+        val sh = shingles(Tables.documents(s, d), 3)
+        val seeds = s.range(0, 8).withColumnRenamed("id", "seed")
+        sh.crossJoin(seeds)
+          .select(col("doc_id"), col("seed"),
+            hash60(concat(col("seed").cast("string"), lit(":"), col("s"))).as("h"))
+          .groupBy(col("doc_id"), col("seed"))
+          .agg(min(col("h")).as("minhash"))
+          .orderBy(col("doc_id"), col("seed"))
+      },
+      Some(raw"""WITH sh AS (${sqlShingles(3)}),
+        hs AS (SELECT doc_id, seed,
+          ('0x' || substr(md5(CAST(seed AS VARCHAR) || ':' || s), 1, 15))::BIGINT AS h
+          FROM sh CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS seed) sd)
+        SELECT doc_id, seed, min(h) AS minhash FROM hs
+        GROUP BY doc_id, seed ORDER BY doc_id, seed""")),
+
+    // ---- LSH banding: candidate near-dup pairs (4 bands × 2 rows) ----
+    QueryDef(
+      "q38_lsh_candidates",
+      (s, d) => {
+        val sh = shingles(Tables.documents(s, d), 3)
+        val seeds = s.range(0, 8).withColumnRenamed("id", "seed")
+        val sig = sh.crossJoin(seeds)
+          .select(col("doc_id"), col("seed"),
+            hash60(concat(col("seed").cast("string"), lit(":"), col("s"))).as("h"))
+          .groupBy(col("doc_id"), col("seed"))
+          .agg(min(col("h")).as("minhash"))
+        val bands = sig.withColumn("band", expr("seed div 2"))
+          .groupBy(col("doc_id"), col("band"))
+          .agg(md5(concat_ws(",",
+            expr("transform(array_sort(collect_list(struct(seed, minhash))), x -> cast(x.minhash as string))")))
+            .as("bkey"))
+        val a = bands.select(col("doc_id").as("id1"), col("band"), col("bkey"))
+        val b = bands.select(col("doc_id").as("id2"), col("band").as("band2"),
+          col("bkey").as("bkey2"))
+        a.join(b, col("band") === col("band2") && col("bkey") === col("bkey2") &&
+            col("id1") < col("id2"))
+          .select(col("id1"), col("id2")).distinct()
+          .orderBy(col("id1"), col("id2"))
+      },
+      Some(raw"""WITH sh AS (${sqlShingles(3)}),
+        hs AS (SELECT doc_id, seed,
+          ('0x' || substr(md5(CAST(seed AS VARCHAR) || ':' || s), 1, 15))::BIGINT AS h
+          FROM sh CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS seed) sd),
+        sig AS (SELECT doc_id, seed, min(h) AS minhash FROM hs GROUP BY doc_id, seed),
+        bands AS (SELECT doc_id, seed // 2 AS band,
+          md5(string_agg(CAST(minhash AS VARCHAR), ',' ORDER BY seed)) AS bkey
+          FROM sig GROUP BY doc_id, band)
+        SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+        FROM bands a JOIN bands b
+          ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+        ORDER BY id1, id2""")),
+
+    // ---- exact n-gram Jaccard verification on a bounded scope ----
+    QueryDef(
+      "q39_jaccard_pairs",
+      (s, d) => {
+        val sh = shingles(Tables.documents(s, d).filter(col("doc_id") < 150), 3)
+          .distinct()
+        val cnt = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+        val a = sh.select(col("doc_id").as("i"), col("s"))
+        val b = sh.select(col("doc_id").as("j"), col("s").as("s2"))
+        val inter = a.join(b, col("s") === col("s2") && col("i") < col("j"))
+          .groupBy(col("i"), col("j")).agg(count(lit(1)).as("c"))
+        val jac = col("c").cast("double") / (col("ni") + col("nj") - col("c"))
+        inter
+          .join(cnt.select(col("doc_id").as("i"), col("n").as("ni")), "i")
+          .join(cnt.select(col("doc_id").as("j"), col("n").as("nj")), "j")
+          .filter(jac >= 0.2)
+          .select(col("i"), col("j"), round(jac, 4).as("jaccard"))
+          .orderBy(col("i"), col("j"))
+      },
+      Some(raw"""WITH sh AS (SELECT DISTINCT doc_id, s FROM (
+          ${sqlShingles(3, "WHERE doc_id < 150")}) t_sh),
+        cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        inter AS (SELECT a.doc_id AS i, b.doc_id AS j, count(*) AS c
+          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY i, j)
+        SELECT i, j, round(CAST(c AS DOUBLE) / (ci.n + cj.n - c), 4) AS jaccard
+        FROM inter JOIN cnt ci ON i = ci.doc_id JOIN cnt cj ON j = cj.doc_id
+        WHERE CAST(c AS DOUBLE) / (ci.n + cj.n - c) >= 0.2 ORDER BY i, j""")),
+
+    // ---- SimHash: 32-bit signature from token md5 bits ----
+    QueryDef(
+      "q40_simhash",
+      (s, d) => {
+        val toks = Tables.documents(s, d)
+          .select(col("doc_id"), explode(split(trim(col("text")), "\\s+")).as("tok"))
+        val h = md5(col("tok"))
+        val aggs = (0 until 32).map { j =>
+          val digit = conv(substring(h, 1 + j / 4, 1), 16, 10).cast("int")
+          val bit = shiftright(digit, 3 - j % 4).bitwiseAND(lit(1))
+          sum(bit * 2 - lit(1)).as(s"b$j")
+        }
+        val grouped = toks.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
+        val bitsStr = concat(
+          (0 until 32).map(j => when(col(s"b$j") > 0, "1").otherwise("0")): _*)
+        grouped.select(col("doc_id"), bitsStr.as("simhash")).orderBy(col("doc_id"))
+      },
+      Some {
+        val bitExprs = (0 until 32).map { j =>
+          s"sum(((('0x' || substr(md5(tok), ${1 + j / 4}, 1))::INT >> ${3 - j % 4}) & 1) * 2 - 1) AS b$j"
+        }.mkString(", ")
+        val caseExprs = (0 until 32)
+          .map(j => s"CASE WHEN b$j > 0 THEN '1' ELSE '0' END").mkString(", ")
+        raw"""SELECT doc_id, concat($caseExprs) AS simhash FROM (
+          SELECT doc_id, $bitExprs FROM (
+            SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
+            FROM documents) t GROUP BY doc_id) g ORDER BY doc_id"""
+      }),
+
+    // ---- deterministic systematic sampling ----
+    QueryDef(
+      "q41_sample_by_mod",
+      (s, d) => {
+        Tables.documents(s, d)
+          .filter(pmod(col("doc_id"), lit(17)) === 3)
+          .groupBy(col("lang")).agg(count(lit(1)).as("n"))
+          .orderBy(col("lang"))
+      },
+      Some("""SELECT lang, count(*) AS n FROM documents
+        WHERE doc_id % 17 = 3 GROUP BY lang ORDER BY lang"""))
+  )
+}
