@@ -1,0 +1,151 @@
+package graft.operators
+
+import graft.functions.vec_cos
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{Column, DataFrame}
+
+/** Deduplication operators for LLM-training-data pipelines, in increasing
+  * fuzziness: exact (content hash), MinHash+LSH (near-dup candidates at
+  * scale), n-gram Jaccard (exact verification), SimHash (bit-signature), and
+  * embedding-cosine near-dup.
+  *
+  * Scale design (the part that must survive 100 TB):
+  *   - exact dedup = hash + groupBy → one shuffle keyed on a 128-bit hash,
+  *     uniformly distributed, no skew;
+  *   - MinHash reduces each document to k longs *before* any join, so the
+  *     wide text column never shuffles;
+  *   - LSH banding turns near-dup search from O(n²) cross join into an
+  *     equi-join on band keys (shuffle-hash join; bucket sizes are bounded
+  *     because identical band keys imply high similarity);
+  *   - Jaccard verification runs only on LSH candidates, not all pairs;
+  *   - embedding near-dup uses sign-LSH bucketing the same way.
+  */
+object Dedup {
+
+  /** Cross-engine 60-bit hash (first 15 hex chars of md5 → long). Chosen
+    * over xxhash/murmur because the DuckDB oracle can reproduce it exactly.
+    */
+  def hash60(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+
+  /** Exact dedup: keep the lowest `idCol` per distinct `textCol`. */
+  def dropExactDuplicates(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val keepers = df.groupBy(md5(col(textCol)).as("__h"))
+      .agg(min(col(idCol)).as(idCol))
+      .drop("__h")
+    df.join(keepers, Seq(idCol), "left_semi")
+  }
+
+  /** MinHash signatures: `numHashes` permutations over word `k`-shingles.
+    * Output: (idCol, seed, minhash), `numHashes` rows per document.
+    */
+  def minhashSignatures(
+      df: DataFrame, textCol: String, idCol: String,
+      k: Int = 3, numHashes: Int = 8): DataFrame = {
+    val sh = TextAnalysis.shingles(df, textCol, k, idCol)
+    val seeds = df.sparkSession.range(0, numHashes).withColumnRenamed("id", "seed")
+    sh.crossJoin(seeds)
+      .select(col(idCol), col("seed"),
+        hash60(concat(col("seed").cast("string"), lit(":"), col("s"))).as("h"))
+      .groupBy(col(idCol), col("seed"))
+      .agg(min(col("h")).as("minhash"))
+  }
+
+  /** LSH banding over [[minhashSignatures]] output: hash each band of
+    * `rowsPerBand` signature values to a key; docs sharing any (band, key)
+    * are near-dup candidates.
+    */
+  def lshCandidatePairs(
+      signatures: DataFrame, idCol: String, rowsPerBand: Int = 2): DataFrame = {
+    val bands = signatures
+      .withColumn("band", expr(s"seed div $rowsPerBand"))
+      .groupBy(col(idCol), col("band"))
+      .agg(md5(concat_ws(",",
+        expr("transform(array_sort(collect_list(struct(seed, minhash))), x -> cast(x.minhash as string))")))
+        .as("bkey"))
+    val a = bands.select(col(idCol).as("id1"), col("band"), col("bkey"))
+    val b = bands.select(col(idCol).as("id2"), col("band").as("band2"),
+      col("bkey").as("bkey2"))
+    a.join(b, col("band") === col("band2") && col("bkey") === col("bkey2") &&
+        col("id1") < col("id2"))
+      .select(col("id1"), col("id2")).distinct()
+  }
+
+  /** Exact word-k-shingle Jaccard similarity for given candidate pairs
+    * (columns id1, id2). Output: (id1, id2, jaccard).
+    */
+  def jaccardVerify(
+      df: DataFrame, textCol: String, idCol: String,
+      candidates: DataFrame, k: Int = 3): DataFrame = {
+    val sh = TextAnalysis.shingles(df, textCol, k, idCol).distinct()
+    val cnt = sh.groupBy(col(idCol)).agg(count(lit(1)).as("n"))
+    val a = sh.select(col(idCol).as("id1"), col("s"))
+    val b = sh.select(col(idCol).as("id2"), col("s").as("s2"))
+    val inter = a.join(candidates, Seq("id1"), "left_semi")
+      .join(b.join(candidates, Seq("id2"), "left_semi"),
+        col("s") === col("s2") && col("id1") < col("id2"))
+      .groupBy(col("id1"), col("id2")).agg(count(lit(1)).as("c"))
+    inter.join(candidates, Seq("id1", "id2"), "left_semi")
+      .join(cnt.select(col(idCol).as("id1"), col("n").as("n1")), "id1")
+      .join(cnt.select(col(idCol).as("id2"), col("n").as("n2")), "id2")
+      .select(col("id1"), col("id2"),
+        (col("c").cast("double") / (col("n1") + col("n2") - col("c"))).as("jaccard"))
+  }
+
+  /** Near-dup detection end-to-end: MinHash → LSH candidates → Jaccard ≥
+    * `threshold`.
+    */
+  def nearDuplicatePairs(
+      df: DataFrame, textCol: String, idCol: String,
+      k: Int = 3, numHashes: Int = 8, rowsPerBand: Int = 2,
+      threshold: Double = 0.7): DataFrame = {
+    val sigs = minhashSignatures(df, textCol, idCol, k, numHashes)
+    val cands = lshCandidatePairs(sigs, idCol, rowsPerBand)
+    jaccardVerify(df, textCol, idCol, cands, k).filter(col("jaccard") >= threshold)
+  }
+
+  /** SimHash: `bits`-bit signature (≤ 32) as a '0'/'1' string, from md5 bits
+    * of whitespace tokens, majority-weighted by occurrence.
+    */
+  def simhash(df: DataFrame, textCol: String, idCol: String, bits: Int = 32): DataFrame = {
+    require(bits <= 32, "simhash uses the first 8 hex chars of md5")
+    val toks = df.select(col(idCol),
+      explode(TextAnalysis.words(col(textCol))).as("tok"))
+    val h = md5(col("tok"))
+    val aggs = (0 until bits).map { j =>
+      val digit = conv(substring(h, 1 + j / 4, 1), 16, 10).cast("int")
+      val bit = shiftright(digit, 3 - j % 4).bitwiseAND(lit(1))
+      sum(bit * 2 - lit(1)).as(s"b$j")
+    }
+    val grouped = toks.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
+    val bitsStr = concat(
+      (0 until bits).map(j => when(col(s"b$j") > 0, "1").otherwise("0")): _*)
+    grouped.select(col(idCol), bitsStr.as("simhash"))
+  }
+
+  /** Embedding-cosine near-dup pairs via sign-LSH bucketing: bucket on the
+    * sign pattern of `planes` leading dimensions (a degenerate but shuffle-
+    * cheap random-hyperplane LSH — planes are axis-aligned so the oracle can
+    * reproduce them), verify cosine within buckets.
+    *
+    * For scoped exact search (small n) pass `bucketed = false` to compare
+    * all pairs.
+    */
+  def embeddingNearDupPairs(
+      df: DataFrame, vecCol: String, idCol: String,
+      threshold: Double = 0.95, planes: Int = 8,
+      bucketed: Boolean = true): DataFrame = {
+    val keyed =
+      if (bucketed) {
+        val signBits = (0 until planes).map(i =>
+          when(col(vecCol).getItem(i) >= 0, lit("1")).otherwise(lit("0")))
+        df.select(col(idCol), col(vecCol), concat(signBits: _*).as("__bucket"))
+      } else df.select(col(idCol), col(vecCol), lit("all").as("__bucket"))
+    val a = keyed.select(col("__bucket"), col(idCol).as("id1"), col(vecCol).as("__v1"))
+    val b = keyed.select(col("__bucket").as("__bucket2"), col(idCol).as("id2"),
+      col(vecCol).as("__v2"))
+    a.join(b, col("__bucket") === col("__bucket2") && col("id1") < col("id2"))
+      .select(col("id1"), col("id2"), vec_cos(col("__v1"), col("__v2")).as("cosine"))
+      .filter(col("cosine") >= threshold)
+  }
+}

@@ -1,0 +1,189 @@
+package graft.operators
+
+import graft.functions.vec_norm
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.{Column, DataFrame}
+
+/** Statistical profiling pipeline — surface C of the reference
+  * (`scripts/generate_benchmark_reports.py`): per-table null profile,
+  * numeric moments, categorical top-k frequency tables with percentages,
+  * text-length stats, histograms, and embedding analytics (norm stats,
+  * per-dimension moments), rendered to markdown/JSON-able case classes.
+  *
+  * Execution shape: one narrow multi-aggregate pass per stat family (the
+  * reference issues 13 separate DuckDB queries per dataset,
+  * `gbr.py:119-219`; we fuse the per-column loops into single passes), tiny
+  * collected results, driver-side rendering. The embedding column is never
+  * read by non-embedding stats (column pruning — it is ~90% of the bytes at
+  * 10M rows, SURVEY §4).
+  */
+object Profile {
+
+  final case class NumericStats(column: String, count: Long, nulls: Long,
+      mean: Double, min: Double, max: Double, stddev: Double)
+
+  final case class CategoricalStats(column: String,
+      top: Seq[(String, Long, Double)], distinct: Long)
+
+  final case class TextStats(column: String, count: Long, avgLen: Double,
+      minLen: Long, maxLen: Long)
+
+  final case class HistogramResult(column: String, lo: Double, hi: Double,
+      counts: Seq[Long])
+
+  final case class EmbeddingStats(count: Long, dims: Int, normMean: Double,
+      normStd: Double)
+
+  final case class TableProfile(rows: Long, nulls: Map[String, Long],
+      numeric: Seq[NumericStats], categorical: Seq[CategoricalStats],
+      text: Seq[TextStats])
+
+  /** Per-column null counts in ONE pass (the reference loops per column,
+    * `gbr.py:231-239`).
+    */
+  def nullProfile(df: DataFrame): Map[String, Long] = {
+    val row = df.select(df.columns.toIndexedSeq.map(c =>
+      sum(col(c).isNull.cast("long")).as(c)): _*).head()
+    df.columns.zipWithIndex.map { case (c, i) => c -> row.getLong(i) }.toMap
+  }
+
+  /** count/nulls/avg/min/max/stddev for each numeric column, one pass total
+    * (reference: one query per column, `gbr.py:168-177`).
+    */
+  def numericStats(df: DataFrame, cols: Seq[String]): Seq[NumericStats] = {
+    val aggs = cols.flatMap { c => Seq(
+      count(col(c)).as(s"${c}__cnt"),
+      sum(col(c).isNull.cast("long")).as(s"${c}__nulls"),
+      avg(col(c)).as(s"${c}__avg"),
+      min(col(c)).cast("double").as(s"${c}__min"),
+      max(col(c)).cast("double").as(s"${c}__max"),
+      stddev_samp(col(c)).as(s"${c}__sd"))
+    }
+    val row = df.select(aggs: _*).head()
+    cols.map { c =>
+      def g(suffix: String): Double = {
+        val v = row.getAs[Any](s"${c}__$suffix")
+        if (v == null) Double.NaN else v.toString.toDouble
+      }
+      NumericStats(c, row.getAs[Long](s"${c}__cnt"), row.getAs[Long](s"${c}__nulls"),
+        g("avg"), g("min"), g("max"), g("sd"))
+    }
+  }
+
+  /** Top-k frequency table with percentage-of-total (reference
+    * `gbr.py:145-153`). The percentage uses a precomputed total rather than
+    * the reference's per-query scalar subquery (SURVEY §4).
+    */
+  def categoricalStats(df: DataFrame, column: String, topK: Int = 10): CategoricalStats = {
+    val total = df.count()
+    val top = df.filter(col(column).isNotNull)
+      .groupBy(col(column)).agg(count(lit(1)).as("cnt"))
+      .withColumn("pct", round(col("cnt") * 100.0 / lit(total), 2))
+      .orderBy(desc("cnt"), col(column))
+      .limit(topK)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSeq
+    val distinct = df.filter(col(column).isNotNull)
+      .agg(countDistinct(col(column))).head().getLong(0)
+    CategoricalStats(column, top, distinct)
+  }
+
+  /** Length stats for text columns, one pass (reference `gbr.py:197-205`). */
+  def textStats(df: DataFrame, cols: Seq[String]): Seq[TextStats] = {
+    val aggs = cols.flatMap { c => Seq(
+      count(col(c)).as(s"${c}__cnt"),
+      avg(length(col(c))).as(s"${c}__avg"),
+      min(length(col(c))).cast("long").as(s"${c}__min"),
+      max(length(col(c))).cast("long").as(s"${c}__max"))
+    }
+    val row = df.filter(cols.map(col(_).isNotNull).reduce(_ || _)).select(aggs: _*).head()
+    cols.map { c =>
+      TextStats(c, row.getAs[Long](s"${c}__cnt"),
+        Option(row.getAs[Any](s"${c}__avg")).map(_.toString.toDouble).getOrElse(Double.NaN),
+        row.getAs[Long](s"${c}__min"), row.getAs[Long](s"${c}__max"))
+    }
+  }
+
+  /** Fixed-range histogram: bin counts over [lo, hi) in `bins` equal
+    * buckets; values outside clamp to the edge bins (matplotlib-hist
+    * equivalent of `gbr.py:287-354`).
+    */
+  def histogram(df: DataFrame, column: String, lo: Double, hi: Double,
+      bins: Int): HistogramResult = {
+    val width = (hi - lo) / bins
+    val bucket = least(greatest(
+      floor((col(column) - lo) / width).cast("int"), lit(0)), lit(bins - 1))
+    val counts = df.filter(col(column).isNotNull)
+      .groupBy(bucket.as("b")).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    HistogramResult(column, lo, hi, (0 until bins).map(counts.getOrElse(_, 0L)))
+  }
+
+  /** Norm statistics of an embedding column (reference `gbr.py:271-273`). */
+  def embeddingStats(df: DataFrame, vecCol: String): EmbeddingStats = {
+    val row = df.select(vec_norm(col(vecCol)).as("nm"), size(col(vecCol)).as("d"))
+      .agg(count(lit(1)), avg(col("nm")), stddev_samp(col("nm")), max(col("d")))
+      .head()
+    EmbeddingStats(row.getLong(0), row.getInt(3), row.getDouble(1), row.getDouble(2))
+  }
+
+  /** Per-dimension mean/std via posexplode + groupBy — shuffles only
+    * (dim, partial-moment) pairs, never whole vectors; cardinality = dims,
+    * so the shuffle is O(partitions × dims) regardless of row count.
+    */
+  def perDimensionMoments(df: DataFrame, vecCol: String): DataFrame = {
+    df.select(posexplode(col(vecCol)).as(Seq("dim", "v")))
+      .groupBy(col("dim"))
+      .agg(avg(col("v").cast("double")).as("mean"),
+        stddev_samp(col("v").cast("double")).as("std"))
+      .orderBy(col("dim"))
+  }
+
+  /** Full table profile: route columns by type, fuse passes. */
+  def profile(df: DataFrame, topK: Int = 10): TableProfile = {
+    val numericCols = df.schema.fields.collect {
+      case StructField(n, _: NumericType, _, _) => n }.toSeq
+    val stringCols = df.schema.fields.collect {
+      case StructField(n, StringType, _, _) => n }.toSeq
+    // short strings profile as categoricals, long ones as text
+    val (catCols, textCols) =
+      if (stringCols.isEmpty) (Seq.empty[String], Seq.empty[String])
+      else {
+        val lens = df.select(stringCols.map(c =>
+          avg(length(col(c))).as(c)): _*).head()
+        stringCols.partition(c =>
+          Option(lens.getAs[Any](c)).forall(_.toString.toDouble <= 32))
+      }
+    TableProfile(
+      rows = df.count(),
+      nulls = nullProfile(df),
+      numeric = if (numericCols.nonEmpty) numericStats(df, numericCols) else Seq.empty,
+      categorical = catCols.map(categoricalStats(df, _, topK)),
+      text = if (textCols.nonEmpty) textStats(df, textCols) else Seq.empty)
+  }
+
+  /** Markdown rendering (the reference's report sink,
+    * `gbr.py:555-745`) — driver-side string templating, not an operator.
+    */
+  def renderMarkdown(name: String, p: TableProfile): String = {
+    val sb = new StringBuilder
+    sb.append(s"# Dataset profile: $name\n\n")
+    sb.append(s"- rows: ${p.rows}\n\n## Null profile\n\n")
+    p.nulls.toSeq.sortBy(_._1).foreach { case (c, n) =>
+      sb.append(f"- $c: $n nulls (${if (p.rows == 0) 0.0 else n * 100.0 / p.rows}%.2f%%)\n") }
+    sb.append("\n## Numeric columns\n\n| column | count | nulls | mean | min | max | stddev |\n|---|---|---|---|---|---|---|\n")
+    p.numeric.foreach(s0 => sb.append(
+      f"| ${s0.column} | ${s0.count} | ${s0.nulls} | ${s0.mean}%.4f | ${s0.min}%.4f | ${s0.max}%.4f | ${s0.stddev}%.4f |\n"))
+    sb.append("\n## Categorical columns\n\n")
+    p.categorical.foreach { c =>
+      sb.append(s"### ${c.column} (${c.distinct} distinct)\n\n")
+      c.top.foreach { case (v, n, pc) => sb.append(s"- $v: $n ($pc%)\n") }
+      sb.append("\n")
+    }
+    sb.append("## Text columns\n\n| column | count | avg_len | min_len | max_len |\n|---|---|---|---|---|\n")
+    p.text.foreach(t => sb.append(
+      f"| ${t.column} | ${t.count} | ${t.avgLen}%.1f | ${t.minLen} | ${t.maxLen} |\n"))
+    sb.toString
+  }
+}

@@ -1,0 +1,73 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{Column, DataFrame}
+
+/** Text-analysis operators for LLM-training-data pipelines: tokenization
+  * stats, quality scoring, heuristic language ID, fingerprinting and word
+  * n-gram (shingle) extraction.
+  *
+  * All operators are pure column expressions / narrow transformations — no
+  * shuffles, codegen-friendly, and therefore scale linearly with input bytes
+  * at 100 TB (the scan dominates; nothing here widens the plan).
+  */
+object TextAnalysis {
+
+  /** Whitespace-tokenized words of the trimmed text. */
+  def words(text: Column): Column = split(trim(text), "\\s+")
+
+  def tokenCount(text: Column): Column = size(words(text)).cast("long")
+
+  /** English-ish stopword occurrences (used by quality scoring). */
+  def stopwordCount(text: Column): Column =
+    regexp_count(text, lit("\\b(the|a|and|of|to|in|is)\\b")).cast("long")
+
+  /** Characters excluding whitespace. */
+  def alphaChars(text: Column): Column =
+    length(regexp_replace(text, "\\s+", "")).cast("long")
+
+  /** Stopword-to-token ratio — a cheap fluency proxy. */
+  def stopwordRatio(text: Column): Column =
+    stopwordCount(text).cast("double") / greatest(tokenCount(text), lit(1L))
+
+  /** Mean word length — flags boilerplate/code-ish text. */
+  def meanWordLength(text: Column): Column =
+    alphaChars(text).cast("double") / greatest(tokenCount(text), lit(1L))
+
+  /** Normalized-text fingerprint: lowercase, collapse whitespace, md5. */
+  def fingerprint(text: Column): Column =
+    md5(lower(regexp_replace(trim(text), "\\s+", " ")))
+
+  /** Marker-word language ID over a small fixed dictionary. Deterministic
+    * priority: zh (CJK presence), then en/de/es/fr by marker count, 'und'
+    * when nothing matches.
+    */
+  def langId(text: Column): Column = {
+    val en = regexp_count(text, lit("\\b(the|and|of)\\b"))
+    val de = regexp_count(text, lit("\\b(der|die|und)\\b"))
+    val es = regexp_count(text, lit("\\b(el|los|que)\\b"))
+    val fr = regexp_count(text, lit("\\b(le|les|et)\\b"))
+    val zh = regexp_count(text, lit("[\\x{4e00}-\\x{9fff}]"))
+    when(zh > 0, "zh")
+      .when(en >= de && en >= es && en >= fr && en > 0, "en")
+      .when(de >= es && de >= fr && de > 0, "de")
+      .when(es >= fr && es > 0, "es")
+      .when(fr > 0, "fr")
+      .otherwise("und")
+  }
+
+  /** Explode `textCol` of `df` into word k-shingles.
+    *
+    * Output: the `idCols` plus a `s` column, one row per shingle occurrence
+    * (multiset — callers needing set semantics apply `.distinct()`).
+    * Documents shorter than k words produce no rows.
+    */
+  def shingles(df: DataFrame, textCol: String, k: Int, idCols: String*): DataFrame = {
+    val expand =
+      (0 until k).map(j => s"w[i + $j]").mkString("concat_ws(' ', ", ", ", ")")
+    df.select(idCols.map(col) :+ words(col(textCol)).as("w"): _*)
+      .filter(size(col("w")) >= k)
+      .select(idCols.map(col) :+
+        explode(expr(s"transform(sequence(0, size(w) - $k), i -> $expand)")).as("s"): _*)
+  }
+}

@@ -1,39 +1,19 @@
 package graft.queries
 
 import graft.Tables
+import graft.operators.{Dedup, TextAnalysis => TA}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.{DataFrame, SparkSession}
 
-/** Text-analysis and deduplication operators over the `documents` table —
-  * the LLM-training-data-pipeline surface: exact dedup, MinHash signatures +
-  * LSH banding, n-gram Jaccard verification, SimHash, token statistics,
-  * quality scoring, language ID, fingerprinting, n-gram profiling and
-  * deterministic sampling.
-  *
-  * Every operator here is also exposed as a reusable API in
-  * [[graft.operators.Dedup]] / [[graft.operators.TextAnalysis]]; the query
+/** Text-analysis and deduplication operator queries over the `documents`
+  * table — the LLM-training-data-pipeline surface. Implementations live in
+  * [[graft.operators.Dedup]] / [[graft.operators.TextAnalysis]]; these query
   * forms pin the semantics against the DuckDB oracle. Cross-engine hashing
   * uses md5 prefixes parsed as integers (identical in Spark and DuckDB), so
-  * even MinHash/SimHash are exactly verifiable.
-  *
-  * Scale notes: shingling explodes rows but not bytes (shingles are short);
-  * signatures reduce each doc to k longs before any join; LSH banding makes
-  * the candidate join key-equality (shuffle hash join on band key) instead of
-  * an O(n²) cross join — the design that survives 100 TB.
+  * even MinHash/SimHash signatures are exactly verifiable.
   */
 object TextQueries {
 
-  /** Spark-side word-k-shingles of the trimmed, whitespace-split text. */
-  private def shingles(docs: DataFrame, k: Int): DataFrame = {
-    val expand =
-      (0 until k).map(j => s"w[i + $j]").mkString("concat_ws(' ', ", ", ", ")")
-    docs.select(col("doc_id"), split(trim(col("text")), "\\s+").as("w"))
-      .filter(size(col("w")) >= k)
-      .select(col("doc_id"),
-        explode(expr(s"transform(sequence(0, size(w) - $k), i -> $expand)")).as("s"))
-  }
-
-  /** DuckDB-side equivalent of [[shingles]] (1-based array indexing). */
+  /** DuckDB-side equivalent of [[TA.shingles]] (1-based array indexing). */
   private def sqlShingles(k: Int, where: String = ""): String = {
     val expand = (0 until k).map(j => s"w[i + $j]").mkString(" || ' ' || ")
     raw"""SELECT doc_id, $expand AS s FROM (
@@ -41,10 +21,6 @@ object TextQueries {
       FROM documents $where) t_w,
     UNNEST(generate_series(1, len(w) - ${k - 1})) AS t_i(i)"""
   }
-
-  /** Cross-engine 60-bit hash: first 15 hex chars of md5, parsed as int. */
-  private def hash60(c: org.apache.spark.sql.Column) =
-    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
 
   val all: Seq[QueryDef] = Seq(
 
@@ -79,7 +55,7 @@ object TextQueries {
       (s, d) => {
         Tables.documents(s, d).select(
             col("doc_id"),
-            size(split(trim(col("text")), "\\s+")).cast("long").as("n_tokens"),
+            TA.tokenCount(col("text")).as("n_tokens"),
             length(col("text")).cast("long").as("n_chars"))
           .orderBy(col("doc_id"))
       },
@@ -92,17 +68,12 @@ object TextQueries {
     QueryDef(
       "q33_quality_scores",
       (s, d) => {
-        val base = Tables.documents(s, d).select(
-          col("doc_id"),
-          size(split(trim(col("text")), "\\s+")).cast("long").as("n_tokens"),
-          regexp_count(col("text"), lit("\\b(the|a|and|of|to|in|is)\\b"))
-            .cast("long").as("stop_n"),
-          length(regexp_replace(col("text"), "\\s+", "")).cast("long").as("alpha_chars"))
-        base.select(col("doc_id"), col("n_tokens"), col("stop_n"),
-            round(col("stop_n").cast("double") / greatest(col("n_tokens"), lit(1L)), 4)
-              .as("stop_ratio"),
-            round(col("alpha_chars").cast("double") / greatest(col("n_tokens"), lit(1L)), 4)
-              .as("avg_word_len"))
+        Tables.documents(s, d).select(
+            col("doc_id"),
+            TA.tokenCount(col("text")).as("n_tokens"),
+            TA.stopwordCount(col("text")).as("stop_n"),
+            round(TA.stopwordRatio(col("text")), 4).as("stop_ratio"),
+            round(TA.meanWordLength(col("text")), 4).as("avg_word_len"))
           .orderBy(col("doc_id"))
       },
       Some(raw"""SELECT doc_id, n_tokens, stop_n,
@@ -118,19 +89,7 @@ object TextQueries {
     QueryDef(
       "q34_lang_id",
       (s, d) => {
-        val t = col("text")
-        val en = regexp_count(t, lit("\\b(the|and|of)\\b"))
-        val de = regexp_count(t, lit("\\b(der|die|und)\\b"))
-        val es = regexp_count(t, lit("\\b(el|los|que)\\b"))
-        val fr = regexp_count(t, lit("\\b(le|les|et)\\b"))
-        val zh = regexp_count(t, lit("[\\x{4e00}-\\x{9fff}]"))
-        val pred = when(zh > 0, "zh")
-          .when(en >= de && en >= es && en >= fr && en > 0, "en")
-          .when(de >= es && de >= fr && de > 0, "de")
-          .when(es >= fr && es > 0, "es")
-          .when(fr > 0, "fr")
-          .otherwise("und")
-        Tables.documents(s, d).select(pred.as("lang_pred"))
+        Tables.documents(s, d).select(TA.langId(col("text")).as("lang_pred"))
           .groupBy(col("lang_pred")).agg(count(lit(1)).as("n"))
           .orderBy(col("lang_pred"))
       },
@@ -156,8 +115,7 @@ object TextQueries {
       "q35_fingerprints",
       (s, d) => {
         Tables.documents(s, d).select(
-            col("doc_id"),
-            md5(lower(regexp_replace(trim(col("text")), "\\s+", " "))).as("fp"))
+            col("doc_id"), TA.fingerprint(col("text")).as("fp"))
           .orderBy(col("doc_id"))
       },
       Some(raw"""SELECT doc_id,
@@ -168,7 +126,7 @@ object TextQueries {
     QueryDef(
       "q36_top_bigrams",
       (s, d) => {
-        shingles(Tables.documents(s, d), 2)
+        TA.shingles(Tables.documents(s, d), "text", 2, "doc_id")
           .groupBy(col("s").as("bg")).agg(count(lit(1)).as("n"))
           .orderBy(desc("n"), col("bg"))
           .limit(20)
@@ -180,13 +138,7 @@ object TextQueries {
     QueryDef(
       "q37_minhash_sigs",
       (s, d) => {
-        val sh = shingles(Tables.documents(s, d), 3)
-        val seeds = s.range(0, 8).withColumnRenamed("id", "seed")
-        sh.crossJoin(seeds)
-          .select(col("doc_id"), col("seed"),
-            hash60(concat(col("seed").cast("string"), lit(":"), col("s"))).as("h"))
-          .groupBy(col("doc_id"), col("seed"))
-          .agg(min(col("h")).as("minhash"))
+        Dedup.minhashSignatures(Tables.documents(s, d), "text", "doc_id")
           .orderBy(col("doc_id"), col("seed"))
       },
       Some(raw"""WITH sh AS (${sqlShingles(3)}),
@@ -200,24 +152,8 @@ object TextQueries {
     QueryDef(
       "q38_lsh_candidates",
       (s, d) => {
-        val sh = shingles(Tables.documents(s, d), 3)
-        val seeds = s.range(0, 8).withColumnRenamed("id", "seed")
-        val sig = sh.crossJoin(seeds)
-          .select(col("doc_id"), col("seed"),
-            hash60(concat(col("seed").cast("string"), lit(":"), col("s"))).as("h"))
-          .groupBy(col("doc_id"), col("seed"))
-          .agg(min(col("h")).as("minhash"))
-        val bands = sig.withColumn("band", expr("seed div 2"))
-          .groupBy(col("doc_id"), col("band"))
-          .agg(md5(concat_ws(",",
-            expr("transform(array_sort(collect_list(struct(seed, minhash))), x -> cast(x.minhash as string))")))
-            .as("bkey"))
-        val a = bands.select(col("doc_id").as("id1"), col("band"), col("bkey"))
-        val b = bands.select(col("doc_id").as("id2"), col("band").as("band2"),
-          col("bkey").as("bkey2"))
-        a.join(b, col("band") === col("band2") && col("bkey") === col("bkey2") &&
-            col("id1") < col("id2"))
-          .select(col("id1"), col("id2")).distinct()
+        val sigs = Dedup.minhashSignatures(Tables.documents(s, d), "text", "doc_id")
+        Dedup.lshCandidatePairs(sigs, "doc_id")
           .orderBy(col("id1"), col("id2"))
       },
       Some(raw"""WITH sh AS (${sqlShingles(3)}),
@@ -237,7 +173,8 @@ object TextQueries {
     QueryDef(
       "q39_jaccard_pairs",
       (s, d) => {
-        val sh = shingles(Tables.documents(s, d).filter(col("doc_id") < 150), 3)
+        val sh = TA.shingles(
+          Tables.documents(s, d).filter(col("doc_id") < 150), "text", 3, "doc_id")
           .distinct()
         val cnt = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
         val a = sh.select(col("doc_id").as("i"), col("s"))
@@ -265,18 +202,8 @@ object TextQueries {
     QueryDef(
       "q40_simhash",
       (s, d) => {
-        val toks = Tables.documents(s, d)
-          .select(col("doc_id"), explode(split(trim(col("text")), "\\s+")).as("tok"))
-        val h = md5(col("tok"))
-        val aggs = (0 until 32).map { j =>
-          val digit = conv(substring(h, 1 + j / 4, 1), 16, 10).cast("int")
-          val bit = shiftright(digit, 3 - j % 4).bitwiseAND(lit(1))
-          sum(bit * 2 - lit(1)).as(s"b$j")
-        }
-        val grouped = toks.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
-        val bitsStr = concat(
-          (0 until 32).map(j => when(col(s"b$j") > 0, "1").otherwise("0")): _*)
-        grouped.select(col("doc_id"), bitsStr.as("simhash")).orderBy(col("doc_id"))
+        Dedup.simhash(Tables.documents(s, d), "text", "doc_id")
+          .orderBy(col("doc_id"))
       },
       Some {
         val bitExprs = (0 until 32).map { j =>

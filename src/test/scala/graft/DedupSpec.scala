@@ -1,0 +1,75 @@
+package graft
+
+import graft.operators.{Dedup, TextAnalysis}
+import org.apache.spark.sql.functions._
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val docs = Seq(
+    (0L, "the quick brown fox jumps over the lazy dog near the river bank"),
+    (1L, "the quick brown fox jumps over the lazy dog near the river bank"), // exact dup of 0
+    (2L, "the quick brown fox jumps over the lazy dog near the river shore"), // near dup of 0
+    (3L, "completely different content about spark query engines and columnar formats"),
+    (4L, "der schnelle braune fuchs springt und der hund schlaeft und der")
+  ).toDF("doc_id", "text")
+
+  test("exact dedup keeps lowest id per distinct text") {
+    val out = Dedup.dropExactDuplicates(docs, "text", "doc_id")
+      .select("doc_id").as[Long].collect().sorted
+    assert(out.toSeq == Seq(0L, 2L, 3L, 4L))
+  }
+
+  test("minhash signatures: identical docs have identical signatures") {
+    val sigs = Dedup.minhashSignatures(docs, "text", "doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    (0 until 8).foreach { s =>
+      assert(sigs((0L, s.toLong)) == sigs((1L, s.toLong)))
+    }
+  }
+
+  test("near-duplicate pipeline finds planted dup and near-dup pairs only") {
+    val pairs = Dedup.nearDuplicatePairs(docs, "text", "doc_id", threshold = 0.5)
+      .select("id1", "id2").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((0L, 1L)))
+    // near-dup 0↔2 shares most shingles; must be found by LSH + survive 0.5
+    assert(pairs.contains((0L, 2L)) || pairs.contains((1L, 2L)))
+    // unrelated docs must not pair
+    assert(!pairs.exists { case (a, b) => a == 3L || b == 3L })
+  }
+
+  test("jaccard of exact duplicates is 1.0") {
+    val cands = Seq((0L, 1L)).toDF("id1", "id2")
+    val j = Dedup.jaccardVerify(docs, "text", "doc_id", cands)
+      .head().getDouble(2)
+    assert(j === 1.0)
+  }
+
+  test("simhash: identical docs equal, different docs differ") {
+    val sh = Dedup.simhash(docs, "text", "doc_id")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(sh(0L) == sh(1L))
+    assert(sh(0L).length == 32 && sh(0L).forall(c => c == '0' || c == '1'))
+    assert(sh(0L) != sh(3L))
+    // near-dup should be within small hamming distance
+    val ham = sh(0L).zip(sh(2L)).count { case (a, b) => a != b }
+    assert(ham <= 8, s"hamming $ham too large for near-dup")
+  }
+
+  test("embedding near-dup pairs finds planted duplicate vector") {
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f, 0.2f, 0.1f)),
+      (1L, Array(1.0f, 0.01f, 0.2f, 0.1f)), // near-dup of 0
+      (2L, Array(-1.0f, 0.5f, -0.2f, 0.3f))
+    ).toDF("vec_id", "embedding")
+    val pairs = Dedup.embeddingNearDupPairs(vecs, "embedding", "vec_id",
+      threshold = 0.99, planes = 2)
+      .select("id1", "id2").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((0L, 1L)))
+  }
+
+  test("shingles: doc shorter than k produces no rows") {
+    val tiny = Seq((0L, "one two")).toDF("doc_id", "text")
+    assert(TextAnalysis.shingles(tiny, "text", 3, "doc_id").count() == 0)
+  }
+}

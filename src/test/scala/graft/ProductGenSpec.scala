@@ -1,0 +1,59 @@
+package graft
+
+import graft.functions.vec_norm
+import graft.sources.ProductGen
+import org.apache.spark.sql.functions._
+
+class ProductGenSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val df = ProductGen.products(spark, 2000, dims = 70, partitions = 4).cache()
+
+  test("schema matches the 17-column contract") {
+    assert(df.schema.fieldNames.toSeq == ProductGen.schema(70).fieldNames.toSeq)
+  }
+
+  test("embedding norm contract: every vector has norm sqrt(7)") {
+    val norms = df.select(vec_norm($"embedding").as("n"))
+      .agg(min("n"), max("n")).head()
+    assert(math.abs(norms.getDouble(0) - math.sqrt(7)) < 1e-3)
+    assert(math.abs(norms.getDouble(1) - math.sqrt(7)) < 1e-3)
+  }
+
+  test("generation is deterministic") {
+    val again = ProductGen.products(spark, 50, dims = 70, partitions = 2)
+    val a = df.filter($"parent_asin" < "B000000050")
+      .orderBy("parent_asin").select("parent_asin", "title", "average_rating").collect()
+    val b = again.orderBy("parent_asin")
+      .select("parent_asin", "title", "average_rating").collect()
+    assert(a.toSeq == b.toSeq)
+  }
+
+  test("null rates approximate the reference (price ~42%, category ~0.7%)") {
+    val r = df.agg(
+      avg($"price".isNull.cast("double")),
+      avg($"main_category".isNull.cast("double"))).head()
+    assert(math.abs(r.getDouble(0) - 0.42) < 0.05)
+    assert(r.getDouble(1) < 0.03)
+  }
+
+  test("rating_tier boundary: 4.5 is excellent, 4.4 high, 2.9 low") {
+    val t = Seq(4.5, 4.4, 3.0, 2.9).toDF("r")
+      .select(ProductGen.ratingTier($"r")).as[String].collect().toSeq
+    assert(t == Seq("excellent", "high", "medium", "low"))
+  }
+
+  test("review_volume buckets roughly match published distribution") {
+    val dist = df.groupBy("review_volume").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1) * 1.0 / 2000).toMap
+    // reference: few 48.8 / moderate 34.3 / many 13.1 / popular 3.8 (%)
+    assert(math.abs(dist.getOrElse("few", 0.0) - 0.488) < 0.15)
+    assert(math.abs(dist.getOrElse("moderate", 0.0) - 0.343) < 0.15)
+    assert(dist.getOrElse("popular", 0.0) < 0.12)
+  }
+
+  test("has_price / combined_text derivations hold") {
+    assert(df.filter($"has_price" =!= $"price".isNotNull).count() == 0)
+    assert(df.filter(length($"combined_text") === 0).count() == 0)
+  }
+}

@@ -1,0 +1,61 @@
+package graft
+
+import graft.operators.Profile
+import org.apache.spark.sql.functions._
+
+class ProfileSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val df = Seq(
+    (1L, Some(10.0), "red", "a longer text value that is descriptive"),
+    (2L, Some(20.0), "blue", "another long descriptive text goes right here"),
+    (3L, None, "red", "short but still a text column for the profiler"),
+    (4L, Some(30.0), null, "the fourth descriptive text value in this table")
+  ).toDF("id", "price", "color", "desc")
+
+  test("null profile counts every column in one pass") {
+    val nulls = Profile.nullProfile(df)
+    assert(nulls == Map("id" -> 0L, "price" -> 1L, "color" -> 1L, "desc" -> 0L))
+  }
+
+  test("numeric stats match hand-computed values") {
+    val s = Profile.numericStats(df, Seq("price")).head
+    assert(s.count == 3 && s.nulls == 1)
+    assert(s.mean === 20.0 && s.min === 10.0 && s.max === 30.0)
+    assert(math.abs(s.stddev - 10.0) < 1e-9)
+  }
+
+  test("categorical stats: counts, percentages, distinct") {
+    val c = Profile.categoricalStats(df, "color")
+    assert(c.distinct == 2)
+    assert(c.top.head == ("red", 2L, 50.0))
+  }
+
+  test("histogram clamps to edge bins") {
+    val h = Profile.histogram(df, "price", 0.0, 30.0, 3)
+    // 10 → bin 1, 20 → bin 2, 30 → clamped to bin 2
+    assert(h.counts == Seq(0L, 1L, 2L))
+  }
+
+  test("embedding stats + per-dim moments") {
+    val vecs = Seq(
+      Array(3.0f, 4.0f), Array(0.0f, 5.0f), Array(5.0f, 0.0f)
+    ).toDF("embedding")
+    val e = Profile.embeddingStats(vecs, "embedding")
+    assert(e.count == 3 && e.dims == 2)
+    assert(math.abs(e.normMean - 5.0) < 1e-9)
+    val dims = Profile.perDimensionMoments(vecs, "embedding").collect()
+    assert(dims.length == 2)
+    assert(math.abs(dims(0).getAs[Double]("mean") - 8.0 / 3) < 1e-6)
+  }
+
+  test("full profile routes columns and renders markdown") {
+    val p = Profile.profile(df)
+    assert(p.rows == 4)
+    assert(p.numeric.map(_.column).toSet == Set("id", "price"))
+    assert(p.categorical.map(_.column) == Seq("color"))
+    assert(p.text.map(_.column) == Seq("desc"))
+    val md = Profile.renderMarkdown("test", p)
+    assert(md.contains("# Dataset profile: test") && md.contains("red"))
+  }
+}

@@ -1,0 +1,49 @@
+package graft
+
+import graft.operators.TextAnalysis
+import org.apache.spark.sql.functions._
+
+class TextAnalysisSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("tokenCount handles extra whitespace") {
+    val df = Seq("  the quick   brown fox  ").toDF("text")
+    assert(df.select(TextAnalysis.tokenCount($"text")).head().getLong(0) == 4L)
+  }
+
+  test("langId picks marker language deterministically") {
+    val df = Seq(
+      ("the cat and the dog of the house", "en"),
+      ("der hund und die katze und der vogel", "de"),
+      ("el gato que duerme y los perros", "es"),
+      ("le chat et les chiens et le chien", "fr"),
+      ("你好世界", "zh"),
+      ("xyzzy plugh quux", "und")
+    ).toDF("text", "expected")
+    val got = df.select(TextAnalysis.langId($"text").as("got"), $"expected").collect()
+    got.foreach(r => assert(r.getString(0) == r.getString(1),
+      s"expected ${r.getString(1)} got ${r.getString(0)}"))
+  }
+
+  test("fingerprint is whitespace/case invariant") {
+    val df = Seq(("Hello   World", "hello world"), ("  a b  ", "A B")).toDF("x", "y")
+    val rows = df.select(TextAnalysis.fingerprint($"x"),
+      TextAnalysis.fingerprint($"y")).collect()
+    rows.foreach(r => assert(r.getString(0) == r.getString(1)))
+  }
+
+  test("quality metrics: stopword ratio and mean word length") {
+    val df = Seq("the cat is on the mat").toDF("text")
+    val r = df.select(TextAnalysis.stopwordRatio($"text"),
+      TextAnalysis.meanWordLength($"text")).head()
+    assert(math.abs(r.getDouble(0) - 3.0 / 6.0) < 1e-12)
+    assert(math.abs(r.getDouble(1) - 16.0 / 6.0) < 1e-12)
+  }
+
+  test("shingles produce n-k+1 shingles per doc") {
+    val df = Seq((1L, "a b c d e")).toDF("doc_id", "text")
+    val sh = TextAnalysis.shingles(df, "text", 3, "doc_id")
+      .select("s").as[String].collect().toSeq
+    assert(sh == Seq("a b c", "b c d", "c d e"))
+  }
+}

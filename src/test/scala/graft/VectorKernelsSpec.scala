@@ -1,0 +1,75 @@
+package graft
+
+import graft.functions._
+import org.apache.spark.sql.functions._
+
+class VectorKernelsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def dotRef(a: Seq[Float], b: Seq[Float]): Double =
+    a.zip(b).map { case (x, y) => x.toDouble * y.toDouble }.sum
+
+  test("dot/norm/cos match scalar reference on float arrays") {
+    val a = Array(1.5f, -2.0f, 3.25f)
+    val b = Array(0.5f, 4.0f, -1.0f)
+    val row = Seq((a, b)).toDF("a", "b")
+      .select(vec_dot($"a", $"b"), vec_norm($"a"), vec_cos($"a", $"b")).head()
+    assert(math.abs(row.getDouble(0) - dotRef(a.toSeq, b.toSeq)) < 1e-12)
+    assert(math.abs(row.getDouble(1) - math.sqrt(dotRef(a.toSeq, a.toSeq))) < 1e-12)
+    val expectedCos = dotRef(a.toSeq, b.toSeq) /
+      (math.sqrt(dotRef(a.toSeq, a.toSeq)) * math.sqrt(dotRef(b.toSeq, b.toSeq)))
+    assert(math.abs(row.getDouble(2) - expectedCos) < 1e-12)
+  }
+
+  test("kernels accept double arrays and mixed types") {
+    val df = Seq((Array(1.0, 2.0), Array(3.0f, 4.0f))).toDF("a", "b")
+    assert(df.select(vec_dot($"a", $"b")).head().getDouble(0) === 11.0)
+    assert(df.select(vec_norm($"a")).head().getDouble(0) === math.sqrt(5.0))
+  }
+
+  test("zero vector cosine is 0, not NaN") {
+    val df = Seq((Array(0.0f, 0.0f), Array(1.0f, 1.0f))).toDF("a", "b")
+    assert(df.select(vec_cos($"a", $"b")).head().getDouble(0) === 0.0)
+  }
+
+  test("null input propagates null") {
+    val df = Seq((Some(Array(1.0f)), None: Option[Array[Float]]))
+      .toDF("a", "b")
+    assert(df.select(vec_dot($"a", $"b")).head().isNullAt(0))
+  }
+
+  test("SQL registration works") {
+    graft.functions.registerAll(spark)
+    val r = spark.sql(
+      "SELECT vec_dot(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS d").head()
+    assert(r.getDouble(0) === 11.0)
+  }
+
+  test("property: dot is symmetric, cos bounded (100 random vectors)") {
+    val rnd = new scala.util.Random(42)
+    val rows = (0 until 100).map { _ =>
+      (Array.fill(16)(rnd.nextFloat() * 20 - 10), Array.fill(16)(rnd.nextFloat() * 20 - 10))
+    }
+    val res = rows.toDF("a", "b").select(vec_dot($"a", $"b"), vec_dot($"b", $"a"),
+      vec_cos($"a", $"b")).collect()
+    res.foreach { r =>
+      assert(r.getDouble(0) === r.getDouble(1))
+      assert(r.getDouble(2) >= -1.0000001 && r.getDouble(2) <= 1.0000001)
+    }
+  }
+
+  test("interpreted eval matches codegen path") {
+    val a = Array.tabulate(64)(i => (i * 0.37 - 8).toFloat)
+    val b = Array.tabulate(64)(i => (3.1 - i * 0.21).toFloat)
+    val viaDf = Seq((a, b)).toDF("a", "b").select(vec_dot($"a", $"b")).head().getDouble(0)
+    // interpreted: direct expression eval
+    import org.apache.spark.sql.catalyst.util.ArrayData
+    val expr = DotProduct(
+      org.apache.spark.sql.catalyst.expressions.Literal.create(a,
+        org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.FloatType, false)),
+      org.apache.spark.sql.catalyst.expressions.Literal.create(b,
+        org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.FloatType, false)))
+    val interpreted = expr.eval(null).asInstanceOf[Double]
+    assert(viaDf === interpreted)
+  }
+}

@@ -1,0 +1,65 @@
+package graft
+
+import graft.operators.VectorSearch
+import org.apache.spark.sql.functions._
+
+class VectorSearchSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** 3 well-separated clusters of 40 vectors each in 8 dims. */
+  private lazy val clustered = {
+    val rnd = new scala.util.Random(7)
+    val centers = Seq(
+      Array.fill(8)(5.0f), Array.fill(8)(-5.0f),
+      Array.tabulate(8)(i => if (i % 2 == 0) 5.0f else -5.0f))
+    (0 until 120).map { i =>
+      val c = centers(i % 3)
+      (i.toLong, (i % 3), c.map(v => v + rnd.nextFloat() - 0.5f))
+    }.toDF("vec_id", "true_cluster", "embedding")
+  }
+
+  test("topK matches brute-force ranking and respects filters") {
+    val q = Array.fill(8)(5.0f)
+    val top = VectorSearch.topK(clustered, "embedding", q, 5,
+      projection = Seq("vec_id"))
+    val rows = top.collect()
+    assert(rows.length == 5)
+    // all results must come from cluster 0 (aligned with the query)
+    val brute = clustered.collect().map { r =>
+      val v = r.getSeq[Float](2)
+      (r.getLong(0), v.zip(q).map { case (a, b) => a.toDouble * b }.sum)
+    }.sortBy(-_._2).take(5).map(_._1).toSet
+    assert(rows.map(_.getLong(0)).toSet == brute)
+    val filtered = VectorSearch.topK(clustered, "embedding", q, 5,
+      filter = Some(col("true_cluster") === 1))
+    assert(filtered.select("true_cluster").as[Int].collect().forall(_ == 1))
+  }
+
+  test("IVF index: probe-1 finds the aligned cluster with recall 1.0") {
+    val dir = java.nio.file.Files.createTempDirectory("ivf").toString
+    val idx = VectorSearch.buildIvf(clustered, "embedding", 3, dir)
+    val q = Array.fill(8)(5.0f)
+    val approx = idx.search(spark, q, 10, nprobe = 1)
+      .select(lit(0L).as("qid"), col("vec_id"))
+    val exact = VectorSearch.topK(clustered, "embedding", q, 10,
+      projection = Seq("vec_id")).select(lit(0L).as("qid"), col("vec_id"))
+    val recall = VectorSearch.recallAtK(exact, approx, "qid", "vec_id", 10)
+      .head().getDouble(0)
+    assert(recall == 1.0, s"recall $recall")
+  }
+
+  test("recallAtK of exact vs itself is 1.0") {
+    val q = Array.fill(8)(-5.0f)
+    val exact = VectorSearch.topK(clustered, "embedding", q, 7,
+      projection = Seq("vec_id")).select(lit(1L).as("qid"), col("vec_id"))
+    val r = VectorSearch.recallAtK(exact, exact, "qid", "vec_id", 7).head().getDouble(0)
+    assert(r == 1.0)
+  }
+
+  test("topk plan is TakeOrderedAndProject (no global sort, no shuffle of vectors)") {
+    val q = Array.fill(8)(1.0f)
+    val plan = VectorSearch.topK(clustered, "embedding", q, 5)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+  }
+}
