@@ -1,24 +1,147 @@
 package graft
-import org.apache.spark.sql.SparkSession
+
+import graft.operators.{Dedup, VectorSearch}
+import graft.sources.ProductGen
+import graft.streaming.{BucketedStore, UpsertStream}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Benchmark main — prints ONE JSON line with per-query seconds.
+  *
+  * Two sections:
+  *   1. the 41-query oracle suite over the driver's testdata at
+  *      `SPARK_GRAFT_SF_DIR`;
+  *   2. the reference's own workload shape (reference `README.md:58-83`) at
+  *      a scale-proportional synthetic product table: index build (embed +
+  *      write = the "<2 hrs for 10M rows" target, `README.md:64`), the four
+  *      filter-selectivity top-100 reads (`README.md:80-83`), a bulk upsert
+  *      merge (`README.md:69-70`), an IVF build + probe, and the near-dup
+  *      dedup pipeline over `documents`.
+  */
 object Bench {
+
+  private def time[A](f: => A): Double = {
+    val t0 = System.nanoTime()
+    f
+    (System.nanoTime() - t0) / 1e9
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    def newSession(): SparkSession = {
+      val builder = SparkSession.builder()
+        .master(s"local[$cpus]")
+        .config("spark.sql.shuffle.partitions", cpus)
+      GraftSession.defaults.foreach { case (k, v) => builder.config(k, v) }
+      val s = builder.getOrCreate()
+      s.sparkContext.setLogLevel("WARN")
+      GraftSession.prepare(s)
+      // warm the JVM/codegen once so timings measure the engine, not startup
+      s.range(1000).select(sum(col("id"))).collect()
+      s
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    var spark = newSession()
+
+    val results = scala.collection.mutable.LinkedHashMap[String, Double]()
+
+    // ---- section 1: oracle suite ----
+    // SPARK_GRAFT_BENCH_SECTIONS=workload skips it during perf iteration
+    val sections = sys.env.getOrElse("SPARK_GRAFT_BENCH_SECTIONS", "all")
+    if (sections != "workload") {
+      SparkEntry.allQueries.foreach { q =>
+        results(q.name) = time {
+          try q.run(spark, sfDir).write.mode("overwrite").format("noop").save()
+          catch { case _: Throwable => -1.0 }
+        }
+      }
+      // fresh context for the workload section: the suite leaves shuffle
+      // files, broadcast blocks and codegen caches behind that distort the
+      // write-heavy workload timings
+      spark.stop()
+      SparkSession.clearActiveSession()
+      SparkSession.clearDefaultSession()
+      spark = newSession()
+    }
+
+    // ---- section 2: reference workload at scale-proportional size ----
+    val sfFraction = "sf([0-9.]+)".r.findFirstMatchIn(sfDir)
+      .map(_.group(1).toDouble).getOrElse(0.1)
+    val nProducts = math.max(10000L, (1000000 * sfFraction).toLong)
+    val dims = 2688
+    val base = sys.env.getOrElse("SPARK_GRAFT_WORK_DIR",
+      java.nio.file.Files.createTempDirectory("graft_bench").toString)
+    val productsPath = s"$base/products"
+
+    // index build: generate + embed + write, partitioned by the filter
+    // column so selective reads prune directories (reference README.md:64)
+    results("index_build") = time {
+      ProductGen.products(spark, nProducts, dims, partitions = cpus.toInt)
+        .write.mode("overwrite").partitionBy("main_category")
+        .parquet(productsPath)
+    }
+
+    val products = spark.read.parquet(productsPath)
+    val queryVec = products.select(col("embedding")).head().getSeq[Float](0).toArray
+    def topk(filter: org.apache.spark.sql.Column): DataFrame =
+      VectorSearch.topK(products, "embedding", queryVec, 100,
+        Some(filter), projection = Seq("parent_asin"))
+
+    // the four selectivity tiers (reference README.md:80-83)
+    results("read_sel_0001") = time {
+      topk(col("average_rating") <= 3.0 && col("rating_number") > 130 &&
+        col("main_category") === "Computers").collect()
+    }
+    results("read_sel_01") = time {
+      topk(col("average_rating") <= 3.5 && col("rating_number") > 15 &&
+        col("main_category") === "Computers").collect()
+    }
+    results("read_sel_1") = time {
+      topk(col("average_rating") >= 3.5 && col("rating_number") > 10 &&
+        col("main_category") === "Computers").collect()
+    }
+    results("read_sel_10") = time {
+      topk(col("main_category").isin("Computers", "All Beauty", "Buy a Kindle"))
+        .collect()
+    }
+
+    // upserts (reference README.md:69-70): copy-on-write bucketed store —
+    // single-object batches rewrite only touched buckets, not the table
+    val store = new BucketedStore(s"$base/store", nBuckets = 64)
+    results("upsert_store_init") = time {
+      store.initialize(products, "parent_asin")
+    }
+    results("upsert_batch10") = time {
+      val updates = ProductGen.products(spark, 10, dims, partitions = 1)
+      store.upsert(updates, "parent_asin")
+    }
+    results("upsert_read_after") = time {
+      store.read(spark).count()
+    }
+
+    // IVF: build coarse index on a 64-dim slice-scale table + probe
+    val emb = Tables.embeddings(spark, sfDir)
+    val ivfPath = s"$base/ivf"
+    var ivf: VectorSearch.IvfIndex = null
+    results("ivf_build") = time {
+      ivf = VectorSearch.buildIvf(emb, "embedding", 16, ivfPath)
+    }
+    val q64 = emb.select(col("embedding")).head().getSeq[Float](0).toArray
+    results("ivf_probe") = time {
+      ivf.search(spark, q64, 100, nprobe = 4).collect()
+    }
+
+    // near-dup dedup pipeline over documents
+    val docs = Tables.documents(spark, sfDir)
+    results("near_dup_pipeline") = time {
+      Dedup.nearDuplicatePairs(docs, "text", "doc_id", threshold = 0.5)
+        .write.mode("overwrite").format("noop").save()
+    }
+
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val total = results.values.filter(_ >= 0).sum
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -49,6 +49,109 @@ final class SnapshotStore(val root: String) {
   }
 }
 
+/** Copy-on-write bucketed table: rows hash-bucketed by key, each version
+  * described by a manifest mapping bucket → the version directory that last
+  * rewrote it. An upsert rewrites ONLY the buckets containing updated keys
+  * and re-points the rest — so single-object upserts (the reference's
+  * workload, `README.md:69-70`) rewrite 1/`nBuckets` of the data instead of
+  * all of it. Readers resolve the `_CURRENT` manifest once; commits are an
+  * atomic pointer flip, same isolation story as [[SnapshotStore]].
+  *
+  * This is the minimal honest core of what upsert-on-parquet becomes at
+  * 100 TB (the copy-on-write half of a table format).
+  */
+final class BucketedStore(val root: String, val nBuckets: Int) {
+  import java.nio.file.{Files, Paths, StandardCopyOption}
+
+  private val pointer = Paths.get(root, "_CURRENT")
+  Files.createDirectories(Paths.get(root))
+
+  private def bucketCol(key: String) =
+    pmod(xxhash64(col(key)), lit(nBuckets.toLong)).cast("int")
+
+  def currentVersion: Option[Int] =
+    if (Files.exists(pointer)) Some(Files.readString(pointer).trim.toInt) else None
+
+  /** manifest: bucket id → version that owns the bucket's directory */
+  private def readManifest(v: Int): Map[Int, Int] = {
+    Files.readString(Paths.get(root, s"v$v", "manifest.tsv")).linesIterator
+      .filter(_.nonEmpty).map { l =>
+        val Array(b, ver) = l.split("\t"); b.toInt -> ver.toInt
+      }.toMap
+  }
+
+  private def writeVersion(v: Int, manifest: Map[Int, Int]): Unit = {
+    val dir = Paths.get(root, s"v$v")
+    Files.createDirectories(dir)
+    Files.writeString(dir.resolve("manifest.tsv"),
+      manifest.toSeq.sorted.map { case (b, ver) => s"$b\t$ver" }.mkString("\n"))
+    val tmp = Paths.get(root, s"_CURRENT.tmp$v")
+    Files.writeString(tmp, v.toString)
+    Files.move(tmp, pointer, StandardCopyOption.ATOMIC_MOVE,
+      StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  private def bucketPath(owner: Int, bucket: Int): String =
+    s"$root/v$owner/b=$bucket"
+
+  /** Initial full load: write every bucket under v0. */
+  def initialize(df: DataFrame, key: String): Unit = {
+    require(currentVersion.isEmpty, s"$root already initialized")
+    df.withColumn("__b", bucketCol(key))
+      .write.mode("overwrite").partitionBy("__b").parquet(s"$root/v0/data")
+    // relocate partition dirs to the bucket layout
+    val dataDir = Paths.get(root, "v0", "data")
+    (0 until nBuckets).foreach { b =>
+      val src = dataDir.resolve(s"__b=$b")
+      if (Files.exists(src))
+        Files.move(src, Paths.get(bucketPath(0, b)))
+    }
+    writeVersion(0, (0 until nBuckets).map(_ -> 0).toMap)
+  }
+
+  /** Read the latest snapshot (union of current bucket directories). */
+  def read(spark: SparkSession): DataFrame = {
+    val v = currentVersion.getOrElse(
+      throw new IllegalStateException(s"no committed version under $root"))
+    val paths = readManifest(v).toSeq.sortBy(_._1).collect {
+      case (b, owner) if java.nio.file.Files.exists(
+        java.nio.file.Paths.get(bucketPath(owner, b))) => bucketPath(owner, b)
+    }
+    spark.read.parquet(paths: _*)
+  }
+
+  /** Upsert: rewrite only buckets containing updated keys — ONE Spark job
+    * regardless of how many buckets are touched (read the touched bucket
+    * dirs as a single frame, merge, write back partitioned by bucket).
+    */
+  def upsert(updates: DataFrame, key: String): Int = {
+    val spark = updates.sparkSession
+    val v = currentVersion.getOrElse(
+      throw new IllegalStateException("initialize first"))
+    val next = v + 1
+    val manifest = readManifest(v)
+    val withB = updates.withColumn("__b", bucketCol(key))
+    val touched = withB.select("__b").distinct().collect().map(_.getInt(0)).sorted
+    val existingPaths = touched.map(b => bucketPath(manifest(b), b))
+      .filter(p => Files.exists(Paths.get(p)))
+    val merged =
+      if (existingPaths.isEmpty) withB
+      else {
+        val base = spark.read.parquet(existingPaths.toIndexedSeq: _*)
+          .withColumn("__b", bucketCol(key))
+        UpsertStream.applyUpserts(base, withB, key)
+      }
+    val dataDir = s"$root/v$next/data"
+    merged.write.mode("overwrite").partitionBy("__b").parquet(dataDir)
+    touched.foreach { b =>
+      val src = Paths.get(dataDir, s"__b=$b")
+      if (Files.exists(src)) Files.move(src, Paths.get(bucketPath(next, b)))
+    }
+    writeVersion(next, manifest ++ touched.map(_ -> next))
+    next
+  }
+}
+
 object UpsertStream {
 
   /** Merge semantics: rows of `updates` replace rows of `base` with the same

@@ -1,0 +1,73 @@
+package graft
+
+import graft.operators.VectorSearch
+import org.apache.spark.sql.functions._
+
+/** Asserts the scale-critical physical-plan properties (SURVEY §4): filters
+  * and projections reach the parquet scan, wide columns are pruned, small
+  * dims broadcast, aggregates are partial+final, top-k never global-sorts.
+  * These are the properties that keep the same code viable at 100 TB.
+  */
+class PlanAuditSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def planOf(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("filter + projection push into the parquet scan") {
+    val df = Tables.lineitem(spark, dir)
+      .filter(col("l_quantity") > 30)
+      .select("l_orderkey", "l_quantity")
+    val plan = planOf(df)
+    assert(plan.contains("PushedFilters: [IsNotNull(l_quantity), GreaterThan(l_quantity,30.0)]"), plan)
+    assert(plan.contains("ReadSchema: struct<l_orderkey:bigint,l_quantity:double>"), plan)
+  }
+
+  test("profile-style stats never read the embedding column") {
+    val df = Tables.embeddings(spark, dir)
+      .groupBy(col("label")).agg(count(lit(1)).as("n"))
+    val plan = planOf(df)
+    assert(plan.contains("ReadSchema: struct<label:int>"), plan)
+    assert(!plan.contains("embedding:"), plan)
+  }
+
+  test("dimension joins broadcast; fact join does not broadcast the fact") {
+    val c = Tables.customer(spark, dir)
+    val n = Tables.nation(spark, dir)
+    val joined = c.join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name")).agg(count(lit(1)))
+    assert(planOf(joined).contains("BroadcastHashJoin"), planOf(joined))
+  }
+
+  test("grouped aggregation is partial then final (map-side combine)") {
+    val df = Tables.lineitem(spark, dir)
+      .groupBy(col("l_returnflag")).agg(sum(col("l_quantity")))
+    val plan = planOf(df)
+    assert("HashAggregate".r.findAllIn(plan).size >= 2, plan)
+    assert(plan.contains("partial_sum"), plan)
+  }
+
+  test("vector top-k plans as TakeOrderedAndProject with pushed filter") {
+    val e = Tables.embeddings(spark, dir)
+    val q = Array.fill(64)(0.1f)
+    val df = VectorSearch.topK(e, "embedding", q, 100,
+      Some(col("label") === 3), projection = Seq("vec_id"))
+    val plan = planOf(df)
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+    assert(plan.contains("PushedFilters: [IsNotNull(label), EqualTo(label,3)]"), plan)
+    // no exchange: scoring + heap run on the scan partitions directly
+    assert(!plan.contains("Exchange"), plan)
+  }
+
+  test("whole-stage codegen covers the vector scoring expression") {
+    val e = Tables.embeddings(spark, dir)
+    val q = Array.fill(64)(0.1f)
+    val df = e.select(graft.functions.vec_dot(col("embedding"), typedLit(q)).as("s"))
+      .filter(col("s") > 0)
+    val codegenStages = df.queryExecution.executedPlan.collect {
+      case w: org.apache.spark.sql.execution.WholeStageCodegenExec => w
+    }
+    assert(codegenStages.nonEmpty, planOf(df))
+  }
+}
