@@ -1,0 +1,65 @@
+package graft.operators
+
+import org.apache.spark.ml.feature.PCA
+import org.apache.spark.ml.functions.{array_to_vector, vector_to_array}
+import org.apache.spark.ml.stat.Summarizer
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Embedding analytics beyond the scoring kernels: single-pass per-dimension
+  * moments and PCA projection (reference `gbr.py:449-450` PCA viz,
+  * `gbr.py:511-512` per-dim mean/std).
+  *
+  * Two per-dim strategies, both kept on purpose:
+  *   - [[Profile.perDimensionMoments]] (posexplode + groupBy) shuffles
+  *     (dim, partial) pairs — simple, oracle-checkable, but the explode
+  *     multiplies row count by dims;
+  *   - [[perDimensionSummary]] (MLlib `Summarizer`) is ONE narrow pass with a
+  *     per-partition vector accumulator — at 10M×2688 it touches each vector
+  *     once and reduces 2688-wide partials, no explode, no wide shuffle.
+  *     This is the 100 TB path.
+  */
+object Embedding {
+
+  /** Per-dimension mean/variance/min/max in one narrow pass via
+    * `Summarizer`. Output: one row per dimension (dim, mean, std, min, max).
+    */
+  def perDimensionSummary(df: DataFrame, vecCol: String): DataFrame = {
+    val v = df.select(array_to_vector(col(vecCol).cast("array<double>")).as("__v"))
+    val summary = v.select(
+      Summarizer.metrics("mean", "std", "min", "max").summary(col("__v")).as("s"))
+      .select(
+        vector_to_array(col("s.mean")).as("mean"),
+        vector_to_array(col("s.std")).as("std"),
+        vector_to_array(col("s.min")).as("mn"),
+        vector_to_array(col("s.max")).as("mx"))
+    summary.select(posexplode(arrays_zip(col("mean"), col("std"), col("mn"), col("mx")))
+        .as(Seq("dim", "z")))
+      .select(col("dim"), col("z.mean").as("mean"), col("z.std").as("std"),
+        col("z.mn").as("min"), col("z.mx").as("max"))
+  }
+
+  /** PCA projection to `k` components (reference `gbr.py:449-450`). Returns
+    * the input plus `pc` = Array[Double] of length k. The model fit is a
+    * distributed covariance/SVD over vectors; transform is a broadcast
+    * matrix-multiply — no shuffle of the data.
+    */
+  def pcaProject(df: DataFrame, vecCol: String, k: Int = 2): DataFrame = {
+    val withVec = df.withColumn("__mlvec", array_to_vector(col(vecCol).cast("array<double>")))
+    val model = new PCA().setK(k).setInputCol("__mlvec").setOutputCol("__pc")
+      .fit(withVec.select("__mlvec"))
+    model.transform(withVec)
+      .withColumn("pc", vector_to_array(col("__pc")))
+      .drop("__mlvec", "__pc")
+  }
+
+  /** Explained-variance ratios of the top `k` principal components — the
+    * scalar the reference's PCA plot annotates.
+    */
+  def pcaExplainedVariance(df: DataFrame, vecCol: String, k: Int = 2): Array[Double] = {
+    val withVec = df.select(array_to_vector(col(vecCol).cast("array<double>")).as("__mlvec"))
+    val model = new PCA().setK(k).setInputCol("__mlvec").setOutputCol("__pc")
+      .fit(withVec)
+    model.explainedVariance.toArray
+  }
+}

@@ -413,6 +413,51 @@ object RelationalQueries {
       },
       Some("""SELECT p_brand, count(DISTINCT l_suppkey) AS n_supp, count(*) AS n
         FROM lineitem JOIN part ON l_partkey = p_partkey
-        GROUP BY p_brand ORDER BY p_brand"""))
+        GROUP BY p_brand ORDER BY p_brand""")),
+
+    // ---- Pearson correlation (reference gbr.py:372-373 corr matrix) ----
+    QueryDef(
+      "q42_correlation",
+      (s, d) => {
+        val li = Tables.lineitem(s, d)
+        li.groupBy(col("l_returnflag"))
+          .agg(
+            (round(corr(col("l_quantity"), col("l_extendedprice")), 4) + 0.0).as("corr_qty_price"),
+            (round(corr(col("l_discount"), col("l_tax")), 4) + 0.0).as("corr_disc_tax"),
+            count(lit(1)).as("n"))
+          .orderBy(col("l_returnflag"))
+      },
+      Some("""SELECT l_returnflag,
+        round(corr(l_quantity, l_extendedprice), 4) + 0 AS corr_qty_price,
+        round(corr(l_discount, l_tax), 4) + 0 AS corr_disc_tax,
+        count(*) AS n
+        FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")),
+
+    // ---- ROLLUP hierarchy totals (region → nation → grand total) ----
+    QueryDef(
+      "q43_rollup",
+      (s, d) => {
+        val c = Tables.customer(s, d)
+        val n = Tables.nation(s, d)
+        val r = Tables.region(s, d)
+        c.join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+          .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+          .rollup(col("r_name"), col("n_name"))
+          .agg(count(lit(1)).as("n_cust"),
+            dsum(col("c_acctbal")).as("sum_bal"))
+          .select(
+            coalesce(col("r_name"), lit("ALL")).as("region"),
+            coalesce(col("n_name"), lit("ALL")).as("nation"),
+            col("n_cust"), col("sum_bal"))
+          .orderBy(col("region"), col("nation"))
+      },
+      Some("""SELECT coalesce(r_name, 'ALL') AS region,
+        coalesce(n_name, 'ALL') AS nation,
+        count(*) AS n_cust,
+        CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_bal
+        FROM customer JOIN nation ON c_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        GROUP BY ROLLUP (r_name, n_name)
+        ORDER BY region, nation"""))
   )
 }

@@ -227,6 +227,31 @@ object TextQueries {
           .orderBy(col("lang"))
       },
       Some("""SELECT lang, count(*) AS n FROM documents
-        WHERE doc_id % 17 = 3 GROUP BY lang ORDER BY lang"""))
+        WHERE doc_id % 17 = 3 GROUP BY lang ORDER BY lang""")),
+
+    // ---- multimodal plumbing: opaque binary payloads with typed metadata
+    //      (payload = utf-8 bytes of text here; a real pipeline carries
+    //      image/audio bytes through the same schema — see
+    //      operators.Multimodal for the decode/feature-extract side) ----
+    QueryDef(
+      "q47_media_meta",
+      (s, d) => {
+        Tables.documents(s, d)
+          .select(col("doc_id"),
+            element_at(array(lit("image"), lit("audio"), lit("video")),
+              (pmod(col("doc_id"), lit(3)) + 1).cast("int")).as("modality"),
+            col("text").cast("binary").as("payload"))
+          .groupBy(col("modality"))
+          .agg(count(lit(1)).as("n"),
+            sum(length(col("payload"))).as("total_bytes"),
+            max(length(col("payload"))).as("max_bytes"))
+          .orderBy(col("modality"))
+      },
+      Some("""SELECT modality, count(*) AS n,
+        sum(octet_length(encode(text))) AS total_bytes,
+        max(octet_length(encode(text))) AS max_bytes
+        FROM (SELECT doc_id, ['image','audio','video'][(doc_id % 3) + 1] AS modality, text
+          FROM documents) t
+        GROUP BY modality ORDER BY modality"""))
   )
 }

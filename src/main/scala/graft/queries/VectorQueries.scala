@@ -127,6 +127,74 @@ object VectorQueries {
         FROM (SELECT a.vec_id AS qid, b.vec_id AS nid,
           round(${sqlDot("a.embedding", "b.embedding")}, 4) + 0 AS score
           FROM embeddings a JOIN embeddings b ON a.vec_id < 10 AND b.vec_id <> a.vec_id) t0) t1
-        WHERE rnk <= 3 ORDER BY qid, rnk"""))
+        WHERE rnk <= 3 ORDER BY qid, rnk""")),
+
+    // ---- single-pass per-dim moments via MLlib Summarizer (the 100 TB
+    //      alternative to the posexplode path of q27) ----
+    QueryDef(
+      "q44_dim_summary",
+      (s, d) => {
+        graft.operators.Embedding.perDimensionSummary(
+            Tables.embeddings(s, d), "embedding")
+          .filter(col("dim") < 8)
+          .select((col("dim") + 1).cast("long").as("dim"),
+            (round(col("mean"), 5) + 0.0).as("mean"),
+            (round(col("min"), 5) + 0.0).as("mn"),
+            (round(col("max"), 5) + 0.0).as("mx"))
+          .orderBy(col("dim"))
+      },
+      Some("""SELECT i AS dim, round(avg(CAST(e AS DOUBLE)), 5) + 0 AS mean,
+        round(min(CAST(e AS DOUBLE)), 5) + 0 AS mn,
+        round(max(CAST(e AS DOUBLE)), 5) + 0 AS mx
+        FROM (SELECT generate_subscripts(embedding, 1) AS i, unnest(embedding) AS e
+          FROM embeddings) t
+        WHERE i <= 8 GROUP BY i ORDER BY i""")),
+
+    // ---- embedding-cosine near-dup via sign-LSH buckets (axis-aligned
+    //      planes so the oracle reproduces the bucketing exactly) ----
+    QueryDef(
+      "q45_embed_near_dup",
+      (s, d) => {
+        graft.operators.Dedup.embeddingNearDupPairs(
+            Tables.embeddings(s, d), "embedding", "vec_id",
+            threshold = 0.3, planes = 8)
+          .select(col("id1"), col("id2"),
+            (round(col("cosine"), 4) + 0.0).as("cosine"))
+          .orderBy(col("id1"), col("id2"))
+      },
+      Some(s"""WITH e AS (
+        SELECT vec_id, embedding,
+          concat(
+            CASE WHEN embedding[1] >= 0 THEN '1' ELSE '0' END,
+            CASE WHEN embedding[2] >= 0 THEN '1' ELSE '0' END,
+            CASE WHEN embedding[3] >= 0 THEN '1' ELSE '0' END,
+            CASE WHEN embedding[4] >= 0 THEN '1' ELSE '0' END,
+            CASE WHEN embedding[5] >= 0 THEN '1' ELSE '0' END,
+            CASE WHEN embedding[6] >= 0 THEN '1' ELSE '0' END,
+            CASE WHEN embedding[7] >= 0 THEN '1' ELSE '0' END,
+            CASE WHEN embedding[8] >= 0 THEN '1' ELSE '0' END) AS bucket
+        FROM embeddings)
+        SELECT id1, id2, round(cos, 4) + 0 AS cosine FROM (
+          SELECT a.vec_id AS id1, b.vec_id AS id2,
+            ${sqlDot("a.embedding", "b.embedding")} /
+              (sqrt(${sqlNormSq("a.embedding")}) * sqrt(${sqlNormSq("b.embedding")})) AS cos
+          FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id) t
+        WHERE cos >= 0.3 ORDER BY id1, id2""")),
+
+    // ---- PCA(2) projection (gbr.py:449-450). Component signs are
+    //      implementation-defined, so no SQL oracle: the driver records the
+    //      rows-only check; PCASpec asserts the math (variance ordering,
+    //      orthogonality, reconstruction) ----
+    QueryDef(
+      "q46_pca_project",
+      (s, d) => {
+        graft.operators.Embedding.pcaProject(
+            Tables.embeddings(s, d), "embedding", k = 2)
+          .select(col("vec_id"), col("label"),
+            round(col("pc").getItem(0), 4).as("pc1"),
+            round(col("pc").getItem(1), 4).as("pc2"))
+          .orderBy(col("vec_id"))
+      },
+      None)
   )
 }

@@ -3,8 +3,8 @@ package graft.streaming
 import java.nio.file.{Files, Paths, StandardCopyOption}
 
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 
 /** The reference's write path (reference `README.md:69-70`): sustained
   * single-object upserts — replace-by-key including a re-computed embedding —
@@ -209,5 +209,93 @@ object EventPipeline {
       .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
       .select(col("window.start").as("h"), col("event_type"), col("n"),
         col("sum_value"))
+  }
+
+  /** Gap-based sessionization via the built-in `session_window` — the
+    * streaming dual of q24_events_sessions. State is managed by Spark's
+    * session-window state store; the watermark bounds state size (sessions
+    * older than watermark − gap are finalized and evicted).
+    */
+  def sessionRollup(events: DataFrame, gap: String = "30 minutes",
+      watermark: String = "1 hour"): DataFrame = {
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(col("user_id"), session_window(col("ts"), gap))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+      .select(col("user_id"),
+        col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("n"), col("sum_value"))
+  }
+}
+
+/** Custom per-key streaming state via `flatMapGroupsWithState` — the shape
+  * to reach for when built-in windows can't express the semantics (here:
+  * gap-based sessions that also carry first/last event ids, as a worked
+  * example of arbitrary session payloads).
+  *
+  * State design for scale: one small fixed-size state object per ACTIVE key
+  * only — closed sessions are emitted and their state removed via event-time
+  * timeout, so state size tracks concurrent activity, not history. The
+  * watermark drives both late-data drop and timeout firing.
+  */
+object StatefulSessions {
+
+  final case class Ev(user_id: Long, ts: java.sql.Timestamp, event_id: Long,
+      value: Double)
+  final case class SessionState(start: Long, end: Long, n: Long, sum: Double,
+      firstEvent: Long, lastEvent: Long)
+  final case class Session(user_id: Long, session_start: java.sql.Timestamp,
+      session_end: java.sql.Timestamp, n_events: Long, sum_value: Double,
+      first_event: Long, last_event: Long)
+
+  /** Micros gap between events that splits a session. */
+  def sessionize(events: Dataset[Ev], gapMicros: Long,
+      watermark: String = "1 hour"): Dataset[Session] = {
+    import events.sparkSession.implicits._
+
+    def toSession(uid: Long, st: SessionState): Session =
+      Session(uid,
+        new java.sql.Timestamp(st.start / 1000),
+        new java.sql.Timestamp(st.end / 1000),
+        st.n, st.sum, st.firstEvent, st.lastEvent)
+
+    events
+      .withWatermark("ts", watermark)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, Session](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (uid, it, state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            // watermark passed the session's end + gap: close and emit
+            val out = state.getOption.map(toSession(uid, _))
+            state.remove()
+            out.iterator
+          } else {
+            val evs = it.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+            var closed = List.empty[Session]
+            var cur = state.getOption
+            evs.foreach { e =>
+              val t = e.ts.getTime * 1000
+              cur match {
+                case Some(st) if t - st.end <= gapMicros =>
+                  cur = Some(st.copy(
+                    end = math.max(st.end, t), n = st.n + 1,
+                    sum = st.sum + e.value, lastEvent = e.event_id))
+                case Some(st) =>
+                  closed ::= toSession(uid, st)
+                  cur = Some(SessionState(t, t, 1, e.value, e.event_id, e.event_id))
+                case None =>
+                  cur = Some(SessionState(t, t, 1, e.value, e.event_id, e.event_id))
+              }
+            }
+            cur.foreach { st =>
+              state.update(st)
+              // fire once the watermark proves no in-gap event can arrive
+              state.setTimeoutTimestamp(st.end / 1000 + gapMicros / 1000)
+            }
+            closed.reverseIterator
+          }
+      }
   }
 }

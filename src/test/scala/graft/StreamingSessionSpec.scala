@@ -1,0 +1,89 @@
+package graft
+
+import graft.streaming.{EventPipeline, StatefulSessions}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+class StreamingSessionSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = java.sql.Timestamp.valueOf(s)
+
+  test("session_window rollup groups by gap and finalizes after watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, java.sql.Timestamp, Double)]
+    val events = mem.toDF().toDF("user_id", "ts", "value")
+    val q = EventPipeline.sessionRollup(events, gap = "30 minutes").writeStream
+      .outputMode("append").format("memory").queryName("sessions").start()
+    // user 1: two events 10 min apart (one session), then one 2h later
+    mem.addData(
+      (1L, ts("2024-01-01 10:00:00"), 1.0),
+      (1L, ts("2024-01-01 10:10:00"), 2.0),
+      (1L, ts("2024-01-01 12:30:00"), 4.0))
+    q.processAllAvailable()
+    // advance the watermark far enough to close everything
+    mem.addData((9L, ts("2024-01-02 00:00:00"), 0.0))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("sessions")
+      .filter(col("user_id") === 1L)
+      .select(col("session_start").cast("string"), col("n"), col("sum_value"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got == Set(
+      ("2024-01-01 10:00:00", 2L, 3.0),
+      ("2024-01-01 12:30:00", 1L, 4.0)))
+  }
+
+  test("stateful sessionizer closes sessions via event-time timeout") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[StatefulSessions.Ev]
+    val sessions = StatefulSessions.sessionize(
+      mem.toDS(), gapMicros = 30L * 60 * 1000000)
+    val q = sessions.writeStream
+      .outputMode("append").format("memory").queryName("stateful").start()
+    mem.addData(
+      StatefulSessions.Ev(1L, ts("2024-01-01 10:00:00"), 100L, 1.0),
+      StatefulSessions.Ev(1L, ts("2024-01-01 10:20:00"), 101L, 2.0),
+      StatefulSessions.Ev(2L, ts("2024-01-01 10:00:00"), 200L, 5.0))
+    q.processAllAvailable()
+    // nothing closed yet: watermark has not passed end + gap
+    assert(spark.table("stateful").count() == 0)
+    // push the watermark forward; both sessions time out and emit
+    mem.addData(StatefulSessions.Ev(9L, ts("2024-01-01 14:00:00"), 900L, 0.0))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("stateful")
+      .filter(col("user_id").isin(1L, 2L))
+      .select(col("user_id"), col("n_events"), col("sum_value"),
+        col("first_event"), col("last_event"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getLong(3), r.getLong(4))).toSet
+    assert(got == Set((1L, 2L, 3.0, 100L, 101L), (2L, 1L, 5.0, 200L, 200L)))
+  }
+
+  test("late events beyond the watermark are dropped") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, java.sql.Timestamp, Double)]
+    val events = mem.toDF().toDF("user_id", "ts", "value")
+    // tight 10-minute watermark so lateness is easy to trigger
+    val q = EventPipeline.sessionRollup(events, gap = "5 minutes",
+      watermark = "10 minutes").writeStream
+      .outputMode("append").format("memory").queryName("late").start()
+    mem.addData((1L, ts("2024-01-01 10:00:00"), 1.0))
+    q.processAllAvailable()
+    // advance watermark to 11:50
+    mem.addData((2L, ts("2024-01-01 12:00:00"), 1.0))
+    q.processAllAvailable()
+    // this event is hours behind the watermark: must be dropped, i.e. the
+    // already-finalized 10:00 session is not re-opened or duplicated
+    mem.addData((1L, ts("2024-01-01 10:01:00"), 99.0))
+    q.processAllAvailable()
+    mem.addData((9L, ts("2024-01-02 00:00:00"), 0.0))
+    q.processAllAvailable()
+    q.stop()
+    val user1 = spark.table("late").filter(col("user_id") === 1L)
+      .select(col("n"), col("sum_value"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(user1.toSeq == Seq((1L, 1.0)), s"late event leaked: ${user1.toSeq}")
+  }
+}
