@@ -37,8 +37,15 @@ object Bench {
       val s = builder.getOrCreate()
       s.sparkContext.setLogLevel("WARN")
       GraftSession.prepare(s)
-      // warm the JVM/codegen once so timings measure the engine, not startup
+      // warm the JVM/codegen once so timings measure the engine, not
+      // startup, and pre-touch the parquet footers/views the suite reads so
+      // the first timed query doesn't absorb session-startup costs
       s.range(1000).select(sum(col("id"))).collect()
+      Seq("lineitem", "orders", "customer", "documents", "embeddings")
+        .foreach { t =>
+          try s.read.parquet(s"$sfDir/$t.parquet").count()
+          catch { case _: Throwable => () }
+        }
       s
     }
     var spark = newSession()
@@ -69,7 +76,8 @@ object Bench {
       .map(_.group(1).toDouble).getOrElse(0.1)
     val nProducts = math.max(10000L, (1000000 * sfFraction).toLong)
     val dims = 2688
-    val base = sys.env.getOrElse("SPARK_GRAFT_WORK_DIR",
+    val userWorkDir = sys.env.get("SPARK_GRAFT_WORK_DIR")
+    val base = userWorkDir.getOrElse(
       java.nio.file.Files.createTempDirectory("graft_bench").toString)
     val productsPath = s"$base/products"
 
@@ -143,5 +151,15 @@ object Bench {
     val total = results.values.filter(_ >= 0).sum
     println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
+    // clean the scratch data (2+ GB per run) unless the caller pinned a dir
+    if (userWorkDir.isEmpty) {
+      import java.nio.file.{Files, Path}
+      import scala.jdk.CollectionConverters._
+      val root = java.nio.file.Paths.get(base)
+      if (Files.exists(root)) {
+        Files.walk(root).iterator().asScala.toSeq.reverse
+          .foreach(p => try Files.delete(p) catch { case _: Throwable => () })
+      }
+    }
   }
 }

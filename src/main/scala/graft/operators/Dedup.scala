@@ -38,17 +38,27 @@ object Dedup {
 
   /** MinHash signatures: `numHashes` permutations over word `k`-shingles.
     * Output: (idCol, seed, minhash), `numHashes` rows per document.
+    *
+    * All `numHashes` mins are computed in ONE aggregation pass over the
+    * shingles (one `min` column per seed), then unpivoted — no seed
+    * cross-join, so the shingle set is scanned and shuffled once instead of
+    * `numHashes` times. At 100 TB the shuffle is keyed on the doc id with
+    * map-side partial mins, so each mapper emits at most one `numHashes`-wide
+    * row per doc.
     */
   def minhashSignatures(
       df: DataFrame, textCol: String, idCol: String,
       k: Int = 3, numHashes: Int = 8): DataFrame = {
     val sh = TextAnalysis.shingles(df, textCol, k, idCol)
-    val seeds = df.sparkSession.range(0, numHashes).withColumnRenamed("id", "seed")
-    sh.crossJoin(seeds)
-      .select(col(idCol), col("seed"),
-        hash60(concat(col("seed").cast("string"), lit(":"), col("s"))).as("h"))
-      .groupBy(col(idCol), col("seed"))
-      .agg(min(col("h")).as("minhash"))
+    val aggs = (0 until numHashes).map { seed =>
+      min(hash60(concat(lit(s"$seed:"), col("s")))).as(s"__m$seed")
+    }
+    val stackExpr = (0 until numHashes)
+      .map(seed => s"${seed}L, __m$seed").mkString(", ")
+    sh.groupBy(col(idCol))
+      .agg(aggs.head, aggs.tail: _*)
+      .select(col(idCol),
+        expr(s"stack($numHashes, $stackExpr) AS (seed, minhash)"))
   }
 
   /** LSH banding over [[minhashSignatures]] output: hash each band of
