@@ -163,6 +163,72 @@ object Profile {
       text = if (textCols.nonEmpty) textStats(df, textCols) else Seq.empty)
   }
 
+  /** JSON stats sink (the reference's `sampling_analysis.json` shape,
+    * `reports/sampling_analysis.json:1-246`) — driver-side serialization of
+    * the collected profile; tiny, so no JSON library needed.
+    */
+  def renderJson(name: String, p: TableProfile): String = {
+    def esc(s: String) =
+      s.flatMap { case '"' => "\\\""; case '\\' => "\\\\"
+        case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString }
+    def num(d: Double) = if (d.isNaN || d.isInfinite) "null" else d.toString
+    val nulls = p.nulls.toSeq.sortBy(_._1)
+      .map { case (c, n) => s""""${esc(c)}": $n""" }.mkString(", ")
+    val numeric = p.numeric.map { s0 =>
+      s"""{"column": "${esc(s0.column)}", "count": ${s0.count}, "nulls": ${s0.nulls}, "mean": ${num(s0.mean)}, "min": ${num(s0.min)}, "max": ${num(s0.max)}, "stddev": ${num(s0.stddev)}}"""
+    }.mkString(", ")
+    val categorical = p.categorical.map { c =>
+      val top = c.top.map { case (v, n, pc) =>
+        s"""{"value": "${esc(v)}", "count": $n, "pct": ${num(pc)}}""" }.mkString(", ")
+      s"""{"column": "${esc(c.column)}", "distinct": ${c.distinct}, "top": [$top]}"""
+    }.mkString(", ")
+    val text = p.text.map { t =>
+      s"""{"column": "${esc(t.column)}", "count": ${t.count}, "avg_len": ${num(t.avgLen)}, "min_len": ${t.minLen}, "max_len": ${t.maxLen}}"""
+    }.mkString(", ")
+    s"""{"dataset": "${esc(name)}", "rows": ${p.rows}, "nulls": {$nulls}, "numeric": [$numeric], "categorical": [$categorical], "text": [$text]}"""
+  }
+
+  /** Cross-dataset summary (the reference's `generate_summary_report`,
+    * `gbr.py:747-814`): one comparison row per dataset from already-collected
+    * profiles — pure driver-side reuse, no new jobs.
+    */
+  def renderSummaryMarkdown(profiles: Seq[(String, TableProfile)]): String = {
+    val sb = new StringBuilder
+    sb.append("# Summary report\n\n| dataset | rows |")
+    val numCols = profiles.headOption.map(_._2.numeric.map(_.column)).getOrElse(Seq.empty)
+    numCols.foreach(c => sb.append(s" avg($c) |"))
+    sb.append("\n|---|---|").append(numCols.map(_ => "---|").mkString).append("\n")
+    profiles.foreach { case (name, p) =>
+      sb.append(s"| $name | ${p.rows} |")
+      numCols.foreach { c =>
+        val m = p.numeric.find(_.column == c).map(_.mean).getOrElse(Double.NaN)
+        sb.append(f" $m%.4f |")
+      }
+      sb.append("\n")
+    }
+    sb.append("\n## Consistency across scales\n\n")
+    numCols.foreach { c =>
+      val means = profiles.flatMap { case (_, p) => p.numeric.find(_.column == c).map(_.mean) }
+        .filterNot(_.isNaN)
+      if (means.nonEmpty) {
+        val spread = means.max - means.min
+        sb.append(f"- $c: mean spread across datasets = $spread%.4f\n")
+      }
+    }
+    sb.toString
+  }
+
+  /** File metadata probe (reference `gbr.py:61-63`): dataset size on disk in
+    * MB via the Hadoop FileSystem API (works for local paths and object
+    * stores alike).
+    */
+  def fileSizeMb(df: DataFrame, path: String): Double = {
+    val conf = df.sparkSession.sparkContext.hadoopConfiguration
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(conf)
+    fs.getContentSummary(p).getLength / (1024.0 * 1024.0)
+  }
+
   /** Markdown rendering (the reference's report sink,
     * `gbr.py:555-745`) — driver-side string templating, not an operator.
     */

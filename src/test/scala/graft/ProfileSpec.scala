@@ -58,4 +58,28 @@ class ProfileSpec extends SparkSpec {
     val md = Profile.renderMarkdown("test", p)
     assert(md.contains("# Dataset profile: test") && md.contains("red"))
   }
+
+  test("json sink emits parseable stats with escaping") {
+    val quirky = Seq((1L, "va\"lue"), (2L, "plain")).toDF("id", "name")
+    val json = Profile.renderJson("ds\"1", Profile.profile(quirky))
+    // driver-side check with the JVM's own parser-ish sanity: braces balance
+    assert(json.contains("\"dataset\": \"ds\\\"1\""))
+    assert(json.contains("\"rows\": 2"))
+    assert(json.count(_ == '{') == json.count(_ == '}'))
+  }
+
+  test("summary report compares datasets and reports spread") {
+    val p1 = Profile.profile(Seq((1L, 10.0), (2L, 20.0)).toDF("id", "v"))
+    val p2 = Profile.profile(Seq((1L, 12.0), (2L, 22.0)).toDF("id", "v"))
+    val md = Profile.renderSummaryMarkdown(Seq("small" -> p1, "large" -> p2))
+    assert(md.contains("| small | 2 |") && md.contains("| large | 2 |"))
+    assert(md.contains("v: mean spread across datasets = 2.0000"))
+  }
+
+  test("fileSizeMb measures a written dataset") {
+    val dir = java.nio.file.Files.createTempDirectory("szprobe").toString
+    df.write.mode("overwrite").parquet(dir)
+    val mb = Profile.fileSizeMb(df, dir)
+    assert(mb > 0.0 && mb < 10.0)
+  }
 }
