@@ -1,0 +1,42 @@
+package graft
+
+import graft.operators.ProfilePipeline
+import java.nio.file.{Files, Paths}
+
+class ProfilePipelineSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("pipeline writes per-dataset reports and a summary") {
+    val root = Files.createTempDirectory("profpipe").toString
+    val small = Seq((1L, 10.0, "x"), (2L, 20.0, "y")).toDF("id", "v", "c")
+    val large = Seq((1L, 12.0, "x"), (2L, 22.0, "y"), (3L, 32.0, "x"))
+      .toDF("id", "v", "c")
+    small.write.parquet(s"$root/data_small")
+    large.write.parquet(s"$root/data_large")
+
+    val out = s"$root/reports"
+    val reports = ProfilePipeline.run(spark,
+      Seq("small" -> s"$root/data_small", "large" -> s"$root/data_large"), out)
+
+    assert(reports.map(_.name) == Seq("small", "large"))
+    assert(reports.map(_.profile.rows) == Seq(2L, 3L))
+    assert(reports.forall(_.sizeMb > 0))
+    val md = Files.readString(Paths.get(out, "small", "README.md"))
+    assert(md.contains("# Dataset profile: small"))
+    val json = Files.readString(Paths.get(out, "small", "stats.json"))
+    assert(json.contains("\"rows\": 2"))
+    val summary = Files.readString(Paths.get(out, "summary_report.md"))
+    assert(summary.contains("| small | 2 |") && summary.contains("| large | 3 |"))
+  }
+
+  test("embedding stats included when the column exists") {
+    val root = Files.createTempDirectory("profpipe2").toString
+    Seq((1L, Array(3.0f, 4.0f)), (2L, Array(0.0f, 5.0f)))
+      .toDF("id", "embedding").write.parquet(s"$root/vecs")
+    val r = ProfilePipeline.analyzeDataset(spark, "vecs", s"$root/vecs",
+      embeddingCol = Some("embedding"))
+    assert(r.embedding.exists(e => e.count == 2 && e.dims == 2))
+    // the non-vector profile must not include the embedding column
+    assert(!r.profile.nulls.contains("embedding"))
+  }
+}
