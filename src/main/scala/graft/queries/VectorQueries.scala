@@ -181,6 +181,27 @@ object VectorQueries {
           FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id) t
         WHERE cos >= 0.3 ORDER BY id1, id2""")),
 
+    // ---- per-dim moments via the typed Aggregator (UDAF surface,
+    //      SURVEY §2.12) — third execution path for the same semantics ----
+    QueryDef(
+      "q48_dim_udaf",
+      (s, d) => {
+        Tables.embeddings(s, d)
+          .agg(udaf(graft.functions.VectorMoments.aggregator)
+            .apply(col("embedding")).as("m"))
+          .select(explode(col("m")).as("z"))
+          .select((col("z.dim") + 1).cast("long").as("dim"),
+            (round(col("z.mean"), 5) + 0.0).as("mean"),
+            (round(col("z.std"), 4) + 0.0).as("std"))
+          .filter(col("dim") <= 8)
+          .orderBy(col("dim"))
+      },
+      Some("""SELECT i AS dim, round(avg(CAST(e AS DOUBLE)), 5) + 0 AS mean,
+        round(stddev(CAST(e AS DOUBLE)), 4) + 0 AS std
+        FROM (SELECT generate_subscripts(embedding, 1) AS i, unnest(embedding) AS e
+          FROM embeddings) t
+        WHERE i <= 8 GROUP BY i ORDER BY i""")),
+
     // ---- PCA(2) projection (gbr.py:449-450). Component signs are
     //      implementation-defined, so no SQL oracle: the driver records the
     //      rows-only check; PCASpec asserts the math (variance ordering,
