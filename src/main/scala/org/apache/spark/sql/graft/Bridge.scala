@@ -25,4 +25,20 @@ object Bridge {
     spark.sessionState.functionRegistry
       .createOrReplaceTempFunction(name, builder, "scala_udf")
   }
+
+  /** Fresh empty function registry (for testing extension injection). */
+  def emptyRegistry(): FunctionRegistry =
+    new org.apache.spark.sql.catalyst.analysis.SimpleFunctionRegistry
+
+  /** Apply a `SparkSessionExtensions`' injected functions to a registry —
+    * what `BaseSessionStateBuilder` does at session build; `private[sql]`,
+    * hence bridged here so specs can verify injection without building a
+    * whole new session.
+    */
+  def applyExtensions(
+      ext: org.apache.spark.sql.SparkSessionExtensions,
+      registry: FunctionRegistry): Unit = {
+    ext.registerFunctions(registry)
+    ()
+  }
 }

@@ -1,0 +1,56 @@
+package graft
+
+import graft.plans.{GraftExtensions, PlanAudit}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.Bridge
+
+class PlansSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("GraftExtensions injects the vector kernels into a registry") {
+    val ext = new org.apache.spark.sql.SparkSessionExtensions
+    new GraftExtensions().apply(ext)
+    val reg = Bridge.emptyRegistry()
+    Bridge.applyExtensions(ext, reg)
+    Seq("vec_dot", "vec_norm", "vec_cos").foreach { f =>
+      assert(reg.functionExists(FunctionIdentifier(f)), s"$f not injected")
+    }
+  }
+
+  test("PlanAudit reports pushdown, pruning, shuffles and codegen") {
+    val df = Tables.lineitem(spark, dir)
+      .filter(col("l_quantity") > 30)
+      .groupBy(col("l_returnflag")).agg(sum(col("l_quantity")).as("s"))
+    df.collect() // materialize AQE stages so codegen collapse has happened
+    val a = PlanAudit.audit(df)
+    assert(a.pushedFilters.exists(_.contains("GreaterThan(l_quantity,30.0)")))
+    assert(a.readsColumn("l_quantity") && !a.readsColumn("l_extendedprice"))
+    assert(a.shuffles >= 1)
+    assert(a.codegenStages >= 1)
+  }
+
+  test("PlanAudit flags TakeOrderedAndProject and broadcast joins") {
+    val e = Tables.embeddings(spark, dir)
+    val q = Array.fill(64)(0.1f)
+    val topk = e.select(col("vec_id"),
+        graft.functions.vec_dot(col("embedding"), typedLit(q)).as("s"))
+      .orderBy(desc("s")).limit(5)
+    assert(PlanAudit.audit(topk).hasTakeOrdered)
+
+    val c = Tables.customer(spark, dir)
+    val n = Tables.nation(spark, dir)
+    val j = c.join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+    assert(PlanAudit.audit(j).broadcasts >= 1)
+  }
+
+  test("assertColumnPruned catches an embedding read") {
+    val e = Tables.embeddings(spark, dir)
+    PlanAudit.assertColumnPruned(
+      e.groupBy(col("label")).agg(count(lit(1))), "embedding")
+    intercept[IllegalArgumentException] {
+      PlanAudit.assertColumnPruned(e.select(col("embedding")), "embedding")
+    }
+  }
+}
