@@ -127,6 +127,35 @@ object Bench {
       store.read(spark).count()
     }
 
+    // sustained streaming upserts (reference README.md:69-70 QPS shape):
+    // 100 single-object re-embedded updates in 20 micro-batches through the
+    // merge-on-read streaming path (delta appends + periodic compaction);
+    // objects/sec reported as a pseudo-entry
+    val nStreamUpserts = 100
+    results("upsert_stream") = time {
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      val s = spark
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      import s.implicits._
+      val mem = MemoryStream[Long]
+      val updates = ProductGen.fromIds(
+        mem.toDF().withColumnRenamed("value", "id"), dims)
+      val q = UpsertStream.runDelta(updates, store, "parent_asin",
+        java.nio.file.Files.createTempDirectory("graft_ck").toString,
+        trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(0),
+        compactEvery = 16)
+      (0 until 20).foreach { b =>
+        mem.addData((0 until nStreamUpserts / 20).map(i => (b * 5 + i).toLong): _*)
+        q.processAllAvailable()
+      }
+      q.stop()
+    }
+    results("upsert_stream_qps_value") =
+      nStreamUpserts / math.max(results("upsert_stream"), 1e-9)
+    results("upsert_stream_read") = time {
+      store.read(spark).count()
+    }
+
     // IVF: build coarse index on a 64-dim slice-scale table + probe
     val emb = Tables.embeddings(spark, sfDir)
     val ivfPath = s"$base/ivf"

@@ -109,10 +109,18 @@ object ProductGen {
     * fields, reference `README.md:54`).
     */
   def products(spark: SparkSession, n: Long, dims: Int = 2688,
-      partitions: Int = 32): DataFrame = {
+      partitions: Int = 32): DataFrame =
+    fromIds(spark.range(0, n, 1, partitions).toDF("id"), dims)
+
+  /** Deterministic product rows from any frame with a long `id` column —
+    * batch (`spark.range`) and streaming (rate / memory source) alike, so
+    * the upsert stream produces full re-embedded objects the same way the
+    * bulk generator does.
+    */
+  def fromIds(ids: DataFrame, dims: Int = 2688): DataFrame = {
     require(dims % 7 == 0, "dims must be 7 segments")
     val id = col("id")
-    val base = spark.range(0, n, 1, partitions)
+    val base = ids
       .withColumn("parent_asin", format_string("B%09d", id))
       .withColumn("title", wordSalad(id, 1, (pmod(xxhash64(id, lit(101)), lit(8)) + 3).cast("int")))
       .withColumn("description", wordSalad(id, 2, (pmod(xxhash64(id, lit(102)), lit(80)) + 10).cast("int")))

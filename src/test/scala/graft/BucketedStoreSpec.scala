@@ -30,6 +30,76 @@ class BucketedStoreSpec extends SparkSpec {
       s"expected <=2 rewritten buckets, got $v1Buckets")
   }
 
+  test("streaming upserts flow through the bucketed store per micro-batch") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val root = java.nio.file.Files.createTempDirectory("bstream").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("bstream_ck").toString
+    val store = new BucketedStore(root, nBuckets = 4)
+    store.initialize(Seq((1L, "orig"), (2L, "orig")).toDF("k", "v"), "k")
+    val mem = MemoryStream[(Long, String)]
+    val q = graft.streaming.UpsertStream.runBucketed(
+      mem.toDF().toDF("k", "v"), store, "k", ckpt)
+    mem.addData((2L, "updated"), (7L, "new"))
+    q.processAllAvailable()
+    mem.addData((7L, "newer"))
+    q.processAllAvailable()
+    q.stop()
+    val m = store.read(spark).collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(m == Map(1L -> "orig", 2L -> "updated", 7L -> "newer"))
+    assert(store.currentVersion.exists(_ >= 2))
+  }
+
+  test("delta appends merge on read; compaction folds them into buckets") {
+    val root = java.nio.file.Files.createTempDirectory("bdelta").toString
+    val store = new BucketedStore(root, nBuckets = 4)
+    store.initialize((0L until 50L).map(i => (i, "orig")).toDF("k", "v"), "k")
+    store.appendDelta(Seq((3L, "d1"), (100L, "new")).toDF("k", "v"), "k")
+    store.appendDelta(Seq((3L, "d2")).toDF("k", "v"), "k")
+    assert(store.liveDeltaCount == 2)
+    // merge-on-read: latest delta wins per key, base loses to any delta
+    val m1 = store.read(spark).collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(m1.size == 51)
+    assert(m1(3L) == "d2" && m1(100L) == "new" && m1(4L) == "orig")
+    // compaction preserves the merged view and clears deltas
+    store.compact(spark, "k")
+    assert(store.liveDeltaCount == 0)
+    val m2 = store.read(spark).collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(m2 == m1)
+  }
+
+  test("upsert with live deltas folds them and updates win") {
+    val root = java.nio.file.Files.createTempDirectory("bdelta2").toString
+    val store = new BucketedStore(root, nBuckets = 4)
+    store.initialize(Seq((1L, "a"), (2L, "b")).toDF("k", "v"), "k")
+    store.appendDelta(Seq((1L, "delta"), (5L, "deltaNew")).toDF("k", "v"), "k")
+    store.upsert(Seq((1L, "upsert")).toDF("k", "v"), "k")
+    assert(store.liveDeltaCount == 0)
+    val m = store.read(spark).collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(m == Map(1L -> "upsert", 2L -> "b", 5L -> "deltaNew"))
+  }
+
+  test("streaming delta upserts compact at the configured cadence") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val root = java.nio.file.Files.createTempDirectory("bdstream").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("bdstream_ck").toString
+    val store = new BucketedStore(root, nBuckets = 4)
+    store.initialize(Seq((1L, "orig")).toDF("k", "v"), "k")
+    val mem = MemoryStream[(Long, String)]
+    val q = graft.streaming.UpsertStream.runDelta(
+      mem.toDF().toDF("k", "v"), store, "k", ckpt, compactEvery = 3)
+    (0 until 5).foreach { i =>
+      mem.addData((i.toLong + 10, s"s$i"))
+      q.processAllAvailable()
+    }
+    q.stop()
+    // 5 appends with compaction at >=3 live deltas → deltas never exceed 3
+    assert(store.liveDeltaCount < 3, s"deltas: ${store.liveDeltaCount}")
+    val m = store.read(spark).collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(m.size == 6 && m(12L) == "s2")
+  }
+
   test("repeated upserts accumulate versions with correct latest state") {
     val root = java.nio.file.Files.createTempDirectory("bstore3").toString
     val store = new BucketedStore(root, nBuckets = 4)
