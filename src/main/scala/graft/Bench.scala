@@ -38,13 +38,16 @@ object Bench {
       s.sparkContext.setLogLevel("WARN")
       GraftSession.prepare(s)
       // warm the JVM/codegen once so timings measure the engine, not
-      // startup, and pre-touch the parquet footers/views the suite reads so
-      // the first timed query doesn't absorb session-startup costs
+      // startup, and pre-read every column of the suite's tables (footers +
+      // page cache) so the first timed query per table doesn't absorb
+      // first-touch IO
       s.range(1000).select(sum(col("id"))).collect()
       Seq("lineitem", "orders", "customer", "documents", "embeddings")
         .foreach { t =>
-          try s.read.parquet(s"$sfDir/$t.parquet").count()
-          catch { case _: Throwable => () }
+          try {
+            val df = s.read.parquet(s"$sfDir/$t.parquet")
+            df.select(df.columns.toIndexedSeq.map(c => count(col(c))): _*).collect()
+          } catch { case _: Throwable => () }
         }
       s
     }

@@ -458,6 +458,25 @@ object RelationalQueries {
         FROM customer JOIN nation ON c_nationkey = n_nationkey
         JOIN region ON n_regionkey = r_regionkey
         GROUP BY ROLLUP (r_name, n_name)
-        ORDER BY region, nation"""))
+        ORDER BY region, nation""")),
+
+    // ---- pivot (wide reshape; planned as a single hash aggregation with
+    //      one conditional agg column per pivot value) ----
+    QueryDef(
+      "q49_pivot",
+      (s, d) => {
+        Tables.lineitem(s, d)
+          .groupBy(col("l_returnflag"))
+          .pivot("l_linestatus", Seq("O", "F"))
+          .agg(sum(col("l_quantity")))
+          .select(col("l_returnflag"),
+            coalesce(col("O"), lit(0.0)).as("qty_o"),
+            coalesce(col("F"), lit(0.0)).as("qty_f"))
+          .orderBy(col("l_returnflag"))
+      },
+      Some("""SELECT l_returnflag,
+        coalesce(sum(CASE WHEN l_linestatus = 'O' THEN l_quantity END), 0) AS qty_o,
+        coalesce(sum(CASE WHEN l_linestatus = 'F' THEN l_quantity END), 0) AS qty_f
+        FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""))
   )
 }

@@ -61,6 +61,29 @@ class StreamingSessionSpec extends SparkSpec {
     assert(got == Set((1L, 2L, 3.0, 100L, 101L), (2L, 1L, 5.0, 200L, 200L)))
   }
 
+  test("file-source streaming: parquet directory drives the hourly rollup") {
+    val dir = java.nio.file.Files.createTempDirectory("fstream").toString
+    val batch = Seq(
+      (ts("2024-01-01 10:05:00"), "click", 1.0),
+      (ts("2024-01-01 10:55:00"), "click", 2.0),
+      (ts("2024-01-01 11:05:00"), "view", 3.0)
+    ).toDF("ts", "event_type", "value")
+    batch.write.parquet(s"$dir/in")
+    val stream = spark.readStream.schema(batch.schema).parquet(s"$dir/in")
+    assert(stream.isStreaming)
+    val q = EventPipeline.hourlyRollup(stream).writeStream
+      .outputMode("complete").format("memory").queryName("filerollup")
+      .option("checkpointLocation", s"$dir/ck").start()
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("filerollup")
+      .select(col("h").cast("string"), col("event_type"), col("n"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    assert(got == Set(
+      ("2024-01-01 10:00:00", "click", 2L),
+      ("2024-01-01 11:00:00", "view", 1L)))
+  }
+
   test("late events beyond the watermark are dropped") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Long, java.sql.Timestamp, Double)]
