@@ -100,6 +100,46 @@ class BucketedStoreSpec extends SparkSpec {
     assert(m.size == 6 && m(12L) == "s2")
   }
 
+  test("reads concurrent with streaming writes see only committed snapshots") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val root = java.nio.file.Files.createTempDirectory("bconcur").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("bconcur_ck").toString
+    val store = new BucketedStore(root, nBuckets = 4)
+    val baseKeys = (0L until 40L)
+    store.initialize(baseKeys.map(i => (i, "orig")).toDF("k", "v"), "k")
+
+    @volatile var readerError: Option[Throwable] = None
+    @volatile var running = true
+    val reader = new Thread(() => {
+      while (running) {
+        try {
+          val m = store.read(spark).collect()
+            .map(r => r.getLong(0) -> r.getString(1)).toMap
+          // consistency: base keys always all present (writes only add or
+          // replace), never a torn/partial snapshot
+          assert(baseKeys.forall(m.contains), s"missing base keys, saw ${m.size}")
+        } catch { case t: Throwable => readerError = Some(t); running = false }
+      }
+    })
+    reader.start()
+
+    val mem = MemoryStream[(Long, String)]
+    val q = graft.streaming.UpsertStream.runDelta(
+      mem.toDF().toDF("k", "v"), store, "k", ckpt, compactEvery = 3)
+    (0 until 8).foreach { i =>
+      mem.addData((i.toLong % 5, s"u$i"), (100L + i, s"n$i"))
+      q.processAllAvailable()
+    }
+    q.stop()
+    running = false
+    reader.join(10000)
+    readerError.foreach(t => fail(s"concurrent reader failed: $t"))
+    val m = store.read(spark).collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(m.size == 48)
+    assert(m(3L) == "u3" && m(107L) == "n7" && m(10L) == "orig")
+  }
+
   test("repeated upserts accumulate versions with correct latest state") {
     val root = java.nio.file.Files.createTempDirectory("bstore3").toString
     val store = new BucketedStore(root, nBuckets = 4)
