@@ -116,15 +116,22 @@ object Dedup {
 
   /** SimHash: `bits`-bit signature (≤ 32) as a '0'/'1' string, from md5 bits
     * of whitespace tokens, majority-weighted by occurrence.
+    *
+    * The token hash is materialized ONCE as a 32-bit word
+    * (`conv(substring(md5, 1, 8))`); each bit-counter then reads its bit via
+    * shift+mask of that word — one md5 + one conv per token instead of one
+    * substring+conv per (token, bit).
     */
   def simhash(df: DataFrame, textCol: String, idCol: String, bits: Int = 32): DataFrame = {
     require(bits <= 32, "simhash uses the first 8 hex chars of md5")
-    val toks = df.select(col(idCol),
-      explode(TextAnalysis.words(col(textCol))).as("tok"))
-    val h = md5(col("tok"))
+    val toks = df
+      .select(col(idCol), explode(TextAnalysis.words(col(textCol))).as("__tok"))
+      .select(col(idCol),
+        conv(substring(md5(col("__tok")), 1, 8), 16, 10).cast("long").as("__w"))
     val aggs = (0 until bits).map { j =>
-      val digit = conv(substring(h, 1 + j / 4, 1), 16, 10).cast("int")
-      val bit = shiftright(digit, 3 - j % 4).bitwiseAND(lit(1))
+      // bit j of the big-endian hex word: hex digit j/4, bit 3 - j%4 within
+      // it = word bit 31 - j
+      val bit = shiftright(col("__w"), 31 - j).bitwiseAND(lit(1L))
       sum(bit * 2 - lit(1)).as(s"b$j")
     }
     val grouped = toks.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
