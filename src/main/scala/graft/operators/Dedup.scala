@@ -39,19 +39,26 @@ object Dedup {
   /** MinHash signatures: `numHashes` permutations over word `k`-shingles.
     * Output: (idCol, seed, minhash), `numHashes` rows per document.
     *
-    * All `numHashes` mins are computed in ONE aggregation pass over the
-    * shingles (one `min` column per seed), then unpivoted — no seed
-    * cross-join, so the shingle set is scanned and shuffled once instead of
-    * `numHashes` times. At 100 TB the shuffle is keyed on the doc id with
-    * map-side partial mins, so each mapper emits at most one `numHashes`-wide
-    * row per doc.
+    * Two cost levers vs. the textbook formulation:
+    *   - the permutation family is double hashing `h1 + seed·h2` over the
+    *     two 32-bit halves of ONE md5 per shingle — a proper universal
+    *     family at 1/numHashes the hashing cost;
+    *   - all `numHashes` mins are computed in ONE aggregation pass (one
+    *     `min` column per seed), then unpivoted — no seed cross-join, so
+    *     the shingle set is scanned and shuffled once. At 100 TB the
+    *     shuffle is keyed on the doc id with map-side partial mins: each
+    *     mapper emits at most one `numHashes`-wide row per doc.
     */
   def minhashSignatures(
       df: DataFrame, textCol: String, idCol: String,
       k: Int = 3, numHashes: Int = 8): DataFrame = {
     val sh = TextAnalysis.shingles(df, textCol, k, idCol)
+      .select(col(idCol), md5(col("s")).as("__md5"))
+      .select(col(idCol),
+        conv(substring(col("__md5"), 1, 8), 16, 10).cast("long").as("__h1"),
+        conv(substring(col("__md5"), 9, 8), 16, 10).cast("long").as("__h2"))
     val aggs = (0 until numHashes).map { seed =>
-      min(hash60(concat(lit(s"$seed:"), col("s")))).as(s"__m$seed")
+      min(col("__h1") + lit(seed.toLong) * col("__h2")).as(s"__m$seed")
     }
     val stackExpr = (0 until numHashes)
       .map(seed => s"${seed}L, __m$seed").mkString(", ")

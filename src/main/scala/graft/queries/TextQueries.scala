@@ -143,7 +143,8 @@ object TextQueries {
       },
       Some(raw"""WITH sh AS (${sqlShingles(3)}),
         hs AS (SELECT doc_id, seed,
-          ('0x' || substr(md5(CAST(seed AS VARCHAR) || ':' || s), 1, 15))::BIGINT AS h
+          ('0x' || substr(md5(s), 1, 8))::BIGINT +
+            seed * ('0x' || substr(md5(s), 9, 8))::BIGINT AS h
           FROM sh CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS seed) sd)
         SELECT doc_id, seed, min(h) AS minhash FROM hs
         GROUP BY doc_id, seed ORDER BY doc_id, seed""")),
@@ -158,7 +159,8 @@ object TextQueries {
       },
       Some(raw"""WITH sh AS (${sqlShingles(3)}),
         hs AS (SELECT doc_id, seed,
-          ('0x' || substr(md5(CAST(seed AS VARCHAR) || ':' || s), 1, 15))::BIGINT AS h
+          ('0x' || substr(md5(s), 1, 8))::BIGINT +
+            seed * ('0x' || substr(md5(s), 9, 8))::BIGINT AS h
           FROM sh CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS seed) sd),
         sig AS (SELECT doc_id, seed, min(h) AS minhash FROM hs GROUP BY doc_id, seed),
         bands AS (SELECT doc_id, seed // 2 AS band,
