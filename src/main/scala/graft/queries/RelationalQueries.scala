@@ -361,12 +361,15 @@ object RelationalQueries {
     QueryDef(
       "q19_percentiles",
       (s, d) => {
-        Tables.lineitem(s, d)
-          .groupBy(col("l_returnflag"))
-          .agg(
-            round(median(col("l_extendedprice")), 4).as("med_price"),
-            round(percentile(col("l_extendedprice"), lit(0.25)), 4).as("p25_price"),
-            round(percentile(col("l_extendedprice"), lit(0.75)), 4).as("p75_price"))
+        // sort-based exact percentiles (operators.Percentiles): O(1) task
+        // memory vs the builtin's per-group value map — same semantics
+        graft.operators.Percentiles.grouped(
+            Tables.lineitem(s, d), "l_returnflag", "l_extendedprice",
+            Seq(0.5, 0.25, 0.75), Seq("med_raw", "p25_raw", "p75_raw"))
+          .select(col("l_returnflag"),
+            round(col("med_raw"), 4).as("med_price"),
+            round(col("p25_raw"), 4).as("p25_price"),
+            round(col("p75_raw"), 4).as("p75_price"))
           .orderBy(col("l_returnflag"))
       },
       Some("""SELECT l_returnflag,

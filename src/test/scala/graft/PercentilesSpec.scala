@@ -1,0 +1,50 @@
+package graft
+
+import graft.operators.Percentiles
+import org.apache.spark.sql.functions._
+
+class PercentilesSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("matches hand-computed interpolated quantiles") {
+    // group a: values 1..4 → p50 = 2.5, p25 = 1.75; group b: single value
+    val df = Seq(("a", 1.0), ("a", 2.0), ("a", 3.0), ("a", 4.0), ("b", 7.0))
+      .toDF("g", "v")
+    val out = Percentiles.grouped(df, "g", "v", Seq(0.25, 0.5, 0.75),
+        Seq("p25", "p50", "p75"))
+      .orderBy("g").collect()
+    assert(out(0).getDouble(1) === 1.75)
+    assert(out(0).getDouble(2) === 2.5)
+    assert(out(0).getDouble(3) === 3.25)
+    assert(out(1).getDouble(1) === 7.0 && out(1).getDouble(2) === 7.0)
+  }
+
+  test("matches Spark's builtin percentile on random data") {
+    val rnd = new scala.util.Random(13)
+    val df = (0 until 5000)
+      .map(i => (s"g${i % 4}", rnd.nextDouble() * 1000))
+      .toDF("g", "v")
+    val ours = Percentiles.grouped(df, "g", "v", Seq(0.25, 0.5, 0.9),
+        Seq("a", "b", "c"))
+      .orderBy("g").collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getDouble(2), r.getDouble(3)))
+    val builtin = df.groupBy(col("g")).agg(
+        percentile(col("v"), lit(0.25)).as("a"),
+        percentile(col("v"), lit(0.5)).as("b"),
+        percentile(col("v"), lit(0.9)).as("c"))
+      .orderBy("g").collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getDouble(2), r.getDouble(3)))
+    ours.zip(builtin).foreach { case ((g1, a1, b1, c1), (g2, a2, b2, c2)) =>
+      assert(g1 == g2)
+      assert(math.abs(a1 - a2) < 1e-9 && math.abs(b1 - b2) < 1e-9 &&
+        math.abs(c1 - c2) < 1e-9, s"group $g1")
+    }
+  }
+
+  test("nulls are excluded like the builtin") {
+    val df = Seq(("a", Some(1.0)), ("a", None), ("a", Some(3.0)))
+      .toDF("g", "v")
+    val out = Percentiles.grouped(df, "g", "v", Seq(0.5), Seq("med")).head()
+    assert(out.getDouble(1) === 2.0)
+  }
+}
