@@ -101,6 +101,40 @@ object Multimodal {
     MediaFeatures(id, modality, w, h, ch, mean, entropy)
   }
 
+  /** STUB resize: re-encode each payload to `targetW`×`targetH` metadata
+    * with proportionally subsampled content bytes (a real implementation
+    * swaps the body for a codec resize; the operator contract — binary in,
+    * binary out, metadata updated in the same row, batched per partition —
+    * is the production shape). Output schema = input schema.
+    */
+  def resize(df: DataFrame, targetW: Int, targetH: Int): DataFrame = {
+    import df.sparkSession.implicits._
+    val out = df.select(col("media_id"), col("modality"), col("payload"))
+      .as[(Long, String, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, modality, payload) =>
+          // STUB: subsample content proportionally to the area change —
+          val w = ((payload(1) & 0xff) << 8) | (payload(2) & 0xff)
+          val h = ((payload(3) & 0xff) << 8) | (payload(4) & 0xff)
+          val ch = payload(5) & 0xff
+          val content = payload.drop(6)
+          val scale = math.min(1.0,
+            (targetW.toLong * targetH).toDouble / math.max(w.toLong * h, 1L))
+          val outLen = math.max(1, (content.length * scale).toInt)
+          val sampled = Array.tabulate(outLen)(i =>
+            content((i.toLong * content.length / outLen).toInt))
+          val header = Array[Byte](payload(0),
+            (targetW >> 8).toByte, targetW.toByte,
+            (targetH >> 8).toByte, targetH.toByte, ch.toByte)
+          (id, modality, header ++ sampled, targetW, targetH, ch)
+        }
+      }
+      .toDF("media_id", "modality", "payload", "w", "h", "ch")
+    out.select(col("media_id"), col("modality"), col("payload"),
+      struct(col("w").as("width"), col("h").as("height"),
+        col("ch").as("channels")).as("meta"))
+  }
+
   /** Frame-sampling row shape for video: every `everyN`-th synthetic frame
     * index with a per-frame feature hash (STUB for "decode frame i").
     * Output: (media_id, frame_idx, frame_feature).

@@ -18,6 +18,14 @@ object TextAnalysis {
 
   def tokenCount(text: Column): Column = size(words(text)).cast("long")
 
+  /** BPE-ish subword-unit count: maximal letter runs, digit runs, and
+    * single other-symbols — the pre-tokenization granularity a byte-pair
+    * tokenizer starts from, and a far better length proxy for LLM token
+    * budgeting than whitespace words (code, CJK, URLs).
+    */
+  def subwordCount(text: Column): Column =
+    regexp_count(text, lit("[\\p{L}]+|[\\p{N}]+|[^\\s\\p{L}\\p{N}]")).cast("long")
+
   /** English-ish stopword occurrences (used by quality scoring). */
   def stopwordCount(text: Column): Column =
     regexp_count(text, lit("\\b(the|a|and|of|to|in|is)\\b")).cast("long")

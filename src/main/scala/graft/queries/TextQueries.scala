@@ -56,11 +56,13 @@ object TextQueries {
         Tables.documents(s, d).select(
             col("doc_id"),
             TA.tokenCount(col("text")).as("n_tokens"),
+            TA.subwordCount(col("text")).as("n_subwords"),
             length(col("text")).cast("long").as("n_chars"))
           .orderBy(col("doc_id"))
       },
       Some(raw"""SELECT doc_id,
         CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tokens,
+        CAST(len(regexp_extract_all(text, '[\p{L}]+|[\p{N}]+|[^\s\p{L}\p{N}]')) AS BIGINT) AS n_subwords,
         CAST(length(text) AS BIGINT) AS n_chars
         FROM documents ORDER BY doc_id""")),
 

@@ -32,6 +32,26 @@ class MultimodalSpec extends SparkSpec {
       (r.getAs[Int]("width"), r.getAs[Int]("height"))))
   }
 
+  test("resize updates metadata and shrinks payloads, schema preserved") {
+    val resized = Multimodal.resize(media, 16, 16)
+    assert(resized.schema.fieldNames.toSeq == media.schema.fieldNames.toSeq)
+    val rows = resized.select(col("media_id"), col("meta.width"),
+      col("meta.height"), length(col("payload")).as("len")).collect()
+    assert(rows.length == 30)
+    rows.foreach { r =>
+      assert(r.getInt(1) == 16 && r.getInt(2) == 16)
+      assert(r.getInt(3) <= 6 + 64) // header + at most original content
+    }
+    // resized payloads decode through the same feature extractor
+    val feats = Multimodal.extractFeatures(resized).collect()
+    assert(feats.forall(f => f.getAs[Int]("width") == 16))
+    // deterministic
+    val again = Multimodal.resize(media, 16, 16)
+      .select("media_id", "payload").collect().map(r => (r.getLong(0), r.getAs[Array[Byte]](1).toSeq))
+    val first = resized.select("media_id", "payload").collect().map(r => (r.getLong(0), r.getAs[Array[Byte]](1).toSeq))
+    assert(again.sortBy(_._1).toSeq == first.sortBy(_._1).toSeq)
+  }
+
   test("frame sampling emits only video rows with bounded frame count") {
     val frames = Multimodal.sampleFrames(media)
     val ids = frames.select("media_id").distinct().count()
