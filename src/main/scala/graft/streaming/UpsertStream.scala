@@ -196,16 +196,35 @@ final class BucketedStore(val root: String, val nBuckets: Int) {
     next
   }
 
-  /** Fold all live deltas into their buckets (copy-on-write merge), clearing
-    * the delta list — the LSM compaction step.
+  /** Fold live deltas into their buckets (copy-on-write merge) — the LSM
+    * compaction step. `maxBuckets` bounds one cycle's IO: only the most
+    * delta-loaded buckets are rewritten; remaining delta rows consolidate
+    * into ONE delta file (seq values preserved, merge order unchanged).
+    * Repeated cycles drain the backlog — at 100 TB this keeps compaction an
+    * O(budget) background task instead of an O(table) rewrite.
     */
-  def compact(spark: SparkSession, key: String): Int = {
+  def compact(spark: SparkSession, key: String,
+      maxBuckets: Int = Int.MaxValue): Int = {
     val v = currentVersion.getOrElse(
       throw new IllegalStateException("initialize first"))
     val (_, deltas) = readManifest(v)
     latestDeltaRows(spark, deltas, key) match {
       case None => v
-      case Some(del) => mergeIntoBuckets(del.drop("__seq"), key)
+      case Some(del) =>
+        val withB = del.withColumn("__b", bucketCol(key))
+        val pressure = withB.groupBy(col("__b"))
+          .agg(count(lit(1)).as("n")).orderBy(desc("n"), col("__b"))
+          .collect().map(_.getInt(0))
+        if (pressure.length <= maxBuckets)
+          mergeIntoBuckets(del.drop("__seq"), key)
+        else {
+          val selected = pressure.take(maxBuckets).toSeq
+          mergeIntoBuckets(
+            withB.filter(col("__b").isin(selected: _*)).drop("__b", "__seq"),
+            key,
+            leftoverDeltas = Some(
+              withB.filter(!col("__b").isin(selected: _*)).drop("__b")))
+        }
     }
   }
 
@@ -226,7 +245,8 @@ final class BucketedStore(val root: String, val nBuckets: Int) {
     mergeIntoBuckets(effective, key)
   }
 
-  private def mergeIntoBuckets(updates: DataFrame, key: String): Int = {
+  private def mergeIntoBuckets(updates: DataFrame, key: String,
+      leftoverDeltas: Option[DataFrame] = None): Int = {
     val spark = updates.sparkSession
     val v = currentVersion.get
     val next = v + 1
@@ -251,8 +271,15 @@ final class BucketedStore(val root: String, val nBuckets: Int) {
       val src = Paths.get(dataDir, s"__b=$b")
       if (Files.exists(src)) Files.move(src, Paths.get(bucketPath(next, b)))
     }
-    // deltas cleared: their content is now in the buckets
-    writeVersion(next, manifest ++ touched.map(_ -> next))
+    // unfolded delta rows (bounded compaction) consolidate into one file
+    // under this version; otherwise the delta list clears
+    val newDeltas = leftoverDeltas match {
+      case Some(rest) =>
+        rest.coalesce(1).write.mode("overwrite").parquet(s"$root/v$next/delta")
+        Seq(next)
+      case None => Seq.empty[Int]
+    }
+    writeVersion(next, manifest ++ touched.map(_ -> next), newDeltas)
     next
   }
 }

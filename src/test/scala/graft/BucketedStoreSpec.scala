@@ -68,6 +68,32 @@ class BucketedStoreSpec extends SparkSpec {
     assert(m2 == m1)
   }
 
+  test("bounded compaction folds hot buckets and consolidates the rest") {
+    val root = java.nio.file.Files.createTempDirectory("bdelta3").toString
+    val store = new BucketedStore(root, nBuckets = 8)
+    store.initialize((0L until 80L).map(i => (i, "orig")).toDF("k", "v"), "k")
+    // spread updates over many buckets via many distinct keys
+    store.appendDelta((0L until 40L).map(i => (i, s"d$i")).toDF("k", "v"), "k")
+    store.appendDelta(Seq((200L, "new")).toDF("k", "v"), "k")
+    val before = store.read(spark).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    // budget of 2 buckets per cycle: backlog remains but shrinks
+    store.compact(spark, "k", maxBuckets = 2)
+    assert(store.liveDeltaCount == 1, "leftovers consolidate into one file")
+    val mid = store.read(spark).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(mid == before, "bounded compaction must not change the view")
+    // repeated cycles drain the backlog completely
+    var guard = 0
+    while (store.liveDeltaCount > 0 && guard < 10) {
+      store.compact(spark, "k", maxBuckets = 2); guard += 1
+    }
+    assert(store.liveDeltaCount == 0 && guard < 10)
+    val after = store.read(spark).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(after == before)
+  }
+
   test("upsert with live deltas folds them and updates win") {
     val root = java.nio.file.Files.createTempDirectory("bdelta2").toString
     val store = new BucketedStore(root, nBuckets = 4)
