@@ -78,6 +78,56 @@ object EventQueries {
               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS sess
           FROM g)
         SELECT user_id, sess, count(*) AS n, min(event_id) AS first_event
-        FROM se GROUP BY user_id, sess ORDER BY user_id, sess"""))
+        FROM se GROUP BY user_id, sess ORDER BY user_id, sess""")),
+
+    // ---- sliding event-time window (2 h windows, 1 h slide): each event
+    //      lands in two windows; oracle = union of the two shifted
+    //      hour-truncations ----
+    QueryDef(
+      "q50_events_sliding",
+      (s, d) => {
+        Tables.events(s, d)
+          .groupBy(window(col("ts"), "2 hours", "1 hour"), col("event_type"))
+          .agg(count(lit(1)).as("n"))
+          .select(col("window.start").cast("string").as("w"),
+            col("event_type"), col("n"))
+          .orderBy(col("w"), col("event_type"))
+      },
+      Some("""SELECT CAST(w AS VARCHAR) AS w, event_type, count(*) AS n FROM (
+          SELECT date_trunc('hour', ts) AS w, event_type FROM events
+          UNION ALL
+          SELECT date_trunc('hour', ts) - INTERVAL 1 HOUR AS w, event_type
+          FROM events) t
+        GROUP BY w, event_type ORDER BY w, event_type""")),
+
+    // ---- native session_window (gap 30 min), cross-checked against the
+    //      lag-based formulation (break when diff >= gap: Spark sessions
+    //      are half-open [start, last + gap)) ----
+    QueryDef(
+      "q51_session_window",
+      (s, d) => {
+        Tables.events(s, d)
+          .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+          .agg(count(lit(1)).as("n"), min(col("event_id")).as("first_event"))
+          .select(col("user_id"),
+            unix_micros(col("session_window.start")).as("session_start_us"),
+            col("n"), col("first_event"))
+          .orderBy(col("user_id"), col("session_start_us"))
+      },
+      Some("""WITH g AS (
+          SELECT user_id, ts, event_id,
+            CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER
+              (PARTITION BY user_id ORDER BY ts, event_id) >= 1800000000
+              THEN 1 ELSE 0 END AS brk
+          FROM events),
+        se AS (
+          SELECT user_id, ts, event_id,
+            CAST(sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS sess
+          FROM g)
+        SELECT user_id, min(epoch_us(ts)) AS session_start_us,
+          count(*) AS n, min(event_id) AS first_event
+        FROM se GROUP BY user_id, sess
+        ORDER BY user_id, session_start_us"""))
   )
 }

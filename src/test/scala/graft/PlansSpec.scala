@@ -45,6 +45,21 @@ class PlansSpec extends SparkSpec {
     assert(PlanAudit.audit(j).broadcasts >= 1)
   }
 
+  test("IVF probe prunes cluster partitions at the scan") {
+    val e = Tables.embeddings(spark, dir)
+    val path = java.nio.file.Files.createTempDirectory("ivf_audit").toString
+    val ivf = graft.operators.VectorSearch.buildIvf(e, "embedding", 4, path)
+    val q = e.select(col("embedding")).head().getSeq[Float](0).toArray
+    val probe = ivf.search(spark, q, 10, nprobe = 1)
+    val plan = probe.queryExecution.executedPlan.toString
+    // partition filter on the cluster column, not a post-scan filter
+    assert(plan.contains("PartitionFilters") && plan.contains("__cluster"), plan)
+    val scanned = "PartitionFilters: \\[([^\\]]*)\\]".r
+      .findFirstMatchIn(plan).map(_.group(1)).getOrElse("")
+    assert(scanned.nonEmpty, plan)
+    assert(probe.count() == 10)
+  }
+
   test("assertColumnPruned catches an embedding read") {
     val e = Tables.embeddings(spark, dir)
     PlanAudit.assertColumnPruned(
