@@ -480,6 +480,45 @@ object RelationalQueries {
       Some("""SELECT l_returnflag,
         coalesce(sum(CASE WHEN l_linestatus = 'O' THEN l_quantity END), 0) AS qty_o,
         coalesce(sum(CASE WHEN l_linestatus = 'F' THEN l_quantity END), 0) AS qty_f
-        FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""))
+        FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")),
+
+    // ---- RANGE window frame (value-based: all orders within 1000.00 of
+    //      the current total price count as peers-or-below) ----
+    QueryDef(
+      "q52_range_frame",
+      (s, d) => {
+        val o = Tables.orders(s, d)
+        val w = Window.partitionBy(col("o_orderstatus"))
+          .orderBy(col("o_totalprice"))
+          .rangeBetween(-1000L, 0L)
+        o.select(col("o_orderkey"), col("o_orderstatus"),
+            count(lit(1)).over(w).as("near_below"))
+          .orderBy(col("o_orderkey"))
+      },
+      Some("""SELECT o_orderkey, o_orderstatus,
+        count(*) OVER (PARTITION BY o_orderstatus ORDER BY o_totalprice
+          RANGE BETWEEN 1000 PRECEDING AND CURRENT ROW) AS near_below
+        FROM orders ORDER BY o_orderkey""")),
+
+    // ---- ranking family: ntile + percent_rank + dense_rank ----
+    QueryDef(
+      "q53_rank_family",
+      (s, d) => {
+        val c = Tables.customer(s, d)
+        val w = Window.partitionBy(col("c_mktsegment"))
+          .orderBy(col("c_acctbal"), col("c_custkey"))
+        c.select(col("c_custkey"), col("c_mktsegment"),
+            ntile(4).over(w).as("quartile"),
+            (round(percent_rank().over(w), 6) + 0.0).as("pr"),
+            dense_rank().over(w).as("dr"))
+          .orderBy(col("c_custkey"))
+      },
+      Some("""SELECT c_custkey, c_mktsegment,
+        ntile(4) OVER w AS quartile,
+        round(percent_rank() OVER w, 6) + 0 AS pr,
+        dense_rank() OVER w AS dr
+        FROM customer
+        WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)
+        ORDER BY c_custkey"""))
   )
 }
