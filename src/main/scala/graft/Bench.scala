@@ -93,6 +93,15 @@ object Bench {
     }
 
     val products = spark.read.parquet(productsPath)
+
+    // surface C at proportional scale: full statistical profile + report
+    // rendering for the product table (reference ran 10k full + 3 fast
+    // profiles in ~15 s wall, reports/*/README.md:3)
+    results("profile_pipeline") = time {
+      graft.operators.ProfilePipeline.run(spark,
+        Seq("products" -> productsPath), s"$base/reports",
+        embeddingCol = Some("embedding"))
+    }
     val queryVec = products.select(col("embedding")).head().getSeq[Float](0).toArray
     def topk(filter: org.apache.spark.sql.Column): DataFrame =
       VectorSearch.topK(products, "embedding", queryVec, 100,

@@ -519,6 +519,39 @@ object RelationalQueries {
         dense_rank() OVER w AS dr
         FROM customer
         WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)
-        ORDER BY c_custkey"""))
+        ORDER BY c_custkey""")),
+
+    // ---- ordered group concatenation (deterministic via sort_array) ----
+    QueryDef(
+      "q54_group_concat",
+      (s, d) => {
+        Tables.nation(s, d)
+          .groupBy(col("n_regionkey"))
+          .agg(concat_ws(",", sort_array(collect_list(col("n_name"))))
+            .as("nations"))
+          .orderBy(col("n_regionkey"))
+      },
+      Some("""SELECT n_regionkey,
+        string_agg(n_name, ',' ORDER BY n_name) AS nations
+        FROM nation GROUP BY n_regionkey ORDER BY n_regionkey""")),
+
+    // ---- FILTER-clause conditional aggregation (one pass, no self-join) ----
+    QueryDef(
+      "q55_conditional_agg",
+      (s, d) => {
+        val o = Tables.orders(s, d)
+        o.groupBy(col("o_orderpriority"))
+          .agg(
+            count(lit(1)).as("n"),
+            count(when(col("o_orderstatus") === "F", 1)).as("n_finished"),
+            dsum(when(col("o_orderstatus") === "F", col("o_totalprice"))
+              .otherwise(lit(0.0))).as("finished_total"))
+          .orderBy(col("o_orderpriority"))
+      },
+      Some("""SELECT o_orderpriority, count(*) AS n,
+        count(*) FILTER (WHERE o_orderstatus = 'F') AS n_finished,
+        CAST(sum(CAST(CASE WHEN o_orderstatus = 'F' THEN o_totalprice ELSE 0.0 END
+          AS DECIMAL(18,2))) AS DOUBLE) AS finished_total
+        FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority"""))
   )
 }
