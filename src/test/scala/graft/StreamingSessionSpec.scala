@@ -84,6 +84,34 @@ class StreamingSessionSpec extends SparkSpec {
       ("2024-01-01 11:00:00", "view", 1L)))
   }
 
+  test("streaming dedup: watermarked dropDuplicates suppresses repeats") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, java.sql.Timestamp, Double)]
+    val deduped = mem.toDF().toDF("k", "ts", "v")
+      .withWatermark("ts", "1 hour")
+      .dropDuplicates("k", "ts")
+    val q = deduped.writeStream
+      .outputMode("append").format("memory").queryName("sdedup").start()
+    // same (k, ts) arriving in the same and in later batches: emitted once
+    mem.addData((1L, ts("2024-01-01 10:00:00"), 1.0),
+      (1L, ts("2024-01-01 10:00:00"), 1.0),
+      (2L, ts("2024-01-01 10:01:00"), 2.0))
+    q.processAllAvailable()
+    mem.addData((1L, ts("2024-01-01 10:00:00"), 1.0)) // cross-batch repeat
+    q.processAllAvailable()
+    mem.addData((1L, ts("2024-01-01 10:30:00"), 9.0)) // same key, new ts
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("sdedup")
+      .select(col("k"), col("ts").cast("string"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(got.length == 3, s"expected 3 unique rows, got $got")
+    assert(got.toSet == Set(
+      (1L, "2024-01-01 10:00:00"),
+      (2L, "2024-01-01 10:01:00"),
+      (1L, "2024-01-01 10:30:00")))
+  }
+
   test("late events beyond the watermark are dropped") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Long, java.sql.Timestamp, Double)]
