@@ -121,6 +121,25 @@ object Dedup {
     jaccardVerify(df, textCol, idCol, cands, k).filter(col("jaccard") >= threshold)
   }
 
+  /** Remove near-duplicates: for every pair above `threshold` keep the
+    * lower-id document (the standard keep-first policy; pair-wise, not
+    * transitive closure — A~B and B~C with A≁C keeps A and C, dropping only
+    * B, which matches common dedup-pipeline practice and avoids an
+    * iterative connected-components pass).
+    *
+    * Scale shape: the drop set (distinct id2 values) is tiny relative to
+    * the corpus — a broadcast anti-join, no shuffle of the documents.
+    */
+  def dropNearDuplicates(
+      df: DataFrame, textCol: String, idCol: String,
+      k: Int = 3, numHashes: Int = 8, rowsPerBand: Int = 2,
+      threshold: Double = 0.7): DataFrame = {
+    val losers = nearDuplicatePairs(df, textCol, idCol, k, numHashes,
+        rowsPerBand, threshold)
+      .select(col("id2").as(idCol)).distinct()
+    df.join(broadcast(losers), Seq(idCol), "left_anti")
+  }
+
   /** SimHash: `bits`-bit signature (≤ 32) as a '0'/'1' string, from md5 bits
     * of whitespace tokens, majority-weighted by occurrence.
     *

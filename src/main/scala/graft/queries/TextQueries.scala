@@ -233,6 +233,42 @@ object TextQueries {
       Some("""SELECT lang, count(*) AS n FROM documents
         WHERE doc_id % 17 = 3 GROUP BY lang ORDER BY lang""")),
 
+    // ---- end-to-end near-dedup: surviving corpus after dropping the
+    //      higher-id member of every verified near-dup pair ----
+    QueryDef(
+      "q56_near_dedup",
+      (s, d) => {
+        Dedup.dropNearDuplicates(Tables.documents(s, d), "text", "doc_id",
+            threshold = 0.5)
+          .select(col("doc_id"), col("lang"))
+          .orderBy(col("doc_id"))
+      },
+      Some(raw"""WITH sh AS (${sqlShingles(3)}),
+        hs AS (SELECT doc_id, seed,
+          ('0x' || substr(md5(s), 1, 8))::BIGINT +
+            seed * ('0x' || substr(md5(s), 9, 8))::BIGINT AS h
+          FROM sh CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS seed) sd),
+        sig AS (SELECT doc_id, seed, min(h) AS minhash FROM hs GROUP BY doc_id, seed),
+        bands AS (SELECT doc_id, seed // 2 AS band,
+          md5(string_agg(CAST(minhash AS VARCHAR), ',' ORDER BY seed)) AS bkey
+          FROM sig GROUP BY doc_id, band),
+        cand AS (SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+          FROM bands a JOIN bands b
+            ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
+        shd AS (SELECT DISTINCT doc_id, s FROM sh),
+        cnt AS (SELECT doc_id, count(*) AS n FROM shd GROUP BY doc_id),
+        inter AS (SELECT c.id1, c.id2, count(*) AS c
+          FROM cand c JOIN shd a ON a.doc_id = c.id1
+          JOIN shd b ON b.doc_id = c.id2 AND a.s = b.s
+          GROUP BY c.id1, c.id2),
+        losers AS (SELECT DISTINCT i.id2
+          FROM inter i JOIN cnt n1 ON n1.doc_id = i.id1
+          JOIN cnt n2 ON n2.doc_id = i.id2
+          WHERE CAST(i.c AS DOUBLE) / (n1.n + n2.n - i.c) >= 0.5)
+        SELECT doc_id, lang FROM documents
+        WHERE doc_id NOT IN (SELECT id2 FROM losers)
+        ORDER BY doc_id""")),
+
     // ---- multimodal plumbing: opaque binary payloads with typed metadata
     //      (payload = utf-8 bytes of text here; a real pipeline carries
     //      image/audio bytes through the same schema — see

@@ -38,6 +38,13 @@ class DedupSpec extends SparkSpec {
     assert(!pairs.exists { case (a, b) => a == 3L || b == 3L })
   }
 
+  test("dropNearDuplicates keeps the lowest id of each near-dup pair") {
+    val out = Dedup.dropNearDuplicates(docs, "text", "doc_id", threshold = 0.5)
+      .select("doc_id").as[Long].collect().sorted
+    // 1 (exact dup of 0) and 2 (near dup of 0) drop; 0, 3, 4 survive
+    assert(out.toSeq == Seq(0L, 3L, 4L))
+  }
+
   test("jaccard of exact duplicates is 1.0") {
     val cands = Seq((0L, 1L)).toDF("id1", "id2")
     val j = Dedup.jaccardVerify(docs, "text", "doc_id", cands)
