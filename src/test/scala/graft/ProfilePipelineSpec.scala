@@ -29,6 +29,27 @@ class ProfilePipelineSpec extends SparkSpec {
     assert(summary.contains("| small | 2 |") && summary.contains("| large | 3 |"))
   }
 
+  test("cross-scale consistency: documents profile stable from sf0.001 to sf0.01") {
+    // the reference's sampling-validation surface (SURVEY §2.10): the same
+    // profile run at two scales must agree on distributional stats
+    val small = ProfilePipeline.analyzeDataset(spark, "sf0.001",
+      "/root/testdata/sf0.001/lineitem.parquet")
+    val large = ProfilePipeline.analyzeDataset(spark, "sf0.01",
+      "/root/testdata/sf0.01/lineitem.parquet")
+    assert(large.profile.rows > small.profile.rows)
+    val smallPrice = small.profile.numeric.find(_.column == "l_extendedprice").get
+    val largePrice = large.profile.numeric.find(_.column == "l_extendedprice").get
+    // means within 15% across a 10x scale step
+    assert(math.abs(smallPrice.mean - largePrice.mean) /
+      largePrice.mean < 0.15,
+      s"mean l_extendedprice drifted: ${smallPrice.mean} vs ${largePrice.mean}")
+    val md = ProfilePipeline.run(spark,
+      Seq("sf0.001" -> "/root/testdata/sf0.001/lineitem.parquet",
+        "sf0.01" -> "/root/testdata/sf0.01/lineitem.parquet"),
+      java.nio.file.Files.createTempDirectory("xscale").toString)
+    assert(md.length == 2)
+  }
+
   test("embedding stats included when the column exists") {
     val root = Files.createTempDirectory("profpipe2").toString
     Seq((1L, Array(3.0f, 4.0f)), (2L, Array(0.0f, 5.0f)))
