@@ -9,7 +9,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 /** Benchmark main — prints ONE JSON line with per-query seconds.
   *
   * Two sections:
-  *   1. the 41-query oracle suite over the driver's testdata at
+  *   1. the full oracle suite (SparkEntry.allQueries) over the driver's testdata at
   *      `SPARK_GRAFT_SF_DIR`;
   *   2. the reference's own workload shape (reference `README.md:58-83`) at
   *      a scale-proportional synthetic product table: index build (embed +
