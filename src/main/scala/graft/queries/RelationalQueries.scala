@@ -521,6 +521,26 @@ object RelationalQueries {
         WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)
         ORDER BY c_custkey""")),
 
+    // ---- CUBE: all grouping-set combinations of two dimensions ----
+    QueryDef(
+      "q57_cube",
+      (s, d) => {
+        Tables.orders(s, d)
+          .cube(col("o_orderstatus"), col("o_orderpriority"))
+          .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total"))
+          .select(
+            coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+            coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+            col("n"), col("total"))
+          .orderBy(col("status"), col("priority"))
+      },
+      Some("""SELECT coalesce(o_orderstatus, 'ALL') AS status,
+        coalesce(o_orderpriority, 'ALL') AS priority,
+        count(*) AS n,
+        CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+        ORDER BY status, priority""")),
+
     // ---- ordered group concatenation (deterministic via sort_array) ----
     QueryDef(
       "q54_group_concat",
