@@ -11,6 +11,23 @@ class TextAnalysisSpec extends SparkSpec {
     assert(df.select(TextAnalysis.tokenCount($"text")).head().getLong(0) == 4L)
   }
 
+  test("subwordCount splits on letter/digit/symbol boundaries") {
+    import org.apache.spark.sql.functions._
+    val rows = Seq(
+      ("hello world", 2L),          // two letter runs
+      ("abc123def", 3L),            // letters, digits, letters
+      ("a-b.c", 5L),                // 3 letters + 2 symbols
+      ("  spaced   out  ", 2L),     // whitespace never counts
+      ("", 0L)
+    )
+    rows.foreach { case (txt, expected) =>
+      val got = spark.range(1)
+        .select(graft.operators.TextAnalysis.subwordCount(lit(txt)))
+        .head().getLong(0)
+      assert(got == expected, s"'$txt' -> $got, expected $expected")
+    }
+  }
+
   test("langId picks marker language deterministically") {
     val df = Seq(
       ("the cat and the dog of the house", "en"),

@@ -48,6 +48,19 @@ class VectorSearchSpec extends SparkSpec {
     assert(recall == 1.0, s"recall $recall")
   }
 
+  test("topKCosine ranks by angle, not magnitude") {
+    // a short vector perfectly aligned with q must beat a long misaligned one
+    val df = Seq(
+      (1L, Array(0.1f, 0.1f)),      // aligned with q, tiny norm
+      (2L, Array(100.0f, 0.0f)),    // large norm, 45 degrees off
+      (3L, Array(-1.0f, -1.0f))     // opposite
+    ).toDF("vec_id", "embedding")
+    val q = Array(1.0f, 1.0f)
+    val order = VectorSearch.topKCosine(df, "embedding", q, 3)
+      .select("vec_id").as[Long].collect().toSeq
+    assert(order == Seq(1L, 2L, 3L))
+  }
+
   test("recallAtK of exact vs itself is 1.0") {
     val q = Array.fill(8)(-5.0f)
     val exact = VectorSearch.topK(clustered, "embedding", q, 7,
