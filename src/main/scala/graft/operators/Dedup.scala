@@ -127,8 +127,14 @@ object Dedup {
     * B, which matches common dedup-pipeline practice and avoids an
     * iterative connected-components pass).
     *
-    * Scale shape: the drop set (distinct id2 values) is tiny relative to
-    * the corpus — a broadcast anti-join, no shuffle of the documents.
+    * Scale shape: the drop set (distinct id2 values) is usually small — two
+    * longs per dropped doc — but on crawl-scale corpora near-dup rates of
+    * 30–50% are normal and an unconditional broadcast of ~n/3 ids would OOM
+    * the driver. The anti-join is therefore left unhinted: AQE broadcasts
+    * the drop set when its runtime size is under the broadcast threshold and
+    * falls back to a shuffle join keyed on the id when it isn't (one
+    * id-keyed, skew-free shuffle of the corpus — the unavoidable cost of a
+    * genuinely large drop set).
     */
   def dropNearDuplicates(
       df: DataFrame, textCol: String, idCol: String,
@@ -137,7 +143,7 @@ object Dedup {
     val losers = nearDuplicatePairs(df, textCol, idCol, k, numHashes,
         rowsPerBand, threshold)
       .select(col("id2").as(idCol)).distinct()
-    df.join(broadcast(losers), Seq(idCol), "left_anti")
+    df.join(losers, Seq(idCol), "left_anti")
   }
 
   /** SimHash: `bits`-bit signature (≤ 32) as a '0'/'1' string, from md5 bits

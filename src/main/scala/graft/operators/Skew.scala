@@ -19,12 +19,18 @@ object Skew {
     *
     * Correctness: every left row pairs with exactly one replica of each
     * matching right row (the one sharing its salt), so multiplicities are
-    * preserved. Cost: right side is shuffled `salts` times — use only when
-    * right is small relative to the skew being spread.
+    * preserved — for inner and left joins. Right/full outer joins are
+    * rejected: an unmatched right row survives once per salt replica,
+    * yielding `salts` duplicates. Cost: right side is shuffled `salts`
+    * times — use only when right is small relative to the skew being spread.
     */
   def saltedJoin(skewed: DataFrame, small: DataFrame, key: String,
       salts: Int = 16, joinType: String = "inner"): DataFrame = {
     require(salts > 0)
+    val jt = joinType.toLowerCase.replace("_", "").replace("outer", "")
+    require(Set("inner", "left", "leftsemi", "leftanti", "semi", "anti").contains(jt),
+      s"saltedJoin supports inner/left join types only (got '$joinType'): " +
+        "replicated right rows would duplicate unmatched right output")
     val withSalt = skewed.withColumn("__salt",
       (rand(42) * salts).cast("int"))
     val replicated = small.withColumn("__salt",

@@ -59,13 +59,28 @@ object VectorSearch {
 
     /** Approximate filtered top-k probing `nprobe` clusters. Partition
       * pruning limits the scan to those cluster directories.
+      *
+      * With a `filter`, low-selectivity predicates can leave fewer than `k`
+      * qualifying rows inside the probed clusters (at 0.001% selectivity the
+      * probed fraction may contain zero qualifying rows), collapsing recall.
+      * When `exactFallback` is on (default), the qualifying rows in the
+      * probed clusters are counted first — a cheap partition-pruned,
+      * filter-pushed count — and if fewer than `k` remain the search widens
+      * to an exact scan of all clusters. The filter still pushes into the
+      * parquet reader, so the fallback reads only the predicate's row
+      * groups, not the whole index.
       */
     def search(spark: SparkSession, query: Array[Float], k: Int, nprobe: Int,
-        filter: Option[Column] = None): DataFrame = {
+        filter: Option[Column] = None, exactFallback: Boolean = true): DataFrame = {
       val clusters = nearestClusters(query, nprobe)
-      val df = spark.read.parquet(path).filter(col("__cluster").isin(clusters: _*))
-      topK(df, "__vec", query, k, filter).drop("__cluster", "__vec")
-        .withColumnRenamed("score", "score")
+      val pruned = spark.read.parquet(path).filter(col("__cluster").isin(clusters: _*))
+      val probeDf =
+        if (filter.isDefined && exactFallback && nprobe < centroids.length) {
+          val candidates = filter.map(pruned.filter).getOrElse(pruned)
+            .select(lit(1)).limit(k).count()
+          if (candidates < k) spark.read.parquet(path) else pruned
+        } else pruned
+      topK(probeDf, "__vec", query, k, filter).drop("__cluster", "__vec")
     }
   }
 
@@ -76,20 +91,32 @@ object VectorSearch {
     acc
   }
 
-  /** Build an IVF index: KMeans over (a sample of) the vectors, assign every
-    * row to its centroid, write partitioned by cluster id.
+  /** Build an IVF index: KMeans over a bounded sample of the vectors, assign
+    * every row to its centroid, write partitioned by cluster id.
     *
-    * At 100 TB: KMeans fits on a driver-bounded sample, assignment is one
-    * narrow pass (model broadcast), and the write is the only shuffle-free
-    * repartition — `partitionBy` creates one directory per cluster, which is
-    * exactly the pruning unit probes need.
+    * At 100 TB: KMeans trains on at most `maxTrainVectors` rows (centroid
+    * quality needs far less than the corpus — each KMeans iteration is a
+    * full scan of its training set, so an unbounded fit would dominate the
+    * build); assignment is one narrow pass (model broadcast). The write
+    * repartitions by cluster id first so `partitionBy` emits ~one file per
+    * cluster instead of one per (task × cluster) — that single shuffle of
+    * the vectors is the index build's materialization cost, paid once;
+    * pass `coalesceByCluster = false` to trade file count for shuffle-free
+    * writes when the producing job is already cluster-bucketed.
     */
   def buildIvf(df: DataFrame, vecCol: String, numClusters: Int, path: String,
-      sampleFraction: Double = 1.0, seed: Long = 42L): IvfIndex = {
+      sampleFraction: Double = Double.NaN, seed: Long = 42L,
+      maxTrainVectors: Long = 1000000L, coalesceByCluster: Boolean = true): IvfIndex = {
     val withVec = df.withColumn("__mlvec", array_to_vector(col(vecCol).cast("array<double>")))
+    val fraction =
+      if (!sampleFraction.isNaN) sampleFraction
+      else {
+        val n = df.select(lit(1)).count()
+        if (n <= maxTrainVectors) 1.0 else maxTrainVectors.toDouble / n
+      }
     val trainDf =
-      if (sampleFraction >= 1.0) withVec
-      else withVec.sample(withReplacement = false, sampleFraction, seed)
+      if (fraction >= 1.0) withVec
+      else withVec.sample(withReplacement = false, fraction, seed)
     val model = new KMeans()
       .setK(numClusters).setSeed(seed).setFeaturesCol("__mlvec")
       .setPredictionCol("__cluster")
@@ -97,7 +124,9 @@ object VectorSearch {
     val assigned = model.transform(withVec)
       .withColumnRenamed(vecCol, "__vec")
       .drop("__mlvec")
-    assigned.write.mode("overwrite").partitionBy("__cluster").parquet(path)
+    val laidOut =
+      if (coalesceByCluster) assigned.repartition(col("__cluster")) else assigned
+    laidOut.write.mode("overwrite").partitionBy("__cluster").parquet(path)
     val centroids = model.clusterCenters.map(_.toArray.map(_.toFloat))
     IvfIndex(path, centroids)
   }
@@ -105,11 +134,22 @@ object VectorSearch {
   /** Recall@k of `approx` vs `exact` result sets, averaged over queries.
     * Inputs carry (queryIdCol, idCol) result rows; output: one row,
     * `avg_recall`.
+    *
+    * Every query present in `exact` contributes to the average — a query
+    * whose approximate set has zero hits counts as recall 0, not dropped
+    * (a semi-join-then-groupBy would silently exclude it and overstate the
+    * average). Per-query denominator is `min(k, |exact|)` so filtered
+    * queries with fewer than `k` qualifying rows are scored against what an
+    * exact search could actually return.
     */
   def recallAtK(exact: DataFrame, approx: DataFrame, queryIdCol: String,
       idCol: String, k: Int): DataFrame = {
     val hits = exact.join(approx, Seq(queryIdCol, idCol), "left_semi")
       .groupBy(col(queryIdCol)).agg(count(lit(1)).as("hits"))
-    hits.agg((sum(col("hits")).cast("double") / (count(lit(1)) * k)).as("avg_recall"))
+    val denom = exact.groupBy(col(queryIdCol)).agg(
+      least(count(lit(1)), lit(k.toLong)).cast("double").as("denom"))
+    denom.join(hits, Seq(queryIdCol), "left")
+      .select((coalesce(col("hits"), lit(0L)).cast("double") / col("denom")).as("recall"))
+      .agg(avg(col("recall")).as("avg_recall"))
   }
 }

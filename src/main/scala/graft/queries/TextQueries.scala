@@ -288,7 +288,7 @@ object TextQueries {
           .orderBy(col("modality"))
       },
       Some("""SELECT modality, count(*) AS n,
-        sum(octet_length(encode(text))) AS total_bytes,
+        CAST(sum(octet_length(encode(text))) AS BIGINT) AS total_bytes,
         max(octet_length(encode(text))) AS max_bytes
         FROM (SELECT doc_id, ['image','audio','video'][(doc_id % 3) + 1] AS modality, text
           FROM documents) t

@@ -42,12 +42,14 @@ object Ingest {
     spark.read.schema(rawSchema).json(path)
 
   /** Flatten nested columns to the published string forms: `categories` list
-    * → stringified list, `details` map → stringified JSON object.
+    * → stringified list (null/empty → `[]`, not `['']`), `details` map →
+    * stringified JSON object.
     */
   def flatten(df: DataFrame): DataFrame = df
     .withColumn("categories",
-      concat(lit("['"), array_join(coalesce(col("categories"),
-        array()), "', '"), lit("']")))
+      when(col("categories").isNull || size(col("categories")) === 0, lit("[]"))
+        .otherwise(concat(lit("['"), array_join(col("categories"), "', '"),
+          lit("']"))))
     .withColumn("details", coalesce(to_json(col("details")), lit("{}")))
 
   /** Full production pipeline: raw JSONL → 17-column embedded table. */

@@ -119,8 +119,19 @@ object ProductGen {
     */
   def fromIds(ids: DataFrame, dims: Int = 2688): DataFrame = {
     require(dims % 7 == 0, "dims must be 7 segments")
+    withDerived(baseColumns(ids), dims)
+      .select(schema(dims).fieldNames.map(col).toIndexedSeq: _*)
+  }
+
+  /** The 12 base (pre-derived, pre-embedding) product columns plus the
+    * original `id`. Split out of [[fromIds]] so callers that need a specific
+    * write layout can repartition between generation and the (expensive)
+    * embedding step — the shuffle then moves only ~1 KB of text per row, not
+    * the ~11 KB embedding.
+    */
+  def baseColumns(ids: DataFrame): DataFrame = {
     val id = col("id")
-    val base = ids
+    ids
       .withColumn("parent_asin", format_string("B%09d", id))
       .withColumn("title", wordSalad(id, 1, (pmod(xxhash64(id, lit(101)), lit(8)) + 3).cast("int")))
       .withColumn("description", wordSalad(id, 2, (pmod(xxhash64(id, lit(102)), lit(80)) + 10).cast("int")))
@@ -148,7 +159,22 @@ object ProductGen {
       .withColumn("source_dataset",
         element_at(typedLit(sourceDatasets),
           (pmod(xxhash64(id, lit(23)), lit(sourceDatasets.size)) + 1).cast("int")))
-    withDerived(base, dims).select(schema(dims).fieldNames.map(col).toIndexedSeq: _*)
+  }
+
+  /** Salt for repartitioning by (category, salt) ahead of a
+    * `partitionBy(category)` write: each category gets a salt range sized to
+    * its weight (Books ≈ 41% → ~0.41·parallelism salts), so the shuffle is
+    * compute-balanced — no task owns a whole heavy category — while output
+    * file count stays bounded by the total salt count (~parallelism + one
+    * per tail category) instead of tasks × categories.
+    */
+  def categorySalt(id: Column, category: Column, parallelism: Int): Column = {
+    val saltCount = categoryWeights.foldRight(lit(1L): Column) {
+      case ((c, w), acc) =>
+        when(category === c, lit(math.max(1L, math.ceil(w * parallelism).toLong)))
+          .otherwise(acc)
+    }
+    pmod(xxhash64(id, lit(977)), saltCount)
   }
 
   /** Derived columns + embedding, applied to any frame with the 12 base

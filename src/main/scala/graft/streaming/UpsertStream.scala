@@ -114,7 +114,11 @@ final class BucketedStore(val root: String, val nBuckets: Int) {
 
   /** Latest delta row per key across all live delta files (deltas are tiny
     * by contract — compaction keeps them so — hence the window runs on a
-    * small frame and the result broadcasts).
+    * small frame and the result broadcasts). `__seq` orders whole delta
+    * files (one per commit), so the latest COMMIT per key wins; within a
+    * single delta file same-key rows have equal `__seq` and the survivor is
+    * arbitrary — the supported contract is at most one row per key per
+    * appended batch (see [[UpsertStream.applyUpserts]]).
     */
   private def latestDeltaRows(spark: SparkSession, deltas: Seq[Int],
       key: String): Option[DataFrame] =
@@ -288,12 +292,23 @@ object UpsertStream {
 
   /** Merge semantics: rows of `updates` replace rows of `base` with the same
     * `key`; new keys append. (`base LEFT ANTI updates` ∪ `updates`.)
+    *
+    * Intra-batch duplicates: when one batch carries several rows for the
+    * same key, the winner is the highest `orderCol` value (an event
+    * timestamp or batch-local sequence the producer controls). Without an
+    * `orderCol` the tie-break falls back to `monotonically_increasing_id`,
+    * which orders by partition layout, not arrival order — the surviving row
+    * is then arbitrary, so the supported contract in that mode is at most
+    * one update per key per batch (what the streaming sources here produce).
     */
-  def applyUpserts(base: DataFrame, updates: DataFrame, key: String): DataFrame = {
+  def applyUpserts(base: DataFrame, updates: DataFrame, key: String,
+      orderCol: Option[String] = None): DataFrame = {
+    val tieBreak = orderCol.map(col(_).desc)
+      .getOrElse(monotonically_increasing_id().desc)
     val deduped = updates
       .withColumn("__rn", row_number().over(
         org.apache.spark.sql.expressions.Window
-          .partitionBy(col(key)).orderBy(monotonically_increasing_id().desc)))
+          .partitionBy(col(key)).orderBy(tieBreak)))
       .filter(col("__rn") === 1).drop("__rn")
     base.join(broadcast(deduped.select(key)), Seq(key), "left_anti")
       .unionByName(deduped)
