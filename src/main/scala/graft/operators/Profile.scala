@@ -74,20 +74,30 @@ object Profile {
   /** Top-k frequency table with percentage-of-total (reference
     * `gbr.py:145-153`). The percentage uses a precomputed total rather than
     * the reference's per-query scalar subquery (SURVEY §4).
+    *
+    * Standalone form — runs a count and a distinct pass of its own. Inside
+    * [[profile]] the total is computed once per table and all per-column
+    * distincts fuse into one pass; prefer that entry point when profiling
+    * more than one column.
     */
   def categoricalStats(df: DataFrame, column: String, topK: Int = 10): CategoricalStats = {
-    val total = df.count()
-    val top = df.filter(col(column).isNotNull)
+    val distinct = df.filter(col(column).isNotNull)
+      .agg(countDistinct(col(column))).head().getLong(0)
+    CategoricalStats(column, categoricalTopK(df, column, topK, df.count()), distinct)
+  }
+
+  /** The top-k half of [[categoricalStats]] against a precomputed row total:
+    * partial-agg + TakeOrdered, one pass over the (pruned) column.
+    */
+  private def categoricalTopK(df: DataFrame, column: String, topK: Int,
+      total: Long): Seq[(String, Long, Double)] =
+    df.filter(col(column).isNotNull)
       .groupBy(col(column)).agg(count(lit(1)).as("cnt"))
       .withColumn("pct", round(col("cnt") * 100.0 / lit(total), 2))
       .orderBy(desc("cnt"), col(column))
       .limit(topK)
       .collect()
       .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSeq
-    val distinct = df.filter(col(column).isNotNull)
-      .agg(countDistinct(col(column))).head().getLong(0)
-    CategoricalStats(column, top, distinct)
-  }
 
   /** Length stats for text columns, one pass (reference `gbr.py:197-205`). */
   def textStats(df: DataFrame, cols: Seq[String]): Seq[TextStats] = {
@@ -140,27 +150,77 @@ object Profile {
       .orderBy(col("dim"))
   }
 
-  /** Full table profile: route columns by type, fuse passes. */
+  /** Full table profile: route columns by type, fuse passes.
+    *
+    * Pass structure (what a 100 TB table actually pays):
+    *   1. ONE multi-aggregate scan computing the row total, every column's
+    *      null count, all numeric moments and all string length stats —
+    *      the length stats double as the categorical/text routing signal;
+    *   2. ONE pass fusing `countDistinct` for every categorical column
+    *      (Catalyst plans multi-distinct via Expand — rows × #catCols
+    *      through the partial agg, but over a scan pruned to just those
+    *      columns — versus one full scan per column before);
+    *   3. one partial-agg + TakeOrdered top-k per categorical column (these
+    *      don't fuse: each needs its own grouping key space).
+    * The row total is computed once and shared by every percentage.
+    */
   def profile(df: DataFrame, topK: Int = 10): TableProfile = {
     val numericCols = df.schema.fields.collect {
       case StructField(n, _: NumericType, _, _) => n }.toSeq
     val stringCols = df.schema.fields.collect {
       case StructField(n, StringType, _, _) => n }.toSeq
-    // short strings profile as categoricals, long ones as text
-    val (catCols, textCols) =
-      if (stringCols.isEmpty) (Seq.empty[String], Seq.empty[String])
-      else {
-        val lens = df.select(stringCols.map(c =>
-          avg(length(col(c))).as(c)): _*).head()
-        stringCols.partition(c =>
-          Option(lens.getAs[Any](c)).forall(_.toString.toDouble <= 32))
+    // pass 1: total + nulls + numeric moments + string length stats, fused
+    val aggs = Seq(count(lit(1)).as("__rows")) ++
+      df.columns.toSeq.map(c => sum(col(c).isNull.cast("long")).as(s"${c}__nulls")) ++
+      numericCols.flatMap { c => Seq(
+        count(col(c)).as(s"${c}__cnt"),
+        avg(col(c)).as(s"${c}__avg"),
+        min(col(c)).cast("double").as(s"${c}__min"),
+        max(col(c)).cast("double").as(s"${c}__max"),
+        stddev_samp(col(c)).as(s"${c}__sd"))
+      } ++
+      stringCols.flatMap { c => Seq(
+        count(col(c)).as(s"${c}__scnt"),
+        avg(length(col(c))).as(s"${c}__lavg"),
+        min(length(col(c))).cast("long").as(s"${c}__lmin"),
+        max(length(col(c))).cast("long").as(s"${c}__lmax"))
       }
-    TableProfile(
-      rows = df.count(),
-      nulls = nullProfile(df),
-      numeric = if (numericCols.nonEmpty) numericStats(df, numericCols) else Seq.empty,
-      categorical = catCols.map(categoricalStats(df, _, topK)),
-      text = if (textCols.nonEmpty) textStats(df, textCols) else Seq.empty)
+    val row = df.select(aggs: _*).head()
+    def d(name: String): Double = {
+      val v = row.getAs[Any](name)
+      if (v == null) Double.NaN else v.toString.toDouble
+    }
+    val total = row.getAs[Long]("__rows")
+    val nulls = df.columns.map(c => c -> row.getAs[Long](s"${c}__nulls")).toMap
+    val numeric = numericCols.map { c =>
+      NumericStats(c, row.getAs[Long](s"${c}__cnt"), nulls(c),
+        d(s"${c}__avg"), d(s"${c}__min"), d(s"${c}__max"), d(s"${c}__sd"))
+    }
+    // short strings profile as categoricals, long ones as text — routed by
+    // the avg lengths already computed in pass 1
+    val (catCols, textCols) = stringCols.partition(c =>
+      Option(row.getAs[Any](s"${c}__lavg")).forall(_.toString.toDouble <= 32))
+    val text = textCols.map { c =>
+      TextStats(c, row.getAs[Long](s"${c}__scnt"), d(s"${c}__lavg"),
+        if (row.isNullAt(row.fieldIndex(s"${c}__lmin"))) 0L
+        else row.getAs[Long](s"${c}__lmin"),
+        if (row.isNullAt(row.fieldIndex(s"${c}__lmax"))) 0L
+        else row.getAs[Long](s"${c}__lmax"))
+    }
+    // pass 2: all categorical distincts in one multi-agg job
+    val distincts =
+      if (catCols.isEmpty) Map.empty[String, Long]
+      else {
+        val drow = df.agg(
+          countDistinct(col(catCols.head)).as(catCols.head),
+          catCols.tail.map(c => countDistinct(col(c)).as(c)): _*).head()
+        catCols.map(c => c -> drow.getAs[Long](c)).toMap
+      }
+    // pass 3: one TakeOrdered top-k per categorical column
+    val categorical = catCols.map(c =>
+      CategoricalStats(c, categoricalTopK(df, c, topK, total), distincts(c)))
+    TableProfile(rows = total, nulls = nulls, numeric = numeric,
+      categorical = categorical, text = text)
   }
 
   /** JSON stats sink (the reference's `sampling_analysis.json` shape,

@@ -45,6 +45,19 @@ class DedupSpec extends SparkSpec {
     assert(out.toSeq == Seq(0L, 3L, 4L))
   }
 
+  test("dropNearDuplicates on a high-dup corpus (large drop set, no broadcast hint)") {
+    // 200 docs in 20 groups of 10 exact duplicates each: the drop set is
+    // 90% of the corpus — the regime where an unconditional broadcast of the
+    // losers would be wrong at scale. The unhinted anti-join must still
+    // produce exactly one survivor (the lowest id) per group.
+    val corpus = (0L until 200L).map { i =>
+      (i, s"group ${i / 10} shares this identical sentence about topic ${i / 10} repeated verbatim")
+    }.toDF("doc_id", "text")
+    val out = Dedup.dropNearDuplicates(corpus, "text", "doc_id", threshold = 0.5)
+      .select("doc_id").as[Long].collect().sorted
+    assert(out.toSeq == (0L until 200L by 10L).toSeq)
+  }
+
   test("jaccard of exact duplicates is 1.0") {
     val cands = Seq((0L, 1L)).toDF("id1", "id2")
     val j = Dedup.jaccardVerify(docs, "text", "doc_id", cands)
