@@ -43,13 +43,25 @@ object Embedding {
     * the input plus `pc` = Array[Double] of length k. The model fit is a
     * distributed covariance/SVD over vectors; transform is a broadcast
     * matrix-multiply — no shuffle of the data.
+    *
+    * Component signs are canonicalized: an eigenvector is only defined up to
+    * ±1 and MLlib's choice is implementation-defined, so each component is
+    * flipped to make its largest-|loading| element positive (lowest index
+    * wins ties). Projections are then deterministic and comparable across
+    * engines — this is what lets q46 carry a SQL oracle.
     */
   def pcaProject(df: DataFrame, vecCol: String, k: Int = 2): DataFrame = {
     val withVec = df.withColumn("__mlvec", array_to_vector(col(vecCol).cast("array<double>")))
     val model = new PCA().setK(k).setInputCol("__mlvec").setOutputCol("__pc")
       .fit(withVec.select("__mlvec"))
+    val signs: Array[Double] = Array.tabulate(k) { j =>
+      val loadings = Array.tabulate(model.pc.numRows)(i => model.pc(i, j))
+      val abs = loadings.map(math.abs)
+      if (loadings(abs.indexOf(abs.max)) < 0) -1.0 else 1.0
+    }
     model.transform(withVec)
-      .withColumn("pc", vector_to_array(col("__pc")))
+      .withColumn("pc",
+        zip_with(vector_to_array(col("__pc")), lit(signs), (x, s) => x * s))
       .drop("__mlvec", "__pc")
   }
 

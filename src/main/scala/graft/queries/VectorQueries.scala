@@ -202,20 +202,77 @@ object VectorQueries {
           FROM embeddings) t
         WHERE i <= 8 GROUP BY i ORDER BY i""")),
 
-    // ---- PCA(2) projection (gbr.py:449-450). Component signs are
-    //      implementation-defined, so no SQL oracle: the driver records the
-    //      rows-only check; PCASpec asserts the math (variance ordering,
-    //      orthogonality, reconstruction) ----
+    // ---- PCA(2) projection (gbr.py:449-450). Signs are canonicalized in
+    //      Embedding.pcaProject (largest-|loading| element positive), which
+    //      makes the projection deterministic and SQL-oracle-able. The
+    //      oracle reproduces MLlib's exact semantics in DuckDB: sample
+    //      covariance, top-2 eigenvectors via power iteration (1500 steps —
+    //      residual (l2/l1)^1500 ~ 1e-8 on this spectrum, far below the
+    //      4-decimal rounding) with deflation for PC2, and an UNCENTERED
+    //      projection (MLlib's PCA transform does not subtract the mean).
+    //      EmbeddingSpec asserts the math (variance ordering, distance
+    //      preservation, canonical orientation) ----
     QueryDef(
       "q46_pca_project",
       (s, d) => {
         graft.operators.Embedding.pcaProject(
             Tables.embeddings(s, d), "embedding", k = 2)
           .select(col("vec_id"), col("label"),
-            round(col("pc").getItem(0), 4).as("pc1"),
-            round(col("pc").getItem(1), 4).as("pc2"))
+            (round(col("pc").getItem(0), 4) + 0.0).as("pc1"),
+            (round(col("pc").getItem(1), 4) + 0.0).as("pc2"))
           .orderBy(col("vec_id"))
       },
-      None)
+      Some("""
+        WITH RECURSIVE
+        ev AS MATERIALIZED (
+          SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+                 CAST(unnest(embedding) AS DOUBLE) AS x
+          FROM embeddings),
+        nn AS MATERIALIZED (SELECT CAST(count(*) AS DOUBLE) AS n FROM embeddings),
+        mu AS MATERIALIZED (SELECT i, avg(x) AS m FROM ev GROUP BY i),
+        cov AS MATERIALIZED (
+          SELECT xx.i, xx.j,
+                 (sxx - (SELECT n FROM nn) * ma.m * mb.m) / ((SELECT n FROM nn) - 1) AS c
+          FROM (SELECT a.i AS i, b.i AS j, sum(a.x * b.x) AS sxx
+                FROM ev a JOIN ev b ON a.vec_id = b.vec_id GROUP BY a.i, b.i) xx
+          JOIN mu ma ON ma.i = xx.i JOIN mu mb ON mb.i = xx.j),
+        p1(it, i, v) AS (
+          SELECT 0, i, 1.0 / sqrt(64.0) FROM mu
+          UNION ALL
+          SELECT it + 1, i, w / sqrt(sum(w * w) OVER ()) FROM (
+            SELECT p.it AS it, c.i AS i, sum(c.c * p.v) AS w
+            FROM cov c JOIN p1 p ON c.j = p.i
+            WHERE p.it < 1500
+            GROUP BY p.it, c.i) t
+        ),
+        v1 AS MATERIALIZED (SELECT i, v FROM p1 WHERE it = 1500),
+        s1 AS MATERIALIZED (
+          SELECT CASE WHEN v < 0 THEN -1.0 ELSE 1.0 END AS s
+          FROM v1 ORDER BY abs(v) DESC, i LIMIT 1),
+        l1 AS MATERIALIZED (
+          SELECT sum(a.v * c.c * b.v) AS lam
+          FROM v1 a JOIN cov c ON c.i = a.i JOIN v1 b ON c.j = b.i),
+        cov2 AS MATERIALIZED (
+          SELECT c.i, c.j, c.c - (SELECT lam FROM l1) * a.v * b.v AS c
+          FROM cov c JOIN v1 a ON a.i = c.i JOIN v1 b ON b.i = c.j),
+        p2(it, i, v) AS (
+          SELECT 0, i, 1.0 / sqrt(64.0) FROM mu
+          UNION ALL
+          SELECT it + 1, i, w / sqrt(sum(w * w) OVER ()) FROM (
+            SELECT p.it AS it, c.i AS i, sum(c.c * p.v) AS w
+            FROM cov2 c JOIN p2 p ON c.j = p.i
+            WHERE p.it < 1500
+            GROUP BY p.it, c.i) t
+        ),
+        v2 AS MATERIALIZED (SELECT i, v FROM p2 WHERE it = 1500),
+        s2 AS MATERIALIZED (
+          SELECT CASE WHEN v < 0 THEN -1.0 ELSE 1.0 END AS s
+          FROM v2 ORDER BY abs(v) DESC, i LIMIT 1)
+        SELECT ev.vec_id, any_value(e.label) AS label,
+          round(sum(ev.x * v1.v) * (SELECT s FROM s1), 4) + 0 AS pc1,
+          round(sum(ev.x * v2.v) * (SELECT s FROM s2), 4) + 0 AS pc2
+        FROM ev JOIN embeddings e ON e.vec_id = ev.vec_id
+        JOIN v1 ON v1.i = ev.i JOIN v2 ON v2.i = ev.i
+        GROUP BY ev.vec_id ORDER BY ev.vec_id"""))
   )
 }

@@ -50,6 +50,24 @@ class EmbeddingSpec extends SparkSpec {
     assert(ev(0) > 0.99 && ev(0) >= ev(1))
   }
 
+  test("pca component signs are canonical (largest-|loading| element positive)") {
+    // On y ~ 2x data the first component is ±(1,2)/sqrt(5); the canonical
+    // orientation makes the y-loading (largest |.|) positive, so pc1 must
+    // covary POSITIVELY with y regardless of which sign MLlib happened to
+    // return. Run on two different row layouts to catch layout-dependent
+    // sign flips.
+    val rnd = new scala.util.Random(11)
+    val pts = (0 until 100).map { _ =>
+      val x = rnd.nextGaussian().toFloat
+      Array(x, 2 * x + 0.01f * rnd.nextGaussian().toFloat)
+    }
+    for (shuffled <- Seq(pts, pts.reverse)) {
+      val c = Embedding.pcaProject(vecs(shuffled), "v", k = 2)
+        .select(covar_samp(col("pc").getItem(0), col("v").getItem(1))).head().getDouble(0)
+      assert(c > 0, "canonical pc1 must point along +y on y~2x data")
+    }
+  }
+
   test("pca projection preserves pairwise distances for k = dims") {
     val pts = Seq(Array(1f, 0f), Array(0f, 1f), Array(-1f, 0f))
     val out = Embedding.pcaProject(vecs(pts), "v", k = 2)

@@ -1,7 +1,7 @@
 #!/usr/bin/env python3
 """Local stand-in for the driver's correctness gate.
 
-Usage: python3 tools/check.py <sfDir> <outDir>
+Usage: python3 tools/check.py <sfDir> <outDir> [q1,q2,...]
 Reads each <outDir>/<name> parquet (written by graft.Verify), runs the
 matching oracle_sql.json statement in DuckDB with views over <sfDir>, and
 compares schema + values (column-name-sorted, row-sorted, exact).
@@ -40,7 +40,7 @@ def norm(v):
     return v
 
 
-def main(sf_dir, out_dir):
+def main(sf_dir, out_dir, only=None):
     con = duckdb.connect()
     for t in TABLES:
         con.execute(
@@ -48,6 +48,8 @@ def main(sf_dir, out_dir):
     oracle = json.loads((Path(out_dir) / "oracle_sql.json").read_text())
     n_pass = n_fail = 0
     for name in sorted(oracle):
+        if only and name not in only:
+            continue
         pdir = Path(out_dir) / name
         if not pdir.exists():
             print(f"FAIL {name}: no spark output")
@@ -93,4 +95,5 @@ def main(sf_dir, out_dir):
 
 
 if __name__ == "__main__":
-    sys.exit(main(sys.argv[1], sys.argv[2]))
+    sys.exit(main(sys.argv[1], sys.argv[2],
+                  set(sys.argv[3].split(",")) if len(sys.argv) > 3 else None))
