@@ -1,47 +1,105 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, Row}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
 
-/** Exact grouped percentiles via distributed sort + rank interpolation —
-  * the scale path for exact quantiles.
+import scala.jdk.CollectionConverters._
+
+/** Exact grouped percentiles via distributed order statistics — the scale
+  * path for exact quantiles over few, huge groups.
   *
   * Spark's built-in `percentile`/`median` aggregate buffers every (value →
   * count) per group in an in-memory map inside ObjectHashAggregate: memory
   * ∝ distinct values per group, no whole-stage codegen, and a near-unique
-  * column at 100 TB OOMs the reducers. This formulation instead:
+  * column at 100 TB OOMs the reducers. A plain
+  * `row_number().over(Window.partitionBy(group))` fixes memory but routes
+  * each ENTIRE group through one task's sort — with 6 `l_returnflag`-style
+  * groups that is table/6 bytes through a single spillable sort, a
+  * wall-clock scale-killer. This formulation keeps every task's share
+  * bounded by the range partitioning instead:
   *
-  *   1. one shuffle: sort values within each group (window
-  *      `row_number`/`count` share a single partitioning);
-  *   2. each row decides locally whether it is one of the ≤ 2 support
-  *      points of each requested percentile and contributes its
-  *      interpolated share;
-  *   3. an ordinary partial+final hash aggregation sums the contributions.
+  *   1. range-partition the (group, value) projection on BOTH columns —
+  *      each group spans many partitions, each partition holds a contiguous
+  *      value range of (at most) one group boundary;
+  *   2. per-partition local ranks via a window keyed on
+  *      (partition id, group) — parallelism = number of range partitions,
+  *      never number of groups;
+  *   3. global rank = local rank + a broadcast per-(partition, group)
+  *      cumulative offset (the tiny `partitions × groups` count table);
+  *   4. each row decides locally whether it is one of the ≤ 2 support
+  *      points of a requested percentile and contributes its interpolated
+  *      share; an ordinary partial+final hash aggregation sums them.
   *
-  * Memory per task is O(1), everything stays in codegen, and the sort is
-  * Spark's spillable external sort. Semantics match `percentile(v, p)`
-  * exactly: linear interpolation at rank position (n−1)·p.
+  * The projection is persisted (MEMORY_AND_DISK) while ranks are computed:
+  * range bounds are derived by sampling seeded on the RDD id, so two
+  * independent materializations could disagree on partition ids — the
+  * cache pins one consistent assignment for the offset join. The final
+  * result is one row per group by construction, so it is materialized
+  * before returning and the cache released deterministically.
+  *
+  * Semantics match `percentile(v, p)` exactly: linear interpolation at
+  * rank position (n−1)·p, nulls excluded. Null group keys are supported
+  * (the group is carried as a one-field struct, whose equality treats a
+  * null field as a plain value).
   */
 object Percentiles {
 
+  /** Internal scale path: global ranks per (group, value) row.
+    *
+    * Returns `(ranked, cached)` where `ranked` has columns
+    * `__gk` (one-field struct of the group), `__v`, `__pid`, `__rn`
+    * (0-based global rank within group, double), `__n` (group size) and
+    * `cached` is the persisted projection the caller must unpersist after
+    * consuming `ranked`.
+    */
+  private[graft] def globalRanks(df: DataFrame, groupCol: String,
+      valueCol: String, numPartitions: Int): (DataFrame, DataFrame) = {
+    val nParts =
+      if (numPartitions > 0) numPartitions
+      else df.sparkSession.sessionState.conf.numShufflePartitions
+    val parted = df
+      .select(struct(col(groupCol)).as("__gk"),
+        col(valueCol).cast("double").as("__v"))
+      .filter(col("__v").isNotNull)
+      .repartitionByRange(nParts, col("__gk"), col("__v"))
+      .withColumn("__pid", spark_partition_id())
+      .persist(StorageLevel.MEMORY_AND_DISK)
+
+    val byChunk = Window.partitionBy(col("__pid"), col("__gk"))
+    val localRanked = parted.withColumn("__lrn",
+      row_number().over(byChunk.orderBy(col("__v"))).cast("long") - 1)
+
+    val cnts = parted.groupBy(col("__pid"), col("__gk"))
+      .agg(count(lit(1)).as("__c"))
+    val byGroup = Window.partitionBy(col("__gk"))
+    val offsets = cnts.select(col("__pid"), col("__gk"),
+      (sum(col("__c")).over(byGroup.orderBy(col("__pid"))) - col("__c"))
+        .as("__off"),
+      sum(col("__c")).over(byGroup).as("__n"))
+
+    val ranked = localRanked
+      .join(broadcast(offsets), Seq("__pid", "__gk"))
+      .withColumn("__rn", (col("__off") + col("__lrn")).cast("double"))
+    (ranked, parted)
+  }
+
   /** One output row per group: the requested percentiles of `valueCol` as
-    * columns named per `names` (defaults p0, p1, …).
+    * columns named per `names` (defaults p0, p1, …). `numPartitions` sizes
+    * the range partitioning (0 → `spark.sql.shuffle.partitions`).
     */
   def grouped(df: DataFrame, groupCol: String, valueCol: String,
-      ps: Seq[Double], names: Seq[String] = Seq.empty): DataFrame = {
+      ps: Seq[Double], names: Seq[String] = Seq.empty,
+      numPartitions: Int = 0): DataFrame = {
     require(ps.nonEmpty && ps.forall(p => p >= 0 && p <= 1))
     val outNames =
       if (names.nonEmpty) { require(names.length == ps.length); names }
       else ps.indices.map(i => s"p$i")
-    val byGroup = Window.partitionBy(col(groupCol))
-    val ranked = df
-      .select(col(groupCol), col(valueCol).cast("double").as("__v"))
-      .filter(col("__v").isNotNull)
-      .withColumn("__rn", row_number().over(byGroup.orderBy(col("__v"))).cast("double") - 1)
-      .withColumn("__n", count(lit(1)).over(byGroup))
+
+    val (ranked, cached) = globalRanks(df, groupCol, valueCol, numPartitions)
     val aggs = ps.zip(outNames).map { case (p, name) =>
-      val pos = (col("__n") - 1) * lit(p)
+      val pos = (col("__n") - 1).cast("double") * lit(p)
       val lo = floor(pos)
       val hi = ceil(pos)
       val frac = pos - lo
@@ -51,6 +109,14 @@ object Percentiles {
           .when(col("__rn") === hi, col("__v") * frac)
           .otherwise(lit(0.0))).as(name)
     }
-    ranked.groupBy(col(groupCol)).agg(aggs.head, aggs.tail: _*)
+    val result = ranked.groupBy(col("__gk"))
+      .agg(aggs.head, aggs.tail: _*)
+      .select(col(s"__gk.$groupCol").as(groupCol) +: outNames.map(col): _*)
+    // One row per group by construction — materialize so the cached
+    // projection can be released before returning.
+    val rows = result.collect()
+    val schema = result.schema
+    cached.unpersist(blocking = false)
+    df.sparkSession.createDataFrame(rows.toSeq.asJava, schema)
   }
 }

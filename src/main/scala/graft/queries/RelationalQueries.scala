@@ -361,8 +361,9 @@ object RelationalQueries {
     QueryDef(
       "q19_percentiles",
       (s, d) => {
-        // sort-based exact percentiles (operators.Percentiles): O(1) task
-        // memory vs the builtin's per-group value map — same semantics
+        // range-partitioned exact percentiles (operators.Percentiles):
+        // O(1) task memory AND multi-task parallelism per group vs the
+        // builtin's per-group value map — same interpolation semantics
         graft.operators.Percentiles.grouped(
             Tables.lineitem(s, d), "l_returnflag", "l_extendedprice",
             Seq(0.5, 0.25, 0.75), Seq("med_raw", "p25_raw", "p75_raw"))

@@ -47,4 +47,37 @@ class PercentilesSpec extends SparkSpec {
     val out = Percentiles.grouped(df, "g", "v", Seq(0.5), Seq("med")).head()
     assert(out.getDouble(1) === 2.0)
   }
+
+  test("a single group's sort spreads across multiple tasks (scale path)") {
+    val rnd = new scala.util.Random(7)
+    val df = (0 until 50000).map(_ => ("only", rnd.nextDouble() * 1e6))
+      .toDF("g", "v")
+    // the internal ranking must involve >1 range partition for ONE group —
+    // the property the per-group window formulation lacks (VERDICT r1 #8)
+    val (ranked, cached) = Percentiles.globalRanks(df, "g", "v", 8)
+    try {
+      val pids = ranked.select("__pid").distinct().count()
+      assert(pids > 1, s"expected >1 task for a single group, got $pids")
+      // global ranks are a permutation of 0..n-1 and order-consistent
+      val stats = ranked.agg(
+        count(lit(1)), min(col("__rn")), max(col("__rn")),
+        countDistinct(col("__rn"))).head()
+      assert(stats.getLong(0) === 50000L)
+      assert(stats.getDouble(1) === 0.0 && stats.getDouble(2) === 49999.0)
+      assert(stats.getLong(3) === 50000L)
+    } finally cached.unpersist()
+    val med = Percentiles.grouped(df, "g", "v", Seq(0.5), Seq("med"),
+      numPartitions = 8).head().getDouble(1)
+    val builtin = df.agg(percentile(col("v"), lit(0.5))).head().getDouble(0)
+    assert(math.abs(med - builtin) < 1e-9)
+  }
+
+  test("null group keys form their own group") {
+    val df = Seq((Some("a"), 1.0), (None, 2.0), (None, 4.0), (Some("a"), 3.0))
+      .toDF("g", "v")
+    val out = Percentiles.grouped(df, "g", "v", Seq(0.5), Seq("med"))
+      .collect().map(r => (Option(r.getString(0)), r.getDouble(1))).toMap
+    assert(out(Some("a")) === 2.0)
+    assert(out(None) === 3.0)
+  }
 }
