@@ -14,9 +14,12 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *
   * Scale notes: JSONL ingest is a narrow scan (Spark's native JSON source
   * with an explicit schema — no inference pass over 100 TB); all derivations
-  * are column expressions; sampling uses `stat.sampleBy` (per-stratum
-  * Bernoulli, no shuffle); the only wide operation in the whole pipeline is
-  * the final `repartition` that controls output file sizes.
+  * are column expressions; sampling cuts EXACT per-stratum quotas (the
+  * published variant counts are round numbers) via a hash-derived uniform
+  * key + Bernoulli pre-restriction, so the only per-stratum sort is over
+  * ~quota candidate rows — the output size — never the stratum; the only
+  * other wide operation in the whole pipeline is the final `repartition`
+  * that controls output file sizes.
   */
 object Ingest {
 
@@ -61,18 +64,86 @@ object Ingest {
       .select(ProductGen.schema(dims).fieldNames.map(col).toIndexedSeq: _*)
   }
 
-  /** Cut the reference's size variants by per-source quota sampling (the
+  /** Exact per-stratum quota sample: for each key of `quotas` keep exactly
+    * `min(quota, stratum size)` rows of that stratum, chosen uniformly at
+    * random but fully deterministic in `seed`; strata absent from `quotas`
+    * (and null strata) are dropped.
+    *
+    * Scale path: each row gets a uniform key `u` derived from
+    * `xxhash64(row, seed)` (not `rand()`, which depends on physical
+    * partition layout). The quota smallest `u` per stratum are the sample.
+    * Ranking every row per stratum would serialize the stratum through one
+    * task, so a Bernoulli pre-restriction `u < (q + 6√q + 20)/n` first
+    * shrinks candidates to ~quota rows — the top-q set is a subset of the
+    * candidates unless the q-th order statistic exceeds the cut, a >6σ
+    * event — and only candidates are ranked: the per-stratum sort is
+    * bounded by the OUTPUT size, not the stratum size. `strict` (default)
+    * counts the picked rows per stratum (they are only ~Σ quotas rows) and
+    * re-ranks any undershot stratum without the pre-restriction, making
+    * exactness unconditional rather than whp.
+    */
+  def exactQuotaSample(df: DataFrame, stratumCol: String,
+      quotas: Map[String, Long], seed: Long = 42L,
+      strict: Boolean = true): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spark = df.sparkSession
+    val all = struct(df.columns.toIndexedSeq.map(col): _*)
+    val m = 2147483647L // 2^31-1: u has ~9 decimal digits; __u2 breaks ties
+    val withU = df
+      .withColumn("__u", pmod(xxhash64(all, lit(seed)), lit(m)).cast("double") / m)
+      .withColumn("__u2", xxhash64(all, lit(seed + 1)))
+    val sizes = withU.groupBy(col(stratumCol).as("__s")).count()
+      .collect().filter(!_.isNullAt(0)).map(r => r.getString(0) -> r.getLong(1)).toMap
+
+    def pick(restricted: Boolean, only: Set[String]): DataFrame = {
+      val qrows = quotas.toSeq.collect {
+        case (s, q) if only.contains(s) && sizes.getOrElse(s, 0L) > 0 =>
+          val n = sizes(s)
+          val qq = math.min(q, n)
+          val cut =
+            if (!restricted || qq == n) 1.1 // keep all candidates
+            else math.min(1.0, (qq + 6 * math.sqrt(qq.toDouble) + 20) / n)
+          (s, qq, cut)
+      }
+      if (qrows.isEmpty) return withU.limit(0)
+      val qdf = spark.createDataFrame(qrows).toDF("__s", "__q", "__cut")
+      val w = Window.partitionBy(col(stratumCol))
+        .orderBy(col("__u"), col("__u2"))
+      withU.join(broadcast(qdf), col(stratumCol) === col("__s"))
+        .filter(col("__u") < col("__cut"))
+        .withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") <= col("__q"))
+        .drop("__s", "__q", "__cut", "__rn")
+    }
+
+    val fast = pick(restricted = true, quotas.keySet)
+    if (!strict) return fast.drop("__u", "__u2")
+    val got = fast.groupBy(col(stratumCol)).count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val undershot = quotas.keySet.filter { s =>
+      val want = math.min(quotas(s), sizes.getOrElse(s, 0L))
+      got.getOrElse(s, 0L) < want
+    }
+    val result =
+      if (undershot.isEmpty) fast
+      else pick(restricted = true, quotas.keySet -- undershot)
+        .unionByName(pick(restricted = false, undershot))
+    result.drop("__u", "__u2")
+  }
+
+  /** Cut the reference's size variants as EXACT per-source quotas (the
     * published per-source counts are round numbers ⇒ stratified quotas,
-    * SURVEY §2.10) and write one parquet dataset per variant.
+    * SURVEY §2.10): each variant keeps `round(fraction · stratum size)`
+    * rows per `source_dataset`, and writes one parquet dataset per variant.
     */
   def writeVariants(df: DataFrame, outRoot: String,
       variants: Map[String, Double], seed: Long = 42L,
       filesPerVariant: Int = 32): Unit = {
-    val strata = df.select("source_dataset").distinct()
-      .collect().map(_.getString(0))
+    val sizes = df.groupBy(col("source_dataset")).count()
+      .collect().filter(!_.isNullAt(0)).map(r => r.getString(0) -> r.getLong(1)).toMap
     variants.foreach { case (name, fraction) =>
-      val fractions = strata.map(_ -> fraction).toMap
-      df.stat.sampleBy("source_dataset", fractions, seed)
+      val quotas = sizes.map { case (s, n) => s -> math.round(fraction * n) }
+      exactQuotaSample(df, "source_dataset", quotas, seed)
         .repartition(filesPerVariant)
         .write.mode("overwrite").parquet(s"$outRoot/$name")
     }

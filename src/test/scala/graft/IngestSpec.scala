@@ -46,4 +46,43 @@ class IngestSpec extends SparkSpec {
     Ingest.writeVariants(out, root, Map("tiny" -> 1.0), filesPerVariant = 1)
     assert(spark.read.parquet(s"$root/tiny").count() == 2)
   }
+
+  private lazy val strataDf = {
+    import spark.implicits._
+    ((0 until 1000).map(i => (s"id_a$i", "a")) ++
+      (0 until 50).map(i => (s"id_b$i", "b")) ++
+      (0 until 7).map(i => (s"id_c$i", "c")))
+      .toDF("id", "source_dataset")
+  }
+
+  test("exactQuotaSample hits quotas exactly, not ±√n") {
+    val got = Ingest.exactQuotaSample(strataDf, "source_dataset",
+        Map("a" -> 300L, "b" -> 50L, "c" -> 100L))
+      .groupBy("source_dataset").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // a: exact 300 of 1000; b: full stratum; c: quota over size → all 7;
+    // no stratum outside the quota map
+    assert(got == Map("a" -> 300L, "b" -> 50L, "c" -> 7L))
+  }
+
+  test("exactQuotaSample is deterministic in seed and a subset of input") {
+    val s1 = Ingest.exactQuotaSample(strataDf, "source_dataset",
+      Map("a" -> 100L), seed = 7L).select("id").collect().map(_.getString(0)).toSet
+    val s2 = Ingest.exactQuotaSample(strataDf, "source_dataset",
+      Map("a" -> 100L), seed = 7L).select("id").collect().map(_.getString(0)).toSet
+    val s3 = Ingest.exactQuotaSample(strataDf, "source_dataset",
+      Map("a" -> 100L), seed = 8L).select("id").collect().map(_.getString(0)).toSet
+    assert(s1 == s2 && s1.size == 100)
+    assert(s1 != s3, "different seeds should draw different samples")
+    assert(s1.forall(_.startsWith("id_a")))
+  }
+
+  test("writeVariants cuts exact round(fraction*stratum) counts") {
+    val root = java.nio.file.Files.createTempDirectory("variants2").toString
+    Ingest.writeVariants(strataDf, root, Map("v10" -> 0.1), filesPerVariant = 1)
+    val got = spark.read.parquet(s"$root/v10")
+      .groupBy("source_dataset").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == Map("a" -> 100L, "b" -> 5L, "c" -> 1L))
+  }
 }
