@@ -128,6 +128,61 @@ object EventQueries {
         SELECT user_id, min(epoch_us(ts)) AS session_start_us,
           count(*) AS n, min(event_id) AS first_event
         FROM se GROUP BY user_id, sess
-        ORDER BY user_id, session_start_us"""))
+        ORDER BY user_id, session_start_us""")),
+
+    // ---- as-of join: latest click at-or-before each purchase, per user
+    //      (union+window formulation, operators.AsOfJoin; oracle is
+    //      DuckDB's native ASOF LEFT JOIN) ----
+    QueryDef(
+      "q58_asof_join",
+      (s, d) => {
+        val ev = Tables.events(s, d)
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .select(col("event_id"), col("user_id"), col("ts"))
+        val clicks = ev.filter(col("event_type") === "click")
+          .select(col("user_id"), col("ts"), col("value"),
+            col("event_id").as("click_id"))
+        graft.operators.AsOfJoin.backward(purchases, clicks,
+            Seq("user_id"), "ts", "ts", Seq("value"), "click_id")
+          .select(col("event_id"), col("user_id"),
+            unix_micros(col("ts")).as("ts_us"),
+            unix_micros(col("matched_ts")).as("click_ts_us"),
+            col("value").as("click_value"))
+          .orderBy(col("event_id"))
+      },
+      Some("""WITH p AS (SELECT event_id, user_id, ts FROM events
+          WHERE event_type = 'purchase'),
+        c AS (SELECT user_id, ts, value FROM events WHERE event_type = 'click')
+        SELECT p.event_id, p.user_id, epoch_us(p.ts) AS ts_us,
+          epoch_us(c.ts) AS click_ts_us, c.value AS click_value
+        FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts
+        ORDER BY p.event_id""")),
+
+    // ---- range (interval-containment) join with no equi key: clicks
+    //      within 10 minutes after each error (bucketized equi-join,
+    //      operators.RangeJoin — NOT a nested-loop theta join) ----
+    QueryDef(
+      "q59_range_join",
+      (s, d) => {
+        val ev = Tables.events(s, d)
+        val errors = ev.filter(col("event_type") === "error")
+          .select(col("event_id"), col("ts").as("start_ts"),
+            (col("ts") + expr("INTERVAL 10 MINUTES")).as("end_ts"))
+        val clicks = ev.filter(col("event_type") === "click")
+          .select(col("ts").as("cts"), col("value"))
+        graft.operators.RangeJoin.bucketed(clicks, errors,
+            "cts", "start_ts", "end_ts", 600000000L)
+          .groupBy(col("event_id"))
+          .agg(count(lit(1)).as("n_clicks"),
+            sum(col("value").cast(DecimalType(18, 2))).cast("double")
+              .as("sum_click_value"))
+          .orderBy(col("event_id"))
+      },
+      Some("""SELECT e.event_id, count(*) AS n_clicks,
+          CAST(sum(CAST(c.value AS DECIMAL(18,2))) AS DOUBLE) AS sum_click_value
+        FROM events e JOIN events c
+          ON c.ts BETWEEN e.ts AND e.ts + INTERVAL 10 MINUTE
+        WHERE e.event_type = 'error' AND c.event_type = 'click'
+        GROUP BY e.event_id ORDER BY e.event_id"""))
   )
 }
