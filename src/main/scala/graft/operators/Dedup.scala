@@ -197,4 +197,50 @@ object Dedup {
       .select(col("id1"), col("id2"), vec_cos(col("__v1"), col("__v2")).as("cosine"))
       .filter(col("cosine") >= threshold)
   }
+
+  /** Connected components over an undirected edge list — turns pair-wise
+    * near-dup hits into transitive duplicate CLUSTERS (A~B, B~C ⇒ {A,B,C}),
+    * the "keep one representative per cluster" dedup policy
+    * [[dropNearDuplicates]] deliberately skips.
+    *
+    * Iterative min-label propagation: every node starts labelled with its
+    * own id; each round every node takes the min of its own and its
+    * neighbours' labels; fixpoint = each node labelled with the smallest id
+    * reachable from it (= the cluster id). Rounds needed = graph diameter —
+    * for near-dup clusters typically 2–4. Each round is one shuffle join +
+    * one hash aggregation, and `localCheckpoint` truncates the growing plan
+    * lineage so round N doesn't re-execute rounds 1..N−1. At 100 TB-scale
+    * graphs with long chains, switch to the large-star/small-star
+    * alternation (Kiveris et al., "Connected Components in MapReduce"),
+    * which squares the label-spread per round; plain propagation is the
+    * right trade for the shallow clusters dedup produces.
+    *
+    * Returns one row per node that appears in `edges`: (`node`, `cluster`).
+    */
+  def connectedComponents(edges: DataFrame, srcCol: String, dstCol: String,
+      maxIter: Int = 20): DataFrame = {
+    val sym = edges.select(col(srcCol).as("__a"), col(dstCol).as("__b"))
+      .union(edges.select(col(dstCol).as("__a"), col(srcCol).as("__b")))
+      .distinct()
+      .localCheckpoint()
+    var labels = sym.select(col("__a").as("node"))
+      .distinct()
+      .withColumn("lbl", col("node"))
+      .localCheckpoint()
+    var changed = 1L
+    var it = 0
+    while (changed > 0 && it < maxIter) {
+      val viaNeighbour = sym.join(labels, col("__b") === col("node"))
+        .select(col("__a").as("node"), col("lbl"))
+      val next = labels.union(viaNeighbour)
+        .groupBy(col("node")).agg(min(col("lbl")).as("lbl"))
+        .localCheckpoint()
+      changed = next.join(labels.withColumnRenamed("lbl", "__old"), "node")
+        .filter(col("lbl") =!= col("__old")).count()
+      labels = next
+      it += 1
+    }
+    require(changed == 0, s"connectedComponents did not converge in $maxIter rounds")
+    labels.withColumnRenamed("lbl", "cluster")
+  }
 }

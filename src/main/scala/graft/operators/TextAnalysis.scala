@@ -78,4 +78,37 @@ object TextAnalysis {
       .select(idCols.map(col) :+
         explode(expr(s"transform(sequence(0, size(w) - $k), i -> $expand)")).as("s"): _*)
   }
+
+  /** TF-IDF top-`topK` terms per document: tf(d,t) · ln(N / df(t)), the
+    * classic unsmoothed weighting (every term present in some doc has
+    * df ≥ 1, so the log is defined).
+    *
+    * Shape at scale: explode → one hash agg per (doc, term) → one hash agg
+    * per term (the vocabulary — tiny next to the corpus, AQE broadcasts it
+    * back onto the tf table) → per-doc top-k window (partition cardinality
+    * = number of documents, so parallelism is abundant). `N` is passed in
+    * (count it once per corpus) rather than recomputed per call.
+    *
+    * Scores are rounded to 6 decimals BEFORE ranking and tie-broken by
+    * term, so the selected rows are engine-reproducible even where two
+    * terms tie exactly (common: integer tf × a shared vocabulary).
+    */
+  def tfidfTopTerms(df: DataFrame, textCol: String, idCol: String,
+      totalDocs: Long, topK: Int = 3): DataFrame = {
+    require(topK > 0 && totalDocs > 0)
+    val toks = df.select(col(idCol),
+        explode(words(col(textCol))).as("term"))
+      .filter(col("term") =!= "")
+    val tf = toks.groupBy(col(idCol), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val docFreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val scored = tf.join(docFreq, "term")
+      .withColumn("tfidf",
+        round(col("tf") * log(lit(totalDocs.toDouble) / col("df")), 6))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol)).orderBy(desc("tfidf"), col("term"))
+    scored.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= topK)
+      .select(col(idCol), col("term"), col("tfidf"))
+  }
 }

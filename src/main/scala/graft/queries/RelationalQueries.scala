@@ -573,6 +573,30 @@ object RelationalQueries {
         count(*) FILTER (WHERE o_orderstatus = 'F') AS n_finished,
         CAST(sum(CAST(CASE WHEN o_orderstatus = 'F' THEN o_totalprice ELSE 0.0 END
           AS DECIMAL(18,2))) AS DOUBLE) AS finished_total
-        FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority"""))
+        FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""")),
+
+    // ---- Bloom-pruned semi join: native BloomFilterAggregate /
+    //      BloomFilterMightContain expressions keep non-matching lineitem
+    //      rows out of the shuffle; result is EXACTLY the plain semi join
+    //      (operators.BloomPrune) ----
+    QueryDef(
+      "q61_bloom_semi_join",
+      (s, d) => {
+        val li = Tables.lineitem(s, d)
+        val bigOrders = Tables.orders(s, d)
+          .filter(col("o_totalprice") > 450000)
+        graft.operators.BloomPrune.semiJoin(li, bigOrders,
+            "l_orderkey", "o_orderkey", expectedItems = 1000000L)
+          .groupBy(col("l_returnflag"))
+          .agg(count(lit(1)).as("n"),
+            sum(dec2(col("l_extendedprice"))).cast("double").as("sum_price"))
+          .orderBy(col("l_returnflag"))
+      },
+      Some("""SELECT l_returnflag, count(*) AS n,
+        CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        FROM lineitem
+        WHERE l_orderkey IN
+          (SELECT o_orderkey FROM orders WHERE o_totalprice > 450000)
+        GROUP BY l_returnflag ORDER BY l_returnflag"""))
   )
 }

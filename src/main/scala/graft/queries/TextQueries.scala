@@ -292,6 +292,76 @@ object TextQueries {
         max(octet_length(encode(text))) AS max_bytes
         FROM (SELECT doc_id, ['image','audio','video'][(doc_id % 3) + 1] AS modality, text
           FROM documents) t
-        GROUP BY modality ORDER BY modality"""))
+        GROUP BY modality ORDER BY modality""")),
+
+    // ---- TF-IDF: top-3 characteristic terms per document (scores rounded
+    //      BEFORE ranking, term tiebreak → engine-reproducible top-k) ----
+    QueryDef(
+      "q60_tfidf_top_terms",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        TA.tfidfTopTerms(docs, "text", "doc_id", totalDocs = docs.count())
+          .orderBy(col("doc_id"), col("term"))
+      },
+      Some(raw"""WITH toks AS (SELECT doc_id,
+          unnest(regexp_split_to_array(trim(text), '\s+')) AS term
+          FROM documents),
+        tf AS (SELECT doc_id, term, count(*) AS tf FROM toks
+          WHERE term <> '' GROUP BY doc_id, term),
+        dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+        scored AS (SELECT doc_id, term,
+          round(tf * ln((SELECT CAST(count(*) AS DOUBLE) FROM documents) / df), 6)
+            AS tfidf
+          FROM tf JOIN dfreq USING (term)),
+        ranked AS (SELECT doc_id, term, tfidf,
+          row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rn
+          FROM scored)
+        SELECT doc_id, term, tfidf FROM ranked WHERE rn <= 3
+        ORDER BY doc_id, term""")),
+
+    // ---- transitive duplicate clusters: near-dup pairs → connected
+    //      components (min-label propagation, Dedup.connectedComponents;
+    //      oracle computes min reachable id via a recursive CTE) ----
+    QueryDef(
+      "q62_dup_clusters",
+      (s, d) => {
+        val pairs = Dedup.nearDuplicatePairs(Tables.documents(s, d),
+          "text", "doc_id", threshold = 0.5)
+        Dedup.connectedComponents(pairs, "id1", "id2")
+          .groupBy(col("cluster"))
+          .agg(count(lit(1)).as("size"), max(col("node")).as("max_doc"))
+          .orderBy(col("cluster"))
+      },
+      Some(raw"""WITH RECURSIVE sh AS (${sqlShingles(3)}),
+        hs AS (SELECT doc_id, seed,
+          ('0x' || substr(md5(s), 1, 8))::BIGINT +
+            seed * ('0x' || substr(md5(s), 9, 8))::BIGINT AS h
+          FROM sh CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS seed) sd),
+        sig AS (SELECT doc_id, seed, min(h) AS minhash FROM hs GROUP BY doc_id, seed),
+        bands AS (SELECT doc_id, seed // 2 AS band,
+          md5(string_agg(CAST(minhash AS VARCHAR), ',' ORDER BY seed)) AS bkey
+          FROM sig GROUP BY doc_id, band),
+        cand AS (SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+          FROM bands a JOIN bands b
+            ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
+        shd AS (SELECT DISTINCT doc_id, s FROM sh),
+        cnt AS (SELECT doc_id, count(*) AS n FROM shd GROUP BY doc_id),
+        inter AS (SELECT c.id1, c.id2, count(*) AS c
+          FROM cand c JOIN shd a ON a.doc_id = c.id1
+          JOIN shd b ON b.doc_id = c.id2 AND a.s = b.s
+          GROUP BY c.id1, c.id2),
+        pairs AS (SELECT i.id1, i.id2
+          FROM inter i JOIN cnt n1 ON n1.doc_id = i.id1
+          JOIN cnt n2 ON n2.doc_id = i.id2
+          WHERE CAST(i.c AS DOUBLE) / (n1.n + n2.n - i.c) >= 0.5),
+        edges AS (SELECT id1 AS a, id2 AS b FROM pairs
+          UNION ALL SELECT id2, id1 FROM pairs),
+        reach(node, lbl) AS (
+          SELECT DISTINCT a, a FROM edges
+          UNION
+          SELECT e.a, r.lbl FROM edges e JOIN reach r ON e.b = r.node),
+        cc AS (SELECT node, min(lbl) AS cluster FROM reach GROUP BY node)
+        SELECT cluster, count(*) AS size, max(node) AS max_doc FROM cc
+        GROUP BY cluster ORDER BY cluster"""))
   )
 }

@@ -92,4 +92,24 @@ class DedupSpec extends SparkSpec {
     val tiny = Seq((0L, "one two")).toDF("doc_id", "text")
     assert(TextAnalysis.shingles(tiny, "text", 3, "doc_id").count() == 0)
   }
+
+  test("connected components labels transitive clusters by min id") {
+    // two chains and an isolated pair: {1,2,3,4} via 1-2,2-3,3-4; {10,11};
+    // node 20 appears only as a dst
+    val edges = Seq((2L, 1L), (2L, 3L), (3L, 4L), (10L, 11L), (21L, 20L))
+      .toDF("a", "b")
+    val got = Dedup.connectedComponents(edges, "a", "b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 20L))
+  }
+
+  test("connected components converges on a long chain") {
+    // a 40-node path needs label 0 to travel 39 hops; propagation doubles
+    // nothing (plain min-label), so this exercises the iteration loop hard
+    val edges = (0L until 39L).map(i => (i, i + 1)).toDF("a", "b")
+    val labels = Dedup.connectedComponents(edges, "a", "b", maxIter = 50)
+      .select("cluster").distinct().collect().map(_.getLong(0)).toSeq
+    assert(labels == Seq(0L))
+  }
 }

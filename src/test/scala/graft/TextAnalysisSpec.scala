@@ -63,4 +63,29 @@ class TextAnalysisSpec extends SparkSpec {
       .select("s").as[String].collect().toSeq
     assert(sh == Seq("a b c", "b c d", "c d e"))
   }
+
+  test("tfidf ranks corpus-rare terms above ubiquitous ones") {
+    val df = Seq(
+      (1L, "apple apple banana common"),
+      (2L, "banana cherry common"),
+      (3L, "cherry dates common")).toDF("doc_id", "text")
+    val top = TextAnalysis.tfidfTopTerms(df, "text", "doc_id", totalDocs = 3)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+    // 'common' has df=3 → idf=ln(1)=0 → never a top term above rare ones
+    val byDoc = top.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    assert(byDoc(1L).contains("apple"))
+    assert(!byDoc(1L).contains("common") || byDoc(1L).size == 3)
+    // doc 1: tf(apple)=2, df(apple)=1 → 2·ln(3) ≈ 2.197225
+    val apple = top.find(t => t._1 == 1L && t._2 == "apple").get._3
+    assert(math.abs(apple - 2 * math.log(3.0)) < 1e-5)
+  }
+
+  test("tfidf top-k is capped and tie-broken by term") {
+    val df = Seq((1L, "a b c d e f")).toDF("doc_id", "text")
+    val top = TextAnalysis.tfidfTopTerms(df, "text", "doc_id",
+        totalDocs = 1, topK = 3)
+      .orderBy("term").collect().map(_.getString(1)).toSeq
+    // all six terms tie (tf=1, df=1) → the 3 lexicographically smallest win
+    assert(top == Seq("a", "b", "c"))
+  }
 }
