@@ -277,11 +277,17 @@ object Bench {
         "embedding", 16, pivfPath, sampleFraction = 0.1)
     }
     timed("ann_recall_filtered_eval") {
-      val queryVecs = products.select(col("embedding")).head(3)
+      // the exact baselines rescan (filter, embedding) 12× — cache the
+      // narrow projection once for the eval, release it after
+      val evalCols = products.select(col("parent_asin"),
+          col("average_rating"), col("rating_number"),
+          col("main_category"), col("embedding"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val queryVecs = evalCols.select(col("embedding")).head(3)
         .map(_.getSeq[Float](0).toArray)
       selPreds.foreach { case (selName, pred) =>
         val exactSets = queryVecs.map { qv =>
-          VectorSearch.topK(products, "embedding", qv, 100, Some(pred),
+          VectorSearch.topK(evalCols, "embedding", qv, 100, Some(pred),
             projection = Seq("parent_asin"))
             .collect().map(_.getString(0)).toSet
         }
@@ -302,6 +308,7 @@ object Bench {
         results(s"ann_recall_${selName.stripPrefix("read_")}_value") = rec
         results(s"ann_nprobe_${selName.stripPrefix("read_")}_value") = np
       }
+      evalCols.unpersist(blocking = false)
     }
 
     // near-dup dedup pipeline over documents

@@ -79,6 +79,16 @@ object TextAnalysis {
         explode(expr(s"transform(sequence(0, size(w) - $k), i -> $expand)")).as("s"): _*)
   }
 
+  /** Per-document repetition: the share of the single most frequent token
+    * (Gopher-style "most common word fraction" quality rule).
+    */
+  def topTokenShare(df: DataFrame, textCol: String, idCol: String): DataFrame =
+    df.select(col(idCol), explode(words(col(textCol))).as("__t"))
+      .filter(col("__t") =!= "")
+      .groupBy(col(idCol), col("__t")).agg(count(lit(1)).as("__c"))
+      .groupBy(col(idCol))
+      .agg((max(col("__c")).cast("double") / sum(col("__c"))).as("top_share"))
+
   /** TF-IDF top-`topK` terms per document: tf(d,t) · ln(N / df(t)), the
     * classic unsmoothed weighting (every term present in some doc has
     * df ≥ 1, so the log is defined).

@@ -107,27 +107,41 @@ object VectorSearch {
   def buildIvf(df: DataFrame, vecCol: String, numClusters: Int, path: String,
       sampleFraction: Double = Double.NaN, seed: Long = 42L,
       maxTrainVectors: Long = 1000000L, coalesceByCluster: Boolean = true): IvfIndex = {
-    val withVec = df.withColumn("__mlvec", array_to_vector(col(vecCol).cast("array<double>")))
     val fraction =
       if (!sampleFraction.isNaN) sampleFraction
       else {
         val n = df.select(lit(1)).count()
         if (n <= maxTrainVectors) 1.0 else maxTrainVectors.toDouble / n
       }
-    val trainDf =
-      if (fraction >= 1.0) withVec
-      else withVec.sample(withReplacement = false, fraction, seed)
+    // Only the TRAINING SAMPLE goes through the MLlib vector conversion —
+    // the float→double cast + array_to_vector copy over the full table
+    // costs more than the clustering itself at index-build scale.
+    val sampled =
+      if (fraction >= 1.0) df else df.sample(withReplacement = false, fraction, seed)
+    // 10 Lloyd iterations: a coarse quantizer's recall is governed by the
+    // probe count, not centroid convergence past the first few rounds
     val model = new KMeans()
       .setK(numClusters).setSeed(seed).setFeaturesCol("__mlvec")
-      .setPredictionCol("__cluster")
-      .fit(trainDf.select("__mlvec"))
-    val assigned = model.transform(withVec)
+      .setPredictionCol("__cluster").setMaxIter(10)
+      .fit(sampled.select(
+        array_to_vector(col(vecCol).cast("array<double>")).as("__mlvec")))
+    val centroids = model.clusterCenters.map(_.toArray.map(_.toFloat))
+    // Assignment stays in whole-stage codegen: |x|² is common across
+    // clusters, so nearest-centroid = argmin_i (|c_i|² − 2·x·c_i) — one
+    // vec_dot kernel call per centroid per row, ties to the lower cluster
+    // id (KMeans.transform's scan order does the same).
+    val scored = centroids.zipWithIndex.map { case (c, i) =>
+      val c2 = c.foldLeft(0.0)((acc, v) => acc + v.toDouble * v)
+      struct((lit(c2) - lit(2.0) * vec_dot(col(vecCol), typedLit(c))).as("d"),
+        lit(i).as("i"))
+    }
+    val clusterOf =
+      if (scored.length == 1) lit(0) else least(scored.toIndexedSeq: _*).getField("i")
+    val assigned = df.withColumn("__cluster", clusterOf)
       .withColumnRenamed(vecCol, "__vec")
-      .drop("__mlvec")
     val laidOut =
       if (coalesceByCluster) assigned.repartition(col("__cluster")) else assigned
     laidOut.write.mode("overwrite").partitionBy("__cluster").parquet(path)
-    val centroids = model.clusterCenters.map(_.toArray.map(_.toFloat))
     IvfIndex(path, centroids)
   }
 

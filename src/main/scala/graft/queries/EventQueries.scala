@@ -183,6 +183,59 @@ object EventQueries {
         FROM events e JOIN events c
           ON c.ts BETWEEN e.ts AND e.ts + INTERVAL 10 MINUTE
         WHERE e.event_type = 'error' AND c.event_type = 'click'
-        GROUP BY e.event_id ORDER BY e.event_id"""))
+        GROUP BY e.event_id ORDER BY e.event_id""")),
+
+    // ---- strict-order conversion funnel (operators.Funnel): each stage's
+    //      clock starts at the user's first qualifying event of the
+    //      previous stage ----
+    QueryDef(
+      "q64_funnel",
+      (s, d) => {
+        graft.operators.Funnel.stages(Tables.events(s, d),
+            "user_id", "ts", "event_type", Seq("signup", "click", "purchase"))
+          .orderBy(col("stage_idx"))
+      },
+      Some("""WITH su AS (SELECT user_id, min(ts) AS s_ts FROM events
+          WHERE event_type = 'signup' GROUP BY user_id),
+        cl AS (SELECT e.user_id, min(e.ts) AS c_ts FROM events e
+          JOIN su USING (user_id)
+          WHERE e.event_type = 'click' AND e.ts > su.s_ts GROUP BY e.user_id),
+        pu AS (SELECT e.user_id, min(e.ts) AS p_ts FROM events e
+          JOIN cl USING (user_id)
+          WHERE e.event_type = 'purchase' AND e.ts > cl.c_ts GROUP BY e.user_id)
+        SELECT * FROM (VALUES
+          (0, 'signup', (SELECT count(*) FROM su)),
+          (1, 'click', (SELECT count(*) FROM cl)),
+          (2, 'purchase', (SELECT count(*) FROM pu)))
+          AS t(stage_idx, stage, users)
+        ORDER BY stage_idx""")),
+
+    // ---- weekly cohort retention: users grouped by first-seen week,
+    //      distinct activity counted per week offset ----
+    QueryDef(
+      "q65_cohort_retention",
+      (s, d) => {
+        val ev = Tables.events(s, d)
+        val first = ev.groupBy(col("user_id"))
+          .agg(date_trunc("week", min(col("ts"))).as("cohort"))
+        ev.join(first, "user_id")
+          .select(col("user_id"), col("cohort"),
+            (datediff(date_trunc("week", col("ts")).cast("date"),
+              col("cohort").cast("date")) / 7).cast("long").as("week_offset"))
+          .distinct()
+          .groupBy(col("cohort").cast("date").cast("string").as("cohort"),
+            col("week_offset"))
+          .agg(count(lit(1)).as("users"))
+          .orderBy(col("cohort"), col("week_offset"))
+      },
+      Some("""WITH f AS (SELECT user_id, date_trunc('week', min(ts)) AS cohort
+          FROM events GROUP BY user_id),
+        act AS (SELECT DISTINCT e.user_id, f.cohort,
+          datediff('day', CAST(f.cohort AS DATE),
+            CAST(date_trunc('week', e.ts) AS DATE)) // 7 AS week_offset
+          FROM events e JOIN f USING (user_id))
+        SELECT CAST(cohort AS VARCHAR) AS cohort, week_offset,
+          count(*) AS users
+        FROM act GROUP BY cohort, week_offset ORDER BY cohort, week_offset"""))
   )
 }

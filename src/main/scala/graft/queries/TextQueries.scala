@@ -362,6 +362,40 @@ object TextQueries {
           SELECT e.a, r.lbl FROM edges e JOIN reach r ON e.b = r.node),
         cc AS (SELECT node, min(lbl) AS cluster FROM reach GROUP BY node)
         SELECT cluster, count(*) AS size, max(node) AS max_doc FROM cc
-        GROUP BY cluster ORDER BY cluster"""))
+        GROUP BY cluster ORDER BY cluster""")),
+
+    // ---- Gopher-style quality gate: three rules (length, repetition,
+    //      mean word length), population counted per flag combination;
+    //      all comparisons are on exact int-ratio doubles, so the flags
+    //      are engine-reproducible ----
+    QueryDef(
+      "q63_quality_filter",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        docs.join(TA.topTokenShare(docs, "text", "doc_id"), "doc_id")
+          .select(
+            (TA.tokenCount(col("text")) >= 30).as("len_ok"),
+            (col("top_share") <= 0.10).as("rep_ok"),
+            (TA.meanWordLength(col("text")) <= 4.5).as("mwl_ok"))
+          .groupBy(col("len_ok"), col("rep_ok"), col("mwl_ok"))
+          .agg(count(lit(1)).as("n"))
+          .orderBy(col("len_ok"), col("rep_ok"), col("mwl_ok"))
+      },
+      Some(raw"""WITH toks AS (SELECT doc_id,
+          unnest(regexp_split_to_array(trim(text), '\s+')) AS t
+          FROM documents),
+        tf AS (SELECT doc_id, t, count(*) AS c FROM toks
+          WHERE t <> '' GROUP BY doc_id, t),
+        rep AS (SELECT doc_id,
+          CAST(max(c) AS DOUBLE) / sum(c) AS top_share FROM tf GROUP BY doc_id),
+        m AS (SELECT d.doc_id,
+          len(regexp_split_to_array(trim(d.text), '\s+')) AS n_words,
+          len(regexp_replace(d.text, '\s', '', 'g')) AS n_chars,
+          r.top_share
+          FROM documents d JOIN rep r ON d.doc_id = r.doc_id)
+        SELECT n_words >= 30 AS len_ok, top_share <= 0.10 AS rep_ok,
+          CAST(n_chars AS DOUBLE) / n_words <= 4.5 AS mwl_ok,
+          count(*) AS n
+        FROM m GROUP BY 1, 2, 3 ORDER BY 1, 2, 3"""))
   )
 }
