@@ -195,3 +195,85 @@ case class CosineSimilarity(left: Expression, right: Expression)
       newLeft: Expression, newRight: Expression): Expression =
     copy(left = newLeft, right = newRight)
 }
+
+/** `nearest_centroid(v)` — index of the nearest centroid (squared-L2, ties
+  * → lower index) among a build-time centroid table — the IVF assignment
+  * kernel.
+  *
+  * One fused pass: the row vector is copied to a primitive array once
+  * (`toFloatArray` is a single memory copy off the UnsafeArrayData), then
+  * every centroid is scanned in tight JIT-vectorizable primitive loops.
+  * k separate `vec_dot` calls would re-walk the ArrayData accessor k
+  * times — measured ~10× slower at k=16 × 2688 dims. Distances use the
+  * |c|²−2·x·c form (|x|² is rank-invariant), accumulated in double.
+  */
+case class NearestCentroid(child: Expression, centroids: Array[Array[Float]])
+    extends UnaryExpression with VectorKernelSupport {
+
+  require(centroids.nonEmpty)
+
+  override def dataType: DataType = IntegerType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "nearest_centroid"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    checkVectorInput(Seq(child))
+
+  @transient private lazy val c2: Array[Double] =
+    centroids.map(_.foldLeft(0.0)((acc, v) => acc + v.toDouble * v))
+
+  override def nullSafeEval(a: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val t = elementTypeOf(child)
+    val n = x.numElements()
+    var best = Double.MaxValue
+    var bi = 0
+    var c = 0
+    while (c < centroids.length) {
+      val cv = centroids(c)
+      val m = math.min(n, cv.length)
+      var acc = 0.0
+      var i = 0
+      while (i < m) { acc += elemAt(x, t, i) * cv(i); i += 1 }
+      val d = c2(c) - 2.0 * acc
+      if (d < best) { best = d; bi = c }
+      c += 1
+    }
+    bi
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val t = elementTypeOf(child)
+    val csRef = ctx.addReferenceObj("centroids", centroids, "float[][]")
+    val c2Ref = ctx.addReferenceObj("c2sums", c2, "double[]")
+    nullSafeCodeGen(ctx, ev, a => {
+      val v = ctx.freshName("v"); val best = ctx.freshName("best")
+      val bi = ctx.freshName("bi"); val c = ctx.freshName("c")
+      val cv = ctx.freshName("cv"); val m = ctx.freshName("m")
+      val acc = ctx.freshName("acc"); val i = ctx.freshName("i")
+      val d = ctx.freshName("d")
+      val toPrim = t match {
+        case DoubleType => s"final double[] $v = $a.toDoubleArray();"
+        case _          => s"final float[] $v = $a.toFloatArray();"
+      }
+      s"""
+         |$toPrim
+         |double $best = Double.MAX_VALUE; int $bi = 0;
+         |for (int $c = 0; $c < $csRef.length; $c++) {
+         |  final float[] $cv = $csRef[$c];
+         |  final int $m = java.lang.Math.min($v.length, $cv.length);
+         |  double $acc = 0.0;
+         |  for (int $i = 0; $i < $m; $i++) {
+         |    $acc += (double)$v[$i] * (double)$cv[$i];
+         |  }
+         |  final double $d = $c2Ref[$c] - 2.0 * $acc;
+         |  if ($d < $best) { $best = $d; $bi = $c; }
+         |}
+         |${ev.value} = $bi;
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}

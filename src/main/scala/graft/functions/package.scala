@@ -21,6 +21,12 @@ package object functions {
   def vec_cos(a: Column, b: Column): Column =
     Bridge.column(CosineSimilarity(Bridge.expression(a), Bridge.expression(b)))
 
+  /** Index of the nearest centroid (squared-L2, ties → lower index) — the
+    * fused IVF assignment kernel.
+    */
+  def nearest_centroid(v: Column, centroids: Array[Array[Float]]): Column =
+    Bridge.column(NearestCentroid(Bridge.expression(v), centroids))
+
   /** Register vec_dot / vec_norm / vec_cos with the session's function
     * registry for SQL use.
     */

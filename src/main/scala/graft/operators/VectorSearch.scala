@@ -118,26 +118,31 @@ object VectorSearch {
     // costs more than the clustering itself at index-build scale.
     val sampled =
       if (fraction >= 1.0) df else df.sample(withReplacement = false, fraction, seed)
+    // Pin the training sample: k-means|| init plus every Lloyd iteration
+    // is a separate job, and without an explicit persist each one re-reads
+    // and re-decodes the FULL source parquet just to re-draw the sample.
+    // The sample is bounded (fraction / maxTrainVectors), so this is the
+    // one copy that belongs in memory.
+    val trainDf = sampled.select(
+        array_to_vector(col(vecCol).cast("array<double>")).as("__mlvec"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // 10 Lloyd iterations: a coarse quantizer's recall is governed by the
     // probe count, not centroid convergence past the first few rounds
-    val model = new KMeans()
-      .setK(numClusters).setSeed(seed).setFeaturesCol("__mlvec")
-      .setPredictionCol("__cluster").setMaxIter(10)
-      .fit(sampled.select(
-        array_to_vector(col(vecCol).cast("array<double>")).as("__mlvec")))
+    val model =
+      try new KMeans()
+        .setK(numClusters).setSeed(seed).setFeaturesCol("__mlvec")
+        .setPredictionCol("__cluster").setMaxIter(10)
+        .fit(trainDf)
+      finally trainDf.unpersist(blocking = false)
     val centroids = model.clusterCenters.map(_.toArray.map(_.toFloat))
-    // Assignment stays in whole-stage codegen: |x|² is common across
-    // clusters, so nearest-centroid = argmin_i (|c_i|² − 2·x·c_i) — one
-    // vec_dot kernel call per centroid per row, ties to the lower cluster
-    // id (KMeans.transform's scan order does the same).
-    val scored = centroids.zipWithIndex.map { case (c, i) =>
-      val c2 = c.foldLeft(0.0)((acc, v) => acc + v.toDouble * v)
-      struct((lit(c2) - lit(2.0) * vec_dot(col(vecCol), typedLit(c))).as("d"),
-        lit(i).as("i"))
-    }
-    val clusterOf =
-      if (scored.length == 1) lit(0) else least(scored.toIndexedSeq: _*).getField("i")
-    val assigned = df.withColumn("__cluster", clusterOf)
+    // Assignment stays in whole-stage codegen: the fused nearest_centroid
+    // kernel (one primitive copy of the row vector, tight loops over all
+    // centroids; ties to the lower cluster id like KMeans.transform's
+    // scan order) — k separate vec_dot calls would re-walk the ArrayData
+    // accessor k times.
+    val assigned = df
+      .withColumn("__cluster",
+        graft.functions.nearest_centroid(col(vecCol), centroids))
       .withColumnRenamed(vecCol, "__vec")
     val laidOut =
       if (coalesceByCluster) assigned.repartition(col("__cluster")) else assigned

@@ -72,4 +72,34 @@ class VectorKernelsSpec extends SparkSpec {
     val interpreted = expr.eval(null).asInstanceOf[Double]
     assert(viaDf === interpreted)
   }
+
+  test("nearest_centroid matches brute-force argmin with lower-id ties") {
+    val rnd = new scala.util.Random(11)
+    val centroids = Array.fill(8)(Array.fill(32)(rnd.nextFloat() * 4 - 2))
+    val vecs = (0 until 200).map(_ => Array.fill(32)(rnd.nextFloat() * 4 - 2))
+    def brute(v: Array[Float]): Int = {
+      val ds = centroids.map { c =>
+        c.zip(v).foldLeft(0.0) { case (acc, (ci, vi)) =>
+          acc + (ci.toDouble - vi) * (ci.toDouble - vi) }
+      }
+      ds.indexOf(ds.min)
+    }
+    val got = vecs.toDF("v")
+      .select(graft.functions.nearest_centroid($"v", centroids)).collect()
+      .map(_.getInt(0))
+    vecs.zip(got).foreach { case (v, g) => assert(g == brute(v), v.toSeq) }
+    // exact tie: a duplicated centroid must resolve to the lower index
+    val dup = Array(centroids(3), centroids(3), centroids(0))
+    val tied = Seq(centroids(3)).toDF("v")
+      .select(graft.functions.nearest_centroid($"v", dup)).head().getInt(0)
+    assert(tied == 0)
+  }
+
+  test("nearest_centroid accepts array<double> input") {
+    val centroids = Array(Array(1f, 0f), Array(0f, 1f))
+    val got = Seq(Array(0.1, 0.9), Array(0.9, 0.2)).toDF("v")
+      .select(graft.functions.nearest_centroid($"v", centroids)).collect()
+      .map(_.getInt(0)).toSeq
+    assert(got == Seq(1, 0))
+  }
 }
