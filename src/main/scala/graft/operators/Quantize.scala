@@ -1,0 +1,61 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Scalar (int8) quantization for embedding columns — the storage-scale
+  * path for vector corpora: 4 bytes/dim float32 → 1 byte/dim codes plus
+  * two doubles per vector, a ~4× cut in scan bytes for ANN candidate
+  * generation (re-rank reads the float column for the shortlist only).
+  *
+  * Per-vector asymmetric quantization (each row carries its own
+  * `[min, max]` range): code = round((v − min) / (max − min) · 255),
+  * reconstruction = min + code · (max − min) / 255, worst-case error =
+  * half a step, (max − min) / 510. Everything is built from higher-order
+  * column functions (`transform`, `aggregate`) — no UDF, stays in
+  * whole-stage codegen, never shuffles the vector.
+  *
+  * Codes are stored as `array<tinyint>` shifted by −128 (tinyint is
+  * signed); parquet's RLE/bit-packing brings the on-disk cost to ~1
+  * byte/dim. A constant vector (max = min) quantizes to code 0 and
+  * reconstructs exactly.
+  */
+object Quantize {
+
+  /** Add `__qmin`, `__qmax`, `__codes` (array<tinyint>) for `vecCol`. */
+  def quantize(df: DataFrame, vecCol: String): DataFrame = {
+    val v = col(vecCol)
+    val mn = array_min(v).cast("double")
+    val mx = array_max(v).cast("double")
+    val span = mx - mn
+    df.withColumn("__qmin", mn)
+      .withColumn("__qmax", mx)
+      .withColumn("__codes",
+        transform(v, e => when(col("__qmax") === col("__qmin"), lit(0))
+          .otherwise(round((e.cast("double") - col("__qmin")) /
+            (col("__qmax") - col("__qmin")) * 255).cast("int"))
+          .minus(128).cast("byte")))
+  }
+
+  /** Reconstructed `array<float>` from quantize()'s columns. */
+  def dequantize(codes: Column, qmin: Column, qmax: Column): Column =
+    transform(codes, c =>
+      (qmin + (c.cast("double") + 128.0) * (qmax - qmin) / 255.0)
+        .cast("float"))
+
+  /** Per-row reconstruction-error stats against the original vector:
+    * (`mean_err`, `max_err`), both double.
+    */
+  def reconstructionError(df: DataFrame, vecCol: String): DataFrame = {
+    val q = quantize(df, vecCol)
+    val recon = dequantize(col("__codes"), col("__qmin"), col("__qmax"))
+    val errs = zip_with(col(vecCol), recon,
+      (a, b) => abs(a.cast("double") - b.cast("double")))
+    q.withColumn("__errs", errs)
+      .withColumn("mean_err",
+        aggregate(col("__errs"), lit(0.0), (acc, e) => acc + e) /
+          size(col("__errs")))
+      .withColumn("max_err", array_max(col("__errs")))
+      .drop("__errs", "__codes")
+  }
+}

@@ -273,6 +273,36 @@ object VectorQueries {
           round(sum(ev.x * v2.v) * (SELECT s FROM s2), 4) + 0 AS pc2
         FROM ev JOIN embeddings e ON e.vec_id = ev.vec_id
         JOIN v1 ON v1.i = ev.i JOIN v2 ON v2.i = ev.i
-        GROUP BY ev.vec_id ORDER BY ev.vec_id"""))
+        GROUP BY ev.vec_id ORDER BY ev.vec_id""")),
+
+    // ---- int8 scalar quantization: reconstruction-error envelope over
+    //      the corpus (operators.Quantize — 4× scan-byte cut for ANN
+    //      candidate generation; re-rank reads floats for the shortlist) ----
+    QueryDef(
+      "q66_quantize_error",
+      (s, d) => {
+        graft.operators.Quantize
+          .reconstructionError(Tables.embeddings(s, d), "embedding")
+          .agg(count(lit(1)).as("n"),
+            round(avg(col("mean_err")), 9).as("avg_mean_err"),
+            round(max(col("max_err")), 9).as("worst_err"),
+            round(avg((col("__qmax") - col("__qmin")) / 510.0), 9)
+              .as("avg_err_bound"))
+      },
+      Some("""WITH q AS (SELECT vec_id,
+          CAST(list_min(embedding) AS DOUBLE) AS mn,
+          CAST(list_max(embedding) AS DOUBLE) AS mx, embedding
+          FROM embeddings),
+        e AS (SELECT mn, mx,
+          list_transform(embedding, v -> abs(CAST(v AS DOUBLE) -
+            CAST(CAST(CASE WHEN mx = mn THEN mn
+              ELSE mn + round((CAST(v AS DOUBLE) - mn) / (mx - mn) * 255)
+                * (mx - mn) / 255.0 END AS FLOAT) AS DOUBLE))) AS errs
+          FROM q)
+        SELECT count(*) AS n,
+          round(avg(list_sum(errs) / len(errs)), 9) AS avg_mean_err,
+          round(max(list_max(errs)), 9) AS worst_err,
+          round(avg((mx - mn) / 510.0), 9) AS avg_err_bound
+        FROM e"""))
   )
 }

@@ -417,6 +417,33 @@ object EventPipeline {
         col("session_window.end").as("session_end"),
         col("n"), col("sum_value"))
   }
+
+  /** Stream-stream interval join — the streaming dual of q59_range_join:
+    * pair each `right` event with every `left` event of the same key whose
+    * timestamp falls within `[left.ts, left.ts + window]`.
+    *
+    * Both sides are watermarked and the join condition carries the time
+    * bound, so Spark's symmetric hash join can EVICT state: a left row is
+    * dropped from the state store once the right watermark passes
+    * `left.ts + window`, and vice versa — state size tracks the interval
+    * width × arrival rate, not stream history. Without the range bound in
+    * the join condition the state grows unboundedly; this is the shape
+    * Structured Streaming requires for stream-stream joins at scale.
+    *
+    * Inputs must carry (`key`, `ts`, payload); left columns come out
+    * prefixed `l_`, right columns `r_`.
+    */
+  def intervalJoin(left: DataFrame, right: DataFrame, key: String,
+      window: String, watermark: String = "1 hour"): DataFrame = {
+    val l = left.columns.foldLeft(left)((d, c) => d.withColumnRenamed(c, s"l_$c"))
+      .withWatermark(s"l_ts", watermark)
+    val r = right.columns.foldLeft(right)((d, c) => d.withColumnRenamed(c, s"r_$c"))
+      .withWatermark(s"r_ts", watermark)
+    l.join(r,
+      col(s"l_$key") === col(s"r_$key") &&
+        col("r_ts") >= col("l_ts") &&
+        col("r_ts") <= col("l_ts") + expr(s"INTERVAL $window"))
+  }
 }
 
 /** Custom per-key streaming state via `flatMapGroupsWithState` — the shape

@@ -34,6 +34,35 @@ class StreamingSessionSpec extends SparkSpec {
       ("2024-01-01 12:30:00", 1L, 4.0)))
   }
 
+  test("stream-stream interval join pairs events within the window per key") {
+    implicit val sqlCtx = spark.sqlContext
+    val errs = MemoryStream[(Long, java.sql.Timestamp, String)]
+    val clicks = MemoryStream[(Long, java.sql.Timestamp, String)]
+    val joined = EventPipeline.intervalJoin(
+      errs.toDF().toDF("user_id", "ts", "id"),
+      clicks.toDF().toDF("user_id", "ts", "id"),
+      "user_id", "10 minutes")
+    val q = joined.select(col("l_id"), col("r_id")).writeStream
+      .outputMode("append").format("memory").queryName("ivjoin").start()
+    errs.addData(
+      (1L, ts("2024-01-01 10:00:00"), "e1"),
+      (2L, ts("2024-01-01 10:00:00"), "e2"))
+    clicks.addData(
+      (1L, ts("2024-01-01 10:05:00"), "c1"), // within window, same key
+      (1L, ts("2024-01-01 10:20:00"), "c2"), // outside window
+      (1L, ts("2024-01-01 09:59:00"), "c3"), // before the error
+      (2L, ts("2024-01-01 10:10:00"), "c4")) // boundary: exactly +10 min
+    q.processAllAvailable()
+    // advance both watermarks so results finalize
+    errs.addData((8L, ts("2024-01-02 00:00:00"), "ew"))
+    clicks.addData((9L, ts("2024-01-02 00:00:01"), "cw"))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("ivjoin").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    assert(got == Set(("e1", "c1"), ("e2", "c4")))
+  }
+
   test("stateful sessionizer closes sessions via event-time timeout") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[StatefulSessions.Ev]
