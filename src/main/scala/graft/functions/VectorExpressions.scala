@@ -32,24 +32,27 @@ trait VectorKernelSupport { self: Expression =>
   protected def checkVectorInput(exprs: Seq[Expression]): TypeCheckResult = {
     val bad = exprs.collectFirst {
       case e if !e.dataType.isInstanceOf[ArrayType] ||
-        !Seq(FloatType, DoubleType).contains(elementTypeOf(e)) => e
+        !Seq(FloatType, DoubleType, ByteType).contains(elementTypeOf(e)) => e
     }
     bad match {
       case Some(e) => TypeCheckResult.TypeCheckFailure(
-        s"${self.prettyName} requires array<float> or array<double>, got ${e.dataType.sql}")
+        s"${self.prettyName} requires array<float|double|tinyint>, got ${e.dataType.sql}")
       case None => TypeCheckResult.TypeCheckSuccess
     }
   }
 
-  /** Java source fragment reading element i of `arr` as a double. */
+  /** Java source fragment reading element i of `arr` as a double.
+    * ByteType support covers int8 quantization code arrays. */
   protected def readElem(arr: String, t: DataType, i: String): String = t match {
     case DoubleType => s"$arr.getDouble($i)"
+    case ByteType   => s"(double)$arr.getByte($i)"
     case _          => s"(double)$arr.getFloat($i)"
   }
 
   /** Interpreted-path accessor: element i of `ad` as double. */
   protected def elemAt(ad: ArrayData, t: DataType, i: Int): Double = t match {
     case DoubleType => ad.getDouble(i)
+    case ByteType   => ad.getByte(i).toDouble
     case _          => ad.getFloat(i).toDouble
   }
 }

@@ -43,6 +43,34 @@ object Quantize {
       (qmin + (c.cast("double") + 128.0) * (qmax - qmin) / 255.0)
         .cast("float"))
 
+  /** Two-stage quantized top-k by dot product: stage 1 ranks every row by
+    * the dot against the int8-RECONSTRUCTED vector — algebraically
+    * `qmin·Σq + span/255 · (codes·q + 128·Σq)`, so the scan reads only the
+    * code array and two doubles (~1/4 the bytes of the float column when
+    * codes are stored in their own column/table) and the code·query dot
+    * runs through the same codegen kernel; stage 2 re-ranks the
+    * `k · shortlistFactor` candidates with exact float dots. Recall is
+    * governed by the shortlist factor (half-step quantization error vs
+    * the score gaps at the boundary).
+    */
+  def topKQuantized(df: DataFrame, vecCol: String, query: Array[Float],
+      k: Int, shortlistFactor: Int = 4,
+      tieBreak: String = "vec_id"): DataFrame = {
+    import graft.functions.vec_dot
+    val qsum = query.foldLeft(0.0)((acc, v) => acc + v)
+    val q = quantize(df, vecCol)
+    val approx = col("__qmin") * lit(qsum) +
+      (col("__qmax") - col("__qmin")) / 255.0 *
+        (vec_dot(col("__codes"), typedLit(query)) + lit(128.0 * qsum))
+    q.withColumn("__approx", approx)
+      .orderBy(desc("__approx"), col(tieBreak))
+      .limit(k * shortlistFactor)
+      .withColumn("score", vec_dot(col(vecCol), typedLit(query)))
+      .orderBy(desc("score"), col(tieBreak))
+      .limit(k)
+      .drop("__codes", "__qmin", "__qmax", "__approx")
+  }
+
   /** Per-row reconstruction-error stats against the original vector:
     * (`mean_err`, `max_err`), both double.
     */

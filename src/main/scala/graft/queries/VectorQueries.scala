@@ -303,6 +303,41 @@ object VectorQueries {
           round(avg(list_sum(errs) / len(errs)), 9) AS avg_mean_err,
           round(max(list_max(errs)), 9) AS worst_err,
           round(avg((mx - mn) / 510.0), 9) AS avg_err_bound
-        FROM e"""))
+        FROM e""")),
+
+    // ---- two-stage quantized search: int8 candidate generation + float
+    //      re-rank (Quantize.topKQuantized; the oracle replays both stages
+    //      bit-for-bit — integer codes, IEEE-ordered double arithmetic) ----
+    QueryDef(
+      "q67_quantized_topk",
+      (s, d) => {
+        val e = Tables.embeddings(s, d)
+        val q = e.filter(col("vec_id") === 0)
+          .select(col("embedding")).head().getSeq[Float](0).toArray
+        graft.operators.Quantize.topKQuantized(e, "embedding", q, 20)
+          .select(col("vec_id"), (round(col("score"), 4) + 0.0).as("score"))
+          .orderBy(desc("score"), col("vec_id"))
+      },
+      Some(s"""WITH qv AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+        qs AS (SELECT list_sum(list_transform(qv, x -> CAST(x AS DOUBLE))) AS qsum
+          FROM qv),
+        qz AS (SELECT vec_id, embedding,
+          CAST(list_min(embedding) AS DOUBLE) AS mn,
+          CAST(list_max(embedding) AS DOUBLE) AS mx FROM embeddings),
+        cs AS (SELECT vec_id, embedding, mn, mx,
+          list_transform(embedding, v -> CASE WHEN mx = mn THEN 0
+            ELSE CAST(round((CAST(v AS DOUBLE) - mn) / (mx - mn) * 255) AS INT)
+              - 128 END) AS codes
+          FROM qz),
+        s1 AS (SELECT c.vec_id, c.embedding,
+            c.mn * qs.qsum + (c.mx - c.mn) / 255.0 *
+              (${sqlDot("c.codes", "q.qv")} + 128 * qs.qsum) AS approx
+          FROM cs c CROSS JOIN qv q CROSS JOIN qs
+          ORDER BY approx DESC, c.vec_id LIMIT 80),
+        s2 AS (SELECT s.vec_id, ${sqlDot("s.embedding", "q.qv")} AS ex
+          FROM s1 s CROSS JOIN qv q
+          ORDER BY ex DESC, s.vec_id LIMIT 20)
+        SELECT vec_id, round(ex, 4) + 0 AS score FROM s2
+        ORDER BY score DESC, vec_id"""))
   )
 }

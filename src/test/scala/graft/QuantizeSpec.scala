@@ -33,6 +33,20 @@ class QuantizeSpec extends SparkSpec {
     assert(err.getAs[Double]("max_err") == 0.0)
   }
 
+  test("quantized two-stage top-k recalls the exact top-k") {
+    import graft.functions.vec_dot
+    val named = vecs.withColumnRenamed("id", "vec_id")
+    val query = Array.fill(64)(0.5f)
+    val exact = named
+      .select(col("vec_id"), vec_dot(col("v"), typedLit(query)).as("s"))
+      .orderBy(desc("s"), col("vec_id")).limit(10)
+      .collect().map(_.getLong(0)).toSet
+    val approx = Quantize.topKQuantized(named, "v", query, 10)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    val recall = exact.intersect(approx).size.toDouble / exact.size
+    assert(recall >= 0.9, s"recall $recall below 0.9: $exact vs $approx")
+  }
+
   test("roundtrip preserves extremes exactly") {
     // min and max elements map to codes 0 and 255 → reconstruct to the
     // float-rounded originals
