@@ -70,4 +70,44 @@ class PlanAuditSpec extends SparkSpec {
     }
     assert(codegenStages.nonEmpty, planOf(df))
   }
+
+  test("as-of join plans as one window pass — no join operator at all") {
+    val ev = Tables.events(spark, dir)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts"), col("value"),
+        col("event_id").as("click_id"))
+    val plan = planOf(graft.operators.AsOfJoin.backward(purchases, clicks,
+      Seq("user_id"), "ts", "ts", Seq("value"), "click_id"))
+    assert(!plan.contains("Join"), plan)
+    assert(plan.contains("Window"), plan)
+  }
+
+  test("range join plans as a hash equi-join on buckets, never nested-loop") {
+    val ev = Tables.events(spark, dir)
+    val errors = ev.filter(col("event_type") === "error")
+      .select(col("event_id"), col("ts").as("s"),
+        (col("ts") + expr("INTERVAL 10 MINUTES")).as("e"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("ts").as("cts"), col("value"))
+    val plan = planOf(graft.operators.RangeJoin.bucketed(
+      clicks, errors, "cts", "s", "e", 600000000L))
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"), plan)
+    assert(plan.contains("Join"), plan)
+  }
+
+  test("bloom-pruned semi join: predicate sits above the scan, before the exchange") {
+    val li = Tables.lineitem(spark, dir)
+    val keys = Tables.orders(spark, dir)
+      .filter(col("o_totalprice") > 100000)
+    val plan = planOf(graft.operators.BloomPrune.semiJoin(
+      li, keys, "l_orderkey", "o_orderkey", expectedItems = 10000L))
+    val filterIdx = plan.indexOf("might_contain")
+    val scanIdx = plan.indexOf("FileScan parquet")
+    assert(filterIdx >= 0, plan)
+    // the might_contain filter node prints ABOVE (before) the lineitem scan
+    assert(scanIdx > filterIdx, plan)
+  }
 }
