@@ -236,6 +236,42 @@ object EventQueries {
           FROM events e JOIN f USING (user_id))
         SELECT CAST(cohort AS VARCHAR) AS cohort, week_offset,
           count(*) AS users
-        FROM act GROUP BY cohort, week_offset ORDER BY cohort, week_offset"""))
+        FROM act GROUP BY cohort, week_offset ORDER BY cohort, week_offset""")),
+
+    // ---- time-to-conversion quantiles: minutes from first signup to the
+    //      first click after it, exact percentiles over the user
+    //      population via the range-partitioned Percentiles operator ----
+    QueryDef(
+      "q68_conversion_latency",
+      (s, d) => {
+        val ev = Tables.events(s, d)
+        val su = ev.filter(col("event_type") === "signup")
+          .groupBy(col("user_id")).agg(min(col("ts")).as("s_ts"))
+        val cl = ev.filter(col("event_type") === "click")
+          .join(su, "user_id")
+          .filter(col("ts") > col("s_ts"))
+          .groupBy(col("user_id"), col("s_ts")).agg(min(col("ts")).as("c_ts"))
+        val lat = cl.select(lit("all").as("g"),
+          ((unix_micros(col("c_ts")) - unix_micros(col("s_ts"))) / 60000000.0)
+            .as("mins"))
+        graft.operators.Percentiles
+          .grouped(lat, "g", "mins", Seq(0.25, 0.5, 0.75),
+            Seq("p25_r", "p50_r", "p75_r"))
+          .select(round(col("p25_r"), 4).as("p25_mins"),
+            round(col("p50_r"), 4).as("p50_mins"),
+            round(col("p75_r"), 4).as("p75_mins"))
+      },
+      Some("""WITH su AS (SELECT user_id, min(ts) AS s_ts FROM events
+          WHERE event_type = 'signup' GROUP BY user_id),
+        cl AS (SELECT e.user_id, su.s_ts, min(e.ts) AS c_ts FROM events e
+          JOIN su USING (user_id)
+          WHERE e.event_type = 'click' AND e.ts > su.s_ts
+          GROUP BY e.user_id, su.s_ts),
+        lat AS (SELECT (epoch_us(c_ts) - epoch_us(s_ts)) / 60000000.0 AS mins
+          FROM cl)
+        SELECT round(quantile_cont(mins, 0.25), 4) AS p25_mins,
+          round(quantile_cont(mins, 0.5), 4) AS p50_mins,
+          round(quantile_cont(mins, 0.75), 4) AS p75_mins
+        FROM lat"""))
   )
 }
