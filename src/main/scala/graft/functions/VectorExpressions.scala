@@ -257,6 +257,7 @@ case class NearestCentroid(child: Expression, centroids: Array[Array[Float]])
       val d = ctx.freshName("d")
       val toPrim = t match {
         case DoubleType => s"final double[] $v = $a.toDoubleArray();"
+        case ByteType   => s"final byte[] $v = $a.toByteArray();"
         case _          => s"final float[] $v = $a.toFloatArray();"
       }
       s"""

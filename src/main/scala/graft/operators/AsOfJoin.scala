@@ -44,13 +44,18 @@ object AsOfJoin {
     require(keys.nonEmpty && payload.nonEmpty)
     val payStruct = struct(
       (col(rightTs).as("__rts") +: payload.map(col)).toIndexedSeq: _*)
+    // __seq keeps its native type (any orderable column works as the
+    // right-side tiebreak); left rows carry null — their relative order is
+    // irrelevant since last() assigns every left row at equal (key, ts,
+    // side) the same propagated payload
+    val seqType = right.schema(seqCol).dataType
     val r = right.select(
       keys.map(col) ++ Seq(unix_micros(col(rightTs)).as("__us"),
-        lit(0).as("__side"), col(seqCol).cast("long").as("__seq"),
+        lit(0).as("__side"), col(seqCol).as("__seq"),
         payStruct.as("__pay")): _*)
     val l = left.select(
       (keys.map(col) ++ Seq(unix_micros(col(leftTs)).as("__us"),
-        lit(1).as("__side"), lit(Long.MaxValue).as("__seq"),
+        lit(1).as("__side"), lit(null).cast(seqType).as("__seq"),
         lit(null).cast(r.schema("__pay").dataType).as("__pay")) ++
         left.columns.filterNot(keys.contains).map(c => col(c).as(s"__l_$c"))
         ).toIndexedSeq: _*)

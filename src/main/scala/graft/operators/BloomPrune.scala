@@ -36,6 +36,12 @@ object BloomPrune {
   def semiJoin(large: DataFrame, small: DataFrame, largeKey: String,
       smallKey: String, expectedItems: Long, fpp: Double = 0.01): DataFrame = {
     require(expectedItems > 0 && fpp > 0 && fpp < 1)
+    // xxhash64 hashes the same value differently under different input
+    // types (INT 4 vs BIGINT 42 hash differently) — a type mismatch would
+    // produce FALSE NEGATIVES, which Bloom semantics forbid
+    require(large.schema(largeKey).dataType == small.schema(smallKey).dataType,
+      s"key types must match: $largeKey is ${large.schema(largeKey).dataType}, " +
+        s"$smallKey is ${small.schema(smallKey).dataType}")
     val numBits = math.ceil(
       -expectedItems * math.log(fpp) / (math.log(2) * math.log(2))).toLong
     val bloomAgg = new BloomFilterAggregate(

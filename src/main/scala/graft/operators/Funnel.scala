@@ -25,17 +25,27 @@ object Funnel {
       typeCol: String, stageSeq: Seq[String]): DataFrame = {
     require(stageSeq.nonEmpty)
     val spark = events.sparkSession
+    // each frontier is persisted while the next stage builds on it —
+    // otherwise stage N's count + stage N+1's join would both re-execute
+    // the whole chain of previous filters/joins from the raw events
+    // (O(S²) scans for S stages); a frontier is one (user, ts) row per
+    // surviving user, so the cache is small and shrinks per stage
     var frontier = events.filter(col(typeCol) === stageSeq.head)
       .groupBy(col(userCol)).agg(min(col(tsCol)).as("__t"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val counts = scala.collection.mutable.ListBuffer(
       (0, stageSeq.head, frontier.count()))
     stageSeq.tail.zipWithIndex.foreach { case (st, i) =>
+      val prev = frontier
       frontier = events.filter(col(typeCol) === st)
-        .join(frontier.withColumnRenamed("__t", "__prev"), userCol)
+        .join(prev.withColumnRenamed("__t", "__prev"), userCol)
         .filter(col(tsCol) > col("__prev"))
         .groupBy(col(userCol)).agg(min(col(tsCol)).as("__t"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       counts += ((i + 1, st, frontier.count()))
+      prev.unpersist(blocking = false)
     }
+    frontier.unpersist(blocking = false)
     import spark.implicits._
     counts.toSeq.toDF("stage_idx", "stage", "users")
   }

@@ -91,7 +91,7 @@ object Percentiles {
     */
   def grouped(df: DataFrame, groupCol: String, valueCol: String,
       ps: Seq[Double], names: Seq[String] = Seq.empty,
-      numPartitions: Int = 0): DataFrame = {
+      numPartitions: Int = 0, maxCollectGroups: Long = 100000L): DataFrame = {
     require(ps.nonEmpty && ps.forall(p => p >= 0 && p <= 1))
     val outNames =
       if (names.nonEmpty) { require(names.length == ps.length); names }
@@ -112,8 +112,16 @@ object Percentiles {
     val result = ranked.groupBy(col("__gk"))
       .agg(aggs.head, aggs.tail: _*)
       .select(col(s"__gk.$groupCol").as(groupCol) +: outNames.map(col): _*)
-    // One row per group by construction — materialize so the cached
-    // projection can be released before returning.
+    // Intended regime: few, huge groups → one row per group is tiny, so
+    // materialize the result and release the cache deterministically. A
+    // high-cardinality groupCol would make that collect a driver OOM —
+    // return the lazy cache-backed frame instead (the cache must outlive
+    // consumption, because the offset join is only valid against the
+    // pinned partition assignment; ContextCleaner releases it when the
+    // frame is dropped).
+    val nGroups =
+      cached.select(approx_count_distinct(col("__gk"))).head().getLong(0)
+    if (nGroups > maxCollectGroups) return result
     val rows = result.collect()
     val schema = result.schema
     cached.unpersist(blocking = false)

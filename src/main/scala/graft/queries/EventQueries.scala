@@ -272,6 +272,6 @@ object EventQueries {
         SELECT round(quantile_cont(mins, 0.25), 4) AS p25_mins,
           round(quantile_cont(mins, 0.5), 4) AS p50_mins,
           round(quantile_cont(mins, 0.75), 4) AS p75_mins
-        FROM lat"""))
+        FROM lat HAVING count(*) > 0"""))
   )
 }

@@ -116,8 +116,13 @@ object Ingest {
         .drop("__s", "__q", "__cut", "__rn")
     }
 
+    // the strict check consumes `fast` once for counts and the caller
+    // consumes it again — persist it (it is only ~Σ quotas rows) so the
+    // corpus-wide hash/join/window job runs once; the cache is released
+    // by Spark's ContextCleaner when the returned frame is dropped
     val fast = pick(restricted = true, quotas.keySet)
     if (!strict) return fast.drop("__u", "__u2")
+    fast.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val got = fast.groupBy(col(stratumCol)).count()
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     val undershot = quotas.keySet.filter { s =>

@@ -49,6 +49,18 @@ class AsOfJoinSpec extends SparkSpec {
     assert(row.getAs[java.sql.Timestamp]("matched_ts") == ts("2024-01-01 10:05:00"))
   }
 
+  test("string seq columns work as tiebreaks (no silent null cast)") {
+    // two quotes at the same (key, ts): the larger string seq must win
+    val tied = Seq(
+      ("qa", "k1", ts("2024-01-01 10:00:00"), 1.0),
+      ("qb", "k1", ts("2024-01-01 10:00:00"), 2.0))
+      .toDF("qid", "k", "qts", "px")
+    val t = Seq(("t1", "k1", ts("2024-01-01 11:00:00"))).toDF("tid", "k", "tts")
+    val px = AsOfJoin.backward(t, tied, Seq("k"), "tts", "qts",
+      Seq("px"), "qid").head().getAs[Double]("px")
+    assert(px == 2.0, "qb sorts after qa and must be the surviving match")
+  }
+
   test("no nested-loop join in the physical plan") {
     val out = AsOfJoin.backward(trades, quotes, Seq("k"), "tts", "qts",
       Seq("px"), "qid")

@@ -72,6 +72,19 @@ class PercentilesSpec extends SparkSpec {
     assert(math.abs(med - builtin) < 1e-9)
   }
 
+  test("high-cardinality groups return the lazy distributed result") {
+    val rnd = new scala.util.Random(3)
+    val df = (0 until 4000).map(i => (s"g${i % 100}", rnd.nextDouble()))
+      .toDF("g", "v")
+    // force the lazy path with a tiny collect threshold
+    val lazyOut = Percentiles.grouped(df, "g", "v", Seq(0.5), Seq("med"),
+      maxCollectGroups = 10L)
+    val eager = Percentiles.grouped(df, "g", "v", Seq(0.5), Seq("med"))
+    val a = lazyOut.orderBy("g").collect().map(r => (r.getString(0), r.getDouble(1)))
+    val b = eager.orderBy("g").collect().map(r => (r.getString(0), r.getDouble(1)))
+    assert(a.toSeq == b.toSeq && a.length == 100)
+  }
+
   test("null group keys form their own group") {
     val df = Seq((Some("a"), 1.0), (None, 2.0), (None, 4.0), (Some("a"), 3.0))
       .toDF("g", "v")

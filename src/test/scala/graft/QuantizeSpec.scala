@@ -45,6 +45,12 @@ class QuantizeSpec extends SparkSpec {
       .select("vec_id").collect().map(_.getLong(0)).toSet
     val recall = exact.intersect(approx).size.toDouble / exact.size
     assert(recall >= 0.9, s"recall $recall below 0.9: $exact vs $approx")
+    // a pre-quantized frame (stored code table) takes the same path and
+    // must give the same answer
+    val pre = Quantize.quantize(named, "v")
+    val approx2 = Quantize.topKQuantized(pre, "v", query, 10)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(approx2 == approx)
   }
 
   test("roundtrip preserves extremes exactly") {

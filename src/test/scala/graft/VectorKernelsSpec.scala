@@ -95,6 +95,23 @@ class VectorKernelsSpec extends SparkSpec {
     assert(tied == 0)
   }
 
+  test("vec_dot and nearest_centroid accept array<tinyint> code inputs") {
+    // Seq[Byte] (not Array[Byte], which encodes as BINARY) → array<tinyint>
+    val dotted = Seq((Seq[Byte](1, -2, 3), Array(2.0f, 3.0f, 4.0f)))
+      .toDF("c", "v").select(vec_dot($"c", $"v")).head().getDouble(0)
+    assert(dotted === (1 * 2.0 + -2 * 3.0 + 3 * 4.0))
+    // codegen path must read bytes as bytes, not reinterpret as floats
+    val centroids = Array(Array(1f, 1f, 1f), Array(-1f, -1f, -1f))
+    val got = (0 until 10).map(i =>
+        (i, Seq[Byte]((if (i % 2 == 0) 50 else -50).toByte, 1, 1)))
+      .toDF("i", "c")
+      .select($"i", graft.functions.nearest_centroid($"c", centroids).as("n"))
+      .collect().map(r => r.getInt(0) -> r.getInt(1)).toMap
+    (0 until 10).foreach { i =>
+      assert(got(i) == (if (i % 2 == 0) 0 else 1), s"row $i")
+    }
+  }
+
   test("nearest_centroid accepts array<double> input") {
     val centroids = Array(Array(1f, 0f), Array(0f, 1f))
     val got = Seq(Array(0.1, 0.9), Array(0.9, 0.2)).toDF("v")
