@@ -396,6 +396,76 @@ object TextQueries {
         SELECT n_words >= 30 AS len_ok, top_share <= 0.10 AS rep_ok,
           CAST(n_chars AS DOUBLE) / n_words <= 4.5 AS mwl_ok,
           count(*) AS n
-        FROM m GROUP BY 1, 2, 3 ORDER BY 1, 2, 3"""))
+        FROM m GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""")),
+
+    // ---- BM25 keyword search (operators.KeywordSearch): lexical
+    //      complement to the vector path; postings restricted to query
+    //      terms right after the explode ----
+    QueryDef(
+      "q69_bm25_search",
+      (s, d) => {
+        graft.operators.KeywordSearch.bm25TopK(Tables.documents(s, d),
+          "text", "doc_id", Seq("spark", "join", "vector"), 20)
+      },
+      Some(raw"""WITH lens AS (SELECT doc_id,
+          len(regexp_split_to_array(trim(text), '\s+')) AS dl
+          FROM documents),
+        stats AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM lens),
+        toks AS (SELECT doc_id,
+          unnest(regexp_split_to_array(trim(text), '\s+')) AS t
+          FROM documents),
+        tf AS (SELECT doc_id, t, count(*) AS tf FROM toks
+          WHERE t IN ('spark', 'join', 'vector') GROUP BY doc_id, t),
+        dfreq AS (SELECT t, count(*) AS df FROM tf GROUP BY t),
+        scored AS (SELECT f.doc_id,
+            ln(1.0 + (s.n - d.df + 0.5) / (d.df + 0.5)) *
+              (f.tf * (1.2 + 1)) /
+              (f.tf + 1.2 * ((1.0 - 0.75) + 0.75 * l.dl / s.avgdl)) AS part
+          FROM tf f JOIN dfreq d ON f.t = d.t
+          JOIN lens l ON f.doc_id = l.doc_id CROSS JOIN stats s)
+        SELECT doc_id, round(sum(part), 4) + 0 AS score FROM scored
+        GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT 20""")),
+
+    // ---- bigram language-model quality score: per-doc mean log
+    //      P(w2 | w1) under an add-one-smoothed bigram model trained on
+    //      the corpus itself (self-perplexity, the classic LM-based
+    //      quality filter shape) ----
+    QueryDef(
+      "q70_lm_score",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val bg = TA.shingles(docs, "text", 2, "doc_id")
+        val bgCounts = bg.groupBy(col("s")).agg(count(lit(1)).as("c2"))
+        val uni = docs.select(explode(TA.words(col("text"))).as("w"))
+          .filter(col("w") =!= "")
+        val uniCounts = uni.groupBy(col("w")).agg(count(lit(1)).as("c1"))
+        val vocab = uniCounts.agg(count(lit(1)).as("v"))
+        // model tables are vocab-bounded here but data-dependent in
+        // general — left unhinted so AQE picks broadcast vs shuffle
+        val perDoc = bg
+          .withColumn("w1", split(col("s"), " ").getItem(0))
+          .join(bgCounts, "s")
+          .join(uniCounts, col("w1") === col("w"))
+          .crossJoin(broadcast(vocab))
+          .withColumn("lp",
+            log((col("c2") + lit(1.0)) / (col("c1") + col("v"))))
+          .groupBy(col("doc_id"))
+          .agg((round(sum(col("lp")) / count(lit(1)), 6) + 0.0)
+            .as("mean_logp"))
+        perDoc.filter(col("doc_id") < 200).orderBy(col("doc_id"))
+      },
+      Some(raw"""WITH sh AS (${sqlShingles(2)}),
+        bg AS (SELECT s, count(*) AS c2 FROM sh GROUP BY s),
+        uni AS (SELECT t AS w, count(*) AS c1 FROM (
+          SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS t
+          FROM documents) u WHERE t <> '' GROUP BY t),
+        v AS (SELECT count(*) AS v FROM uni),
+        perdoc AS (SELECT d.doc_id,
+            ln((b.c2 + 1.0) / (u.c1 + v.v)) AS lp
+          FROM sh d JOIN bg b ON d.s = b.s
+          JOIN uni u ON string_split(d.s, ' ')[1] = u.w CROSS JOIN v)
+        SELECT doc_id, round(sum(lp) / count(*), 6) + 0 AS mean_logp
+        FROM perdoc WHERE doc_id < 200
+        GROUP BY doc_id ORDER BY doc_id"""))
   )
 }
