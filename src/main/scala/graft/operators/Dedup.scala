@@ -198,6 +198,40 @@ object Dedup {
       .filter(col("cosine") >= threshold)
   }
 
+  /** Incremental dedup: drop `batch` docs that exactly- or near-duplicate
+    * any `corpus` doc — the "dedup the incoming crawl against existing
+    * data" primitive. Ids must be globally unique across the two frames.
+    * Batch-internal near-dups are dropped too (keep-lowest-id, matching
+    * [[dropNearDuplicates]]); the corpus is never modified.
+    *
+    * Scale shape: identical to [[nearDuplicatePairs]] over the union —
+    * signatures are per-doc (no cross-frame work until the banded
+    * equi-join), so the corpus side can be a pre-computed signature store
+    * in a real pipeline; classification of pair orientation is two
+    * semi-joins against the corpus id set.
+    */
+  def dropDuplicatesAgainst(
+      batch: DataFrame, corpus: DataFrame, textCol: String, idCol: String,
+      k: Int = 3, numHashes: Int = 8, rowsPerBand: Int = 2,
+      threshold: Double = 0.7): DataFrame = {
+    val all = batch.select(col(idCol), col(textCol))
+      .union(corpus.select(col(idCol), col(textCol)))
+    val pairs = nearDuplicatePairs(all, textCol, idCol, k, numHashes,
+      rowsPerBand, threshold)
+    val corpus1 = corpus.select(col(idCol).as("id1"))
+    val corpus2 = corpus.select(col(idCol).as("id2"))
+    val losesToCorpus =
+      pairs.join(corpus1, Seq("id1"), "left_semi").select(col("id2").as(idCol))
+        .union(
+          pairs.join(corpus2, Seq("id2"), "left_semi").select(col("id1").as(idCol)))
+    val batchInternal = pairs
+      .join(corpus1, Seq("id1"), "left_anti")
+      .join(corpus2, Seq("id2"), "left_anti")
+      .select(col("id2").as(idCol))
+    val losers = losesToCorpus.union(batchInternal).distinct()
+    batch.join(losers, Seq(idCol), "left_anti")
+  }
+
   /** Connected components over an undirected edge list — turns pair-wise
     * near-dup hits into transitive duplicate CLUSTERS (A~B, B~C ⇒ {A,B,C}),
     * the "keep one representative per cluster" dedup policy

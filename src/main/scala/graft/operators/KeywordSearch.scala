@@ -53,4 +53,23 @@ object KeywordSearch {
       .agg((round(sum(col("__s")), 4) + 0.0).as("score"))
     scored.orderBy(desc("score"), col(idCol)).limit(k)
   }
+
+  /** Reciprocal-rank fusion of ranked candidate lists (hybrid retrieval:
+    * BM25 ∪ ANN): rrf(d) = Σ_lists 1/(kRrf + rank_d), docs absent from a
+    * list contribute nothing. Inputs carry (idCol, rankCol) with ranks
+    * 1-based; each list is top-k-bounded, so the fold of full-outer joins
+    * touches ≤ Σ k rows — driver-light, shuffle-tiny.
+    */
+  def reciprocalRankFusion(lists: Seq[DataFrame], idCol: String,
+      rankCol: String, kRrf: Int = 60): DataFrame = {
+    require(lists.nonEmpty)
+    val contribs = lists.zipWithIndex.map { case (l, i) =>
+      l.select(col(idCol), col(rankCol).cast("long").as(s"__r$i"))
+    }
+    val joined = contribs.reduce((a, b) => a.join(b, Seq(idCol), "full_outer"))
+    val rrf = contribs.indices
+      .map(i => coalesce(lit(1.0) / (lit(kRrf.toDouble) + col(s"__r$i")), lit(0.0)))
+      .reduce(_ + _)
+    joined.select(col(idCol), (round(rrf, 6) + 0.0).as("rrf"))
+  }
 }

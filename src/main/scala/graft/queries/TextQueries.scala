@@ -466,6 +466,112 @@ object TextQueries {
           JOIN uni u ON string_split(d.s, ' ')[1] = u.w CROSS JOIN v)
         SELECT doc_id, round(sum(lp) / count(*), 6) + 0 AS mean_logp
         FROM perdoc WHERE doc_id < 200
-        GROUP BY doc_id ORDER BY doc_id"""))
+        GROUP BY doc_id ORDER BY doc_id""")),
+
+    // ---- incremental dedup: odd-id docs are the incoming batch, even-id
+    //      docs the existing corpus; batch docs near-dup to the corpus
+    //      (or to a lower-id batch doc) are dropped, corpus untouched
+    //      (Dedup.dropDuplicatesAgainst) ----
+    QueryDef(
+      "q71_dedup_against",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        Dedup.dropDuplicatesAgainst(
+            docs.filter(pmod(col("doc_id"), lit(2)) === 1),
+            docs.filter(pmod(col("doc_id"), lit(2)) === 0),
+            "text", "doc_id", threshold = 0.5)
+          .select(col("doc_id"), col("lang"))
+          .orderBy(col("doc_id"))
+      },
+      Some(raw"""WITH sh AS (${sqlShingles(3)}),
+        hs AS (SELECT doc_id, seed,
+          ('0x' || substr(md5(s), 1, 8))::BIGINT +
+            seed * ('0x' || substr(md5(s), 9, 8))::BIGINT AS h
+          FROM sh CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS seed) sd),
+        sig AS (SELECT doc_id, seed, min(h) AS minhash FROM hs GROUP BY doc_id, seed),
+        bands AS (SELECT doc_id, seed // 2 AS band,
+          md5(string_agg(CAST(minhash AS VARCHAR), ',' ORDER BY seed)) AS bkey
+          FROM sig GROUP BY doc_id, band),
+        cand AS (SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+          FROM bands a JOIN bands b
+            ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
+        shd AS (SELECT DISTINCT doc_id, s FROM sh),
+        cnt AS (SELECT doc_id, count(*) AS n FROM shd GROUP BY doc_id),
+        inter AS (SELECT c.id1, c.id2, count(*) AS c
+          FROM cand c JOIN shd a ON a.doc_id = c.id1
+          JOIN shd b ON b.doc_id = c.id2 AND a.s = b.s
+          GROUP BY c.id1, c.id2),
+        pairs AS (SELECT i.id1, i.id2
+          FROM inter i JOIN cnt n1 ON n1.doc_id = i.id1
+          JOIN cnt n2 ON n2.doc_id = i.id2
+          WHERE CAST(i.c AS DOUBLE) / (n1.n + n2.n - i.c) >= 0.5),
+        losers AS (
+          SELECT id2 AS id FROM pairs WHERE id1 % 2 = 0 AND id2 % 2 = 1
+          UNION SELECT id1 FROM pairs WHERE id2 % 2 = 0 AND id1 % 2 = 1
+          UNION SELECT id2 FROM pairs WHERE id1 % 2 = 1 AND id2 % 2 = 1)
+        SELECT doc_id, lang FROM documents
+        WHERE doc_id % 2 = 1 AND doc_id NOT IN (SELECT id FROM losers)
+        ORDER BY doc_id""")),
+
+    // ---- hybrid retrieval: BM25 top-50 ∪ dot-product top-50 fused by
+    //      reciprocal rank (KeywordSearch.reciprocalRankFusion) ----
+    QueryDef(
+      "q72_hybrid_rrf",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val docs = Tables.documents(s, d)
+        val emb = Tables.embeddings(s, d)
+        val qv = emb.filter(col("vec_id") === 0)
+          .select(col("embedding")).head().getSeq[Float](0).toArray
+        // rank windows run over k-bounded lists (≤50 rows) — single task
+        // by construction, not a scale concern
+        val bm = graft.operators.KeywordSearch.bm25TopK(docs, "text",
+            "doc_id", Seq("spark", "join", "vector"), 50)
+          .withColumn("r", row_number().over(
+            Window.orderBy(desc("score"), col("doc_id"))))
+        val vv = emb
+          .select(col("vec_id").as("doc_id"),
+            graft.functions.vec_dot(col("embedding"), typedLit(qv)).as("vs"))
+          .orderBy(desc("vs"), col("doc_id")).limit(50)
+          .withColumn("r", row_number().over(
+            Window.orderBy(desc("vs"), col("doc_id"))))
+        graft.operators.KeywordSearch.reciprocalRankFusion(
+            Seq(bm, vv), "doc_id", "r")
+          .orderBy(desc("rrf"), col("doc_id")).limit(20)
+      },
+      Some(raw"""WITH lens AS (SELECT doc_id,
+          len(regexp_split_to_array(trim(text), '\s+')) AS dl
+          FROM documents),
+        stats AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM lens),
+        toks AS (SELECT doc_id,
+          unnest(regexp_split_to_array(trim(text), '\s+')) AS t
+          FROM documents),
+        tf AS (SELECT doc_id, t, count(*) AS tf FROM toks
+          WHERE t IN ('spark', 'join', 'vector') GROUP BY doc_id, t),
+        dfreq AS (SELECT t, count(*) AS df FROM tf GROUP BY t),
+        bmscore AS (SELECT f.doc_id, round(sum(
+            ln(1.0 + (s.n - d.df + 0.5) / (d.df + 0.5)) *
+              (f.tf * (1.2 + 1)) /
+              (f.tf + 1.2 * ((1.0 - 0.75) + 0.75 * l.dl / s.avgdl))), 4) + 0
+            AS score
+          FROM tf f JOIN dfreq d ON f.t = d.t
+          JOIN lens l ON f.doc_id = l.doc_id CROSS JOIN stats s
+          GROUP BY f.doc_id),
+        bm AS (SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id)
+            AS r
+          FROM (SELECT * FROM bmscore ORDER BY score DESC, doc_id LIMIT 50) x),
+        qv AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+        vscore AS (SELECT e.vec_id AS doc_id,
+            list_sum(list_transform(list_zip(e.embedding, q.qv),
+              x -> CAST(x[1] AS DOUBLE) * x[2])) AS vs
+          FROM embeddings e CROSS JOIN qv q),
+        vv AS (SELECT doc_id, row_number() OVER (ORDER BY vs DESC, doc_id)
+            AS r
+          FROM (SELECT * FROM vscore ORDER BY vs DESC, doc_id LIMIT 50) x)
+        SELECT COALESCE(bm.doc_id, vv.doc_id) AS doc_id,
+          round(COALESCE(1.0 / (60.0 + bm.r), 0.0) +
+            COALESCE(1.0 / (60.0 + vv.r), 0.0), 6) + 0 AS rrf
+        FROM bm FULL OUTER JOIN vv ON bm.doc_id = vv.doc_id
+        ORDER BY rrf DESC, doc_id LIMIT 20"""))
   )
 }

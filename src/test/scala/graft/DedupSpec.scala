@@ -93,6 +93,24 @@ class DedupSpec extends SparkSpec {
     assert(TextAnalysis.shingles(tiny, "text", 3, "doc_id").count() == 0)
   }
 
+  test("dropDuplicatesAgainst drops batch dups of corpus, keeps fresh docs") {
+    val corpus = Seq(
+      (0L, "the quick brown fox jumps over the lazy dog again today"),
+      (2L, "an entirely different reference document about spark plans"))
+      .toDF("doc_id", "text")
+    val batch = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again today"), // dup of 0
+      (3L, "completely novel content that matches nothing in the corpus"),
+      (5L, "completely novel content that matches nothing in the corpus"), // dup of 3 (batch-internal)
+      (7L, "another fresh and unique piece of batch text entirely"))
+      .toDF("doc_id", "text")
+    val kept = Dedup.dropDuplicatesAgainst(batch, corpus, "text", "doc_id",
+        threshold = 0.5)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    // 1 loses to corpus 0; 5 loses to batch 3 (lower id wins); 3 and 7 stay
+    assert(kept == Seq(3L, 7L))
+  }
+
   test("connected components labels transitive clusters by min id") {
     // two chains and an isolated pair: {1,2,3,4} via 1-2,2-3,3-4; {10,11};
     // node 20 appears only as a dst
