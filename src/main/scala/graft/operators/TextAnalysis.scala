@@ -89,6 +89,85 @@ object TextAnalysis {
       .groupBy(col(idCol))
       .agg((max(col("__c")).cast("double") / sum(col("__c"))).as("top_share"))
 
+  /** Redact personally-identifiable substrings, replacing each match with a
+    * typed placeholder: emails → `<EMAIL>`, IPv4 literals → `<IP>`,
+    * international-ish phone numbers → `<PHONE>`. Email first so its
+    * user/host digits can't be mistaken for phone fragments; IP before
+    * phone so dotted quads aren't half-eaten by the phone pattern.
+    *
+    * Patterns are RE2-compatible (no lookaround) so the exact same regexes
+    * run in Spark (java.util.regex) and the DuckDB oracle. Pure narrow
+    * column expression — scan-dominated at 100 TB.
+    */
+  def redactPii(text: Column): Column = {
+    val e = regexp_replace(text, emailRe, "<EMAIL>")
+    val i = regexp_replace(e, ipv4Re, "<IP>")
+    regexp_replace(i, phoneRe, "<PHONE>")
+  }
+
+  val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val ipv4Re = "\\b(\\d{1,3}\\.){3}\\d{1,3}\\b"
+  val phoneRe = "\\+\\d[\\d\\- ]{7,}\\d"
+
+  /** Per-doc counts of each PII kind (same patterns as [[redactPii]]). */
+  def piiCounts(text: Column): Seq[(String, Column)] = Seq(
+    "n_emails" -> regexp_count(text, lit(emailRe)).cast("long"),
+    "n_ips" -> regexp_count(text, lit(ipv4Re)).cast("long"),
+    "n_phones" -> regexp_count(
+      regexp_replace(regexp_replace(text, emailRe, "<EMAIL>"), ipv4Re, "<IP>"),
+      lit(phoneRe)).cast("long"))
+
+  /** Benchmark decontamination: for each doc in `df`, the share of its
+    * DISTINCT word k-grams that also occur anywhere in `evalSet` — the
+    * standard "n-gram overlap vs held-out eval set" test-set-leakage check.
+    *
+    * Output: idCol, `n_grams` (distinct k-grams in the doc), `n_overlap`
+    * (of those, how many appear in the eval set), `share` = overlap/n_grams
+    * rounded to 6. Docs shorter than k words emit nothing.
+    *
+    * Scale shape: the eval set is small by definition (a benchmark), so its
+    * distinct-gram side broadcasts; the corpus side is one explode + one
+    * per-doc distinct + one aggregation — no corpus-vs-corpus join.
+    */
+  def contaminationShare(df: DataFrame, evalSet: DataFrame, textCol: String,
+      idCol: String, k: Int = 5): DataFrame = {
+    val docGrams = shingles(df, textCol, k, idCol).distinct()
+    val evalGrams = shingles(evalSet, textCol, k, idCol)
+      .select(col("s")).distinct().withColumn("__hit", lit(1))
+    docGrams.join(broadcast(evalGrams), Seq("s"), "left")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_grams"), count(col("__hit")).as("n_overlap"))
+      .withColumn("share",
+        round(col("n_overlap").cast("double") / col("n_grams"), 6) + 0.0)
+  }
+
+  /** Corpus vocabulary with Zipf diagnostics: one row per distinct token
+    * with its total frequency, frequency rank (ties broken by term), and
+    * cumulative share of all token occurrences up to that rank — the
+    * "does the corpus look Zipfian / what covers 90% of tokens" profile.
+    *
+    * The rank window is over the VOCABULARY (tiny next to the corpus —
+    * explode + hash-agg reduce first), so the single-partition window is
+    * bounded by distinct-term count, not corpus size.
+    */
+  def vocabulary(df: DataFrame, textCol: String): DataFrame = {
+    val freq = df.select(explode(words(col(textCol))).as("term"))
+      .filter(col("term") =!= "")
+      .groupBy(col("term")).agg(count(lit(1)).as("freq"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(desc("freq"), col("term"))
+    val total = org.apache.spark.sql.expressions.Window
+      .partitionBy()
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.unboundedFollowing)
+    freq
+      .withColumn("rank", row_number().over(w))
+      .withColumn("cum_share",
+        round(sum(col("freq")).over(w.rowsBetween(
+            org.apache.spark.sql.expressions.Window.unboundedPreceding, 0))
+          .cast("double") / sum(col("freq")).over(total), 6) + 0.0)
+  }
+
   /** TF-IDF top-`topK` terms per document: tf(d,t) · ln(N / df(t)), the
     * classic unsmoothed weighting (every term present in some doc has
     * df ≥ 1, so the log is defined).

@@ -572,6 +572,102 @@ object TextQueries {
           round(COALESCE(1.0 / (60.0 + bm.r), 0.0) +
             COALESCE(1.0 / (60.0 + vv.r), 0.0), 6) + 0 AS rrf
         FROM bm FULL OUTER JOIN vv ON bm.doc_id = vv.doc_id
-        ORDER BY rrf DESC, doc_id LIMIT 20"""))
+        ORDER BY rrf DESC, doc_id LIMIT 20""")),
+
+    // ---- benchmark decontamination: docs 0–19 are the "eval set"; for
+    //      every other doc, share of its distinct 5-grams that leak from
+    //      the eval set (TA.contaminationShare) ----
+    QueryDef(
+      "q73_decontam",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        TA.contaminationShare(
+            docs.filter(col("doc_id") >= 20),
+            docs.filter(col("doc_id") < 20),
+            "text", "doc_id", k = 5)
+          .filter(col("n_overlap") > 0)
+          .orderBy(col("doc_id"))
+      },
+      Some(raw"""WITH sh AS (${sqlShingles(5)}),
+        dg AS (SELECT DISTINCT doc_id, s FROM sh WHERE doc_id >= 20),
+        eg AS (SELECT DISTINCT s FROM sh WHERE doc_id < 20),
+        j AS (SELECT d.doc_id, count(*) AS n_grams, count(e.s) AS n_overlap
+          FROM dg d LEFT JOIN eg e ON d.s = e.s GROUP BY d.doc_id)
+        SELECT doc_id, n_grams, n_overlap,
+          round(CAST(n_overlap AS DOUBLE) / n_grams, 6) + 0 AS share
+        FROM j WHERE n_overlap > 0 ORDER BY doc_id""")),
+
+    // ---- PII redaction: emails / IPv4 / phone → typed placeholders.
+    //      The synthetic docs carry no PII, so both engines append a
+    //      deterministic contact blurb (email always, IP on even ids,
+    //      phone always) and verify redacted text + per-kind counts ----
+    QueryDef(
+      "q74_redact",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val id = col("doc_id")
+        val synth = concat(col("text"),
+          lit(" user"), id.cast("string"),
+          lit("@ex"), pmod(id, lit(5)).cast("string"), lit(".org"),
+          when(pmod(id, lit(2)) === 0,
+            concat(lit(" 10.0."), pmod(id, lit(250)).cast("string"), lit(".7")))
+            .otherwise(lit("")),
+          lit(" +1-555-010"), pmod(id, lit(10)).cast("string"))
+        val counts = TA.piiCounts(synth).map { case (n, c) => c.as(n) }
+        docs.select(
+            id +: md5(TA.redactPii(synth)).as("red_md5") +: counts: _*)
+          .orderBy(id)
+      },
+      Some(raw"""WITH synth AS (SELECT doc_id,
+          text || ' user' || CAST(doc_id AS VARCHAR) ||
+            '@ex' || CAST(doc_id % 5 AS VARCHAR) || '.org' ||
+            CASE WHEN doc_id % 2 = 0
+              THEN ' 10.0.' || CAST(doc_id % 250 AS VARCHAR) || '.7'
+              ELSE '' END ||
+            ' +1-555-010' || CAST(doc_id % 10 AS VARCHAR) AS t
+          FROM documents),
+        red AS (SELECT doc_id,
+          regexp_replace(regexp_replace(regexp_replace(t,
+            '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+            '\b(\d{1,3}\.){3}\d{1,3}\b', '<IP>', 'g'),
+            '\+\d[\d\- ]{7,}\d', '<PHONE>', 'g') AS r,
+          CAST(len(regexp_extract_all(t,
+            '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT)
+            AS n_emails,
+          CAST(len(regexp_extract_all(t, '\b(\d{1,3}\.){3}\d{1,3}\b'))
+            AS BIGINT) AS n_ips,
+          CAST(len(regexp_extract_all(
+            regexp_replace(regexp_replace(t,
+              '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+              '\b(\d{1,3}\.){3}\d{1,3}\b', '<IP>', 'g'),
+            '\+\d[\d\- ]{7,}\d')) AS BIGINT) AS n_phones
+          FROM synth)
+        SELECT doc_id, md5(r) AS red_md5, n_emails, n_ips, n_phones
+        FROM red ORDER BY doc_id""")),
+
+    // ---- corpus vocabulary + Zipf profile: top-40 terms by frequency
+    //      with rank and cumulative token-occurrence share ----
+    QueryDef(
+      "q75_vocab",
+      (s, d) => {
+        TA.vocabulary(Tables.documents(s, d), "text")
+          .select(col("term"), col("freq"),
+            col("rank").cast("long").as("rank"), col("cum_share"))
+          .filter(col("rank") <= 40)
+          .orderBy(col("rank"))
+      },
+      Some(raw"""WITH toks AS (SELECT
+          unnest(regexp_split_to_array(trim(text), '\s+')) AS term
+          FROM documents),
+        freq AS (SELECT term, count(*) AS freq FROM toks
+          WHERE term <> '' GROUP BY term),
+        ranked AS (SELECT term, freq,
+          row_number() OVER (ORDER BY freq DESC, term) AS rank,
+          round(CAST(sum(freq) OVER (ORDER BY freq DESC, term
+              ROWS UNBOUNDED PRECEDING) AS DOUBLE) /
+            (SELECT sum(freq) FROM freq), 6) + 0 AS cum_share
+          FROM freq)
+        SELECT term, freq, rank, cum_share FROM ranked
+        WHERE rank <= 40 ORDER BY rank"""))
   )
 }

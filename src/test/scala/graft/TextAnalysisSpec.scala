@@ -88,4 +88,44 @@ class TextAnalysisSpec extends SparkSpec {
     // all six terms tie (tf=1, df=1) → the 3 lexicographically smallest win
     assert(top == Seq("a", "b", "c"))
   }
+
+  test("redactPii replaces emails, IPs and phones with typed placeholders") {
+    val got = spark.range(1)
+      .select(TextAnalysis.redactPii(lit(
+        "mail bob.smith+x@corp.example.co from 192.168.0.1 call +44 20 7946 0958 done")))
+      .head().getString(0)
+    assert(got == "mail <EMAIL> from <IP> call <PHONE> done")
+    // no false positives on clean text; version strings aren't IPs (3 parts)
+    val clean = spark.range(1)
+      .select(TextAnalysis.redactPii(lit("release v1.2.3 of the tool")))
+      .head().getString(0)
+    assert(clean == "release v1.2.3 of the tool")
+  }
+
+  test("piiCounts counts each kind once, phone not double-counted from email digits") {
+    val df = Seq("a@b.io and 10.0.0.7 and +1-555-0100 and c@d.org").toDF("text")
+    val counts = TextAnalysis.piiCounts($"text").map { case (n, c) => c.as(n) }
+    val r = df.select(counts: _*).head()
+    assert(r.getLong(0) == 2L && r.getLong(1) == 1L && r.getLong(2) == 1L)
+  }
+
+  test("contaminationShare finds leaked 5-grams, misses fresh docs") {
+    val eval = Seq((0L, "one two three four five six")).toDF("doc_id", "text")
+    val corpus = Seq(
+      (10L, "zzz one two three four five yyy"),     // contains eval 5-gram
+      (11L, "entirely different words with no overlap at all"))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.contaminationShare(corpus, eval, "text", "doc_id")
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(got(10L) == 1L && got(11L) == 0L)
+  }
+
+  test("vocabulary ranks by frequency and accumulates share to 1.0") {
+    val df = Seq("b b b a a c").toDF("text")
+    val rows = TextAnalysis.vocabulary(df, "text")
+      .orderBy("rank").collect()
+    assert(rows.map(_.getString(0)).toSeq == Seq("b", "a", "c"))
+    assert(rows.map(_.getLong(1)).toSeq == Seq(3L, 2L, 1L))
+    assert(math.abs(rows.last.getDouble(3) - 1.0) < 1e-9)
+  }
 }
