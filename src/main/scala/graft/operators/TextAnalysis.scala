@@ -168,6 +168,49 @@ object TextAnalysis {
           .cast("double") / sum(col("freq")).over(total), 6) + 0.0)
   }
 
+  /** Split each document into fixed-size token windows with overlap — the
+    * "chunk long documents to the model's context length" preprocessing
+    * step. Chunks start every `chunkTokens - overlap` tokens; the last
+    * chunk may be short. Empty docs emit nothing.
+    *
+    * Output: idCol, `chunk_id` (0-based, in-doc), `n_tokens`, `chunk`
+    * (the re-joined window text). One generator projection, no shuffle —
+    * output bytes ≈ input × (1 + overlap/chunkTokens), scan-dominated.
+    */
+  def chunkDocs(df: DataFrame, textCol: String, idCol: String,
+      chunkTokens: Int, overlap: Int = 0): DataFrame = {
+    require(chunkTokens > 0 && overlap >= 0 && overlap < chunkTokens)
+    val step = chunkTokens - overlap
+    df.select(col(idCol), words(col(textCol)).as("w"))
+      .filter(size(col("w")) > 0 && col("w")(0) =!= "")
+      .select(col(idCol), posexplode(expr(
+        s"transform(sequence(0, size(w) - 1, $step), i -> slice(w, i + 1, $chunkTokens))")))
+      .select(col(idCol), col("pos").cast("long").as("chunk_id"),
+        size(col("col")).cast("long").as("n_tokens"),
+        array_join(col("col"), " ").as("chunk"))
+  }
+
+  /** Greedy in-order sequence packing: lay documents end-to-end (ordered by
+    * `idCol` within each `partCol` group) and assign each doc to the bin
+    * its first token lands in at `budget` tokens per bin — the standard
+    * approximation of "pack sequences into fixed-length training batches".
+    *
+    * Output: partCol, idCol, tokenCol, `bin`. The running total is a
+    * window per `partCol`; at scale the partition column (shard / source /
+    * language) bounds each window's data, keeping every sort distributed.
+    */
+  def packByBudget(df: DataFrame, tokenCol: String, idCol: String,
+      partCol: String, budget: Long): DataFrame = {
+    require(budget > 0)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(partCol)).orderBy(col(idCol))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    df.select(col(partCol), col(idCol), col(tokenCol))
+      .withColumn("__cum", coalesce(sum(col(tokenCol)).over(w), lit(0L)))
+      .withColumn("bin", expr(s"__cum div ${budget}L"))
+      .drop("__cum")
+  }
+
   /** TF-IDF top-`topK` terms per document: tf(d,t) · ln(N / df(t)), the
     * classic unsmoothed weighting (every term present in some doc has
     * df ≥ 1, so the log is defined).

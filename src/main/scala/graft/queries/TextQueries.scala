@@ -668,6 +668,53 @@ object TextQueries {
             (SELECT sum(freq) FROM freq), 6) + 0 AS cum_share
           FROM freq)
         SELECT term, freq, rank, cum_share FROM ranked
-        WHERE rank <= 40 ORDER BY rank"""))
+        WHERE rank <= 40 ORDER BY rank""")),
+
+    // ---- context-length chunking: 50-token windows, 10-token overlap
+    //      (TA.chunkDocs); verified chunk-by-chunk via md5 ----
+    QueryDef(
+      "q76_chunks",
+      (s, d) => {
+        TA.chunkDocs(Tables.documents(s, d), "text", "doc_id",
+            chunkTokens = 50, overlap = 10)
+          .select(col("doc_id"), col("chunk_id"), col("n_tokens"),
+            md5(col("chunk")).as("chunk_md5"))
+          .orderBy(col("doc_id"), col("chunk_id"))
+      },
+      Some(raw"""WITH d AS (SELECT doc_id,
+          regexp_split_to_array(trim(text), '\s+') AS w FROM documents),
+        st AS (SELECT doc_id, w, unnest(generate_series(1, len(w), 40)) AS s
+          FROM d WHERE len(w) > 0 AND w[1] <> ''),
+        ch AS (SELECT doc_id, (s - 1) // 40 AS chunk_id, w[s : s + 49] AS c
+          FROM st)
+        SELECT doc_id, chunk_id, CAST(len(c) AS BIGINT) AS n_tokens,
+          md5(array_to_string(c, ' ')) AS chunk_md5
+        FROM ch ORDER BY doc_id, chunk_id""")),
+
+    // ---- sequence packing: docs laid end-to-end per language (ordered by
+    //      id), each assigned to the 1000-token bin its first token lands
+    //      in (TA.packByBudget); aggregated per bin ----
+    QueryDef(
+      "q77_packing",
+      (s, d) => {
+        val toks = Tables.documents(s, d).select(col("lang"), col("doc_id"),
+          TA.tokenCount(col("text")).as("n_tokens"))
+        TA.packByBudget(toks, "n_tokens", "doc_id", "lang", budget = 1000L)
+          .groupBy(col("lang"), col("bin"))
+          .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("bin_tokens"))
+          .orderBy(col("lang"), col("bin"))
+      },
+      Some(raw"""WITH t AS (SELECT lang, doc_id,
+          CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT)
+            AS n_tokens
+          FROM documents),
+        p AS (SELECT lang, doc_id, n_tokens,
+          CAST(COALESCE(sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // 1000
+            AS BIGINT) AS bin
+          FROM t)
+        SELECT lang, bin, count(*) AS n_docs,
+          CAST(sum(n_tokens) AS BIGINT) AS bin_tokens
+        FROM p GROUP BY lang, bin ORDER BY lang, bin"""))
   )
 }

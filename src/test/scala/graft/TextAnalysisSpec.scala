@@ -120,6 +120,28 @@ class TextAnalysisSpec extends SparkSpec {
     assert(got(10L) == 1L && got(11L) == 0L)
   }
 
+  test("chunkDocs windows with overlap; short tail; empty doc drops") {
+    val df = Seq((1L, "a b c d e f g"), (2L, ""), (3L, "x y")).toDF("doc_id", "text")
+    val rows = TextAnalysis.chunkDocs(df, "text", "doc_id", chunkTokens = 4, overlap = 1)
+      .orderBy("doc_id", "chunk_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(3)))
+    // doc 1: starts 0,3,6 → "a b c d", "d e f g", "g"; doc 3: "x y"
+    assert(rows.toSeq == Seq(
+      (1L, 0L, "a b c d"), (1L, 1L, "d e f g"), (1L, 2L, "g"), (3L, 0L, "x y")))
+  }
+
+  test("packByBudget assigns docs to bins by running token offset per group") {
+    val df = Seq(
+      ("en", 1L, 400L), ("en", 2L, 500L), ("en", 3L, 300L), ("en", 4L, 900L),
+      ("de", 1L, 1200L), ("de", 2L, 100L))
+      .toDF("lang", "doc_id", "n_tokens")
+    val got = TextAnalysis.packByBudget(df, "n_tokens", "doc_id", "lang", 1000L)
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(3)).toMap
+    // en offsets: 0, 400, 900, 1200 → bins 0,0,0,1; de offsets: 0, 1200 → 0,1
+    assert(got == Map(("en", 1L) -> 0L, ("en", 2L) -> 0L, ("en", 3L) -> 0L,
+      ("en", 4L) -> 1L, ("de", 1L) -> 0L, ("de", 2L) -> 1L))
+  }
+
   test("vocabulary ranks by frequency and accumulates share to 1.0") {
     val df = Seq("b b b a a c").toDF("text")
     val rows = TextAnalysis.vocabulary(df, "text")
