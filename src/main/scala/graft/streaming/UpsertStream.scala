@@ -433,6 +433,27 @@ object EventPipeline {
     * Inputs must carry (`key`, `ts`, payload); left columns come out
     * prefixed `l_`, right columns `r_`.
     */
+  /** Streaming exact dedup — the streaming dual of q30/q31: emit each doc
+    * whose normalized-text fingerprint ([[graft.operators.TextAnalysis
+    * .fingerprint]]: lowercase, collapsed whitespace, md5) has not been
+    * seen before, dropping re-arrivals.
+    *
+    * State is one tiny (fingerprint → seen) entry per distinct doc,
+    * bounded by the watermark TTL via `dropDuplicatesWithinWatermark`:
+    * fingerprints older than the watermark are evicted, so state tracks
+    * the dedup horizon (e.g. "drop re-crawls within a day"), not stream
+    * history — the only state shape that survives an unbounded crawl
+    * stream. Exactly-once keyed state is sharded by fingerprint hash
+    * across executors; no skew (fingerprints are uniform).
+    */
+  def dedupStream(docs: DataFrame, textCol: String, tsCol: String,
+      watermark: String = "1 hour"): DataFrame =
+    docs
+      .withColumn("__fp", graft.operators.TextAnalysis.fingerprint(col(textCol)))
+      .withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark("__fp")
+      .drop("__fp")
+
   def intervalJoin(left: DataFrame, right: DataFrame, key: String,
       window: String, watermark: String = "1 hour"): DataFrame = {
     val l = left.columns.foldLeft(left)((d, c) => d.withColumnRenamed(c, s"l_$c"))

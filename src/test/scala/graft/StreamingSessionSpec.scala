@@ -166,4 +166,25 @@ class StreamingSessionSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getDouble(1)))
     assert(user1.toSeq == Seq((1L, 1.0)), s"late event leaked: ${user1.toSeq}")
   }
+
+  test("dedupStream drops exact re-arrivals within the watermark horizon") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, java.sql.Timestamp, String)]
+    val docs = mem.toDF().toDF("doc_id", "ts", "text")
+    val q = EventPipeline.dedupStream(docs, "text", "ts", watermark = "1 hour")
+      .writeStream.outputMode("append").format("memory").queryName("sdedup")
+      .start()
+    mem.addData(
+      (1L, ts("2024-01-01 10:00:00"), "the quick brown fox"),
+      (2L, ts("2024-01-01 10:00:01"), "The  quick  BROWN fox"), // same fp
+      (3L, ts("2024-01-01 10:00:02"), "something else entirely"))
+    q.processAllAvailable()
+    // later batch, still within the horizon: re-arrival must be dropped
+    mem.addData((4L, ts("2024-01-01 10:30:00"), "the quick brown fox"))
+    q.processAllAvailable()
+    q.stop()
+    val kept = spark.table("sdedup").select("doc_id")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(kept == Seq(1L, 3L), s"got $kept")
+  }
 }
