@@ -715,6 +715,45 @@ object TextQueries {
           FROM t)
         SELECT lang, bin, count(*) AS n_docs,
           CAST(sum(n_tokens) AS BIGINT) AS bin_tokens
-        FROM p GROUP BY lang, bin ORDER BY lang, bin"""))
+        FROM p GROUP BY lang, bin ORDER BY lang, bin""")),
+
+    // ---- training-mixture sampling: per-source keep rates over a
+    //      cross-engine 52-bit md5 uniform key (Ingest.mixtureSample) ----
+    QueryDef(
+      "q78_mixture",
+      (s, d) => {
+        graft.sources.Ingest.mixtureSample(Tables.documents(s, d),
+            "doc_id", "source",
+            Map("src0" -> 0.8, "src1" -> 0.5, "src2" -> 0.25), default = 0.1)
+          .groupBy(col("source")).agg(count(lit(1)).as("n"))
+          .orderBy(col("source"))
+      },
+      Some(raw"""WITH u AS (SELECT source,
+          ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':42'), 1, 13))::BIGINT
+            / 4503599627370496.0 AS u
+          FROM documents)
+        SELECT source, count(*) AS n FROM u
+        WHERE u < CASE source WHEN 'src0' THEN 0.8 WHEN 'src1' THEN 0.5
+          WHEN 'src2' THEN 0.25 ELSE 0.1 END
+        GROUP BY source ORDER BY source""")),
+
+    // ---- deterministic train/val/test split: hash-range assignment,
+    //      stable under appends/repartitioning (Ingest.hashSplit) ----
+    QueryDef(
+      "q79_split",
+      (s, d) => {
+        graft.sources.Ingest.hashSplit(Tables.documents(s, d), "doc_id",
+            Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+          .groupBy(col("lang"), col("split")).agg(count(lit(1)).as("n"))
+          .orderBy(col("lang"), col("split"))
+      },
+      Some(raw"""WITH u AS (SELECT lang,
+          ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':42'), 1, 13))::BIGINT
+            / 4503599627370496.0 AS u
+          FROM documents)
+        SELECT lang, CASE WHEN u < 0.8 THEN 'train'
+            WHEN u < 0.8 + 0.1 THEN 'val' ELSE 'test' END AS split,
+          count(*) AS n
+        FROM u GROUP BY lang, split ORDER BY lang, split"""))
   )
 }

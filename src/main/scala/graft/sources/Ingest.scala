@@ -2,7 +2,7 @@ package graft.sources
 
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 
 /** Surface A of the reference: the dataset production pipeline (reference
   * `README.md:45-56`) — ingest Amazon-Reviews-2023-shaped product metadata
@@ -141,6 +141,50 @@ object Ingest {
     * SURVEY §2.10): each variant keeps `round(fraction · stratum size)`
     * rows per `source_dataset`, and writes one parquet dataset per variant.
     */
+  /** Cross-engine uniform key in [0,1): the top 52 bits of md5(id:seed),
+    * scaled by 2^-52. 52 bits keeps the integer exactly representable in a
+    * double, so Spark and any SQL oracle computing the same expression get
+    * bit-identical keys — sampling decisions replay everywhere. Pure
+    * column expression; no rand(), so results don't depend on partition
+    * layout.
+    */
+  def uniformKey(id: Column, seed: Long): Column =
+    conv(substring(md5(concat(id.cast("string"), lit(s":$seed"))), 1, 13),
+      16, 10).cast("long").cast("double") / lit(4503599627370496.0)
+
+  /** Training-mixture sampling: keep each row with a per-stratum rate —
+    * "30% web, 100% books, 5% logs" dataset mixing. Deterministic in
+    * (id, seed); strata absent from `weights` use `default`.
+    * One narrow filter over the scan — no shuffle, any skew irrelevant.
+    */
+  def mixtureSample(df: DataFrame, idCol: String, stratumCol: String,
+      weights: Map[String, Double], default: Double = 0.0,
+      seed: Long = 42L): DataFrame = {
+    require((weights.values ++ Seq(default)).forall(w => w >= 0 && w <= 1))
+    val rate = weights.toSeq.sortBy(_._1).foldLeft(lit(default)) {
+      case (acc, (k, v)) => when(col(stratumCol) === k, lit(v)).otherwise(acc)
+    }
+    df.filter(uniformKey(col(idCol), seed) < rate)
+  }
+
+  /** Deterministic train/val/test assignment: label each row by where its
+    * uniform key falls in the cumulative `fractions` ranges (must sum to
+    * 1). Hash-based, so membership is stable under reprocessing, appends,
+    * and repartitioning — the property a training split needs; adds a
+    * `split` column. Narrow projection, no shuffle.
+    */
+  def hashSplit(df: DataFrame, idCol: String,
+      fractions: Seq[(String, Double)], seed: Long = 42L): DataFrame = {
+    require(fractions.nonEmpty && math.abs(fractions.map(_._2).sum - 1.0) < 1e-9)
+    val u = uniformKey(col(idCol), seed)
+    val cum = fractions.scanLeft(0.0)(_ + _._2).tail
+    val first = when(u < cum.head, fractions.head._1)
+    val label = fractions.tail.zip(cum.tail).dropRight(1)
+      .foldLeft(first) { case (acc, ((name, _), hi)) => acc.when(u < hi, name) }
+      .otherwise(fractions.last._1)
+    df.withColumn("split", label)
+  }
+
   def writeVariants(df: DataFrame, outRoot: String,
       variants: Map[String, Double], seed: Long = 42L,
       filesPerVariant: Int = 32): Unit = {

@@ -142,7 +142,8 @@ final class BucketedStore(val root: String, val nBuckets: Int) {
     Files.writeString(Paths.get(root, "_KEY"), key)
     df.withColumn("__b", bucketCol(key))
       .repartition(nBuckets, col("__b"))
-      .write.mode("overwrite").partitionBy("__b").parquet(s"$root/v0/data")
+      .write.mode("overwrite").option("compression", "zstd")
+        .partitionBy("__b").parquet(s"$root/v0/data")
     // relocate partition dirs to the bucket layout
     val dataDir = Paths.get(root, "v0", "data")
     (0 until nBuckets).foreach { b =>
@@ -270,7 +271,8 @@ final class BucketedStore(val root: String, val nBuckets: Int) {
     // own per-bucket files, so tasks already write ~one bucket each; a
     // shuffle would move every touched vector for no file-count win.
     val dataDir = s"$root/v$next/data"
-    merged.write.mode("overwrite").partitionBy("__b").parquet(dataDir)
+    merged.write.mode("overwrite").option("compression", "zstd")
+      .partitionBy("__b").parquet(dataDir)
     touched.foreach { b =>
       val src = Paths.get(dataDir, s"__b=$b")
       if (Files.exists(src)) Files.move(src, Paths.get(bucketPath(next, b)))

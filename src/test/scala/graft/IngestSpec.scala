@@ -77,6 +77,38 @@ class IngestSpec extends SparkSpec {
     assert(s1.forall(_.startsWith("id_a")))
   }
 
+  test("mixtureSample rates track weights and replay deterministically") {
+    val df = spark.range(10000).toDF("id")
+      .withColumn("src", concat(lit("s"), pmod(col("id"), lit(2))))
+    val kept = Ingest.mixtureSample(df, "id", "src",
+      Map("s0" -> 0.5), default = 0.1)
+    val counts = kept.groupBy("src").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // 5000 rows per stratum; binomial 3σ ≈ 106 (s0), 64 (s1)
+    assert(math.abs(counts("s0") - 2500L) < 150, counts.toString)
+    assert(math.abs(counts("s1") - 500L) < 100, counts.toString)
+    val again = Ingest.mixtureSample(df, "id", "src",
+      Map("s0" -> 0.5), default = 0.1).select("id").collect().map(_.getLong(0)).toSet
+    assert(kept.select("id").collect().map(_.getLong(0)).toSet == again)
+  }
+
+  test("hashSplit covers every row once; membership stable under appends") {
+    val df = spark.range(5000).toDF("id")
+    val splits = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+    val labeled = Ingest.hashSplit(df, "id", splits)
+    val counts = labeled.groupBy("split").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts.values.sum == 5000L)
+    assert(math.abs(counts("train") - 4000L) < 170, counts.toString)
+    // the same ids keep their split when the table doubles (append-stable)
+    val bigger = Ingest.hashSplit(spark.range(10000).toDF("id"), "id", splits)
+    val before = labeled.filter(col("split") === "val")
+      .select("id").collect().map(_.getLong(0)).toSet
+    val after = bigger.filter(col("id") < 5000 && col("split") === "val")
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(before == after)
+  }
+
   test("writeVariants cuts exact round(fraction*stratum) counts") {
     val root = java.nio.file.Files.createTempDirectory("variants2").toString
     Ingest.writeVariants(strataDf, root, Map("v10" -> 0.1), filesPerVariant = 1)

@@ -110,4 +110,31 @@ class PlanAuditSpec extends SparkSpec {
     // the might_contain filter node prints ABOVE (before) the lineitem scan
     assert(scanIdx > filterIdx, plan)
   }
+
+  test("decontamination joins the eval-gram set as a broadcast, never SMJ") {
+    val docs = Tables.documents(spark, dir)
+    val df = graft.operators.TextAnalysis.contaminationShare(
+      docs.filter(col("doc_id") >= 20), docs.filter(col("doc_id") < 20),
+      "text", "doc_id")
+    df.collect() // materialize AQE stages
+    val audit = graft.plans.PlanAudit.audit(df)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(audit.broadcasts >= 1, plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+  }
+
+  test("chunking and the hash samplers are shuffle-free narrow plans") {
+    val docs = Tables.documents(spark, dir)
+    for (df <- Seq(
+        graft.operators.TextAnalysis.chunkDocs(docs, "text", "doc_id", 50, 10),
+        graft.sources.Ingest.mixtureSample(docs, "doc_id", "source",
+          Map("src0" -> 0.5), default = 0.1),
+        graft.sources.Ingest.hashSplit(docs, "doc_id",
+          Seq("train" -> 0.9, "test" -> 0.1)))) {
+      df.collect()
+      val audit = graft.plans.PlanAudit.audit(df)
+      assert(audit.shuffles == 0,
+        df.queryExecution.executedPlan.toString)
+    }
+  }
 }
