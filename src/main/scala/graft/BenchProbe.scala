@@ -110,6 +110,11 @@ object BenchProbe {
         .partitionBy("__cluster").parquet(s"$base/ivf_d")
     }
 
+    t("buildIvf_current_end_to_end") {
+      VectorSearch.buildIvf(products, "embedding", 16, s"$base/ivf_now",
+        sampleFraction = 0.1)
+    }
+
     // --- store init ---
     t("store_init") {
       new graft.streaming.BucketedStore(s"$base/store", nBuckets = 64)

@@ -89,6 +89,32 @@ object TextAnalysis {
       .groupBy(col(idCol))
       .agg((max(col("__c")).cast("double") / sum(col("__c"))).as("top_share"))
 
+  /** Per-document token-distribution Shannon entropy (nats): −Σ p ln p over
+    * the doc's token frequencies — low entropy flags repetitive/boilerplate
+    * text, high entropy flags noise. One explode + two hash aggs, keyed by
+    * doc id (uniform) — scales linearly.
+    */
+  def tokenEntropy(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col(idCol))
+    df.select(col(idCol), explode(words(col(textCol))).as("__t"))
+      .filter(col("__t") =!= "")
+      .groupBy(col(idCol), col("__t")).agg(count(lit(1)).as("__c"))
+      .withColumn("__p", col("__c").cast("double") / sum(col("__c")).over(w))
+      .groupBy(col(idCol))
+      .agg((-sum(col("__p") * log(col("__p")))).as("entropy"))
+  }
+
+  /** Share of word k-gram OCCURRENCES that are repeats of an earlier k-gram
+    * in the same doc (Gopher's "duplicate n-gram fraction" repetition
+    * rule): 1 − distinct/total; docs shorter than k words score 0.
+    */
+  def dupNgramFraction(df: DataFrame, textCol: String, idCol: String,
+      k: Int): DataFrame =
+    shingles(df, textCol, k, idCol)
+      .groupBy(col(idCol))
+      .agg((lit(1.0) - countDistinct(col("s")).cast("double") / count(lit(1)))
+        .as("dup_frac"))
+
   /** Redact personally-identifiable substrings, replacing each match with a
     * typed placeholder: emails → `<EMAIL>`, IPv4 literals → `<IP>`,
     * international-ish phone numbers → `<PHONE>`. Email first so its

@@ -754,6 +754,37 @@ object TextQueries {
         SELECT lang, CASE WHEN u < 0.8 THEN 'train'
             WHEN u < 0.8 + 0.1 THEN 'val' ELSE 'test' END AS split,
           count(*) AS n
-        FROM u GROUP BY lang, split ORDER BY lang, split"""))
+        FROM u GROUP BY lang, split ORDER BY lang, split""")),
+
+    // ---- token-distribution entropy per doc (low = repetitive text) ----
+    QueryDef(
+      "q80_token_entropy",
+      (s, d) => {
+        TA.tokenEntropy(Tables.documents(s, d), "text", "doc_id")
+          .select(col("doc_id"), (round(col("entropy"), 6) + 0.0).as("entropy"))
+          .orderBy(col("doc_id"))
+      },
+      Some(raw"""WITH toks AS (SELECT doc_id,
+          unnest(regexp_split_to_array(trim(text), '\s+')) AS t
+          FROM documents),
+        c AS (SELECT doc_id, t, count(*) AS c FROM toks
+          WHERE t <> '' GROUP BY doc_id, t),
+        p AS (SELECT doc_id,
+          CAST(c AS DOUBLE) / sum(c) OVER (PARTITION BY doc_id) AS p FROM c)
+        SELECT doc_id, round(-sum(p * ln(p)), 6) + 0 AS entropy
+        FROM p GROUP BY doc_id ORDER BY doc_id""")),
+
+    // ---- Gopher duplicate-3-gram fraction per doc ----
+    QueryDef(
+      "q81_dup_ngrams",
+      (s, d) => {
+        TA.dupNgramFraction(Tables.documents(s, d), "text", "doc_id", 3)
+          .select(col("doc_id"), (round(col("dup_frac"), 6) + 0.0).as("dup_frac"))
+          .orderBy(col("doc_id"))
+      },
+      Some(raw"""WITH sh AS (${sqlShingles(3)})
+        SELECT doc_id, round(1.0 -
+            CAST(count(DISTINCT s) AS DOUBLE) / count(*), 6) + 0 AS dup_frac
+        FROM sh GROUP BY doc_id ORDER BY doc_id"""))
   )
 }

@@ -142,6 +142,25 @@ class TextAnalysisSpec extends SparkSpec {
       ("en", 4L) -> 1L, ("de", 1L) -> 0L, ("de", 2L) -> 1L))
   }
 
+  test("tokenEntropy: uniform two-token doc = ln 2; constant doc = 0") {
+    val df = Seq((1L, "a a b b"), (2L, "x x x x")).toDF("doc_id", "text")
+    val got = TextAnalysis.tokenEntropy(df, "text", "doc_id")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(math.abs(got(1L) - math.log(2.0)) < 1e-12)
+    assert(math.abs(got(2L)) < 1e-12)
+  }
+
+  test("dupNgramFraction scores planted repetition, zero for unique text") {
+    val df = Seq(
+      (1L, "a b c a b c a b c"),  // 7 3-grams, 3 distinct → 4/7 dup
+      (2L, "one two three four five"))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.dupNgramFraction(df, "text", "doc_id", 3)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(math.abs(got(1L) - 4.0 / 7.0) < 1e-12)
+    assert(got(2L) == 0.0)
+  }
+
   test("vocabulary ranks by frequency and accumulates share to 1.0") {
     val df = Seq("b b b a a c").toDF("text")
     val rows = TextAnalysis.vocabulary(df, "text")
