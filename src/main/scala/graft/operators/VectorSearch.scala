@@ -70,6 +70,27 @@ object VectorSearch {
       * parquet reader, so the fallback reads only the predicate's row
       * groups, not the whole index.
       */
+    /** Incrementally add vectors to the index — the vector-store upsert
+      * path. New rows are assigned to the FROZEN centroids (same fused
+      * kernel as the build) and appended as cluster-partitioned files;
+      * [[search]] sees them on its next read, and probe order is unchanged
+      * because assignment and probing share the same centroids. No rebuild,
+      * no shuffle, cost ∝ batch size — at 100 TB this is what makes the
+      * index maintainable between periodic re-trains (centroid drift is the
+      * standard IVF maintenance trade; re-train when recall degrades).
+      *
+      * `updates` must carry `vecCol` plus the same payload columns the
+      * index was built with.
+      */
+    def append(updates: DataFrame, vecCol: String): Unit =
+      updates
+        .withColumn("__cluster",
+          graft.functions.nearest_centroid(col(vecCol), centroids))
+        .withColumnRenamed(vecCol, "__vec")
+        .sortWithinPartitions(col("__cluster"))
+        .write.mode("append").option("compression", "zstd")
+        .partitionBy("__cluster").parquet(path)
+
     def search(spark: SparkSession, query: Array[Float], k: Int, nprobe: Int,
         filter: Option[Column] = None, exactFallback: Boolean = true): DataFrame = {
       val clusters = nearestClusters(query, nprobe)

@@ -48,6 +48,22 @@ class VectorSearchSpec extends SparkSpec {
     assert(recall == 1.0, s"recall $recall")
   }
 
+  test("IVF append: new vectors are searchable without a rebuild") {
+    val dir = java.nio.file.Files.createTempDirectory("ivf_app").toString
+    val idx = VectorSearch.buildIvf(clustered, "embedding", 3, dir)
+    val q = Array.fill(8)(5.0f)
+    // a fresh vector aligned with the query at 2x magnitude: dot 400 vs
+    // ~200±20 for existing members — must become the top-1 hit
+    val updates = Seq((999L, 0, Array.fill(8)(10.0f)))
+      .toDF("vec_id", "true_cluster", "embedding")
+    idx.append(updates, "embedding")
+    val top = idx.search(spark, q, 3, nprobe = 1).select("vec_id")
+      .collect().map(_.getLong(0))
+    assert(top.head == 999L, top.toSeq.toString)
+    // original members still present behind it
+    assert(top.tail.nonEmpty)
+  }
+
   test("topKCosine ranks by angle, not magnitude") {
     // a short vector perfectly aligned with q must beat a long misaligned one
     val df = Seq(
