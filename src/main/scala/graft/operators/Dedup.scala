@@ -201,14 +201,20 @@ object Dedup {
   /** Incremental dedup: drop `batch` docs that exactly- or near-duplicate
     * any `corpus` doc — the "dedup the incoming crawl against existing
     * data" primitive. Ids must be globally unique across the two frames.
-    * Batch-internal near-dups are dropped too (keep-lowest-id, matching
+    * Batch-internal duplicates are dropped too (keep-lowest-id, matching
     * [[dropNearDuplicates]]); the corpus is never modified.
+    *
+    * Exact duplicates are caught by a dedicated md5 pass, not just the
+    * MinHash path: docs shorter than `k` words have no shingles and would
+    * sail through the banded join even when byte-identical (titles and
+    * one-liners are common in crawl batches).
     *
     * Scale shape: identical to [[nearDuplicatePairs]] over the union —
     * signatures are per-doc (no cross-frame work until the banded
     * equi-join), so the corpus side can be a pre-computed signature store
     * in a real pipeline; classification of pair orientation is two
-    * semi-joins against the corpus id set.
+    * semi-joins against the corpus id set, and the exact pass is one
+    * hash-groupBy + semi-join on uniform md5 keys.
     */
   def dropDuplicatesAgainst(
       batch: DataFrame, corpus: DataFrame, textCol: String, idCol: String,
@@ -228,7 +234,18 @@ object Dedup {
       .join(corpus1, Seq("id1"), "left_anti")
       .join(corpus2, Seq("id2"), "left_anti")
       .select(col("id2").as(idCol))
-    val losers = losesToCorpus.union(batchInternal).distinct()
+    val batchFp = batch.select(col(idCol), md5(col(textCol)).as("__fp"))
+    val exactToCorpus = batchFp
+      .join(corpus.select(md5(col(textCol)).as("__fp")).distinct(),
+        Seq("__fp"), "left_semi")
+      .select(col(idCol))
+    val exactInternal = batchFp
+      .join(batchFp.groupBy(col("__fp")).agg(min(col(idCol)).as("__keep")),
+        "__fp")
+      .filter(col(idCol) > col("__keep"))
+      .select(col(idCol))
+    val losers = losesToCorpus.union(batchInternal)
+      .union(exactToCorpus).union(exactInternal).distinct()
     batch.join(losers, Seq(idCol), "left_anti")
   }
 

@@ -94,19 +94,23 @@ object TextAnalysis {
     * text, high entropy flags noise. One explode + two hash aggs, keyed by
     * doc id (uniform) — scales linearly.
     */
-  def tokenEntropy(df: DataFrame, textCol: String, idCol: String): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window.partitionBy(col(idCol))
+  def tokenEntropy(df: DataFrame, textCol: String, idCol: String): DataFrame =
+    // H = ln N − (Σ c·ln c)/N: same entropy as the −Σ p ln p form but
+    // computable in the SAME per-doc aggregation as the token counts — no
+    // per-doc window (which would add an exchange + sort) anywhere
     df.select(col(idCol), explode(words(col(textCol))).as("__t"))
       .filter(col("__t") =!= "")
       .groupBy(col(idCol), col("__t")).agg(count(lit(1)).as("__c"))
-      .withColumn("__p", col("__c").cast("double") / sum(col("__c")).over(w))
       .groupBy(col(idCol))
-      .agg((-sum(col("__p") * log(col("__p")))).as("entropy"))
-  }
+      .agg((log(sum(col("__c")).cast("double")) -
+        sum(col("__c").cast("double") * log(col("__c").cast("double"))) /
+          sum(col("__c")).cast("double")).as("entropy"))
 
   /** Share of word k-gram OCCURRENCES that are repeats of an earlier k-gram
     * in the same doc (Gopher's "duplicate n-gram fraction" repetition
-    * rule): 1 − distinct/total; docs shorter than k words score 0.
+    * rule): 1 − distinct/total. Docs shorter than k words emit NO row
+    * (they have no k-grams to judge); left-join and coalesce to 0 if every
+    * doc needs a score.
     */
   def dupNgramFraction(df: DataFrame, textCol: String, idCol: String,
       k: Int): DataFrame =
@@ -135,13 +139,19 @@ object TextAnalysis {
   val ipv4Re = "\\b(\\d{1,3}\\.){3}\\d{1,3}\\b"
   val phoneRe = "\\+\\d[\\d\\- ]{7,}\\d"
 
-  /** Per-doc counts of each PII kind (same patterns as [[redactPii]]). */
-  def piiCounts(text: Column): Seq[(String, Column)] = Seq(
-    "n_emails" -> regexp_count(text, lit(emailRe)).cast("long"),
-    "n_ips" -> regexp_count(text, lit(ipv4Re)).cast("long"),
-    "n_phones" -> regexp_count(
-      regexp_replace(regexp_replace(text, emailRe, "<EMAIL>"), ipv4Re, "<IP>"),
-      lit(phoneRe)).cast("long"))
+  /** Per-doc counts of each PII kind, matching what [[redactPii]] actually
+    * replaces: each count runs on the text AFTER the earlier passes, so a
+    * dotted quad inside an email (consumed by `<EMAIL>`) is not also
+    * counted as an IP, and email/IP digits are never counted as phones.
+    */
+  def piiCounts(text: Column): Seq[(String, Column)] = {
+    val afterEmail = regexp_replace(text, emailRe, "<EMAIL>")
+    val afterIp = regexp_replace(afterEmail, ipv4Re, "<IP>")
+    Seq(
+      "n_emails" -> regexp_count(text, lit(emailRe)).cast("long"),
+      "n_ips" -> regexp_count(afterEmail, lit(ipv4Re)).cast("long"),
+      "n_phones" -> regexp_count(afterIp, lit(phoneRe)).cast("long"))
+  }
 
   /** Benchmark decontamination: for each doc in `df`, the share of its
     * DISTINCT word k-grams that also occur anywhere in `evalSet` — the
@@ -197,7 +207,10 @@ object TextAnalysis {
   /** Split each document into fixed-size token windows with overlap — the
     * "chunk long documents to the model's context length" preprocessing
     * step. Chunks start every `chunkTokens - overlap` tokens; the last
-    * chunk may be short. Empty docs emit nothing.
+    * chunk may be short but always extends past the previous chunk's
+    * overlap (a start is generated only while `start + overlap < n`, so no
+    * chunk is fully contained in its predecessor — a contained tail would
+    * inject pure duplicate text into the corpus). Empty docs emit nothing.
     *
     * Output: idCol, `chunk_id` (0-based, in-doc), `n_tokens`, `chunk`
     * (the re-joined window text). One generator projection, no shuffle —
@@ -210,7 +223,7 @@ object TextAnalysis {
     df.select(col(idCol), words(col(textCol)).as("w"))
       .filter(size(col("w")) > 0 && col("w")(0) =!= "")
       .select(col(idCol), posexplode(expr(
-        s"transform(sequence(0, size(w) - 1, $step), i -> slice(w, i + 1, $chunkTokens))")))
+        s"transform(sequence(0, greatest(size(w) - 1 - $overlap, 0), $step), i -> slice(w, i + 1, $chunkTokens))")))
       .select(col(idCol), col("pos").cast("long").as("chunk_id"),
         size(col("col")).cast("long").as("n_tokens"),
         array_join(col("col"), " ").as("chunk"))

@@ -70,6 +70,19 @@ object VectorSearch {
       * parquet reader, so the fallback reads only the predicate's row
       * groups, not the whole index.
       */
+    def search(spark: SparkSession, query: Array[Float], k: Int, nprobe: Int,
+        filter: Option[Column] = None, exactFallback: Boolean = true): DataFrame = {
+      val clusters = nearestClusters(query, nprobe)
+      val pruned = spark.read.parquet(path).filter(col("__cluster").isin(clusters: _*))
+      val probeDf =
+        if (filter.isDefined && exactFallback && nprobe < centroids.length) {
+          val candidates = filter.map(pruned.filter).getOrElse(pruned)
+            .select(lit(1)).limit(k).count()
+          if (candidates < k) spark.read.parquet(path) else pruned
+        } else pruned
+      topK(probeDf, "__vec", query, k, filter).drop("__cluster", "__vec")
+    }
+
     /** Incrementally add vectors to the index — the vector-store upsert
       * path. New rows are assigned to the FROZEN centroids (same fused
       * kernel as the build) and appended as cluster-partitioned files;
@@ -90,19 +103,6 @@ object VectorSearch {
         .sortWithinPartitions(col("__cluster"))
         .write.mode("append").option("compression", "zstd")
         .partitionBy("__cluster").parquet(path)
-
-    def search(spark: SparkSession, query: Array[Float], k: Int, nprobe: Int,
-        filter: Option[Column] = None, exactFallback: Boolean = true): DataFrame = {
-      val clusters = nearestClusters(query, nprobe)
-      val pruned = spark.read.parquet(path).filter(col("__cluster").isin(clusters: _*))
-      val probeDf =
-        if (filter.isDefined && exactFallback && nprobe < centroids.length) {
-          val candidates = filter.map(pruned.filter).getOrElse(pruned)
-            .select(lit(1)).limit(k).count()
-          if (candidates < k) spark.read.parquet(path) else pruned
-        } else pruned
-      topK(probeDf, "__vec", query, k, filter).drop("__cluster", "__vec")
-    }
   }
 
   private def dotLocal(a: Array[Float], b: Array[Float]): Double = {
@@ -119,14 +119,15 @@ object VectorSearch {
     * quality needs far less than the corpus — each KMeans iteration is a
     * full scan of its training set, so an unbounded fit would dominate the
     * build); assignment is one narrow pass (model broadcast). The write
-    * sorts each task by cluster id (`coalesceByCluster`, default) so
-    * `partitionBy` streams one sequential file per cluster per task — the
-    * vectors never shuffle; pass `coalesceByCluster = false` to skip even
-    * the in-task sort when the producing job is already cluster-ordered.
+    * sorts each task by cluster id so `partitionBy` streams one sequential
+    * file per cluster per task — the vectors never shuffle. (Spark's
+    * planned-write rule would inject an equivalent per-task sort for any
+    * dynamic-partition write; sorting explicitly makes the layout a
+    * contract of the operator rather than an optimizer default.)
     */
   def buildIvf(df: DataFrame, vecCol: String, numClusters: Int, path: String,
       sampleFraction: Double = Double.NaN, seed: Long = 42L,
-      maxTrainVectors: Long = 1000000L, coalesceByCluster: Boolean = true): IvfIndex = {
+      maxTrainVectors: Long = 1000000L): IvfIndex = {
     val fraction =
       if (!sampleFraction.isNaN) sampleFraction
       else {
@@ -177,10 +178,8 @@ object VectorSearch {
     // avoids is exactly the kind that dies first at 100 TB. zstd on the
     // index: vector payloads are write-once/probe-few, so smaller files
     // beat snappy's cheaper decode — measured ~25% faster to write.
-    val laidOut =
-      if (coalesceByCluster) assigned.sortWithinPartitions(col("__cluster"))
-      else assigned
-    laidOut.write.mode("overwrite").option("compression", "zstd")
+    assigned.sortWithinPartitions(col("__cluster"))
+      .write.mode("overwrite").option("compression", "zstd")
       .partitionBy("__cluster").parquet(path)
     IvfIndex(path, centroids)
   }

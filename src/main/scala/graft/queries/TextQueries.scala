@@ -505,10 +505,16 @@ object TextQueries {
           FROM inter i JOIN cnt n1 ON n1.doc_id = i.id1
           JOIN cnt n2 ON n2.doc_id = i.id2
           WHERE CAST(i.c AS DOUBLE) / (n1.n + n2.n - i.c) >= 0.5),
+        fp AS (SELECT doc_id, md5(text) AS f FROM documents),
         losers AS (
           SELECT id2 AS id FROM pairs WHERE id1 % 2 = 0 AND id2 % 2 = 1
           UNION SELECT id1 FROM pairs WHERE id2 % 2 = 0 AND id1 % 2 = 1
-          UNION SELECT id2 FROM pairs WHERE id1 % 2 = 1 AND id2 % 2 = 1)
+          UNION SELECT id2 FROM pairs WHERE id1 % 2 = 1 AND id2 % 2 = 1
+          UNION SELECT b.doc_id FROM fp b WHERE b.doc_id % 2 = 1
+            AND b.f IN (SELECT f FROM fp WHERE doc_id % 2 = 0)
+          UNION SELECT b.doc_id FROM fp b JOIN fp a
+            ON a.f = b.f AND a.doc_id < b.doc_id AND a.doc_id % 2 = 1
+            WHERE b.doc_id % 2 = 1)
         SELECT doc_id, lang FROM documents
         WHERE doc_id % 2 = 1 AND doc_id NOT IN (SELECT id FROM losers)
         ORDER BY doc_id""")),
@@ -634,8 +640,10 @@ object TextQueries {
           CAST(len(regexp_extract_all(t,
             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT)
             AS n_emails,
-          CAST(len(regexp_extract_all(t, '\b(\d{1,3}\.){3}\d{1,3}\b'))
-            AS BIGINT) AS n_ips,
+          CAST(len(regexp_extract_all(
+            regexp_replace(t,
+              '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+            '\b(\d{1,3}\.){3}\d{1,3}\b')) AS BIGINT) AS n_ips,
           CAST(len(regexp_extract_all(
             regexp_replace(regexp_replace(t,
               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
@@ -683,7 +691,8 @@ object TextQueries {
       },
       Some(raw"""WITH d AS (SELECT doc_id,
           regexp_split_to_array(trim(text), '\s+') AS w FROM documents),
-        st AS (SELECT doc_id, w, unnest(generate_series(1, len(w), 40)) AS s
+        st AS (SELECT doc_id, w,
+          unnest(generate_series(1, greatest(len(w) - 10, 1), 40)) AS s
           FROM d WHERE len(w) > 0 AND w[1] <> ''),
         ch AS (SELECT doc_id, (s - 1) // 40 AS chunk_id, w[s : s + 49] AS c
           FROM st)
@@ -768,11 +777,11 @@ object TextQueries {
           unnest(regexp_split_to_array(trim(text), '\s+')) AS t
           FROM documents),
         c AS (SELECT doc_id, t, count(*) AS c FROM toks
-          WHERE t <> '' GROUP BY doc_id, t),
-        p AS (SELECT doc_id,
-          CAST(c AS DOUBLE) / sum(c) OVER (PARTITION BY doc_id) AS p FROM c)
-        SELECT doc_id, round(-sum(p * ln(p)), 6) + 0 AS entropy
-        FROM p GROUP BY doc_id ORDER BY doc_id""")),
+          WHERE t <> '' GROUP BY doc_id, t)
+        SELECT doc_id, round(ln(CAST(sum(c) AS DOUBLE)) -
+            sum(CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE))) /
+            CAST(sum(c) AS DOUBLE), 6) + 0 AS entropy
+        FROM c GROUP BY doc_id ORDER BY doc_id""")),
 
     // ---- Gopher duplicate-3-gram fraction per doc ----
     QueryDef(

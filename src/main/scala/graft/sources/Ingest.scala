@@ -141,6 +141,19 @@ object Ingest {
     * SURVEY §2.10): each variant keeps `round(fraction · stratum size)`
     * rows per `source_dataset`, and writes one parquet dataset per variant.
     */
+  def writeVariants(df: DataFrame, outRoot: String,
+      variants: Map[String, Double], seed: Long = 42L,
+      filesPerVariant: Int = 32): Unit = {
+    val sizes = df.groupBy(col("source_dataset")).count()
+      .collect().filter(!_.isNullAt(0)).map(r => r.getString(0) -> r.getLong(1)).toMap
+    variants.foreach { case (name, fraction) =>
+      val quotas = sizes.map { case (s, n) => s -> math.round(fraction * n) }
+      exactQuotaSample(df, "source_dataset", quotas, seed)
+        .repartition(filesPerVariant)
+        .write.mode("overwrite").parquet(s"$outRoot/$name")
+    }
+  }
+
   /** Cross-engine uniform key in [0,1): the top 52 bits of md5(id:seed),
     * scaled by 2^-52. 52 bits keeps the integer exactly representable in a
     * double, so Spark and any SQL oracle computing the same expression get
@@ -183,18 +196,5 @@ object Ingest {
       .foldLeft(first) { case (acc, ((name, _), hi)) => acc.when(u < hi, name) }
       .otherwise(fractions.last._1)
     df.withColumn("split", label)
-  }
-
-  def writeVariants(df: DataFrame, outRoot: String,
-      variants: Map[String, Double], seed: Long = 42L,
-      filesPerVariant: Int = 32): Unit = {
-    val sizes = df.groupBy(col("source_dataset")).count()
-      .collect().filter(!_.isNullAt(0)).map(r => r.getString(0) -> r.getLong(1)).toMap
-    variants.foreach { case (name, fraction) =>
-      val quotas = sizes.map { case (s, n) => s -> math.round(fraction * n) }
-      exactQuotaSample(df, "source_dataset", quotas, seed)
-        .repartition(filesPerVariant)
-        .write.mode("overwrite").parquet(s"$outRoot/$name")
-    }
   }
 }

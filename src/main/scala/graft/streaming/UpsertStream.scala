@@ -435,6 +435,18 @@ object EventPipeline {
     * Inputs must carry (`key`, `ts`, payload); left columns come out
     * prefixed `l_`, right columns `r_`.
     */
+  def intervalJoin(left: DataFrame, right: DataFrame, key: String,
+      window: String, watermark: String = "1 hour"): DataFrame = {
+    val l = left.columns.foldLeft(left)((d, c) => d.withColumnRenamed(c, s"l_$c"))
+      .withWatermark(s"l_ts", watermark)
+    val r = right.columns.foldLeft(right)((d, c) => d.withColumnRenamed(c, s"r_$c"))
+      .withWatermark(s"r_ts", watermark)
+    l.join(r,
+      col(s"l_$key") === col(s"r_$key") &&
+        col("r_ts") >= col("l_ts") &&
+        col("r_ts") <= col("l_ts") + expr(s"INTERVAL $window"))
+  }
+
   /** Streaming exact dedup — the streaming dual of q30/q31: emit each doc
     * whose normalized-text fingerprint ([[graft.operators.TextAnalysis
     * .fingerprint]]: lowercase, collapsed whitespace, md5) has not been
@@ -455,18 +467,6 @@ object EventPipeline {
       .withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark("__fp")
       .drop("__fp")
-
-  def intervalJoin(left: DataFrame, right: DataFrame, key: String,
-      window: String, watermark: String = "1 hour"): DataFrame = {
-    val l = left.columns.foldLeft(left)((d, c) => d.withColumnRenamed(c, s"l_$c"))
-      .withWatermark(s"l_ts", watermark)
-    val r = right.columns.foldLeft(right)((d, c) => d.withColumnRenamed(c, s"r_$c"))
-      .withWatermark(s"r_ts", watermark)
-    l.join(r,
-      col(s"l_$key") === col(s"r_$key") &&
-        col("r_ts") >= col("l_ts") &&
-        col("r_ts") <= col("l_ts") + expr(s"INTERVAL $window"))
-  }
 }
 
 /** Custom per-key streaming state via `flatMapGroupsWithState` — the shape

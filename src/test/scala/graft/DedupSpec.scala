@@ -111,6 +111,19 @@ class DedupSpec extends SparkSpec {
     assert(kept == Seq(3L, 7L))
   }
 
+  test("dropDuplicatesAgainst catches exact dups too short for shingles") {
+    val corpus = Seq((0L, "hello world")).toDF("doc_id", "text")
+    val batch = Seq(
+      (1L, "hello world"),   // exact dup of corpus, only 2 words (< k=3)
+      (3L, "short text"),
+      (5L, "short text"),    // exact dup of batch 3
+      (7L, "fresh one"))
+      .toDF("doc_id", "text")
+    val kept = Dedup.dropDuplicatesAgainst(batch, corpus, "text", "doc_id")
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(kept == Seq(3L, 7L))
+  }
+
   test("connected components labels transitive clusters by min id") {
     // two chains and an isolated pair: {1,2,3,4} via 1-2,2-3,3-4; {10,11};
     // node 20 appears only as a dst

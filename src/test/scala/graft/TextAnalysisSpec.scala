@@ -120,14 +120,28 @@ class TextAnalysisSpec extends SparkSpec {
     assert(got(10L) == 1L && got(11L) == 0L)
   }
 
-  test("chunkDocs windows with overlap; short tail; empty doc drops") {
+  test("chunkDocs windows with overlap; no contained tail; empty doc drops") {
     val df = Seq((1L, "a b c d e f g"), (2L, ""), (3L, "x y")).toDF("doc_id", "text")
     val rows = TextAnalysis.chunkDocs(df, "text", "doc_id", chunkTokens = 4, overlap = 1)
       .orderBy("doc_id", "chunk_id")
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(3)))
-    // doc 1: starts 0,3,6 → "a b c d", "d e f g", "g"; doc 3: "x y"
+    // doc 1: starts 0,3 — a start at 6 would yield "g", fully contained in
+    // "d e f g", so it must not be generated; doc 3: one short chunk
     assert(rows.toSeq == Seq(
-      (1L, 0L, "a b c d"), (1L, 1L, "d e f g"), (1L, 2L, "g"), (3L, 0L, "x y")))
+      (1L, 0L, "a b c d"), (1L, 1L, "d e f g"), (3L, 0L, "x y")))
+    // an 8th token makes the tail chunk legitimate again
+    val more = TextAnalysis.chunkDocs(
+        Seq((9L, "a b c d e f g h")).toDF("doc_id", "text"),
+        "text", "doc_id", chunkTokens = 4, overlap = 1)
+      .orderBy("chunk_id").collect().map(_.getString(3))
+    assert(more.toSeq == Seq("a b c d", "d e f g", "g h"))
+  }
+
+  test("piiCounts: IP inside an email is consumed by <EMAIL>, not counted") {
+    val df = Seq("x@1.2.3.4.net and 10.0.0.7").toDF("text")
+    val counts = TextAnalysis.piiCounts($"text").map { case (n, c) => c.as(n) }
+    val r = df.select(counts: _*).head()
+    assert(r.getLong(0) == 1L && r.getLong(1) == 1L && r.getLong(2) == 0L)
   }
 
   test("packByBudget assigns docs to bins by running token offset per group") {
