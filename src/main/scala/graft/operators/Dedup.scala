@@ -198,6 +198,34 @@ object Dedup {
       .filter(col("cosine") >= threshold)
   }
 
+  /** SemDeDup-style semantic dedup over an embedding column: assign every
+    * row to its nearest centroid (KMeans centroids from an IVF build, or
+    * any coarse quantizer), compare pairs WITHIN a cluster by cosine, and
+    * drop all but the lowest-id member of each near-identical pair
+    * (cosine ≥ threshold).
+    *
+    * Scale shape: the only join is an equi-join on cluster id, so the
+    * pairwise work is Σ (cluster size)² — bounded by the quantizer's
+    * granularity, never corpus² — and the fused [[graft.functions
+    * .nearest_centroid]] assignment is one narrow codegen pass. This is
+    * the embedding-space complement of [[dropNearDuplicates]] (MinHash on
+    * text) and [[embeddingNearDupPairs]] (sign-LSH buckets): centroids
+    * adapt to the data's actual density, so buckets stay balanced on real
+    * (non-uniform) embedding distributions where fixed sign-planes skew.
+    */
+  def semanticDedup(df: DataFrame, vecCol: String, idCol: String,
+      centroids: Array[Array[Float]], threshold: Double = 0.95): DataFrame = {
+    val keyed = df.withColumn("__c",
+      graft.functions.nearest_centroid(col(vecCol), centroids))
+    val a = keyed.select(col("__c"), col(idCol).as("id1"), col(vecCol).as("__v1"))
+    val b = keyed.select(col("__c").as("__c2"), col(idCol).as("id2"),
+      col(vecCol).as("__v2"))
+    val losers = a.join(b, col("__c") === col("__c2") && col("id1") < col("id2"))
+      .filter(vec_cos(col("__v1"), col("__v2")) >= threshold)
+      .select(col("id2").as(idCol)).distinct()
+    df.join(losers, Seq(idCol), "left_anti")
+  }
+
   /** Incremental dedup: drop `batch` docs that exactly- or near-duplicate
     * any `corpus` doc — the "dedup the incoming crawl against existing
     * data" primitive. Ids must be globally unique across the two frames.

@@ -338,6 +338,37 @@ object VectorQueries {
           FROM s1 s CROSS JOIN qv q
           ORDER BY ex DESC, s.vec_id LIMIT 20)
         SELECT vec_id, round(ex, 4) + 0 AS score FROM s2
-        ORDER BY score DESC, vec_id"""))
+        ORDER BY score DESC, vec_id""")),
+
+    // ---- SemDeDup: nearest-centroid clusters (centroids = vectors 0–7,
+    //      deterministic so the oracle replays them), within-cluster
+    //      cosine ≥ 0.99 → keep lowest id (Dedup.semanticDedup) ----
+    QueryDef(
+      "q82_semantic_dedup",
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        val cents = emb.filter(col("vec_id") < 8).orderBy(col("vec_id"))
+          .select(col("embedding")).collect().map(_.getSeq[Float](0).toArray)
+        graft.operators.Dedup.semanticDedup(
+            emb.select(col("vec_id"), col("embedding")),
+            "embedding", "vec_id", cents, threshold = 0.99)
+          .select(col("vec_id")).orderBy(col("vec_id"))
+      },
+      Some(s"""WITH c AS (SELECT vec_id AS cid, embedding AS cv,
+          ${sqlNormSq("embedding")} AS c2
+          FROM embeddings WHERE vec_id < 8),
+        dist AS (SELECT e.vec_id, e.embedding, c.cid,
+          c.c2 - 2 * ${sqlDot("e.embedding", "c.cv")} AS d
+          FROM embeddings e CROSS JOIN c),
+        asg AS (SELECT vec_id, embedding, cid FROM (
+          SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d, cid)
+            AS rn FROM dist) t WHERE rn = 1),
+        losers AS (SELECT DISTINCT b.vec_id AS id FROM asg a JOIN asg b
+          ON a.cid = b.cid AND a.vec_id < b.vec_id
+          WHERE ${sqlDot("a.embedding", "b.embedding")} /
+            (sqrt(${sqlNormSq("a.embedding")}) *
+             sqrt(${sqlNormSq("b.embedding")})) >= 0.99)
+        SELECT vec_id FROM embeddings
+        WHERE vec_id NOT IN (SELECT id FROM losers) ORDER BY vec_id"""))
   )
 }

@@ -124,6 +124,22 @@ class DedupSpec extends SparkSpec {
     assert(kept == Seq(3L, 7L))
   }
 
+  test("semanticDedup drops near-identical vectors within a cluster only") {
+    val c0 = Array.fill(4)(1.0f)
+    val c1 = Array.fill(4)(-1.0f)
+    val df = Seq(
+      (1L, Array(1.0f, 1.0f, 1.0f, 1.0f)),
+      (2L, Array(1.01f, 1.0f, 1.0f, 0.99f)),   // ~cosine 1 with id 1 → drop
+      (3L, Array(1.0f, 1.0f, -0.8f, -0.8f)),   // same cluster, low cosine → keep
+      (4L, Array(-1.0f, -1.0f, -1.0f, -1.0f)), // other cluster: identical
+      (5L, Array(-1.0f, -1.0f, -1.0f, -1.0f))) //   direction to 4 → drop
+      .toDF("vec_id", "embedding")
+    val kept = Dedup.semanticDedup(df, "embedding", "vec_id",
+        Array(c0, c1), threshold = 0.99)
+      .select("vec_id").as[Long].collect().sorted.toSeq
+    assert(kept == Seq(1L, 3L, 4L))
+  }
+
   test("connected components labels transitive clusters by min id") {
     // two chains and an isolated pair: {1,2,3,4} via 1-2,2-3,3-4; {10,11};
     // node 20 appears only as a dst
