@@ -77,6 +77,14 @@ final class BucketedStore(val root: String, val nBuckets: Int) {
   private def bucketCol(key: String) =
     pmod(xxhash64(col(key)), lit(nBuckets.toLong)).cast("int")
 
+  /** The store's bucket assignment for `key`, public so a PRODUCING job can
+    * pre-partition its output by it and initialize with
+    * `preBucketed = true` — at 100 TB the bucket layout belongs in the job
+    * that already shuffles the data (or writes it bucketed), not in a
+    * second full shuffle at store init.
+    */
+  def bucketExpr(key: String): org.apache.spark.sql.Column = bucketCol(key)
+
   def currentVersion: Option[Int] =
     if (Files.exists(pointer)) Some(Files.readString(pointer).trim.toInt) else None
 
@@ -137,11 +145,17 @@ final class BucketedStore(val root: String, val nBuckets: Int) {
     * tasks × buckets small files (the difference between 64 and ~2000 files
     * here, and between 10⁴ and 10⁷ files at cluster scale).
     */
-  def initialize(df: DataFrame, key: String): Unit = {
+  def initialize(df: DataFrame, key: String, preBucketed: Boolean = false): Unit = {
     require(currentVersion.isEmpty, s"$root already initialized")
     Files.writeString(Paths.get(root, "_KEY"), key)
-    df.withColumn("__b", bucketCol(key))
-      .repartition(nBuckets, col("__b"))
+    val withB = df.withColumn("__b", bucketCol(key))
+    // preBucketed: the caller already co-located rows by bucketExpr(key)
+    // (e.g. the producing job's last shuffle) — sort within tasks instead
+    // of re-shuffling the payload; files per bucket = tasks that hold it
+    val laidOut =
+      if (preBucketed) withB.sortWithinPartitions(col("__b"))
+      else withB.repartition(nBuckets, col("__b"))
+    laidOut
       .write.mode("overwrite").option("compression", "zstd")
         .partitionBy("__b").parquet(s"$root/v0/data")
     // relocate partition dirs to the bucket layout

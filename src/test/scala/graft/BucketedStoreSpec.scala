@@ -15,6 +15,19 @@ class BucketedStoreSpec extends SparkSpec {
     assert(store.read(spark).count() == 100)
   }
 
+  test("preBucketed initialize skips the shuffle and round-trips; upserts still land") {
+    val root = java.nio.file.Files.createTempDirectory("bstore_pb").toString
+    val store = new BucketedStore(root, nBuckets = 4)
+    val df = (0L until 100L).map(i => (i, s"v$i")).toDF("k", "v")
+    // the producing job co-locates rows by the store's own bucket expr
+    val preLaid = df.repartition(4, store.bucketExpr("k"))
+    store.initialize(preLaid, "k", preBucketed = true)
+    assert(store.read(spark).count() == 100)
+    store.upsert(Seq((5L, "updated")).toDF("k", "v"), "k")
+    val m = store.read(spark).collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(m(5L) == "updated" && m(6L) == "v6" && m.size == 100)
+  }
+
   test("upsert rewrites only touched buckets and preserves the rest") {
     val root = java.nio.file.Files.createTempDirectory("bstore2").toString
     val store = new BucketedStore(root, nBuckets = 8)

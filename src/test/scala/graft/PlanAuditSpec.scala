@@ -123,6 +123,17 @@ class PlanAuditSpec extends SparkSpec {
     assert(!plan.contains("SortMergeJoin"), plan)
   }
 
+  test("semanticDedup pairs via a hash equi-join on cluster id, never cartesian") {
+    val emb = Tables.embeddings(spark, dir)
+    val cents = emb.filter(col("vec_id") < 4).orderBy(col("vec_id"))
+      .select(col("embedding")).collect().map(_.getSeq[Float](0).toArray)
+    val df = graft.operators.Dedup.semanticDedup(
+      emb.select(col("vec_id"), col("embedding")), "embedding", "vec_id", cents)
+    val plan = planOf(df)
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
   test("chunking and the hash samplers are shuffle-free narrow plans") {
     val docs = Tables.documents(spark, dir)
     for (df <- Seq(
