@@ -57,6 +57,15 @@ object VectorSearch {
         .map { case (c, i) => (i, dotLocal(c, query)) }
         .sortBy(-_._2).take(nprobe).map(_._1).toSeq
 
+    // One relation per session, reused across searches: a fresh
+    // `spark.read.parquet` re-lists the whole index directory tree
+    // (clusters × tasks files) on EVERY query — at interactive query rates
+    // the listing dominates the probe. Invalidated by [[append]].
+    @transient private lazy val dfCache =
+      scala.collection.concurrent.TrieMap.empty[SparkSession, DataFrame]
+    private def indexDf(spark: SparkSession): DataFrame =
+      dfCache.getOrElseUpdate(spark, spark.read.parquet(path))
+
     /** Approximate filtered top-k probing `nprobe` clusters. Partition
       * pruning limits the scan to those cluster directories.
       *
@@ -73,12 +82,12 @@ object VectorSearch {
     def search(spark: SparkSession, query: Array[Float], k: Int, nprobe: Int,
         filter: Option[Column] = None, exactFallback: Boolean = true): DataFrame = {
       val clusters = nearestClusters(query, nprobe)
-      val pruned = spark.read.parquet(path).filter(col("__cluster").isin(clusters: _*))
+      val pruned = indexDf(spark).filter(col("__cluster").isin(clusters: _*))
       val probeDf =
         if (filter.isDefined && exactFallback && nprobe < centroids.length) {
           val candidates = filter.map(pruned.filter).getOrElse(pruned)
             .select(lit(1)).limit(k).count()
-          if (candidates < k) spark.read.parquet(path) else pruned
+          if (candidates < k) indexDf(spark) else pruned
         } else pruned
       topK(probeDf, "__vec", query, k, filter).drop("__cluster", "__vec")
     }
@@ -95,7 +104,7 @@ object VectorSearch {
       * `updates` must carry `vecCol` plus the same payload columns the
       * index was built with.
       */
-    def append(updates: DataFrame, vecCol: String): Unit =
+    def append(updates: DataFrame, vecCol: String): Unit = {
       updates
         .withColumn("__cluster",
           graft.functions.nearest_centroid(col(vecCol), centroids))
@@ -103,6 +112,8 @@ object VectorSearch {
         .sortWithinPartitions(col("__cluster"))
         .write.mode("append").option("compression", "zstd")
         .partitionBy("__cluster").parquet(path)
+      dfCache.clear() // cached relations pin the old file list
+    }
   }
 
   private def dotLocal(a: Array[Float], b: Array[Float]): Double = {
