@@ -175,6 +175,56 @@ class TextAnalysisSpec extends SparkSpec {
     assert(got(2L) == 0.0)
   }
 
+  test("chunkDocs properties: zero-overlap chunks reconstruct the doc; overlap prefixes match") {
+    val texts = Seq.tabulate(20)(i =>
+      (i.toLong, Seq.tabulate(3 + i * 7 % 90)(j => s"w${i}_$j").mkString(" ")))
+    val df = texts.toDF("doc_id", "text")
+    // overlap 0: concatenation of chunks == original token stream
+    val rebuilt = TextAnalysis.chunkDocs(df, "text", "doc_id", 16, 0)
+      .orderBy("doc_id", "chunk_id")
+      .collect().groupBy(_.getLong(0))
+      .map { case (id, rows) =>
+        id -> rows.sortBy(_.getLong(1)).map(_.getString(3)).mkString(" ") }
+    texts.foreach { case (id, t) => assert(rebuilt(id) == t, s"doc $id") }
+    // overlap 5: each chunk's first 5 tokens = previous chunk's last 5
+    val withOv = TextAnalysis.chunkDocs(df, "text", "doc_id", 16, 5)
+      .orderBy("doc_id", "chunk_id").collect()
+      .groupBy(_.getLong(0)).values
+    withOv.foreach { rows =>
+      rows.sortBy(_.getLong(1)).sliding(2).foreach {
+        case Array(a, b) =>
+          val prev = a.getString(3).split(" ")
+          val cur = b.getString(3).split(" ")
+          // a chunk with a successor is always full (16 tokens), so its
+          // last 5 tokens are exactly slice(11, 16)
+          assert(cur.take(5).sameElements(prev.slice(11, 16)),
+            s"overlap mismatch: ${prev.mkString(",")} -> ${cur.mkString(",")}")
+        case _ => ()
+      }
+    }
+  }
+
+  test("packByBudget properties: bins non-decreasing, full bins stay under budget + one doc") {
+    val docs = Seq.tabulate(200)(i =>
+      ("g" + (i % 3), i.toLong, 50L + (i * 37 % 400)))
+    val df = docs.toDF("grp", "doc_id", "n_tokens")
+    val rows = TextAnalysis.packByBudget(df, "n_tokens", "doc_id", "grp", 1000L)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    rows.groupBy(_._1).values.foreach { grp =>
+      val ordered = grp.sortBy(_._2)
+      // bins never decrease along doc order
+      assert(ordered.sliding(2).forall {
+        case Array(a, b) => b._4 >= a._4
+        case _ => true
+      })
+      // each bin's token total < budget + its largest doc (greedy bound)
+      ordered.groupBy(_._4).values.foreach { bin =>
+        val tot = bin.map(_._3).sum
+        assert(tot < 1000L + bin.map(_._3).max, s"bin overflow: $tot")
+      }
+    }
+  }
+
   test("vocabulary ranks by frequency and accumulates share to 1.0") {
     val df = Seq("b b b a a c").toDF("text")
     val rows = TextAnalysis.vocabulary(df, "text")
