@@ -19,6 +19,10 @@ object GraftSession {
     // events.parquet carries TIMESTAMP(NANOS); Spark reads it as long
     // (nanos since epoch) with this flag, and Tables.events converts.
     "spark.sql.legacy.parquet.nanosAsLong" -> "true",
+    // nothing in the engine reads _SUCCESS markers, and the upsert path
+    // commits a (tiny) job per micro-batch — one less file create + fsync
+    // on every single-object commit's latency path
+    "spark.hadoop.mapreduce.fileoutputcommitter.marksuccessfuljobs" -> "false",
     "spark.ui.enabled" -> "false"
   )
 
