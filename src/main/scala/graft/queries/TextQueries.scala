@@ -765,6 +765,23 @@ object TextQueries {
           count(*) AS n
         FROM u GROUP BY lang, split ORDER BY lang, split""")),
 
+    // ---- deterministic shuffle order: the first 20 docs of the seeded
+    //      epoch permutation (Ingest.uniformKey ordering — the same key
+    //      deterministicShuffle range-partitions by) ----
+    QueryDef(
+      "q83_shuffle_head",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        docs.select(col("doc_id"), col("lang"),
+            (round(graft.sources.Ingest.uniformKey(col("doc_id"), 42L), 6) + 0.0)
+              .as("skey"))
+          .orderBy(col("skey"), col("doc_id")).limit(20)
+      },
+      Some(raw"""SELECT doc_id, lang,
+          round(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':42'), 1, 13))::BIGINT
+            / 4503599627370496.0, 6) + 0 AS skey
+        FROM documents ORDER BY skey, doc_id LIMIT 20""")),
+
     // ---- token-distribution entropy per doc (low = repetitive text) ----
     QueryDef(
       "q80_token_entropy",

@@ -180,6 +180,28 @@ object Ingest {
     df.filter(uniformKey(col(idCol), seed) < rate)
   }
 
+  /** Deterministic global corpus shuffle — "shuffle the training data,
+    * reproducibly": order rows by their [[uniformKey]] via ONE
+    * `repartitionByRange` + in-task sort, so shard i's every row precedes
+    * shard i+1's (writing shards in filename order replays the exact
+    * permutation on any cluster size). Seed changes give independent
+    * epoch orders; no `rand()`, so the permutation survives retries,
+    * repartitioning, and speculative execution.
+    *
+    * This is the one operation where a full shuffle is the POINT — range
+    * partitioning on the 52-bit key splits uniformly (keys are uniform by
+    * construction), so no skew, and each task sorts only its range.
+    */
+  def deterministicShuffle(df: DataFrame, idCol: String, seed: Long = 42L,
+      numShards: Option[Int] = None): DataFrame = {
+    val keyed = df.withColumn("__shuffle_key", uniformKey(col(idCol), seed))
+    val shards = numShards.getOrElse(
+      df.sparkSession.sessionState.conf.numShufflePartitions)
+    keyed.repartitionByRange(shards, col("__shuffle_key"))
+      .sortWithinPartitions(col("__shuffle_key"))
+      .drop("__shuffle_key")
+  }
+
   /** Deterministic train/val/test assignment: label each row by where its
     * uniform key falls in the cumulative `fractions` ranges (must sum to
     * 1). Hash-based, so membership is stable under reprocessing, appends,

@@ -109,6 +109,30 @@ class IngestSpec extends SparkSpec {
     assert(before == after)
   }
 
+  test("deterministicShuffle: a permutation, globally ordered across shards") {
+    val df = spark.range(2000).toDF("id")
+    val shuffled = Ingest.deterministicShuffle(df, "id", seed = 7L,
+      numShards = Some(8))
+    // same rows, new order
+    assert(shuffled.select("id").collect().map(_.getLong(0)).toSet ==
+      (0L until 2000L).toSet)
+    // every row of shard i precedes shard i+1: per-shard key ranges disjoint
+    // and increasing (recompute the key the operator ordered by)
+    val ranges = shuffled
+      .withColumn("k", Ingest.uniformKey(col("id"), 7L))
+      .withColumn("p", org.apache.spark.sql.functions.spark_partition_id())
+      .groupBy("p").agg(min("k").as("lo"), max("k").as("hi"))
+      .orderBy("p").collect().map(r => (r.getDouble(1), r.getDouble(2)))
+    ranges.sliding(2).foreach {
+      case Array((_, hi1), (lo2, _)) => assert(hi1 <= lo2, ranges.toSeq.toString)
+      case _ => ()
+    }
+    // a different seed yields a different permutation
+    val other = Ingest.deterministicShuffle(df, "id", seed = 8L,
+      numShards = Some(8)).collect().map(_.getLong(0)).toSeq
+    assert(other != shuffled.collect().map(_.getLong(0)).toSeq)
+  }
+
   test("writeVariants cuts exact round(fraction*stratum) counts") {
     val root = java.nio.file.Files.createTempDirectory("variants2").toString
     Ingest.writeVariants(strataDf, root, Map("v10" -> 0.1), filesPerVariant = 1)
