@@ -215,8 +215,15 @@ object Dedup {
     */
   def semanticDedup(df: DataFrame, vecCol: String, idCol: String,
       centroids: Array[Array[Float]], threshold: Double = 0.95): DataFrame = {
-    val keyed = df.withColumn("__c",
-      graft.functions.nearest_centroid(col(vecCol), centroids))
+    // materialize the assignment once: the self-join's two branches do NOT
+    // share exchanges (verified — ReusedExchange never fires across the
+    // aliased sides), so without this the O(k·dims) kernel and the source
+    // scan would run once per side (same localCheckpoint pattern as
+    // [[connectedComponents]]; blocks are reclaimed by the context cleaner)
+    val keyed = df.select(col(idCol), col(vecCol))
+      .withColumn("__c",
+        graft.functions.nearest_centroid(col(vecCol), centroids))
+      .localCheckpoint(true)
     val a = keyed.select(col("__c"), col(idCol).as("id1"), col(vecCol).as("__v1"))
     val b = keyed.select(col("__c").as("__c2"), col(idCol).as("id2"),
       col(vecCol).as("__v2"))

@@ -60,11 +60,24 @@ object VectorSearch {
     // One relation per session, reused across searches: a fresh
     // `spark.read.parquet` re-lists the whole index directory tree
     // (clusters × tasks files) on EVERY query — at interactive query rates
-    // the listing dominates the probe. Invalidated by [[append]].
+    // the listing dominates the probe. Weak keys so stopped sessions (and
+    // their cached file listings) stay GC-able. Invalidated by THIS
+    // handle's [[append]]; appends through another handle or process
+    // require [[refresh]] to become visible here — the freshness unit is
+    // the handle, matching the snapshot semantics a reader wants anyway.
     @transient private lazy val dfCache =
-      scala.collection.concurrent.TrieMap.empty[SparkSession, DataFrame]
-    private def indexDf(spark: SparkSession): DataFrame =
-      dfCache.getOrElseUpdate(spark, spark.read.parquet(path))
+      java.util.Collections.synchronizedMap(
+        new java.util.WeakHashMap[SparkSession, DataFrame]())
+    private def indexDf(spark: SparkSession): DataFrame = {
+      val cached = dfCache.get(spark)
+      if (cached != null) cached
+      else { val df = spark.read.parquet(path); dfCache.put(spark, df); df }
+    }
+
+    /** Drop cached relations so the next search re-lists the index — call
+      * after another handle/process appended to the same path.
+      */
+    def refresh(): Unit = dfCache.clear()
 
     /** Approximate filtered top-k probing `nprobe` clusters. Partition
       * pruning limits the scan to those cluster directories.

@@ -197,8 +197,11 @@ object Ingest {
     val keyed = df.withColumn("__shuffle_key", uniformKey(col(idCol), seed))
     val shards = numShards.getOrElse(
       df.sparkSession.sessionState.conf.numShufflePartitions)
-    keyed.repartitionByRange(shards, col("__shuffle_key"))
-      .sortWithinPartitions(col("__shuffle_key"))
+    // idCol as a secondary key everywhere ties can occur: colliding 52-bit
+    // keys (duplicate ids, or birthday collisions at ~10^8+ rows) would
+    // otherwise order by arrival, breaking determinism under retries
+    keyed.repartitionByRange(shards, col("__shuffle_key"), col(idCol))
+      .sortWithinPartitions(col("__shuffle_key"), col(idCol))
       .drop("__shuffle_key")
   }
 
