@@ -208,6 +208,71 @@ object VectorSearch {
     IvfIndex(path, centroids)
   }
 
+  /** Maximal-Marginal-Relevance re-rank: diversified top-`k` — greedily
+    * pick the candidate maximizing `lambda·rel − (1−lambda)·maxSim` where
+    * `rel` is COSINE relevance to the query and `maxSim` the max cosine to
+    * anything already selected (both terms on the same [−1,1] scale —
+    * mixing raw dot relevance with cosine diversity lets magnitude drown
+    * the penalty). Kills the "ten near-identical top hits" failure of
+    * plain top-k retrieval.
+    *
+    * Scale shape: the DISTRIBUTED part is candidate generation —
+    * [[topK]] over the full corpus for a `poolSize` pool (one scan,
+    * `TakeOrderedAndProject`). The greedy selection is inherently
+    * sequential and runs on the driver over the pool only: O(poolSize·k)
+    * cosines on ≤ a few hundred vectors, microseconds — bounded by
+    * construction, never by corpus size.
+    *
+    * Returns (idCol, `mmr_rank` 1-based, `score` = cosine relevance) in
+    * selection order. The pool is still ranked by dot product (the
+    * engine's marquee relevance); the cosine form only governs the
+    * diversity trade inside the re-rank.
+    */
+  def mmrTopK(df: DataFrame, vecCol: String, idCol: String,
+      query: Array[Float], k: Int, lambda: Double = 0.7,
+      poolSize: Int = 0, filter: Option[Column] = None): DataFrame = {
+    require(k > 0 && lambda >= 0 && lambda <= 1)
+    val pool0 = if (poolSize > 0) poolSize else 4 * k
+    val qn = math.sqrt(dotLocal(query, query))
+    val pool = topK(df, vecCol, query, pool0, filter,
+        projection = Seq(idCol, vecCol)).collect()
+      .map { r =>
+        val v = r.getSeq[Float](1).toArray
+        val rel = dotLocal(v, query) / (math.sqrt(dotLocal(v, v)) * qn)
+        (r.get(0), v, rel)
+      }
+    val selected = scala.collection.mutable.ArrayBuffer[(Any, Double)]()
+    val selectedVecs = scala.collection.mutable.ArrayBuffer[Array[Float]]()
+    val remaining = scala.collection.mutable.ArrayBuffer(pool: _*)
+    while (selected.length < k && remaining.nonEmpty) {
+      val scored = remaining.map { case (id, v, rel) =>
+        val nv = math.sqrt(dotLocal(v, v))
+        val maxSim =
+          if (selectedVecs.isEmpty) 0.0
+          else selectedVecs.map(s =>
+            dotLocal(v, s) / (nv * math.sqrt(dotLocal(s, s)))).max
+        (id, v, rel, lambda * rel - (1 - lambda) * maxSim)
+      }
+      val best = scored.maxBy(_._4)
+      selected += ((best._1, best._3))
+      selectedVecs += best._2
+      remaining.remove(remaining.indexWhere(_._1 == best._1))
+    }
+    val spark = df.sparkSession
+    val rows = selected.zipWithIndex.map { case ((id, rel), i) =>
+      org.apache.spark.sql.Row(id, (i + 1).toLong, rel)
+    }
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.toSeq, 1),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField(idCol,
+          df.schema(idCol).dataType),
+        org.apache.spark.sql.types.StructField("mmr_rank",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("score",
+          org.apache.spark.sql.types.DoubleType))))
+  }
+
   /** Recall@k of `approx` vs `exact` result sets, averaged over queries.
     * Inputs carry (queryIdCol, idCol) result rows; output: one row,
     * `avg_recall`.

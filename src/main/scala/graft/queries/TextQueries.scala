@@ -800,6 +800,67 @@ object TextQueries {
             CAST(sum(c) AS DOUBLE), 6) + 0 AS entropy
         FROM c GROUP BY doc_id ORDER BY doc_id""")),
 
+    // ---- per-source data-quality report: the curation dashboard — doc
+    //      counts, token volume, mean entropy / dup-3-gram / stopword
+    //      signals per source (order-free decimal sums per q18 pattern) ----
+    QueryDef(
+      "q84_source_quality",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val base = docs.select(col("doc_id"), col("source"),
+          TA.tokenCount(col("text")).as("nt"),
+          round(TA.stopwordRatio(col("text")), 6).cast("decimal(18,6)").as("sr"))
+        val ent = TA.tokenEntropy(docs, "text", "doc_id")
+          .select(col("doc_id"),
+            round(col("entropy"), 6).cast("decimal(18,6)").as("ent"))
+        val dup = TA.dupNgramFraction(docs, "text", "doc_id", 3)
+          .select(col("doc_id"),
+            round(col("dup_frac"), 6).cast("decimal(18,6)").as("dupf"))
+        base.join(ent, Seq("doc_id"), "left").join(dup, Seq("doc_id"), "left")
+          .groupBy(col("source"))
+          .agg(
+            count(lit(1)).as("n_docs"),
+            sum(col("nt")).as("total_tokens"),
+            (round(sum(col("ent")).cast("double") / count(lit(1)), 6) + 0.0)
+              .as("avg_entropy"),
+            (round(sum(coalesce(col("dupf"), lit(0))).cast("double") /
+              count(lit(1)), 6) + 0.0).as("avg_dup3"),
+            (round(sum(col("sr")).cast("double") / count(lit(1)), 6) + 0.0)
+              .as("avg_stop_ratio"))
+          .orderBy(col("source"))
+      },
+      Some(raw"""WITH toks AS (SELECT doc_id,
+          unnest(regexp_split_to_array(trim(text), '\s+')) AS t
+          FROM documents),
+        tc AS (SELECT doc_id, t, count(*) AS c FROM toks
+          WHERE t <> '' GROUP BY doc_id, t),
+        ent AS (SELECT doc_id,
+          CAST(round(ln(CAST(sum(c) AS DOUBLE)) -
+            sum(CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE))) /
+            CAST(sum(c) AS DOUBLE), 6) AS DECIMAL(18,6)) AS ent
+          FROM tc GROUP BY doc_id),
+        sh AS (${sqlShingles(3)}),
+        dup AS (SELECT doc_id, CAST(round(1.0 -
+            CAST(count(DISTINCT s) AS DOUBLE) / count(*), 6) AS DECIMAL(18,6))
+            AS dupf
+          FROM sh GROUP BY doc_id),
+        base AS (SELECT doc_id, source,
+          CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS nt,
+          CAST(round(CAST(len(regexp_extract_all(text,
+              '\b(the|a|and|of|to|in|is)\b')) AS DOUBLE) /
+            greatest(len(regexp_split_to_array(trim(text), '\s+')), 1), 6)
+            AS DECIMAL(18,6)) AS sr
+          FROM documents)
+        SELECT b.source, count(*) AS n_docs,
+          CAST(sum(b.nt) AS BIGINT) AS total_tokens,
+          round(CAST(sum(e.ent) AS DOUBLE) / count(*), 6) + 0 AS avg_entropy,
+          round(CAST(sum(COALESCE(d.dupf, 0)) AS DOUBLE) / count(*), 6) + 0
+            AS avg_dup3,
+          round(CAST(sum(b.sr) AS DOUBLE) / count(*), 6) + 0 AS avg_stop_ratio
+        FROM base b LEFT JOIN ent e ON b.doc_id = e.doc_id
+        LEFT JOIN dup d ON b.doc_id = d.doc_id
+        GROUP BY b.source ORDER BY b.source""")),
+
     // ---- Gopher duplicate-3-gram fraction per doc ----
     QueryDef(
       "q81_dup_ngrams",

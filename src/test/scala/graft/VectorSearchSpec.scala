@@ -64,6 +64,26 @@ class VectorSearchSpec extends SparkSpec {
     assert(top.tail.nonEmpty)
   }
 
+  test("mmrTopK diversifies: near-duplicate of a selected hit is deferred") {
+    val q = Array(1.0f, 0.0f, 0.0f, 0.0f)
+    val df = Seq(
+      (1L, Array(0.9f, 0.44f, 0.0f, 0.0f)),   // most relevant
+      (2L, Array(0.9f, 0.44f, 0.01f, 0.0f)),  // near-dup of 1, 2nd most relevant
+      (3L, Array(0.85f, -0.52f, 0.0f, 0.0f)), // slightly less relevant, diverse
+      (4L, Array(0.0f, 0.0f, 1.0f, 0.0f)))    // irrelevant
+      .toDF("vec_id", "embedding")
+    val got = VectorSearch.mmrTopK(df, "embedding", "vec_id", q, k = 2,
+        lambda = 0.7)
+      .orderBy("mmr_rank").collect().map(_.getLong(0)).toSeq
+    // plain top-2 would be (1, 2); MMR must pick the diverse 3 second
+    assert(got == Seq(1L, 3L), got.toString)
+    // lambda = 1 degenerates to plain relevance order
+    val plain = VectorSearch.mmrTopK(df, "embedding", "vec_id", q, k = 2,
+        lambda = 1.0)
+      .orderBy("mmr_rank").collect().map(_.getLong(0)).toSeq
+    assert(plain == Seq(1L, 2L), plain.toString)
+  }
+
   test("topKCosine ranks by angle, not magnitude") {
     // a short vector perfectly aligned with q must beat a long misaligned one
     val df = Seq(
