@@ -155,6 +155,33 @@ object Dedup {
     * substring+conv per (token, bit).
     */
   def simhash(df: DataFrame, textCol: String, idCol: String, bits: Int = 32): DataFrame = {
+    val grouped = simhashCounters(df, textCol, idCol, bits)
+    val bitsStr = concat(
+      (0 until bits).map(j => when(col(s"b$j") > 0, "1").otherwise("0")): _*)
+    grouped.select(col(idCol), bitsStr.as("simhash"))
+  }
+
+  /** SimHash as a numeric word (bit j of the string signature = bit
+    * `bits-1-j` of the long) — the form Hamming distance is computed on
+    * (`bit_count(a ^ b)`), and what [[simhashNearDupPairs]] bands over.
+    */
+  def simhashWord(df: DataFrame, textCol: String, idCol: String,
+      bits: Int = 32): DataFrame = {
+    val grouped = simhashCounters(df, textCol, idCol, bits)
+    val word = (0 until bits)
+      .map(j => when(col(s"b$j") > 0, lit(1L << (bits - 1 - j))).otherwise(lit(0L)))
+      .reduce(_ + _)
+    grouped.select(col(idCol), word.as("simhash"))
+  }
+
+  /** Shared signature pass: one signed counter per bit position, majority
+    * vote pending. The token hash is materialized ONCE as a 32-bit word
+    * (`conv(substring(md5, 1, 8))`); each bit-counter then reads its bit via
+    * shift+mask of that word — one md5 + one conv per token instead of one
+    * substring+conv per (token, bit).
+    */
+  private def simhashCounters(df: DataFrame, textCol: String, idCol: String,
+      bits: Int): DataFrame = {
     require(bits <= 32, "simhash uses the first 8 hex chars of md5")
     val toks = df
       .select(col(idCol), explode(TextAnalysis.words(col(textCol))).as("__tok"))
@@ -166,10 +193,47 @@ object Dedup {
       val bit = shiftright(col("__w"), 31 - j).bitwiseAND(lit(1L))
       sum(bit * 2 - lit(1)).as(s"b$j")
     }
-    val grouped = toks.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
-    val bitsStr = concat(
-      (0 until bits).map(j => when(col(s"b$j") > 0, "1").otherwise("0")): _*)
-    grouped.select(col(idCol), bitsStr.as("simhash"))
+    toks.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** All pairs within Hamming distance `maxHamming` of their SimHash words,
+    * found by banding, not all-pairs: the word is cut into `bands` equal
+    * slices and a pair is a candidate iff it collides on at least one slice.
+    * By pigeonhole, `h` differing bits can spoil at most `h` bands, so with
+    * `maxHamming <= bands - 1` every qualifying pair shares an intact band —
+    * the banding is lossless (recall 1.0), exactly like MinHash-LSH banding
+    * but over signature bits instead of hash rows.
+    *
+    * Scale shape: signatures are one long per doc (the text never shuffles
+    * past the signature pass); candidates come from an equi-join on
+    * `(band, slice-value)`; the Hamming verify is one `bit_count(xor)` per
+    * candidate. Output: `id1 < id2`, `hamming`.
+    */
+  def simhashNearDupPairs(df: DataFrame, textCol: String, idCol: String,
+      maxHamming: Int = 2, bands: Int = 4, bits: Int = 32): DataFrame = {
+    require(bands > 0 && bits % bands == 0, "bands must divide bits")
+    require(maxHamming < bands,
+      s"banding is lossless only for maxHamming <= bands-1 (got $maxHamming/$bands)")
+    val width = bits / bands
+    val mask = (1L << width) - 1
+    val sig = simhashWord(df, textCol, idCol, bits)
+    val banded = sig.select(col(idCol), col("simhash"),
+        explode(array((0 until bands).map { b =>
+          struct(lit(b).as("band"),
+            shiftright(col("simhash"), b * width).bitwiseAND(lit(mask)).as("bkey"))
+        }: _*)).as("bk"))
+      .select(col(idCol), col("simhash"), col("bk.band"), col("bk.bkey"))
+    val left = banded.select(col("band"), col("bkey"),
+      col(idCol).as("id1"), col("simhash").as("__s1"))
+    val right = banded.select(col("band").as("__band2"), col("bkey").as("__bkey2"),
+      col(idCol).as("id2"), col("simhash").as("__s2"))
+    left.join(right,
+        col("band") === col("__band2") && col("bkey") === col("__bkey2") &&
+          col("id1") < col("id2"))
+      .select(col("id1"), col("id2"),
+        bit_count(col("__s1").bitwiseXOR(col("__s2"))).cast("long").as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .distinct()
   }
 
   /** Embedding-cosine near-dup pairs via sign-LSH bucketing: bucket on the

@@ -282,4 +282,58 @@ object TextAnalysis {
       .filter(col("__rn") <= topK)
       .select(col(idCol), col("term"), col("tfidf"))
   }
+
+  /** Cross-document boilerplate score: for each doc, the share of its
+    * DISTINCT word k-grams that also occur in at least `minDocs` OTHER
+    * documents (C4/RefinedWeb-style template and navigation-chrome
+    * detection — within-doc repetition is [[dupNgramFraction]]'s job).
+    *
+    * Scale shape: distinct (doc, shingle) pairs → one hash agg for the
+    * shingle document-frequency table → equi-join back (shuffle-hash on the
+    * shingle key; frequencies are uniform because the key is text, not an
+    * id) → one per-doc agg. No window, no cross join; the text column is
+    * gone after the shingle pass. Docs shorter than k words emit no row.
+    */
+  def crossDocBoilerplate(df: DataFrame, textCol: String, idCol: String,
+      k: Int = 3, minDocs: Int = 5): DataFrame = {
+    val docShingles = shingles(df, textCol, k, idCol).distinct()
+    val dfs = docShingles.groupBy(col("s"))
+      .agg(count(lit(1)).as("__df"))
+    docShingles.join(dfs, "s")
+      // "minDocs OTHER docs" — this doc is one of __df, hence > minDocs
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("__df") > minDocs, 1L).otherwise(0L)).as("n_boiler"),
+        (sum(when(col("__df") > minDocs, 1L).otherwise(0L)).cast("double") /
+          count(lit(1))).as("boiler_frac"))
+  }
+
+  /** Token-balanced sharding: order docs by (`tokenCol` desc, `idCol`) and
+    * deal them round-robin into `nShards` shards — the classic LPT-style
+    * approximation that keeps per-shard token totals within one max-doc of
+    * each other, for writing training shards of near-equal cost.
+    *
+    * The global rank is computed scale-safely: `repartitionByRange` on the
+    * sort key spreads the sort over all partitions, local `row_number` per
+    * partition, then per-partition counts (a tiny broadcast) convert local
+    * to global ranks — no single-task global window anywhere.
+    */
+  def balancedShards(df: DataFrame, tokenCol: String, idCol: String,
+      nShards: Int): DataFrame = {
+    require(nShards > 0)
+    val parted = df
+      .repartitionByRange(col(tokenCol).desc, col(idCol))
+      .withColumn("__pid", spark_partition_id())
+    val byChunk = org.apache.spark.sql.expressions.Window.partitionBy(col("__pid"))
+      .orderBy(col(tokenCol).desc, col(idCol))
+    val localRanked = parted.withColumn("__lrn",
+      row_number().over(byChunk).cast("long") - 1L)
+    val byAll = org.apache.spark.sql.expressions.Window.orderBy(col("__pid"))
+    val offsets = parted.groupBy(col("__pid")).agg(count(lit(1)).as("__c"))
+      .select(col("__pid"),
+        (sum(col("__c")).over(byAll) - col("__c")).as("__off"))
+    localRanked.join(broadcast(offsets), "__pid")
+      .withColumn("shard", ((col("__off") + col("__lrn")) % nShards).cast("int"))
+      .drop("__pid", "__lrn", "__off")
+  }
 }

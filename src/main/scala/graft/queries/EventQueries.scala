@@ -272,6 +272,45 @@ object EventQueries {
         SELECT round(quantile_cont(mins, 0.25), 4) AS p25_mins,
           round(quantile_cont(mins, 0.5), 4) AS p50_mins,
           round(quantile_cont(mins, 0.75), 4) AS p75_mins
-        FROM lat HAVING count(*) > 0"""))
+        FROM lat HAVING count(*) > 0""")),
+
+    // ---- per-type z-score anomaly detection: the monitoring query a
+    //      pipeline runs over its own event stream. Mean/σ from exact
+    //      decimal sums (order-independent, cross-engine identical); the
+    //      per-row z is then pure IEEE arithmetic. One agg + one broadcast
+    //      join back — two scans, no window, no shuffle of the fact rows ----
+    QueryDef(
+      "q85_event_anomalies",
+      (s, d) => {
+        val ev = Tables.events(s, d)
+        val vDec = col("value").cast(DecimalType(18, 2))
+        val stats = ev.groupBy(col("event_type"))
+          .agg(count(lit(1)).as("__n"), sum(vDec).as("__s"),
+            sum(vDec * vDec).as("__s2"))
+          .select(col("event_type"),
+            (col("__s").cast("double") / col("__n")).as("__m"),
+            sqrt(greatest(col("__s2").cast("double") / col("__n") -
+              (col("__s").cast("double") / col("__n")) *
+                (col("__s").cast("double") / col("__n")), lit(0.0))).as("__sd"))
+          .filter(col("__sd") > 0)
+        ev.join(broadcast(stats), "event_type")
+          .select(col("event_id"), col("event_type"),
+            (round((col("value") - col("__m")) / col("__sd"), 6) + 0.0).as("z"))
+          .orderBy(desc("z"), col("event_id"))
+          .limit(20)
+      },
+      Some(raw"""WITH st AS (SELECT event_type, count(*) AS n,
+          sum(CAST(value AS DECIMAL(18,2))) AS s,
+          sum(CAST(value AS DECIMAL(18,2)) * CAST(value AS DECIMAL(18,2))) AS s2
+          FROM events GROUP BY event_type),
+        sd AS (SELECT event_type, CAST(s AS DOUBLE) / n AS m,
+          sqrt(greatest(CAST(s2 AS DOUBLE) / n -
+            (CAST(s AS DOUBLE) / n) * (CAST(s AS DOUBLE) / n), 0)) AS sd
+          FROM st)
+        SELECT e.event_id, e.event_type,
+          round((e.value - sd.m) / sd.sd, 6) + 0 AS z
+        FROM events e JOIN sd USING (event_type)
+        WHERE sd.sd > 0
+        ORDER BY z DESC, e.event_id LIMIT 20"""))
   )
 }

@@ -872,6 +872,80 @@ object TextQueries {
       Some(raw"""WITH sh AS (${sqlShingles(3)})
         SELECT doc_id, round(1.0 -
             CAST(count(DISTINCT s) AS DOUBLE) / count(*), 6) + 0 AS dup_frac
-        FROM sh GROUP BY doc_id ORDER BY doc_id"""))
+        FROM sh GROUP BY doc_id ORDER BY doc_id""")),
+
+    // ---- cross-document boilerplate: share of each doc's distinct
+    //      3-grams that recur in > 5 other docs (template/chrome detection;
+    //      within-doc repetition is q81's job) ----
+    QueryDef(
+      "q86_boilerplate",
+      (s, d) => {
+        TA.crossDocBoilerplate(Tables.documents(s, d), "text", "doc_id",
+            k = 3, minDocs = 5)
+          .select(col("doc_id"), col("n_shingles"), col("n_boiler"),
+            (round(col("boiler_frac"), 6) + 0.0).as("bfrac"))
+          .orderBy(col("doc_id"))
+      },
+      Some(raw"""WITH sh AS (SELECT DISTINCT doc_id, s FROM (${sqlShingles(3)}) t),
+        dfs AS (SELECT s, count(*) AS df FROM sh GROUP BY s)
+        SELECT sh.doc_id, count(*) AS n_shingles,
+          CAST(sum(CASE WHEN dfs.df > 5 THEN 1 ELSE 0 END) AS BIGINT)
+            AS n_boiler,
+          round(CAST(sum(CASE WHEN dfs.df > 5 THEN 1 ELSE 0 END) AS DOUBLE) /
+            count(*), 6) + 0 AS bfrac
+        FROM sh JOIN dfs USING (s)
+        GROUP BY sh.doc_id ORDER BY sh.doc_id""")),
+
+    // ---- SimHash near-dup PAIRS via lossless band join (Hamming <= 2
+    //      over 4 bands: pigeonhole guarantees every qualifying pair shares
+    //      an intact band — bucketed, not all-pairs). The oracle verifies
+    //      all pairs directly; the Spark plan never materializes them ----
+    QueryDef(
+      "q87_simhash_pairs",
+      (s, d) => {
+        Dedup.simhashNearDupPairs(Tables.documents(s, d), "text", "doc_id",
+            maxHamming = 2, bands = 4)
+          .orderBy(col("id1"), col("id2"))
+      },
+      Some(raw"""WITH toks AS (SELECT doc_id,
+          unnest(regexp_split_to_array(trim(text), '\s+')) AS t
+          FROM documents),
+        h AS (SELECT doc_id, ('0x' || substr(md5(t), 1, 8))::BIGINT AS w
+          FROM toks),
+        bits AS (SELECT doc_id, j,
+          sum(CASE WHEN (w >> (31 - j)) & 1 = 1 THEN 1 ELSE -1 END) AS sgn
+          FROM h, UNNEST(generate_series(0, 31)) AS t_j(j)
+          GROUP BY doc_id, j),
+        sig AS (SELECT doc_id, CAST(sum(CASE WHEN sgn > 0
+            THEN CAST(1 AS BIGINT) << (31 - j) ELSE 0 END) AS BIGINT) AS sh
+          FROM bits GROUP BY doc_id)
+        SELECT a.doc_id AS id1, b.doc_id AS id2,
+          CAST(bit_count(xor(a.sh, b.sh)) AS BIGINT) AS hamming
+        FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.sh, b.sh)) <= 2
+        ORDER BY id1, id2""")),
+
+    // ---- token-balanced sharding: docs dealt round-robin in (tokens
+    //      desc, id) order into 8 shards — near-equal per-shard training
+    //      cost. Global rank via range partitioning, no single-task sort ----
+    QueryDef(
+      "q88_balanced_shards",
+      (s, d) => {
+        val withTok = Tables.documents(s, d)
+          .select(col("doc_id"), TA.tokenCount(col("text")).as("nt"))
+        TA.balancedShards(withTok, "nt", "doc_id", 8)
+          .groupBy(col("shard"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("nt")).as("total_tokens"))
+          .orderBy(col("shard"))
+      },
+      Some(raw"""WITH t AS (SELECT doc_id,
+          CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS nt
+          FROM documents),
+        r AS (SELECT doc_id, nt,
+          row_number() OVER (ORDER BY nt DESC, doc_id) - 1 AS rn FROM t)
+        SELECT CAST(rn % 8 AS INTEGER) AS shard, count(*) AS n_docs,
+          CAST(sum(nt) AS BIGINT) AS total_tokens
+        FROM r GROUP BY shard ORDER BY shard"""))
   )
 }

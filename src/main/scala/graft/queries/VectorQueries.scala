@@ -367,8 +367,49 @@ object VectorQueries {
           ON a.cid = b.cid AND a.vec_id < b.vec_id
           WHERE ${sqlDot("a.embedding", "b.embedding")} /
             (sqrt(${sqlNormSq("a.embedding")}) *
-             sqrt(${sqlNormSq("b.embedding")})) >= 0.99)
+             sqrt(${sqlNormSq("b.embedding")}) ) >= 0.99)
         SELECT vec_id FROM embeddings
-        WHERE vec_id NOT IN (SELECT id FROM losers) ORDER BY vec_id"""))
+        WHERE vec_id NOT IN (SELECT id FROM losers) ORDER BY vec_id""")),
+
+    // ---- embedding-space outliers: the 20 vectors farthest from their
+    //      assigned centroid (noise/OOD detection over the same
+    //      deterministic centroids as q82 — assignment is the codegen
+    //      nearest_centroid kernel, distance one broadcast join + IEEE
+    //      arithmetic; no shuffle of the vectors) ----
+    QueryDef(
+      "q89_embed_outliers",
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        val cents = emb.filter(col("vec_id") < 8).orderBy(col("vec_id"))
+          .select(col("embedding")).collect().map(_.getSeq[Float](0).toArray)
+        val cdf = emb.filter(col("vec_id") < 8)
+          .select(col("vec_id").cast("int").as("__cid"),
+            col("embedding").as("__cv"))
+        emb.select(col("vec_id"), col("embedding"),
+            graft.functions.nearest_centroid(col("embedding"), cents)
+              .as("__cid"))
+          .join(broadcast(cdf), "__cid")
+          .select(col("vec_id"), col("__cid").cast("long").as("cid"),
+            (round(sqrt(greatest(
+              vec_dot(col("__cv"), col("__cv")) -
+                lit(2.0) * vec_dot(col("embedding"), col("__cv")) +
+                vec_dot(col("embedding"), col("embedding")), lit(0.0))), 6)
+              + 0.0).as("dist"))
+          .orderBy(desc("dist"), col("vec_id"))
+          .limit(20)
+      },
+      Some(s"""WITH c AS (SELECT vec_id AS cid, embedding AS cv,
+          ${sqlNormSq("embedding")} AS c2
+          FROM embeddings WHERE vec_id < 8),
+        dist AS (SELECT e.vec_id, c.cid,
+          c.c2 - 2 * ${sqlDot("e.embedding", "c.cv")} AS d,
+          c.c2 - 2 * ${sqlDot("e.embedding", "c.cv")} +
+            ${sqlNormSq("e.embedding")} AS d2
+          FROM embeddings e CROSS JOIN c),
+        asg AS (SELECT vec_id, cid, d2 FROM (
+          SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d, cid)
+            AS rn FROM dist) t WHERE rn = 1)
+        SELECT vec_id, cid, round(sqrt(greatest(d2, 0)), 6) + 0 AS dist
+        FROM asg ORDER BY dist DESC, vec_id LIMIT 20"""))
   )
 }

@@ -76,6 +76,39 @@ class DedupSpec extends SparkSpec {
     assert(ham <= 8, s"hamming $ham too large for near-dup")
   }
 
+  test("simhashWord encodes the same bits as the string signature") {
+    val str = Dedup.simhash(docs, "text", "doc_id")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val word = Dedup.simhashWord(docs, "text", "doc_id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    str.foreach { case (id, bits) =>
+      assert(word(id) == java.lang.Long.parseLong(bits, 2),
+        s"doc $id: word ${word(id)} != bits $bits")
+    }
+  }
+
+  test("simhashNearDupPairs matches brute-force pairs at the threshold") {
+    val sig = Dedup.simhashWord(docs, "text", "doc_id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    val brute = (for {
+      (i, si) <- sig; (j, sj) <- sig if i < j
+      h = java.lang.Long.bitCount(si ^ sj) if h <= 2
+    } yield (i, j, h.toLong)).toSet
+    val banded = Dedup.simhashNearDupPairs(docs, "text", "doc_id",
+        maxHamming = 2, bands = 4)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(banded == brute)
+    // identical docs 0 and 1 must surface at hamming 0
+    assert(banded.contains((0L, 1L, 0L)))
+  }
+
+  test("simhashNearDupPairs rejects a lossy banding configuration") {
+    intercept[IllegalArgumentException] {
+      Dedup.simhashNearDupPairs(docs, "text", "doc_id",
+        maxHamming = 4, bands = 4)
+    }
+  }
+
   test("embedding near-dup pairs finds planted duplicate vector") {
     val vecs = Seq(
       (0L, Array(1.0f, 0.0f, 0.2f, 0.1f)),

@@ -28,6 +28,51 @@ class TextAnalysisSpec extends SparkSpec {
     }
   }
 
+  test("crossDocBoilerplate flags shingles shared beyond minDocs") {
+    // 7 docs share the template prefix "term of service applies"; each has
+    // a unique tail so it also has non-boilerplate shingles
+    val docs = (0L until 7L).map(i => (i, s"term of service applies uniq$i tail$i"))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.crossDocBoilerplate(docs, "text", "doc_id",
+        k = 3, minDocs = 5)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    // 4 distinct shingles per 6-word doc; the shared ones ("term of
+    // service", "of service applies") occur in 7 > 5 docs
+    (0L until 7L).foreach { i =>
+      val (n, b, f) = out(i)
+      assert(n == 4L && b == 2L && math.abs(f - 0.5) < 1e-12,
+        s"doc $i: ($n, $b, $f)")
+    }
+    // raising minDocs above the corpus size clears every flag
+    val none = TextAnalysis.crossDocBoilerplate(docs, "text", "doc_id",
+        k = 3, minDocs = 7)
+      .agg(sum("n_boiler")).head().getLong(0)
+    assert(none == 0L)
+  }
+
+  test("balancedShards: partition of the corpus with bounded token spread") {
+    val docs = (0L until 103L).map(i => (i, ((i * 37) % 50 + 1).toInt))
+      .toDF("doc_id", "nt")
+    val out = TextAnalysis.balancedShards(docs, "nt", "doc_id", 8)
+    val rows = out.select($"doc_id", $"nt", $"shard")
+      .as[(Long, Int, Int)].collect()
+    // every doc exactly once, shards in range
+    assert(rows.length == 103 && rows.map(_._1).distinct.length == 103)
+    assert(rows.forall(r => r._3 >= 0 && r._3 < 8))
+    // round-robin: shard sizes differ by at most 1
+    val sizes = rows.groupBy(_._3).view.mapValues(_.length).values.toSeq
+    assert(sizes.size == 8 && sizes.max - sizes.min <= 1)
+    // LPT-style balance: token spread bounded by the largest single doc
+    val totals = rows.groupBy(_._3).view.mapValues(_.map(_._2.toLong).sum).values
+    assert(totals.max - totals.min <= rows.map(_._2).max,
+      s"spread ${totals.max - totals.min}")
+    // deterministic: assignment is a pure function of (nt desc, doc_id) rank
+    val again = TextAnalysis.balancedShards(docs, "nt", "doc_id", 8)
+      .select($"doc_id", $"shard").as[(Long, Int)].collect().toMap
+    assert(rows.forall(r => again(r._1) == r._3))
+  }
+
   test("langId picks marker language deterministically") {
     val df = Seq(
       ("the cat and the dog of the house", "en"),
