@@ -393,4 +393,25 @@ object Dedup {
     require(changed == 0, s"connectedComponents did not converge in $maxIter rounds")
     labels.withColumnRenamed("lbl", "cluster")
   }
+
+  /** Leakage-safe train/val/test split: assign every document to a split by
+    * the hash of its near-dup-cluster representative, so two near-duplicate
+    * documents can never land in different splits (the classic eval-set
+    * contamination bug when splitting by per-document hash). `pairs` is a
+    * near-dup edge list (e.g. [[nearDuplicatePairs]] output); singleton
+    * documents are their own representative. The cluster pass touches only
+    * ids (the text column never shuffles), and the final assignment is the
+    * same narrow deterministic-hash filter as
+    * [[graft.sources.Ingest.hashSplit]] — rows gain a `rep` (representative
+    * id) and `split` column.
+    */
+  def leakageSafeSplit(df: DataFrame, idCol: String, pairs: DataFrame,
+      srcCol: String, dstCol: String, fractions: Seq[(String, Double)],
+      seed: Long = 42L): DataFrame = {
+    val cc = connectedComponents(pairs, srcCol, dstCol)
+    val withRep = df.join(cc, df(idCol) === cc("node"), "left")
+      .withColumn("rep", coalesce(col("cluster"), df(idCol)))
+      .drop("node", "cluster")
+    graft.sources.Ingest.hashSplit(withRep, "rep", fractions, seed)
+  }
 }

@@ -336,4 +336,27 @@ object TextAnalysis {
       .withColumn("shard", ((col("__off") + col("__lrn")) % nShards).cast("int"))
       .drop("__pid", "__lrn", "__off")
   }
+
+  /** Curation filter funnel: survivor counts after each stage of an ORDERED
+    * rule chain, per group — the "how many docs does each gate cost me"
+    * dashboard behind every quality-filter pipeline. `stages` are
+    * (name, predicate) pairs applied cumulatively (a doc survives stage i
+    * iff it passes stages 1..i); output per group is `total` plus one
+    * `after_<name>` count per stage. Everything folds into ONE hash
+    * aggregation over the input — the rules are evaluated row-side and
+    * summed map-side, so the funnel costs one scan regardless of how many
+    * stages it reports.
+    */
+  def filterFunnel(df: DataFrame, groupCol: String,
+      stages: Seq[(String, Column)]): DataFrame = {
+    require(stages.nonEmpty)
+    val cumulative = stages.scanLeft(lit(true)) {
+      case (acc, (_, pred)) => acc && pred
+    }.tail
+    val aggs = count(lit(1)).as("total") +:
+      stages.zip(cumulative).map { case ((name, _), pass) =>
+        sum(pass.cast("long")).as(s"after_$name")
+      }
+    df.groupBy(col(groupCol)).agg(aggs.head, aggs.tail: _*)
+  }
 }

@@ -946,6 +946,101 @@ object TextQueries {
           row_number() OVER (ORDER BY nt DESC, doc_id) - 1 AS rn FROM t)
         SELECT CAST(rn % 8 AS INTEGER) AS shard, count(*) AS n_docs,
           CAST(sum(nt) AS BIGINT) AS total_tokens
-        FROM r GROUP BY shard ORDER BY shard"""))
+        FROM r GROUP BY shard ORDER BY shard""")),
+
+    // ---- leakage-safe split: near-dup clusters are assigned to
+    //      train/val/test ATOMICALLY (split keyed on the cluster
+    //      representative's hash, not the doc's), so no eval-set
+    //      contamination by near-duplicates. n_groups counts assignment
+    //      units per split (Dedup.leakageSafeSplit) ----
+    QueryDef(
+      "q90_leakage_split",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val pairs = Dedup.nearDuplicatePairs(docs, "text", "doc_id",
+          threshold = 0.5)
+        Dedup.leakageSafeSplit(docs, "doc_id", pairs, "id1", "id2",
+            Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+          .groupBy(col("split"))
+          .agg(count(lit(1)).as("n_docs"),
+            countDistinct(col("rep")).as("n_groups"))
+          .orderBy(col("split"))
+      },
+      Some(raw"""WITH RECURSIVE sh AS (${sqlShingles(3)}),
+        hs AS (SELECT doc_id, seed,
+          ('0x' || substr(md5(s), 1, 8))::BIGINT +
+            seed * ('0x' || substr(md5(s), 9, 8))::BIGINT AS h
+          FROM sh CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS seed) sd),
+        sig AS (SELECT doc_id, seed, min(h) AS minhash FROM hs GROUP BY doc_id, seed),
+        bands AS (SELECT doc_id, seed // 2 AS band,
+          md5(string_agg(CAST(minhash AS VARCHAR), ',' ORDER BY seed)) AS bkey
+          FROM sig GROUP BY doc_id, band),
+        cand AS (SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+          FROM bands a JOIN bands b
+            ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
+        shd AS (SELECT DISTINCT doc_id, s FROM sh),
+        cnt AS (SELECT doc_id, count(*) AS n FROM shd GROUP BY doc_id),
+        inter AS (SELECT c.id1, c.id2, count(*) AS c
+          FROM cand c JOIN shd a ON a.doc_id = c.id1
+          JOIN shd b ON b.doc_id = c.id2 AND a.s = b.s
+          GROUP BY c.id1, c.id2),
+        pairs AS (SELECT i.id1, i.id2
+          FROM inter i JOIN cnt n1 ON n1.doc_id = i.id1
+          JOIN cnt n2 ON n2.doc_id = i.id2
+          WHERE CAST(i.c AS DOUBLE) / (n1.n + n2.n - i.c) >= 0.5),
+        edges AS (SELECT id1 AS a, id2 AS b FROM pairs
+          UNION ALL SELECT id2, id1 FROM pairs),
+        reach(node, lbl) AS (
+          SELECT DISTINCT a, a FROM edges
+          UNION
+          SELECT e.a, r.lbl FROM edges e JOIN reach r ON e.b = r.node),
+        cc AS (SELECT node, min(lbl) AS cluster FROM reach GROUP BY node),
+        rep AS (SELECT d.doc_id, coalesce(cc.cluster, d.doc_id) AS rep
+          FROM documents d LEFT JOIN cc ON d.doc_id = cc.node),
+        u AS (SELECT rep,
+          ('0x' || substr(md5(CAST(rep AS VARCHAR) || ':42'), 1, 13))::BIGINT
+            / 4503599627370496.0 AS u
+          FROM rep)
+        SELECT CASE WHEN u < 0.8 THEN 'train'
+            WHEN u < 0.8 + 0.1 THEN 'val' ELSE 'test' END AS split,
+          count(*) AS n_docs, count(DISTINCT rep) AS n_groups
+        FROM u GROUP BY split ORDER BY split""")),
+
+    // ---- per-source quality-filter funnel: survivor counts after each
+    //      cumulative gate (length → repetition → mean-word-length), one
+    //      hash-agg pass (TextAnalysis.filterFunnel; gates = q63's rules) ----
+    QueryDef(
+      "q91_filter_funnel",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val flagged = docs
+          .join(TA.topTokenShare(docs, "text", "doc_id"), "doc_id")
+        TA.filterFunnel(flagged, "source", Seq(
+            "len" -> (TA.tokenCount(col("text")) >= 30),
+            "rep" -> (col("top_share") <= 0.10),
+            "mwl" -> (TA.meanWordLength(col("text")) <= 4.5)))
+          .orderBy(col("source"))
+      },
+      Some(raw"""WITH toks AS (SELECT doc_id,
+          unnest(regexp_split_to_array(trim(text), '\s+')) AS t
+          FROM documents),
+        tf AS (SELECT doc_id, t, count(*) AS c FROM toks
+          WHERE t <> '' GROUP BY doc_id, t),
+        repn AS (SELECT doc_id,
+          CAST(max(c) AS DOUBLE) / sum(c) AS top_share FROM tf GROUP BY doc_id),
+        m AS (SELECT d.source,
+          len(regexp_split_to_array(trim(d.text), '\s+')) AS n_words,
+          len(regexp_replace(d.text, '\s', '', 'g')) AS n_chars,
+          r.top_share
+          FROM documents d JOIN repn r ON d.doc_id = r.doc_id)
+        SELECT source, count(*) AS total,
+          CAST(sum(CASE WHEN n_words >= 30 THEN 1 ELSE 0 END) AS BIGINT)
+            AS after_len,
+          CAST(sum(CASE WHEN n_words >= 30 AND top_share <= 0.10
+            THEN 1 ELSE 0 END) AS BIGINT) AS after_rep,
+          CAST(sum(CASE WHEN n_words >= 30 AND top_share <= 0.10
+            AND CAST(n_chars AS DOUBLE) / n_words <= 4.5
+            THEN 1 ELSE 0 END) AS BIGINT) AS after_mwl
+        FROM m GROUP BY source ORDER BY source"""))
   )
 }

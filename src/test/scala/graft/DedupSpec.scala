@@ -192,4 +192,26 @@ class DedupSpec extends SparkSpec {
       .select("cluster").distinct().collect().map(_.getLong(0)).toSeq
     assert(labels == Seq(0L))
   }
+
+  test("leakageSafeSplit keeps every near-dup cluster inside one split") {
+    // 60 singleton docs + the planted dup cluster {0,1,2}: enough rows that
+    // a per-doc hash split would scatter most clusters across splits
+    val extra = (5L until 65L).map(i => (i, s"unique document number $i about topic ${i % 7}"))
+    val corpus = (docs.as[(Long, String)].collect().toSeq ++ extra)
+      .toDF("doc_id", "text")
+    val pairs = Dedup.nearDuplicatePairs(corpus, "text", "doc_id", threshold = 0.5)
+    val out = Dedup.leakageSafeSplit(corpus, "doc_id", pairs, "id1", "id2",
+        Seq("train" -> 0.6, "val" -> 0.2, "test" -> 0.2))
+      .select("doc_id", "rep", "split").as[(Long, Long, String)].collect()
+    assert(out.length == 65)
+    // every rep maps to exactly one split (the leakage guarantee)
+    out.groupBy(_._2).foreach { case (_, rows) =>
+      assert(rows.map(_._3).distinct.length == 1)
+    }
+    // docs 0,1,2 form one cluster with representative 0
+    val cluster = out.filter(r => Set(0L, 1L, 2L).contains(r._1))
+    assert(cluster.map(_._2).distinct.toSeq == Seq(0L))
+    // all three splits are populated at this corpus size
+    assert(out.map(_._3).distinct.toSet == Set("train", "val", "test"))
+  }
 }

@@ -278,4 +278,27 @@ class TextAnalysisSpec extends SparkSpec {
     assert(rows.map(_.getLong(1)).toSeq == Seq(3L, 2L, 1L))
     assert(math.abs(rows.last.getDouble(3) - 1.0) < 1e-9)
   }
+
+  test("filterFunnel counts cumulative survivors per group") {
+    import org.apache.spark.sql.functions._
+    // srcA: lens 5,3,1; srcB: lens 4,2
+    val df = Seq(("srcA", 5), ("srcA", 3), ("srcA", 1), ("srcB", 4), ("srcB", 2))
+      .toDF("source", "len")
+    val rows = TextAnalysis.filterFunnel(df, "source", Seq(
+        "ge2" -> (col("len") >= 2),     // drops len 1
+        "ge4" -> (col("len") >= 4)))    // drops len 2,3
+      .orderBy("source").collect()
+    assert(rows.map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq ==
+      Seq(("srcA", 3L, 2L, 1L), ("srcB", 2L, 2L, 1L)))
+  }
+
+  test("filterFunnel stages are cumulative, not independent") {
+    import org.apache.spark.sql.functions._
+    // the row passes stage 2's predicate but failed stage 1 → must NOT be
+    // counted as surviving stage 2
+    val df = Seq(("g", 1)).toDF("g", "v")
+    val r = TextAnalysis.filterFunnel(df, "g", Seq(
+        "a" -> (col("v") > 5), "b" -> (col("v") > 0))).head()
+    assert((r.getLong(1), r.getLong(2), r.getLong(3)) == (1L, 0L, 0L))
+  }
 }
