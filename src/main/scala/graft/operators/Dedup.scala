@@ -414,4 +414,32 @@ object Dedup {
       .drop("node", "cluster")
     graft.sources.Ingest.hashSplit(withRep, "rep", fractions, seed)
   }
+
+  /** Transitive near-dedup with a keep-K policy: group documents into
+    * near-dup clusters (MinHash→LSH→Jaccard pairs → connected components)
+    * and keep the `maxCopies` lowest-id members of each cluster. maxCopies=1
+    * is canonical one-representative dedup over the TRANSITIVE closure
+    * (A~B~C drops both B and C even when A≁C directly — compare
+    * [[dropNearDuplicates]], which applies the pair-wise policy); higher
+    * values are the soft-dedup knob (cap, don't eliminate, duplicates).
+    *
+    * The rank window partitions by cluster id — cluster sizes are bounded by
+    * the dup structure itself (and the component pass touches only ids), so
+    * no partition outgrows a task even when the corpus does.
+    */
+  def capNearDuplicates(df: DataFrame, textCol: String, idCol: String,
+      maxCopies: Int = 1, k: Int = 3, numHashes: Int = 8, rowsPerBand: Int = 2,
+      threshold: Double = 0.7): DataFrame = {
+    require(maxCopies > 0)
+    val pairs = nearDuplicatePairs(df, textCol, idCol, k, numHashes,
+      rowsPerBand, threshold)
+    val cc = connectedComponents(pairs, "id1", "id2")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__cluster")).orderBy(col(idCol))
+    df.join(cc, df(idCol) === cc("node"), "left")
+      .withColumn("__cluster", coalesce(col("cluster"), df(idCol)))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= maxCopies)
+      .drop("node", "cluster", "__cluster", "__rn")
+  }
 }

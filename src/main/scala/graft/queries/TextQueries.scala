@@ -1041,6 +1041,54 @@ object TextQueries {
           CAST(sum(CASE WHEN n_words >= 30 AND top_share <= 0.10
             AND CAST(n_chars AS DOUBLE) / n_words <= 4.5
             THEN 1 ELSE 0 END) AS BIGINT) AS after_mwl
-        FROM m GROUP BY source ORDER BY source"""))
+        FROM m GROUP BY source ORDER BY source""")),
+
+    // ---- transitive near-dedup, keep-1-per-cluster: the canonical
+    //      representative corpus (Dedup.capNearDuplicates; contrast q56's
+    //      pair-wise drop policy — A~B~C here keeps only A) ----
+    QueryDef(
+      "q92_cluster_cap",
+      (s, d) => {
+        Dedup.capNearDuplicates(Tables.documents(s, d), "text", "doc_id",
+            maxCopies = 1, threshold = 0.5)
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n_kept"))
+          .orderBy(col("source"))
+      },
+      Some(raw"""WITH RECURSIVE sh AS (${sqlShingles(3)}),
+        hs AS (SELECT doc_id, seed,
+          ('0x' || substr(md5(s), 1, 8))::BIGINT +
+            seed * ('0x' || substr(md5(s), 9, 8))::BIGINT AS h
+          FROM sh CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS seed) sd),
+        sig AS (SELECT doc_id, seed, min(h) AS minhash FROM hs GROUP BY doc_id, seed),
+        bands AS (SELECT doc_id, seed // 2 AS band,
+          md5(string_agg(CAST(minhash AS VARCHAR), ',' ORDER BY seed)) AS bkey
+          FROM sig GROUP BY doc_id, band),
+        cand AS (SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+          FROM bands a JOIN bands b
+            ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
+        shd AS (SELECT DISTINCT doc_id, s FROM sh),
+        cnt AS (SELECT doc_id, count(*) AS n FROM shd GROUP BY doc_id),
+        inter AS (SELECT c.id1, c.id2, count(*) AS c
+          FROM cand c JOIN shd a ON a.doc_id = c.id1
+          JOIN shd b ON b.doc_id = c.id2 AND a.s = b.s
+          GROUP BY c.id1, c.id2),
+        pairs AS (SELECT i.id1, i.id2
+          FROM inter i JOIN cnt n1 ON n1.doc_id = i.id1
+          JOIN cnt n2 ON n2.doc_id = i.id2
+          WHERE CAST(i.c AS DOUBLE) / (n1.n + n2.n - i.c) >= 0.5),
+        edges AS (SELECT id1 AS a, id2 AS b FROM pairs
+          UNION ALL SELECT id2, id1 FROM pairs),
+        reach(node, lbl) AS (
+          SELECT DISTINCT a, a FROM edges
+          UNION
+          SELECT e.a, r.lbl FROM edges e JOIN reach r ON e.b = r.node),
+        cc AS (SELECT node, min(lbl) AS cluster FROM reach GROUP BY node),
+        ranked AS (SELECT d.doc_id, d.source,
+          row_number() OVER (PARTITION BY coalesce(cc.cluster, d.doc_id)
+            ORDER BY d.doc_id) AS rn
+          FROM documents d LEFT JOIN cc ON d.doc_id = cc.node)
+        SELECT source, count(*) AS n_kept FROM ranked WHERE rn <= 1
+        GROUP BY source ORDER BY source"""))
   )
 }

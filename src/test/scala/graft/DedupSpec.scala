@@ -214,4 +214,17 @@ class DedupSpec extends SparkSpec {
     // all three splits are populated at this corpus size
     assert(out.map(_._3).distinct.toSet == Set("train", "val", "test"))
   }
+
+  test("capNearDuplicates applies the keep-K policy over transitive clusters") {
+    // {0,1,2} is one transitive cluster (0≈1 exact, 0≈2 near); 3 and 4 are
+    // singletons
+    val keep1 = Dedup.capNearDuplicates(docs, "text", "doc_id",
+        maxCopies = 1, threshold = 0.5)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(keep1 == Seq(0L, 3L, 4L))
+    val keep2 = Dedup.capNearDuplicates(docs, "text", "doc_id",
+        maxCopies = 2, threshold = 0.5)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(keep2 == Seq(0L, 1L, 3L, 4L))
+  }
 }
