@@ -127,4 +127,28 @@ object Percentiles {
     cached.unpersist(blocking = false)
     df.sparkSession.createDataFrame(rows.toSeq.asJava, schema)
   }
+
+  /** Winsorization: clamp `valueCol` into its per-group [pLo, pHi]
+    * percentile band — the robust-statistics answer to heavy-tailed columns
+    * (a price column whose max is 2,600× its mean distorts every plain
+    * moment; see the reference's own price tails). Bounds come from
+    * [[grouped]] (range-partitioned exact order statistics, so the same
+    * scale guarantees apply) and are rounded to `boundScale` decimals so
+    * the clamped values stay exact in fixed-point across engines; the
+    * bounds table is one tiny row per group, broadcast back onto the scan —
+    * the second pass is a narrow map, no extra shuffle. Adds
+    * `<valueCol>_w` (clamped value), keeps all input columns.
+    */
+  def winsorized(df: DataFrame, groupCol: String, valueCol: String,
+      pLo: Double = 0.05, pHi: Double = 0.95, boundScale: Int = 2): DataFrame = {
+    require(pLo >= 0 && pHi <= 1 && pLo < pHi)
+    val bounds = grouped(df, groupCol, valueCol, Seq(pLo, pHi),
+        Seq("__lo", "__hi"))
+      .select(col(groupCol), round(col("__lo"), boundScale).as("__lo"),
+        round(col("__hi"), boundScale).as("__hi"))
+    df.join(broadcast(bounds), groupCol)
+      .withColumn(s"${valueCol}_w",
+        least(greatest(col(valueCol), col("__lo")), col("__hi")))
+      .drop("__lo", "__hi")
+  }
 }

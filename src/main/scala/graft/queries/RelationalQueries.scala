@@ -379,6 +379,37 @@ object RelationalQueries {
         round(quantile_cont(l_extendedprice, 0.75), 4) AS p75_price
         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")),
 
+    // ---- winsorized robust moments: clamp the heavy price tail into the
+    //      per-group [p05, p95] band (operators.Percentiles.winsorized),
+    //      then decimal-exact mean + clamp count per q18's convention ----
+    QueryDef(
+      "q93_winsorized",
+      (s, d) => {
+        val w = graft.operators.Percentiles.winsorized(
+          Tables.lineitem(s, d), "l_returnflag", "l_extendedprice",
+          0.05, 0.95)
+        w.groupBy(col("l_returnflag"))
+          .agg(count(lit(1)).as("n"),
+            (round(sum(dec2(col("l_extendedprice_w"))).cast("double") /
+              count(lit(1)), 6) + 0.0).as("mean_w"),
+            sum((col("l_extendedprice") =!= col("l_extendedprice_w"))
+              .cast("long")).as("n_clamped"))
+          .orderBy(col("l_returnflag"))
+      },
+      Some("""WITH b AS (SELECT l_returnflag,
+          round(quantile_cont(l_extendedprice, 0.05), 2) AS lo,
+          round(quantile_cont(l_extendedprice, 0.95), 2) AS hi
+          FROM lineitem GROUP BY l_returnflag),
+        w AS (SELECT l.l_returnflag,
+          least(greatest(l_extendedprice, lo), hi) AS wv,
+          l_extendedprice <> least(greatest(l_extendedprice, lo), hi) AS clamped
+          FROM lineitem l JOIN b USING (l_returnflag))
+        SELECT l_returnflag, count(*) AS n,
+          round(CAST(sum(CAST(wv AS DECIMAL(18,2))) AS DOUBLE) / count(*), 6) + 0
+            AS mean_w,
+          CAST(sum(CASE WHEN clamped THEN 1 ELSE 0 END) AS BIGINT) AS n_clamped
+        FROM w GROUP BY l_returnflag ORDER BY l_returnflag""")),
+
     // ---- 5-way star join ----
     QueryDef(
       "q20_star_join",

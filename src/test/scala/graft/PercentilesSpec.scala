@@ -93,4 +93,20 @@ class PercentilesSpec extends SparkSpec {
     assert(out(Some("a")) === 2.0)
     assert(out(None) === 3.0)
   }
+
+  test("winsorized clamps only the tails, inside values pass through") {
+    // values 1..100 in one group: p10 bound = 10.9, p90 bound = 90.1
+    val df = (1 to 100).map(i => ("g", i.toDouble)).toDF("g", "v")
+    val out = Percentiles.winsorized(df, "g", "v", 0.10, 0.90, boundScale = 1)
+      .select("v", "v_w").collect().map(r => (r.getDouble(0), r.getDouble(1))).toMap
+    assert(out(1.0) === 10.9)     // below lo → clamped up
+    assert(out(10.0) === 10.9)
+    assert(out(50.0) === 50.0)    // interior untouched
+    assert(out(95.0) === 90.1)    // above hi → clamped down
+    assert(out(100.0) === 90.1)
+    // winsorized mean is pulled toward the center vs the raw mean
+    val rawMean = (1 to 100).sum / 100.0
+    val wMean = out.values.sum / 100.0
+    assert(math.abs(wMean - rawMean) < 1.0)
+  }
 }
