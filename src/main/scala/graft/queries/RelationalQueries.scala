@@ -410,6 +410,42 @@ object RelationalQueries {
           CAST(sum(CASE WHEN clamped THEN 1 ELSE 0 END) AS BIGINT) AS n_clamped
         FROM w GROUP BY l_returnflag ORDER BY l_returnflag""")),
 
+    // ---- Z-order (Morton) clustering key: coarse 2-D cell histogram over
+    //      (quantity, price) — the layout lever that lets parquet row-group
+    //      stats prune on EITHER predicate column (sources.Layout) ----
+    QueryDef(
+      "q94_zorder",
+      (s, d) => {
+        val z = graft.sources.Layout.zOrdered(
+          Tables.lineitem(s, d), "l_quantity", "l_extendedprice", bits = 8)
+        z.groupBy(shiftright(col("zval"), 10).as("cell"))
+          .agg(count(lit(1)).as("n"),
+            min(col("l_quantity")).as("min_qty"),
+            max(col("l_quantity")).as("max_qty"),
+            min(col("l_extendedprice")).as("min_price"),
+            max(col("l_extendedprice")).as("max_price"))
+          .orderBy(col("cell"))
+      },
+      Some {
+        val terms = (0 until 8).map(b =>
+          s"(((u >> $b) & 1) << ${2 * b}) + (((v >> $b) & 1) << ${2 * b + 1})")
+          .mkString(" + ")
+        raw"""WITH mm AS (SELECT min(l_quantity) AS alo, max(l_quantity) AS ahi,
+            min(l_extendedprice) AS blo, max(l_extendedprice) AS bhi
+            FROM lineitem),
+          uv AS (SELECT l_quantity AS q, l_extendedprice AS p,
+            CAST(least(greatest(floor((l_quantity - alo) / (ahi - alo) * 256), 0),
+              255) AS BIGINT) AS u,
+            CAST(least(greatest(floor((l_extendedprice - blo) / (bhi - blo) * 256),
+              0), 255) AS BIGINT) AS v
+            FROM lineitem, mm),
+          z AS (SELECT q, p, $terms AS zval FROM uv)
+          SELECT zval >> 10 AS cell, count(*) AS n,
+            min(q) AS min_qty, max(q) AS max_qty,
+            min(p) AS min_price, max(p) AS max_price
+          FROM z GROUP BY cell ORDER BY cell"""
+      }),
+
     // ---- 5-way star join ----
     QueryDef(
       "q20_star_join",
