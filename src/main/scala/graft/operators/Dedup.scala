@@ -216,7 +216,11 @@ object Dedup {
       s"banding is lossless only for maxHamming <= bands-1 (got $maxHamming/$bands)")
     val width = bits / bands
     val mask = (1L << width) - 1
-    val sig = simhashWord(df, textCol, idCol, bits)
+    // the self-join below does NOT share exchanges across its aliased
+    // branches (ReusedExchange never fires there — same finding as
+    // semanticDedup), so checkpoint the signature pass or the full
+    // tokenize+md5+bit-counter aggregation runs twice
+    val sig = simhashWord(df, textCol, idCol, bits).localCheckpoint()
     val banded = sig.select(col(idCol), col("simhash"),
         explode(array((0 until bands).map { b =>
           struct(lit(b).as("band"),
@@ -408,10 +412,13 @@ object Dedup {
   def leakageSafeSplit(df: DataFrame, idCol: String, pairs: DataFrame,
       srcCol: String, dstCol: String, fractions: Seq[(String, Double)],
       seed: Long = 42L): DataFrame = {
+    // __-prefix the cluster table's columns before joining: the input frame
+    // may legitimately carry its own `node`/`cluster` columns
     val cc = connectedComponents(pairs, srcCol, dstCol)
-    val withRep = df.join(cc, df(idCol) === cc("node"), "left")
-      .withColumn("rep", coalesce(col("cluster"), df(idCol)))
-      .drop("node", "cluster")
+      .select(col("node").as("__ccn"), col("cluster").as("__ccc"))
+    val withRep = df.join(cc, df(idCol) === col("__ccn"), "left")
+      .withColumn("rep", coalesce(col("__ccc"), df(idCol)))
+      .drop("__ccn", "__ccc")
     graft.sources.Ingest.hashSplit(withRep, "rep", fractions, seed)
   }
 
@@ -434,12 +441,13 @@ object Dedup {
     val pairs = nearDuplicatePairs(df, textCol, idCol, k, numHashes,
       rowsPerBand, threshold)
     val cc = connectedComponents(pairs, "id1", "id2")
+      .select(col("node").as("__ccn"), col("cluster").as("__ccc"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("__cluster")).orderBy(col(idCol))
-    df.join(cc, df(idCol) === cc("node"), "left")
-      .withColumn("__cluster", coalesce(col("cluster"), df(idCol)))
+    df.join(cc, df(idCol) === col("__ccn"), "left")
+      .withColumn("__cluster", coalesce(col("__ccc"), df(idCol)))
       .withColumn("__rn", row_number().over(w))
       .filter(col("__rn") <= maxCopies)
-      .drop("node", "cluster", "__cluster", "__rn")
+      .drop("__ccn", "__ccc", "__cluster", "__rn")
   }
 }

@@ -144,11 +144,16 @@ object Percentiles {
     require(pLo >= 0 && pHi <= 1 && pLo < pHi)
     val bounds = grouped(df, groupCol, valueCol, Seq(pLo, pHi),
         Seq("__lo", "__hi"))
-      .select(col(groupCol), round(col("__lo"), boundScale).as("__lo"),
+      .select(col(groupCol).as("__wg"), round(col("__lo"), boundScale).as("__lo"),
         round(col("__hi"), boundScale).as("__hi"))
-    df.join(broadcast(bounds), groupCol)
+    // null-SAFE join: grouped() treats a null group key as its own group, so
+    // the clamp must too (a plain equi-join would silently drop those rows).
+    // Null values stay null — greatest/least skip nulls, which would
+    // otherwise fabricate the p-lo bound for a missing measurement.
+    df.join(broadcast(bounds), df(groupCol) <=> bounds("__wg"), "left")
       .withColumn(s"${valueCol}_w",
-        least(greatest(col(valueCol), col("__lo")), col("__hi")))
-      .drop("__lo", "__hi")
+        when(col(valueCol).isNotNull,
+          least(greatest(col(valueCol), col("__lo")), col("__hi"))))
+      .drop("__wg", "__lo", "__hi")
   }
 }

@@ -321,9 +321,15 @@ object TextAnalysis {
   def balancedShards(df: DataFrame, tokenCol: String, idCol: String,
       nShards: Int): DataFrame = {
     require(nShards > 0)
+    // localCheckpoint pins ONE range-partition assignment: the window branch
+    // and the offset branch below both consume `parted`, and range bounds
+    // are derived by sampling — two independent materializations could
+    // disagree on partition ids, silently corrupting the global ranks
+    // (same invariant as Percentiles.globalRanks' persist).
     val parted = df
       .repartitionByRange(col(tokenCol).desc, col(idCol))
       .withColumn("__pid", spark_partition_id())
+      .localCheckpoint()
     val byChunk = org.apache.spark.sql.expressions.Window.partitionBy(col("__pid"))
       .orderBy(col(tokenCol).desc, col(idCol))
     val localRanked = parted.withColumn("__lrn",

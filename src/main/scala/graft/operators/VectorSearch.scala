@@ -234,29 +234,35 @@ object VectorSearch {
     require(k > 0 && lambda >= 0 && lambda <= 1)
     val pool0 = if (poolSize > 0) poolSize else 4 * k
     val qn = math.sqrt(dotLocal(query, query))
-    val pool = topK(df, vecCol, query, pool0, filter,
+    // zero-norm vectors (padding / missing-embedding artifacts) have no
+    // direction: cosine against them is NaN, and NaN ranks ABOVE every real
+    // score under maxBy's total ordering — drop them from the pool outright
+    // (a zero query makes every relevance undefined; fail fast instead).
+    require(qn > 0, "mmrTopK: query vector has zero norm")
+    final case class Cand(id: Any, v: Array[Float], norm: Double,
+        rel: Double, var maxSim: Double)
+    val cands = scala.collection.mutable.ArrayBuffer[Cand]()
+    topK(df, vecCol, query, pool0, filter,
         projection = Seq(idCol, vecCol)).collect()
-      .map { r =>
+      .foreach { r =>
         val v = r.getSeq[Float](1).toArray
-        val rel = dotLocal(v, query) / (math.sqrt(dotLocal(v, v)) * qn)
-        (r.get(0), v, rel)
+        val nv = math.sqrt(dotLocal(v, v))
+        if (nv > 0)
+          cands += Cand(r.get(0), v, nv, dotLocal(v, query) / (nv * qn), 0.0)
       }
     val selected = scala.collection.mutable.ArrayBuffer[(Any, Double)]()
-    val selectedVecs = scala.collection.mutable.ArrayBuffer[Array[Float]]()
-    val remaining = scala.collection.mutable.ArrayBuffer(pool: _*)
-    while (selected.length < k && remaining.nonEmpty) {
-      val scored = remaining.map { case (id, v, rel) =>
-        val nv = math.sqrt(dotLocal(v, v))
-        val maxSim =
-          if (selectedVecs.isEmpty) 0.0
-          else selectedVecs.map(s =>
-            dotLocal(v, s) / (nv * math.sqrt(dotLocal(s, s)))).max
-        (id, v, rel, lambda * rel - (1 - lambda) * maxSim)
+    // incremental MMR: each candidate carries its running max-similarity to
+    // the selected set, updated against only the newly picked vector —
+    // O(pool·k) cosines total, not O(pool·k²)
+    while (selected.length < k && cands.nonEmpty) {
+      val bestIdx = cands.indices.maxBy(i =>
+        lambda * cands(i).rel - (1 - lambda) * cands(i).maxSim)
+      val best = cands.remove(bestIdx)
+      selected += ((best.id, best.rel))
+      cands.foreach { c =>
+        val sim = dotLocal(c.v, best.v) / (c.norm * best.norm)
+        if (sim > c.maxSim) c.maxSim = sim
       }
-      val best = scored.maxBy(_._4)
-      selected += ((best._1, best._3))
-      selectedVecs += best._2
-      remaining.remove(remaining.indexWhere(_._1 == best._1))
     }
     val spark = df.sparkSession
     val rows = selected.zipWithIndex.map { case ((id, rel), i) =>

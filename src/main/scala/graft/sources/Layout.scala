@@ -53,6 +53,8 @@ object Layout {
       bits: Int = 8, numPartitions: Int = 0): DataFrame = {
     val r = df.agg(min(col(colA)).cast("double"), max(col(colA)).cast("double"),
       min(col(colB)).cast("double"), max(col(colB)).cast("double")).head()
+    if (r.isNullAt(0) || r.isNullAt(2)) // empty input (or all-null columns)
+      return df.withColumn("zval", lit(0L))
     val (aLo, aHi, bLo, bHi) =
       (r.getDouble(0), r.getDouble(1), r.getDouble(2), r.getDouble(3))
     val withZ = df.withColumn("zval",

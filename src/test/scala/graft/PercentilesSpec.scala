@@ -109,4 +109,20 @@ class PercentilesSpec extends SparkSpec {
     val wMean = out.values.sum / 100.0
     assert(math.abs(wMean - rawMean) < 1.0)
   }
+
+  test("winsorized keeps null groups and leaves null values null") {
+    val df = Seq((Some("a"), Some(1.0)), (Some("a"), Some(2.0)),
+        (Some("a"), Some(100.0)), (Some("a"), None),
+        (None, Some(5.0)), (None, Some(6.0)))
+      .toDF("g", "v")
+    val out = Percentiles.winsorized(df, "g", "v", 0.10, 0.90, boundScale = 2)
+    // no rows lost: null group keys and null values both survive the join
+    assert(out.count() == 6)
+    val nullValueRow = out.filter(col("g") === "a" && col("v").isNull).head()
+    assert(nullValueRow.isNullAt(nullValueRow.fieldIndex("v_w")),
+      "null value must stay null, not become the p-lo bound")
+    val nullGroup = out.filter(col("g").isNull).collect()
+    assert(nullGroup.length == 2 &&
+      nullGroup.forall(!_.isNullAt(nullGroup.head.fieldIndex("v_w"))))
+  }
 }

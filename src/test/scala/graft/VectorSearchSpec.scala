@@ -84,6 +84,20 @@ class VectorSearchSpec extends SparkSpec {
     assert(plain == Seq(1L, 2L), plain.toString)
   }
 
+  test("mmrTopK excludes zero-norm vectors instead of NaN-poisoning the ranking") {
+    val q = Array(1.0f, 0.0f, 0.0f, 0.0f)
+    val df = Seq(
+      (1L, Array(0.9f, 0.1f, 0.0f, 0.0f)),
+      (2L, Array(0.0f, 0.0f, 0.0f, 0.0f)),   // zero norm: cosine undefined
+      (3L, Array(0.5f, -0.5f, 0.0f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val got = VectorSearch.mmrTopK(df, "embedding", "vec_id", q, k = 3)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(!got.contains(2L), s"zero vector selected: $got")
+    assert(got.keySet == Set(1L, 3L))
+    assert(got.values.forall(v => !v.isNaN))
+  }
+
   test("topKCosine ranks by angle, not magnitude") {
     // a short vector perfectly aligned with q must beat a long misaligned one
     val df = Seq(
