@@ -41,4 +41,12 @@ class LayoutSpec extends SparkSpec {
     val maxZ = z.agg(max(col("zval"))).head().getLong(0)
     assert(maxZ <= (1L << 12) - 1)
   }
+
+  test("zOrdered plans exactly one shuffle (the range exchange)") {
+    val grid = (for (x <- 0 until 32; y <- 0 until 32)
+      yield (x.toDouble, y.toDouble)).toDF("x", "y")
+    val z = Layout.zOrdered(grid, "x", "y", bits = 5, numPartitions = 8)
+    val a = graft.plans.PlanAudit.audit(z)
+    assert(a.shuffles == 1, s"expected 1 shuffle, plan had ${a.shuffles}")
+  }
 }
