@@ -90,6 +90,14 @@ object Dedup {
 
   /** Exact word-k-shingle Jaccard similarity for given candidate pairs
     * (columns id1, id2). Output: (id1, id2, jaccard).
+    *
+    * The intersection join is anchored on the candidate PAIRS, not on the
+    * shingle value: pair rows pick up id1's shingles (join keyed on id1),
+    * then match id2's shingles on the composite (id2, shingle) key. Every
+    * join key includes a document id, so a corpus-hot shingle ("click here
+    * to", boilerplate headers) never becomes a skewed shuffle key and never
+    * fans out across non-candidate doc pairs — the work is
+    * |pairs| × |shingles per doc|, linear in the candidate set.
     */
   def jaccardVerify(
       df: DataFrame, textCol: String, idCol: String,
@@ -97,12 +105,12 @@ object Dedup {
     val sh = TextAnalysis.shingles(df, textCol, k, idCol).distinct()
     val cnt = sh.groupBy(col(idCol)).agg(count(lit(1)).as("n"))
     val a = sh.select(col(idCol).as("id1"), col("s"))
-    val b = sh.select(col(idCol).as("id2"), col("s").as("s2"))
-    val inter = a.join(candidates, Seq("id1"), "left_semi")
-      .join(b.join(candidates, Seq("id2"), "left_semi"),
-        col("s") === col("s2") && col("id1") < col("id2"))
+    val b = sh.select(col(idCol).as("__bid"), col("s").as("s2"))
+    val cand = candidates.select(col("id1"), col("id2")).distinct()
+    val inter = cand.join(a, Seq("id1"))
+      .join(b, col("id2") === col("__bid") && col("s") === col("s2"))
       .groupBy(col("id1"), col("id2")).agg(count(lit(1)).as("c"))
-    inter.join(candidates, Seq("id1", "id2"), "left_semi")
+    inter
       .join(cnt.select(col(idCol).as("id1"), col("n").as("n1")), "id1")
       .join(cnt.select(col(idCol).as("id2"), col("n").as("n2")), "id2")
       .select(col("id1"), col("id2"),
