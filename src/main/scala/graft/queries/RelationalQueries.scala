@@ -446,6 +446,29 @@ object RelationalQueries {
           FROM z GROUP BY cell ORDER BY cell"""
       }),
 
+    // ---- heap-based top-k per group (functions.GroupTopK): bounded-buffer
+    //      UDAF with map-side combine — no per-group sort, no Sort operator
+    //      in the plan; contrast the window formulation of q08 ----
+    QueryDef(
+      "q95_group_topk",
+      (s, d) => {
+        val li = Tables.lineitem(s, d)
+          .withColumn("rid",
+            col("l_orderkey") * 100 + col("l_linenumber").cast("long"))
+        graft.functions.GroupTopK.perGroup(
+            li, "l_returnflag", "l_extendedprice", "rid", k = 3)
+          .orderBy(col("l_returnflag"), col("rank"))
+      },
+      Some("""WITH t AS (SELECT l_returnflag,
+          l_extendedprice, l_orderkey * 100 + l_linenumber AS rid
+          FROM lineitem),
+        r AS (SELECT l_returnflag, l_extendedprice, rid,
+          row_number() OVER (PARTITION BY l_returnflag
+            ORDER BY l_extendedprice DESC, rid) AS rank
+          FROM t)
+        SELECT l_returnflag, rank, l_extendedprice, rid FROM r WHERE rank <= 3
+        ORDER BY l_returnflag, rank""")),
+
     // ---- 5-way star join ----
     QueryDef(
       "q20_star_join",
