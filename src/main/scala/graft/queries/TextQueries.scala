@@ -1089,6 +1089,31 @@ object TextQueries {
             ORDER BY d.doc_id) AS rn
           FROM documents d LEFT JOIN cc ON d.doc_id = cc.node)
         SELECT source, count(*) AS n_kept FROM ranked WHERE rn <= 1
+        GROUP BY source ORDER BY source""")),
+
+    // ---- temperature-scaled mixture (alpha=0.5, half-size budget):
+    //      dominant sources down-sampled toward rare ones' share
+    //      (Ingest.temperatureMixture; rates rounded to 9 decimals so the
+    //      oracle recomputes them bitwise) ----
+    QueryDef(
+      "q96_temperature_mix",
+      (s, d) => {
+        graft.sources.Ingest.temperatureMixture(Tables.documents(s, d),
+            "doc_id", "source", alpha = 0.5, targetFraction = 0.5)
+          .groupBy(col("source")).agg(count(lit(1)).as("n_kept"))
+          .orderBy(col("source"))
+      },
+      Some(raw"""WITH c AS (SELECT source, count(*) AS n FROM documents
+          GROUP BY source),
+        tot AS (SELECT CAST(sum(n) AS DOUBLE) AS total,
+          sum(pow(n, 0.5)) AS psum FROM c),
+        r AS (SELECT source,
+          least(1.0, round(0.5 * total * (pow(n, 0.5) / psum) / n, 9)) AS rate
+          FROM c, tot),
+        kept AS (SELECT d.source FROM documents d JOIN r USING (source)
+          WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':42'), 1, 13))::BIGINT
+            / 4503599627370496.0 < rate)
+        SELECT source, count(*) AS n_kept FROM kept
         GROUP BY source ORDER BY source"""))
   )
 }

@@ -180,6 +180,35 @@ object Ingest {
     df.filter(uniformKey(col(idCol), seed) < rate)
   }
 
+  /** Temperature-scaled mixture: derive the per-stratum keep rates from the
+    * corpus itself so a dominant source is down-sampled and rare sources
+    * keep more of their data — stratum s gets share n_s^alpha / Σ n_t^alpha
+    * of a `targetFraction`·N-row budget (alpha=1 reproduces the natural
+    * distribution, alpha→0 approaches uniform across strata; the standard
+    * rebalancing for multilingual/multi-source training corpora). Rates are
+    * rounded to 9 decimals (so any engine recomputing them agrees bitwise)
+    * and capped at 1 — a stratum whose fair share exceeds its size keeps
+    * everything, it is never upsampled with replacement.
+    *
+    * Cost: one tiny count-by-stratum pass (collected — stratum cardinality
+    * is small by definition), then [[mixtureSample]]'s narrow filter.
+    */
+  def temperatureMixture(df: DataFrame, idCol: String, stratumCol: String,
+      alpha: Double, targetFraction: Double, seed: Long = 42L): DataFrame = {
+    require(alpha >= 0 && targetFraction > 0 && targetFraction <= 1)
+    val counts = df.groupBy(col(stratumCol)).agg(count(lit(1)).as("__n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val total = counts.values.sum
+    val powSum = counts.values.map(n => math.pow(n.toDouble, alpha)).sum
+    val rates = counts.map { case (s, n) =>
+      val share = math.pow(n.toDouble, alpha) / powSum
+      val rate = targetFraction * total * share / n
+      s -> math.min(1.0, BigDecimal(rate)
+        .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }
+    mixtureSample(df, idCol, stratumCol, rates, default = 0.0, seed)
+  }
+
   /** Deterministic global corpus shuffle — "shuffle the training data,
     * reproducibly": order rows by their [[uniformKey]] via ONE
     * `repartitionByRange` + in-task sort, so shard i's every row precedes

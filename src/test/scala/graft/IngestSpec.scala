@@ -141,4 +141,28 @@ class IngestSpec extends SparkSpec {
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(got == Map("a" -> 100L, "b" -> 5L, "c" -> 1L))
   }
+
+  test("temperatureMixture: alpha=1 reduces to plain fractional sampling") {
+    // rate_s = F·N·(n_s/N)/n_s = F for every stratum regardless of size
+    val df = spark.range(9000).toDF("id")
+      .withColumn("src", concat(lit("s"), pmod(col("id"), lit(3))))
+    val kept = Ingest.temperatureMixture(df, "id", "src",
+        alpha = 1.0, targetFraction = 0.4)
+      .groupBy("src").count().collect().map(r => r.getLong(1))
+    // each stratum has 3000 rows → expect ~1200 each (3σ ≈ 90)
+    kept.foreach(n => assert(math.abs(n - 1200L) < 130, kept.toSeq.toString))
+  }
+
+  test("temperatureMixture: low alpha boosts rare strata, caps at keep-all") {
+    // 9900 rows of s0, 100 of s1; alpha=0 gives each stratum HALF the
+    // 0.2·10000 = 2000-row budget → s1's fair share (1000) exceeds its
+    // size, so the cap keeps all 100; s0 keeps ~1000 not ~1980
+    val df = spark.range(10000).toDF("id")
+      .withColumn("src", when(col("id") < 9900, "s0").otherwise("s1"))
+    val counts = Ingest.temperatureMixture(df, "id", "src",
+        alpha = 0.0, targetFraction = 0.2)
+      .groupBy("src").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts("s1") == 100L, counts.toString)
+    assert(math.abs(counts("s0") - 1010L) < 110, counts.toString)
+  }
 }
