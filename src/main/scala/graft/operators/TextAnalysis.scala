@@ -365,4 +365,44 @@ object TextAnalysis {
       }
     df.groupBy(col(groupCol)).agg(aggs.head, aggs.tail: _*)
   }
+
+  /** Token-budget selection: per group, keep documents in (quality desc, id)
+    * order while the running token total stays within `budget` — "assemble
+    * the best `budget` tokens per source", the corpus-assembly step behind
+    * quality-pruned training sets. A doc is kept iff the cumulative token
+    * count INCLUDING it is ≤ budget (first doc larger than the whole budget
+    * → group contributes nothing).
+    *
+    * The running total is a distributed prefix sum, not a per-group window
+    * sort: range-partition on (group, quality desc, id) spreads each group
+    * over many tasks in selection order, a window keyed on (partition,
+    * group) computes local prefix sums, and a broadcast per-(partition,
+    * group) offset table lifts them to global ones — the same
+    * rank-arithmetic shape as [[balancedShards]] / `Percentiles`, so no
+    * single task ever sorts a whole group. The checkpoint pins one range
+    * assignment for both the window and the offset branch.
+    */
+  def tokenBudgetSelect(df: DataFrame, groupCol: String, qualityCol: String,
+      tokenCol: String, idCol: String, budget: Long): DataFrame = {
+    require(budget > 0)
+    val parted = df
+      .repartitionByRange(col(groupCol), col(qualityCol).desc, col(idCol))
+      .withColumn("__pid", spark_partition_id())
+      .localCheckpoint()
+    val local = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__pid"), col(groupCol))
+      .orderBy(col(qualityCol).desc, col(idCol))
+    val withLocal = parted.withColumn("__lsum",
+      sum(col(tokenCol)).over(local))
+    val prior = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol)).orderBy(col("__pid"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val offsets = parted.groupBy(col("__pid"), col(groupCol))
+      .agg(sum(col(tokenCol)).as("__c"))
+      .select(col("__pid"), col(groupCol),
+        coalesce(sum(col("__c")).over(prior), lit(0L)).as("__off"))
+    withLocal.join(broadcast(offsets), Seq("__pid", groupCol))
+      .filter(col("__lsum") + col("__off") <= budget)
+      .drop("__pid", "__lsum", "__off")
+  }
 }

@@ -1114,6 +1114,40 @@ object TextQueries {
           WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':42'), 1, 13))::BIGINT
             / 4503599627370496.0 < rate)
         SELECT source, count(*) AS n_kept FROM kept
-        GROUP BY source ORDER BY source"""))
+        GROUP BY source ORDER BY source""")),
+
+    // ---- token-budget quality selection: best-entropy docs per source
+    //      until a 300-token budget (TextAnalysis.tokenBudgetSelect —
+    //      distributed prefix sum, no per-group sort task) ----
+    QueryDef(
+      "q97_token_budget",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val scored = docs.join(TA.tokenEntropy(docs, "text", "doc_id"), "doc_id")
+          .select(col("doc_id"), col("source"),
+            (round(col("entropy"), 6) + 0.0).as("q"),
+            TA.tokenCount(col("text")).as("nt"))
+        TA.tokenBudgetSelect(scored, "source", "q", "nt", "doc_id", 300L)
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n_kept"), sum(col("nt")).as("tokens_kept"))
+          .orderBy(col("source"))
+      },
+      Some(raw"""WITH toks AS (SELECT doc_id,
+          unnest(regexp_split_to_array(trim(text), '\s+')) AS t
+          FROM documents),
+        tf AS (SELECT doc_id, t, count(*) AS c FROM toks
+          WHERE t <> '' GROUP BY doc_id, t),
+        ent AS (SELECT doc_id, round(ln(CAST(sum(c) AS DOUBLE)) -
+            sum(CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE))) /
+            CAST(sum(c) AS DOUBLE), 6) + 0 AS q
+          FROM tf GROUP BY doc_id),
+        base AS (SELECT d.doc_id, d.source, e.q,
+          CAST(len(regexp_split_to_array(trim(d.text), '\s+')) AS BIGINT) AS nt
+          FROM documents d JOIN ent e USING (doc_id)),
+        cum AS (SELECT source, nt, sum(nt) OVER (PARTITION BY source
+            ORDER BY q DESC, doc_id ROWS UNBOUNDED PRECEDING) AS csum
+          FROM base)
+        SELECT source, count(*) AS n_kept, CAST(sum(nt) AS BIGINT) AS tokens_kept
+        FROM cum WHERE csum <= 300 GROUP BY source ORDER BY source"""))
   )
 }

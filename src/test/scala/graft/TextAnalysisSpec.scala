@@ -301,4 +301,34 @@ class TextAnalysisSpec extends SparkSpec {
         "a" -> (col("v") > 5), "b" -> (col("v") > 0))).head()
     assert((r.getLong(1), r.getLong(2), r.getLong(3)) == (1L, 0L, 0L))
   }
+
+  test("tokenBudgetSelect keeps best-quality docs until the budget binds") {
+    import org.apache.spark.sql.functions._
+    // srcA in quality order: (id 1, q 9, 40 tok), (id 2, q 8, 40), (id 3,
+    // q 7, 40) → budget 100 keeps ids 1,2 (80 tokens; adding 3 → 120 > 100).
+    // srcB's single 200-token doc exceeds the budget alone → nothing kept.
+    val df = Seq(
+      ("srcA", 1L, 9.0, 40L), ("srcA", 2L, 8.0, 40L), ("srcA", 3L, 7.0, 40L),
+      ("srcB", 4L, 5.0, 200L))
+      .toDF("src", "doc_id", "q", "nt")
+    val kept = TextAnalysis.tokenBudgetSelect(df, "src", "q", "nt", "doc_id", 100L)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(kept == Seq(1L, 2L))
+  }
+
+  test("tokenBudgetSelect matches a window cumulative sum on random data") {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val rnd = new scala.util.Random(11)
+    val df = (0 until 2000).map(i =>
+      (s"s${i % 5}", i.toLong, rnd.nextInt(100).toDouble, (rnd.nextInt(20) + 1).toLong))
+      .toDF("src", "doc_id", "q", "nt")
+    val got = TextAnalysis.tokenBudgetSelect(df, "src", "q", "nt", "doc_id", 500L)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    val w = Window.partitionBy(col("src")).orderBy(col("q").desc, col("doc_id"))
+    val expect = df.withColumn("csum", sum(col("nt")).over(w))
+      .filter(col("csum") <= 500L)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(got == expect && got.nonEmpty)
+  }
 }
