@@ -312,4 +312,39 @@ object Profile {
       f"| ${t.column} | ${t.count} | ${t.avgLen}%.1f | ${t.minLen} | ${t.maxLen} |\n"))
     sb.toString
   }
+
+  /** Population stability index between two samples of `valueCol` — the
+    * standard drift monitor between a reference snapshot and today's data
+    * (or two segments): PSI = Σ_bins (p_a − p_b)·ln(p_a/p_b) over a fixed
+    * equi-width binning of [lo, hi] (out-of-range values clamp into the edge
+    * bins; nulls are excluded). Rule of thumb: < 0.1 stable, 0.1–0.25
+    * moderate shift, > 0.25 drifted. Bins are Laplace-smoothed (+0.5) so an
+    * empty bin on one side contributes a finite term instead of ±∞.
+    *
+    * Each input reduces to ≤ `bins` count rows in one hash aggregation —
+    * two scans total, everything after is constant-size. Output: one row
+    * (psi, n_a, n_b).
+    */
+  def psi(a: DataFrame, b: DataFrame, valueCol: String,
+      bins: Int, lo: Double, hi: Double): DataFrame = {
+    require(bins > 1 && hi > lo)
+    def hist(df: DataFrame, name: String): DataFrame =
+      df.filter(col(valueCol).isNotNull)
+        .select(least(greatest(floor((col(valueCol).cast("double") - lit(lo)) /
+            lit(hi - lo) * bins), lit(0)), lit(bins - 1)).cast("long").as("bin"))
+        .groupBy(col("bin")).agg(count(lit(1)).as(name))
+    val j = hist(a, "na").join(hist(b, "nb"), Seq("bin"), "full_outer")
+      .select(coalesce(col("na"), lit(0L)).as("na"),
+        coalesce(col("nb"), lit(0L)).as("nb"))
+    val t = j.agg(sum(col("na")).as("ta"), sum(col("nb")).as("tb"))
+    val smooth = bins * 0.5
+    j.crossJoin(broadcast(t))
+      .select(col("ta"), col("tb"),
+        ((col("na") + 0.5) / (col("ta") + lit(smooth))).as("pa"),
+        ((col("nb") + 0.5) / (col("tb") + lit(smooth))).as("pb"))
+      .groupBy(col("ta"), col("tb"))
+      .agg((round(sum((col("pa") - col("pb")) * log(col("pa") / col("pb"))), 6)
+        + 0.0).as("psi"))
+      .select(col("psi"), col("ta").as("n_a"), col("tb").as("n_b"))
+  }
 }

@@ -311,6 +311,37 @@ object EventQueries {
           round((e.value - sd.m) / sd.sd, 6) + 0 AS z
         FROM events e JOIN sd USING (event_type)
         WHERE sd.sd > 0
-        ORDER BY z DESC, e.event_id LIMIT 20"""))
+        ORDER BY z DESC, e.event_id LIMIT 20""")),
+
+    // ---- PSI drift monitor (operators.Profile.psi): population stability
+    //      of `value` between the click and purchase segments, 20 bins over
+    //      [0, 500], Laplace-smoothed ----
+    QueryDef(
+      "q98_value_drift",
+      (s, d) => {
+        val ev = Tables.events(s, d)
+        graft.operators.Profile.psi(
+          ev.filter(col("event_type") === "click"),
+          ev.filter(col("event_type") === "purchase"),
+          "value", bins = 20, lo = 0.0, hi = 500.0)
+      },
+      Some(raw"""WITH ha AS (SELECT CAST(least(greatest(
+            floor((value - 0.0) / 500.0 * 20), 0), 19) AS BIGINT) AS bin,
+          count(*) AS na
+          FROM events WHERE event_type = 'click' AND value IS NOT NULL
+          GROUP BY bin),
+        hb AS (SELECT CAST(least(greatest(
+            floor((value - 0.0) / 500.0 * 20), 0), 19) AS BIGINT) AS bin,
+          count(*) AS nb
+          FROM events WHERE event_type = 'purchase' AND value IS NOT NULL
+          GROUP BY bin),
+        j AS (SELECT coalesce(na, 0) AS na, coalesce(nb, 0) AS nb
+          FROM ha FULL OUTER JOIN hb ON ha.bin = hb.bin),
+        t AS (SELECT sum(na) AS ta, sum(nb) AS tb FROM j),
+        p AS (SELECT ta, tb, (na + 0.5) / (ta + 10.0) AS pa,
+          (nb + 0.5) / (tb + 10.0) AS pb FROM j, t)
+        SELECT round(sum((pa - pb) * ln(pa / pb)), 6) + 0 AS psi,
+          CAST(ta AS BIGINT) AS n_a, CAST(tb AS BIGINT) AS n_b
+        FROM p GROUP BY ta, tb"""))
   )
 }

@@ -82,4 +82,21 @@ class ProfileSpec extends SparkSpec {
     val mb = Profile.fileSizeMb(df, dir)
     assert(mb > 0.0 && mb < 10.0)
   }
+
+  test("psi: identical samples score ~0, a shifted sample scores high") {
+    import spark.implicits._
+    val base = (0 until 2000).map(i => (i % 100).toDouble).toDF("v")
+    val same = Profile.psi(base, base, "v", bins = 10, lo = 0, hi = 100)
+      .head().getDouble(0)
+    assert(same == 0.0, s"identical distributions must give psi 0, got $same")
+    // shift the whole mass into the upper half of the range
+    val shifted = (0 until 2000).map(i => 50.0 + (i % 50)).toDF("v")
+    val drift = Profile.psi(base, shifted, "v", bins = 10, lo = 0, hi = 100)
+      .head().getDouble(0)
+    assert(drift > 0.25, s"shifted distribution must exceed 0.25, got $drift")
+    // out-of-range and null values: clamped / excluded without error
+    val dirty = Seq(Some(-5.0), Some(500.0), None, Some(10.0)).toDF("v")
+    val r = Profile.psi(base, dirty, "v", bins = 10, lo = 0, hi = 100).head()
+    assert(r.getLong(2) == 3L) // null excluded from n_b
+  }
 }
