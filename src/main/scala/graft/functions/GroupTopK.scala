@@ -32,11 +32,18 @@ object GroupTopK {
 
       override def zero: Buf = Buf(0, Array.empty, Array.empty)
 
+      // total order (value desc, id asc) via Double.compare — a strict weak
+      // ordering even for NaN (which ranks largest, matching Spark's sort
+      // semantics for descending order)
+      private def sortedIdx(b: Buf): Array[Int] =
+        Array.range(0, b.n).sortWith { (i, j) =>
+          val c = java.lang.Double.compare(b.vs(i), b.vs(j))
+          if (c != 0) c > 0 else b.ids(i) < b.ids(j)
+        }
+
       private def compact(b: Buf, keep: Int): Unit =
         if (b.n > keep) {
-          val order = Array.range(0, b.n).sortWith { (i, j) =>
-            b.vs(i) > b.vs(j) || (b.vs(i) == b.vs(j) && b.ids(i) < b.ids(j))
-          }
+          val order = sortedIdx(b)
           val vs = new Array[Double](keep)
           val ids = new Array[Long](keep)
           var i = 0
@@ -70,10 +77,7 @@ object GroupTopK {
 
       override def finish(b: Buf): Seq[Entry] = {
         compact(b, k)
-        val order = Array.range(0, b.n).sortWith { (i, j) =>
-          b.vs(i) > b.vs(j) || (b.vs(i) == b.vs(j) && b.ids(i) < b.ids(j))
-        }
-        order.zipWithIndex.map { case (idx, r) =>
+        sortedIdx(b).zipWithIndex.map { case (idx, r) =>
           Entry(r + 1L, b.vs(idx), b.ids(idx))
         }.toSeq
       }
@@ -87,13 +91,17 @@ object GroupTopK {
 
   /** Top `k` rows per group as (group, rank, value, id) — one hash
     * aggregation (partial+final), one exchange, zero Sort operators in the
-    * plan. Requires unique `idCol` values for a deterministic tie order.
+    * plan. Requires unique `idCol` values for a deterministic tie order;
+    * rows with a null value or id are excluded (a null can never be a
+    * meaningful top-k member, and the primitive buffer carries no null
+    * representation).
     */
   def perGroup(df: org.apache.spark.sql.DataFrame, groupCol: String,
       valueCol: String, idCol: String, k: Int): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.functions._
     val agg = udaf(aggregator(k))
-    df.groupBy(col(groupCol))
+    df.filter(col(valueCol).isNotNull && col(idCol).isNotNull)
+      .groupBy(col(groupCol))
       .agg(agg(col(valueCol).cast("double"), col(idCol).cast("long")).as("__top"))
       .select(col(groupCol), explode(col("__top")).as("__e"))
       .select(col(groupCol), col("__e.rank").as("rank"),

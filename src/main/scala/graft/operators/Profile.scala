@@ -333,7 +333,15 @@ object Profile {
         .select(least(greatest(floor((col(valueCol).cast("double") - lit(lo)) /
             lit(hi - lo) * bins), lit(0)), lit(bins - 1)).cast("long").as("bin"))
         .groupBy(col("bin")).agg(count(lit(1)).as(name))
-    val j = hist(a, "na").join(hist(b, "nb"), Seq("bin"), "full_outer")
+    // every bin participates, present in the data or not: the smoothing
+    // denominator assumes `bins` cells, so a bin empty on BOTH sides still
+    // owes its (smoothed) term — dropping it would understate PSI whenever
+    // the sample sizes differ. Also guarantees the documented one-row
+    // output even for empty inputs.
+    val allBins = a.sparkSession.range(0, bins).select(col("id").as("bin"))
+    val j = allBins
+      .join(hist(a, "na"), Seq("bin"), "left")
+      .join(hist(b, "nb"), Seq("bin"), "left")
       .select(coalesce(col("na"), lit(0L)).as("na"),
         coalesce(col("nb"), lit(0L)).as("nb"))
     val t = j.agg(sum(col("na")).as("ta"), sum(col("nb")).as("tb"))

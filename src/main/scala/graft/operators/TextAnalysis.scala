@@ -389,9 +389,15 @@ object TextAnalysis {
       .repartitionByRange(col(groupCol), col(qualityCol).desc, col(idCol))
       .withColumn("__pid", spark_partition_id())
       .localCheckpoint()
+    // ROWS frame, not the default RANGE one: RANGE includes ORDER-BY peers,
+    // so a duplicated (quality, id) row would double-count tokens for BOTH
+    // copies; ids are expected unique, but the frame must not amplify a
+    // violation
     val local = org.apache.spark.sql.expressions.Window
       .partitionBy(col("__pid"), col(groupCol))
       .orderBy(col(qualityCol).desc, col(idCol))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
     val withLocal = parted.withColumn("__lsum",
       sum(col(tokenCol)).over(local))
     val prior = org.apache.spark.sql.expressions.Window

@@ -335,8 +335,9 @@ object EventQueries {
           count(*) AS nb
           FROM events WHERE event_type = 'purchase' AND value IS NOT NULL
           GROUP BY bin),
+        bins AS (SELECT unnest(generate_series(0, 19)) AS bin),
         j AS (SELECT coalesce(na, 0) AS na, coalesce(nb, 0) AS nb
-          FROM ha FULL OUTER JOIN hb ON ha.bin = hb.bin),
+          FROM bins LEFT JOIN ha USING (bin) LEFT JOIN hb USING (bin)),
         t AS (SELECT sum(na) AS ta, sum(nb) AS tb FROM j),
         p AS (SELECT ta, tb, (na + 0.5) / (ta + 10.0) AS pa,
           (nb + 0.5) / (tb + 10.0) AS pb FROM j, t)

@@ -196,8 +196,9 @@ object Ingest {
   def temperatureMixture(df: DataFrame, idCol: String, stratumCol: String,
       alpha: Double, targetFraction: Double, seed: Long = 42L): DataFrame = {
     require(alpha >= 0 && targetFraction > 0 && targetFraction <= 1)
+    // null strata fall through to mixtureSample's default rate 0 (dropped)
     val counts = df.groupBy(col(stratumCol)).agg(count(lit(1)).as("__n"))
-      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      .collect().filter(!_.isNullAt(0)).map(r => r.getString(0) -> r.getLong(1)).toMap
     val total = counts.values.sum
     val powSum = counts.values.map(n => math.pow(n.toDouble, alpha)).sum
     val rates = counts.map { case (s, n) =>

@@ -39,6 +39,19 @@ class GroupTopKSpec extends SparkSpec {
     assert(audit.shuffles == 1, s"expected 1 shuffle, got ${audit.shuffles}")
   }
 
+  test("NaN ranks first and null rows are excluded, like the window form") {
+    val df = Seq(
+      (Some("g"), Some(Double.NaN), Some(1L)),
+      (Some("g"), Some(5.0), Some(2L)),
+      (Some("g"), Some(7.0), Some(3L)),
+      (Some("g"), None, Some(4L)))
+      .toDF("g", "v", "id")
+    val got = GroupTopK.perGroup(df, "g", "v", "id", 3)
+      .orderBy("rank").collect().map(_.getLong(3)).toSeq
+    // Spark sorts NaN as the largest double; the null-value row never ranks
+    assert(got == Seq(1L, 3L, 2L), got.toString)
+  }
+
   test("buffer compaction keeps exactly the k best under heavy insertion") {
     // one group, 50k rows in one partition — exercises repeated compaction
     val df = (0 until 50000).map(i => ("g", (i % 997).toDouble, i.toLong))

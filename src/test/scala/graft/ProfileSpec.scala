@@ -98,5 +98,16 @@ class ProfileSpec extends SparkSpec {
     val dirty = Seq(Some(-5.0), Some(500.0), None, Some(10.0)).toDF("v")
     val r = Profile.psi(base, dirty, "v", bins = 10, lo = 0, hi = 100).head()
     assert(r.getLong(2) == 3L) // null excluded from n_b
+    // empty inputs still produce the documented single row (psi 0)
+    val none = base.filter(col("v") < -1e9)
+    val er = Profile.psi(none, none, "v", bins = 10, lo = 0, hi = 100).head()
+    assert(er.getDouble(0) == 0.0 && er.getLong(1) == 0L && er.getLong(2) == 0L)
+    // unequal sample sizes concentrated in one bin: the empty bins' smoothed
+    // terms must still be counted (regression for the all-bins fix)
+    val aOne = (0 until 100).map(_ => 5.0).toDF("v")
+    val bOne = (0 until 200).map(_ => 5.0).toDF("v")
+    val conc = Profile.psi(aOne, bOne, "v", bins = 20, lo = 0, hi = 100)
+      .head().getDouble(0)
+    assert(conc > 0.02, s"empty-bin smoothing terms missing: $conc")
   }
 }
