@@ -156,4 +156,31 @@ object Percentiles {
           least(greatest(col(valueCol), col("__lo")), col("__hi"))))
       .drop("__wg", "__lo", "__hi")
   }
+
+  /** Equi-DEPTH histogram: `nBuckets` buckets holding ≈ equal row counts,
+    * with data-derived boundaries at the 1/n … (n−1)/n quantiles — the
+    * DB-statistics standard for skewed columns, where the equi-width
+    * histogram (reference `gbr.py` plots) wastes most bins on empty tail
+    * ranges. Boundaries come from the range-partitioned exact quantiles
+    * ([[grouped]]), then bucket assignment is a narrow when-chain over
+    * broadcast literals — second pass is map-only. Values equal to a
+    * boundary land in the lower bucket; nulls are excluded. Output:
+    * (bucket, n, min_v, max_v).
+    */
+  def equiDepthHistogram(df: DataFrame, valueCol: String,
+      nBuckets: Int): DataFrame = {
+    require(nBuckets > 1)
+    val nonNull = df.filter(col(valueCol).isNotNull)
+    val ps = (1 until nBuckets).map(_.toDouble / nBuckets)
+    val boundsRow = grouped(nonNull.withColumn("__g", lit(1)), "__g",
+      valueCol, ps).head()
+    val bs = (1 until nBuckets).map(i => boundsRow.getDouble(i))
+    val first = when(col(valueCol) <= lit(bs.head), lit(0))
+    val bucket = bs.tail.zipWithIndex.foldLeft(first) {
+      case (acc, (b, i)) => acc.when(col(valueCol) <= lit(b), lit(i + 1))
+    }.otherwise(lit(nBuckets - 1))
+    nonNull.groupBy(bucket.cast("int").as("bucket"))
+      .agg(count(lit(1)).as("n"),
+        min(col(valueCol)).as("min_v"), max(col(valueCol)).as("max_v"))
+  }
 }

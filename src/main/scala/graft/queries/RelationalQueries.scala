@@ -469,6 +469,26 @@ object RelationalQueries {
         SELECT l_returnflag, rank, l_extendedprice, rid FROM r WHERE rank <= 3
         ORDER BY l_returnflag, rank""")),
 
+    // ---- equi-depth histogram (Percentiles.equiDepthHistogram): 8 buckets
+    //      of ~equal count with quantile boundaries — the skew-robust
+    //      complement to q17's equi-width bins ----
+    QueryDef(
+      "q99_equidepth",
+      (s, d) => {
+        graft.operators.Percentiles.equiDepthHistogram(
+            Tables.lineitem(s, d), "l_extendedprice", nBuckets = 8)
+          .orderBy(col("bucket"))
+      },
+      Some(raw"""WITH v AS (SELECT l_extendedprice AS x FROM lineitem
+          WHERE l_extendedprice IS NOT NULL),
+        b AS (SELECT quantile_cont(x, [0.125, 0.25, 0.375, 0.5,
+          0.625, 0.75, 0.875]) AS bs FROM v),
+        t AS (SELECT x,
+          CAST(len(list_filter(bs, y -> y < x)) AS INTEGER) AS bucket
+          FROM v, b)
+        SELECT bucket, count(*) AS n, min(x) AS min_v, max(x) AS max_v
+        FROM t GROUP BY bucket ORDER BY bucket""")),
+
     // ---- 5-way star join ----
     QueryDef(
       "q20_star_join",

@@ -110,6 +110,22 @@ class PercentilesSpec extends SparkSpec {
     assert(math.abs(wMean - rawMean) < 1.0)
   }
 
+  test("equiDepthHistogram balances counts on skewed data") {
+    // heavily skewed: 900 small values, 100 huge — equi-width would put
+    // ~90% of rows in one bin; equi-depth must keep buckets near n/buckets
+    val df = ((0 until 900).map(i => (i % 30).toDouble) ++
+      (0 until 100).map(i => 1e6 + i)).toDF("v")
+    val rows = Percentiles.equiDepthHistogram(df, "v", 4)
+      .orderBy("bucket").collect()
+    assert(rows.map(_.getInt(0)).toSeq == Seq(0, 1, 2, 3))
+    val counts = rows.map(_.getLong(1))
+    assert(counts.sum == 1000L)
+    counts.foreach(c => assert(c >= 150L && c <= 350L, counts.toSeq.toString))
+    // buckets are ordered and non-overlapping
+    val (mins, maxs) = (rows.map(_.getDouble(2)), rows.map(_.getDouble(3)))
+    (0 until 3).foreach(i => assert(maxs(i) <= mins(i + 1)))
+  }
+
   test("winsorized keeps null groups and leaves null values null") {
     val df = Seq((Some("a"), Some(1.0)), (Some("a"), Some(2.0)),
         (Some("a"), Some(100.0)), (Some("a"), None),
