@@ -355,4 +355,29 @@ object Profile {
         + 0.0).as("psi"))
       .select(col("psi"), col("ta").as("n_a"), col("tb").as("n_b"))
   }
+
+  /** Referential-integrity audit over a set of FK edges — the constraint
+    * check a lakehouse has no engine to enforce: per edge, child row count,
+    * orphan count (child FK with no parent), distinct FK values, and parent
+    * row count. Each edge is one left join against the DISTINCT parent keys
+    * (broadcast when small, shuffled on the key otherwise — both sides
+    * key-uniform) folded into a single aggregation row; the edges union
+    * into one report. Null FKs count as orphans: an unresolvable reference
+    * is broken whether it is missing or dangling.
+    */
+  def fkAudit(edges: Seq[(String, DataFrame, String, DataFrame, String)])
+      : DataFrame = {
+    require(edges.nonEmpty)
+    edges.map { case (name, child, fk, parent, pk) =>
+      val parents = parent.select(col(pk).as("__pk")).distinct()
+      child.select(col(fk))
+        .join(parents, col(fk) === col("__pk"), "left")
+        .agg(count(lit(1)).as("n_child"),
+          sum(col("__pk").isNull.cast("long")).as("orphans"),
+          countDistinct(col(fk)).as("distinct_fk"))
+        .crossJoin(broadcast(parents.agg(count(lit(1)).as("n_parent"))))
+        .select(lit(name).as("edge"), col("n_child"), col("orphans"),
+          col("distinct_fk"), col("n_parent"))
+    }.reduce(_ unionByName _)
+  }
 }

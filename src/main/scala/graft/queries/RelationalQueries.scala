@@ -489,6 +489,44 @@ object RelationalQueries {
         SELECT bucket, count(*) AS n, min(x) AS min_v, max(x) AS max_v
         FROM t GROUP BY bucket ORDER BY bucket""")),
 
+    // ---- referential-integrity audit (Profile.fkAudit): orphan + coverage
+    //      counts for every FK edge of the star schema in one report ----
+    QueryDef(
+      "q100_fk_audit",
+      (s, d) => {
+        val li = Tables.lineitem(s, d); val o = Tables.orders(s, d)
+        val c = Tables.customer(s, d); val n = Tables.nation(s, d)
+        val r = Tables.region(s, d); val su = Tables.supplier(s, d)
+        val p = Tables.part(s, d)
+        graft.operators.Profile.fkAudit(Seq(
+            ("customer.nation", c, "c_nationkey", n, "n_nationkey"),
+            ("lineitem.orders", li, "l_orderkey", o, "o_orderkey"),
+            ("lineitem.part", li, "l_partkey", p, "p_partkey"),
+            ("lineitem.supplier", li, "l_suppkey", su, "s_suppkey"),
+            ("nation.region", n, "n_regionkey", r, "r_regionkey"),
+            ("orders.customer", o, "o_custkey", c, "c_custkey")))
+          .orderBy(col("edge"))
+      },
+      Some {
+        def edge(name: String, child: String, fk: String, parent: String,
+            pk: String): String =
+          s"""SELECT '$name' AS edge, count(*) AS n_child,
+            CAST(sum(CASE WHEN p.$pk IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+              AS orphans,
+            count(DISTINCT c.$fk) AS distinct_fk,
+            (SELECT count(DISTINCT $pk) FROM $parent) AS n_parent
+          FROM $child c LEFT JOIN (SELECT DISTINCT $pk FROM $parent) p
+            ON c.$fk = p.$pk"""
+        Seq(
+          edge("customer.nation", "customer", "c_nationkey", "nation", "n_nationkey"),
+          edge("lineitem.orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+          edge("lineitem.part", "lineitem", "l_partkey", "part", "p_partkey"),
+          edge("lineitem.supplier", "lineitem", "l_suppkey", "supplier", "s_suppkey"),
+          edge("nation.region", "nation", "n_regionkey", "region", "r_regionkey"),
+          edge("orders.customer", "orders", "o_custkey", "customer", "c_custkey"))
+          .mkString("", "\nUNION ALL\n", "\nORDER BY edge")
+      }),
+
     // ---- 5-way star join ----
     QueryDef(
       "q20_star_join",

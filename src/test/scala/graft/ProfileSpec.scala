@@ -110,4 +110,15 @@ class ProfileSpec extends SparkSpec {
       .head().getDouble(0)
     assert(conc > 0.02, s"empty-bin smoothing terms missing: $conc")
   }
+
+  test("fkAudit counts orphans (incl. null FKs) and coverage per edge") {
+    import spark.implicits._
+    val parent = Seq(1L, 2L, 3L).toDF("pk")
+    val child = Seq(Some(1L), Some(1L), Some(2L), Some(99L), None)
+      .toDF("fk") // one dangling, one null → 2 orphans; fks {1,2,99}
+    val r = Profile.fkAudit(Seq(("child.parent", child, "fk", parent, "pk")))
+      .head()
+    assert((r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+      r.getLong(4)) == (("child.parent", 5L, 2L, 3L, 3L)))
+  }
 }
