@@ -67,4 +67,32 @@ class PartitionInvarianceSpec extends SparkSpec {
         .select("id", "zval").collect().map(_.toString).sorted.toSeq
     assert(run(1) == run(13))
   }
+
+  test("group top-k selection is partition-invariant") {
+    val df = (0 until 3000).map(i =>
+      (s"g${i % 5}", (i % 61).toDouble, i.toLong)).toDF("g", "v", "id")
+    def run(parts: Int) =
+      graft.functions.GroupTopK.perGroup(df.repartition(parts), "g", "v", "id", 7)
+        .collect().map(_.toString).sorted.toSeq
+    assert(run(1) == run(13))
+  }
+
+  test("token-budget selection is partition-invariant") {
+    val df = (0 until 1500).map(i =>
+      (s"s${i % 4}", i.toLong, (i % 37).toDouble, (i % 9 + 1).toLong))
+      .toDF("src", "doc_id", "q", "nt")
+    def run(parts: Int) =
+      TextAnalysis.tokenBudgetSelect(df.repartition(parts),
+          "src", "q", "nt", "doc_id", 400L)
+        .select("doc_id").collect().map(_.toString).sorted.toSeq
+    assert(run(1) == run(13))
+  }
+
+  test("equi-depth bucket assignment is partition-invariant") {
+    val df = (0 until 2500).map(i => ((i * 31 % 997).toDouble)).toDF("v")
+    def run(parts: Int) =
+      graft.operators.Percentiles.equiDepthHistogram(df.repartition(parts), "v", 8)
+        .collect().map(_.toString).sorted.toSeq
+    assert(run(1) == run(13))
+  }
 }
