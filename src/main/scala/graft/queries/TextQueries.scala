@@ -1148,6 +1148,30 @@ object TextQueries {
             ORDER BY q DESC, doc_id ROWS UNBOUNDED PRECEDING) AS csum
           FROM base)
         SELECT source, count(*) AS n_kept, CAST(sum(nt) AS BIGINT) AS tokens_kept
-        FROM cum WHERE csum <= 300 GROUP BY source ORDER BY source"""))
+        FROM cum WHERE csum <= 300 GROUP BY source ORDER BY source""")),
+
+    // ---- contrastive negative sampling (Ingest.contrastiveNegatives):
+    //      2 hash-drawn negatives per doc over the dense rank space ----
+    QueryDef(
+      "q101_negatives",
+      (s, d) => {
+        graft.sources.Ingest.contrastiveNegatives(
+            Tables.documents(s, d), "doc_id", m = 2)
+          .orderBy(col("doc_id"), col("j"))
+      },
+      Some(raw"""WITH n AS (SELECT count(*) AS n FROM documents),
+        rk AS (SELECT doc_id, row_number() OVER (ORDER BY doc_id) - 1 AS rank
+          FROM documents),
+        g AS (SELECT rk.doc_id, rk.rank AS self, j,
+          ('0x' || substr(md5(CAST(rk.doc_id AS VARCHAR) || ':' ||
+            CAST(j AS VARCHAR) || ':42'), 1, 13))::BIGINT % n.n AS r
+          FROM rk CROSS JOIN (SELECT unnest(generate_series(1, 2)) AS j) t
+          CROSS JOIN n),
+        adj AS (SELECT g.doc_id, g.j,
+          CASE WHEN g.r = g.self THEN (g.r + 1) % n.n ELSE g.r END AS r
+          FROM g CROSS JOIN n)
+        SELECT a.doc_id, a.j, rk2.doc_id AS neg_doc_id
+        FROM adj a JOIN rk rk2 ON a.r = rk2.rank
+        ORDER BY a.doc_id, a.j"""))
   )
 }

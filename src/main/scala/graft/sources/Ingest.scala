@@ -210,6 +210,55 @@ object Ingest {
     mixtureSample(df, idCol, stratumCol, rates, default = 0.0, seed)
   }
 
+  /** Contrastive negative sampling: for every row, `m` pseudo-random OTHER
+    * rows of the corpus — the (anchor, negative) pair generator behind
+    * contrastive / triplet embedding training. Negatives are drawn by
+    * hashing (id, j, seed) onto the corpus's dense rank space, so the draw
+    * is deterministic, uniform, and replayable on any cluster layout; a
+    * self-collision shifts to the next rank. Output: (idCol, j, neg_<idCol>).
+    *
+    * Scale shape: the dense rank is computed with the range-partition +
+    * offset trick (no single-task global sort), the generator is a narrow
+    * m-way explode, and both joins are keyed on uniform ranks — everything
+    * shuffles on ids/ranks, never on payload columns.
+    */
+  def contrastiveNegatives(df: DataFrame, idCol: String, m: Int,
+      seed: Long = 42L): DataFrame = {
+    require(m > 0)
+    val n = df.count()
+    require(n > 1, "need at least two rows to draw negatives")
+    // dense rank 0..n-1 over idCol, scale-safe
+    val parted = df.select(col(idCol))
+      .repartitionByRange(col(idCol))
+      .withColumn("__pid", spark_partition_id())
+      .localCheckpoint()
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__pid")).orderBy(col(idCol))
+    val local = parted.withColumn("__lrn",
+      row_number().over(w).cast("long") - 1L)
+    val byPid = org.apache.spark.sql.expressions.Window.orderBy(col("__pid"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val offsets = parted.groupBy(col("__pid")).agg(count(lit(1)).as("__c"))
+      .select(col("__pid"), coalesce(sum(col("__c")).over(byPid), lit(0L)).as("__off"))
+    val ranks = local.join(broadcast(offsets), "__pid")
+      .select(col(idCol), (col("__off") + col("__lrn")).as("__rank"))
+      .localCheckpoint()
+    // m hash draws per row, shifted off self-collisions
+    val draws = ranks
+      .select(col(idCol), col("__rank").as("__self"),
+        explode(array((1 to m).map(lit): _*)).as("j"))
+      .withColumn("__r",
+        conv(substring(md5(concat(col(idCol).cast("string"), lit(":"),
+          col("j").cast("string"), lit(s":$seed"))), 1, 13), 16, 10)
+          .cast("long") % n)
+      .withColumn("__r",
+        when(col("__r") === col("__self"), (col("__r") + 1) % n)
+          .otherwise(col("__r")))
+    draws.join(ranks.select(col(idCol).as(s"neg_$idCol"),
+        col("__rank").as("__r")), Seq("__r"))
+      .select(col(idCol), col("j"), col(s"neg_$idCol"))
+  }
+
   /** Deterministic global corpus shuffle — "shuffle the training data,
     * reproducibly": order rows by their [[uniformKey]] via ONE
     * `repartitionByRange` + in-task sort, so shard i's every row precedes

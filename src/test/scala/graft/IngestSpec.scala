@@ -153,6 +153,23 @@ class IngestSpec extends SparkSpec {
     kept.foreach(n => assert(math.abs(n - 1200L) < 130, kept.toSeq.toString))
   }
 
+  test("contrastiveNegatives draws m non-self negatives per row, replayably") {
+    val df = spark.range(500).toDF("id")
+    val negs = Ingest.contrastiveNegatives(df, "id", m = 3)
+    val rows = negs.collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    assert(rows.length == 1500)
+    // no self-negatives, all negatives exist in the corpus
+    rows.foreach { case (id, _, neg) =>
+      assert(neg != id && neg >= 0 && neg < 500)
+    }
+    // deterministic replay, and partition-layout independent
+    val again = Ingest.contrastiveNegatives(df.repartition(7), "id", m = 3)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    assert(rows.sorted.toSeq == again.sorted.toSeq)
+    // negatives are spread across the corpus, not clustered
+    assert(rows.map(_._3).distinct.length > 300)
+  }
+
   test("temperatureMixture: low alpha boosts rare strata, caps at keep-all") {
     // 9900 rows of s0, 100 of s1; alpha=0 gives each stratum HALF the
     // 0.2·10000 = 2000-row budget → s1's fair share (1000) exceeds its
