@@ -172,9 +172,16 @@ object Percentiles {
     require(nBuckets > 1)
     val nonNull = df.filter(col(valueCol).isNotNull)
     val ps = (1 until nBuckets).map(_.toDouble / nBuckets)
-    val boundsRow = grouped(nonNull.withColumn("__g", lit(1)), "__g",
-      valueCol, ps).head()
-    val bs = (1 until nBuckets).map(i => boundsRow.getDouble(i))
+    val boundsRows = grouped(nonNull.withColumn("__g", lit(1)), "__g",
+      valueCol, ps).collect()
+    require(boundsRows.nonEmpty,
+      s"equiDepthHistogram: no non-null values in '$valueCol'")
+    // boundaries round to fixed-point before bucketing (the winsorized
+    // convention): quantile interpolation can differ by 1 ulp across
+    // engines, and an unrounded boundary would flip every tied row's bucket
+    val bs = (1 until nBuckets).map(i =>
+      BigDecimal(boundsRows.head.getDouble(i))
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
     val first = when(col(valueCol) <= lit(bs.head), lit(0))
     val bucket = bs.tail.zipWithIndex.foldLeft(first) {
       case (acc, (b, i)) => acc.when(col(valueCol) <= lit(b), lit(i + 1))

@@ -358,22 +358,27 @@ object Profile {
 
   /** Referential-integrity audit over a set of FK edges — the constraint
     * check a lakehouse has no engine to enforce: per edge, child row count,
-    * orphan count (child FK with no parent), distinct FK values, and parent
-    * row count. Each edge is one left join against the DISTINCT parent keys
-    * (broadcast when small, shuffled on the key otherwise — both sides
-    * key-uniform) folded into a single aggregation row; the edges union
-    * into one report. Null FKs count as orphans: an unresolvable reference
-    * is broken whether it is missing or dangling.
+    * orphan count (child FK with no parent), distinct FK values, and
+    * distinct parent keys. Each edge is one left join against the DISTINCT
+    * non-null parent keys (broadcast when small, shuffled on the key
+    * otherwise — both sides key-uniform) folded into a single aggregation
+    * row; the edges union into one report. Null FKs count as orphans (an
+    * unresolvable reference is broken whether missing or dangling); null
+    * parent keys are not joinable and are excluded from `n_parent`. The
+    * distinct-keys frame is persisted so its shuffle runs once, not once
+    * per consumer.
     */
   def fkAudit(edges: Seq[(String, DataFrame, String, DataFrame, String)])
       : DataFrame = {
     require(edges.nonEmpty)
     edges.map { case (name, child, fk, parent, pk) =>
-      val parents = parent.select(col(pk).as("__pk")).distinct()
+      val parents = parent.select(col(pk).as("__pk"))
+        .filter(col("__pk").isNotNull).distinct()
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       child.select(col(fk))
         .join(parents, col(fk) === col("__pk"), "left")
         .agg(count(lit(1)).as("n_child"),
-          sum(col("__pk").isNull.cast("long")).as("orphans"),
+          coalesce(sum(col("__pk").isNull.cast("long")), lit(0L)).as("orphans"),
           countDistinct(col(fk)).as("distinct_fk"))
         .crossJoin(broadcast(parents.agg(count(lit(1)).as("n_parent"))))
         .select(lit(name).as("edge"), col("n_child"), col("orphans"),

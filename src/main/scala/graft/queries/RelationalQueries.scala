@@ -481,8 +481,8 @@ object RelationalQueries {
       },
       Some(raw"""WITH v AS (SELECT l_extendedprice AS x FROM lineitem
           WHERE l_extendedprice IS NOT NULL),
-        b AS (SELECT quantile_cont(x, [0.125, 0.25, 0.375, 0.5,
-          0.625, 0.75, 0.875]) AS bs FROM v),
+        b AS (SELECT list_transform(quantile_cont(x, [0.125, 0.25, 0.375, 0.5,
+          0.625, 0.75, 0.875]), y -> round(y, 4)) AS bs FROM v),
         t AS (SELECT x,
           CAST(len(list_filter(bs, y -> y < x)) AS INTEGER) AS bucket
           FROM v, b)

@@ -161,9 +161,16 @@ object Ingest {
     * column expression; no rand(), so results don't depend on partition
     * layout.
     */
+  /** 52-bit cross-engine hash of a string column: first 13 hex chars of the
+    * md5 parsed as an integer — 52 bits so the value (and any ratio of it)
+    * fits a double exactly; reproducible verbatim in DuckDB SQL.
+    */
+  def hash52(c: Column): Column =
+    conv(substring(md5(c), 1, 13), 16, 10).cast("long")
+
   def uniformKey(id: Column, seed: Long): Column =
-    conv(substring(md5(concat(id.cast("string"), lit(s":$seed"))), 1, 13),
-      16, 10).cast("long").cast("double") / lit(4503599627370496.0)
+    hash52(concat(id.cast("string"), lit(s":$seed")))
+      .cast("double") / lit(4503599627370496.0)
 
   /** Training-mixture sampling: keep each row with a per-stratum rate —
     * "30% web, 100% books, 5% logs" dataset mixing. Deterministic in
@@ -221,14 +228,17 @@ object Ingest {
     * offset trick (no single-task global sort), the generator is a narrow
     * m-way explode, and both joins are keyed on uniform ranks — everything
     * shuffles on ids/ranks, never on payload columns.
+    *
+    * Ids must be unique and non-null: a duplicated id would occupy two
+    * ranks and could draw its own twin as a "negative"; null ids are
+    * excluded up front (they cannot be hashed or referenced).
     */
   def contrastiveNegatives(df: DataFrame, idCol: String, m: Int,
       seed: Long = 42L): DataFrame = {
     require(m > 0)
-    val n = df.count()
-    require(n > 1, "need at least two rows to draw negatives")
     // dense rank 0..n-1 over idCol, scale-safe
     val parted = df.select(col(idCol))
+      .filter(col(idCol).isNotNull)
       .repartitionByRange(col(idCol))
       .withColumn("__pid", spark_partition_id())
       .localCheckpoint()
@@ -243,14 +253,16 @@ object Ingest {
     val ranks = local.join(broadcast(offsets), "__pid")
       .select(col(idCol), (col("__off") + col("__lrn")).as("__rank"))
       .localCheckpoint()
+    // counting the checkpointed projection avoids a second scan of df
+    val n = ranks.count()
+    require(n > 1, "need at least two rows to draw negatives")
     // m hash draws per row, shifted off self-collisions
     val draws = ranks
       .select(col(idCol), col("__rank").as("__self"),
         explode(array((1 to m).map(lit): _*)).as("j"))
       .withColumn("__r",
-        conv(substring(md5(concat(col(idCol).cast("string"), lit(":"),
-          col("j").cast("string"), lit(s":$seed"))), 1, 13), 16, 10)
-          .cast("long") % n)
+        hash52(concat(col(idCol).cast("string"), lit(":"),
+          col("j").cast("string"), lit(s":$seed"))) % n)
       .withColumn("__r",
         when(col("__r") === col("__self"), (col("__r") + 1) % n)
           .otherwise(col("__r")))
