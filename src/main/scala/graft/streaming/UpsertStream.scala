@@ -3,8 +3,8 @@ package graft.streaming
 import java.nio.file.{Files, Paths, StandardCopyOption}
 
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.streaming.{DataStreamWriter, GroupState, GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
+import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
 
 /** The reference's write path (reference `README.md:69-70`): sustained
   * single-object upserts — replace-by-key including a re-computed embedding —
@@ -481,6 +481,30 @@ object EventPipeline {
       .withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark("__fp")
       .drop("__fp")
+
+  /** Streaming drift monitor: per micro-batch, the PSI of `valueCol`
+    * against a STATIC reference sample ([[graft.operators.Profile.psi]]),
+    * delivered to `onBatch` as (batchId, psi, n_ref, n_batch) — the
+    * continuous data-quality gate that pages someone when today's stream
+    * stops looking like the corpus the models were trained on.
+    *
+    * foreachBatch is the right boundary: PSI needs the whole micro-batch
+    * (an arbitrary-state streaming agg would re-implement the histogram
+    * for no benefit), the reference histogram is a tiny static frame, and
+    * the per-batch result is one row. Empty batches emit nothing.
+    */
+  def driftMonitor(stream: DataFrame, reference: DataFrame, valueCol: String,
+      bins: Int, lo: Double, hi: Double,
+      onBatch: (Long, Double, Long, Long) => Unit): DataStreamWriter[Row] =
+    stream.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: Dataset[Row], id: Long) =>
+        if (!batch.isEmpty) {
+          val r = graft.operators.Profile
+            .psi(reference, batch, valueCol, bins, lo, hi).head()
+          onBatch(id, r.getDouble(0), r.getLong(1), r.getLong(2))
+        }
+      }
 }
 
 /** Custom per-key streaming state via `flatMapGroupsWithState` — the shape

@@ -141,6 +141,29 @@ class StreamingSessionSpec extends SparkSpec {
       (1L, "2024-01-01 10:30:00")))
   }
 
+  test("drift monitor: per-batch PSI spikes when the stream distribution shifts") {
+    implicit val sqlCtx = spark.sqlContext
+    val reference = (0 until 1000).map(i => (i % 100).toDouble).toDF("value")
+    val mem = MemoryStream[Double]
+    val results = scala.collection.mutable.ArrayBuffer[(Long, Double)]()
+    val q = graft.streaming.EventPipeline.driftMonitor(
+        mem.toDF().toDF("value"), reference, "value",
+        bins = 10, lo = 0, hi = 100,
+        (id, psi, _, nb) => results.synchronized { results += ((id, psi)) })
+      .start()
+    // batch 0: same distribution as the reference → psi near 0
+    mem.addData((0 until 500).map(i => (i % 100).toDouble): _*)
+    q.processAllAvailable()
+    // batch 1: mass concentrated in the top decile → psi large
+    mem.addData((0 until 500).map(i => 95.0 + (i % 5)): _*)
+    q.processAllAvailable()
+    q.stop()
+    val byBatch = results.sortBy(_._1).map(_._2)
+    assert(byBatch.length == 2, results.toString)
+    assert(byBatch(0) < 0.05, s"in-distribution batch drifted: $byBatch")
+    assert(byBatch(1) > 0.25, s"shifted batch not flagged: $byBatch")
+  }
+
   test("late events beyond the watermark are dropped") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Long, java.sql.Timestamp, Double)]
