@@ -368,6 +368,28 @@ object Profile {
     * distinct-keys frame is persisted so its shuffle runs once, not once
     * per consumer.
     */
+  /** Schema-evolution audit between two snapshots of a table: columns
+    * added, removed, or retyped (by name; nullability changes count as a
+    * retype). Pure driver-side metadata — no job runs. Pairs with [[psi]]:
+    * psi watches the values drift, schemaDiff watches the shape drift.
+    */
+  def schemaDiff(before: DataFrame, after: DataFrame): Seq[(String, String)] = {
+    val b = before.schema.map(f => f.name -> f).toMap
+    val a = after.schema.map(f => f.name -> f).toMap
+    val added = (a.keySet -- b.keySet).toSeq.sorted.map(n =>
+      n -> s"added ${a(n).dataType.simpleString}")
+    val removed = (b.keySet -- a.keySet).toSeq.sorted.map(n =>
+      n -> s"removed ${b(n).dataType.simpleString}")
+    val retyped = (a.keySet & b.keySet).toSeq.sorted.flatMap { n =>
+      if (a(n).dataType != b(n).dataType)
+        Some(n -> s"retyped ${b(n).dataType.simpleString} -> ${a(n).dataType.simpleString}")
+      else if (a(n).nullable != b(n).nullable)
+        Some(n -> s"nullability ${b(n).nullable} -> ${a(n).nullable}")
+      else None
+    }
+    added ++ removed ++ retyped
+  }
+
   def fkAudit(edges: Seq[(String, DataFrame, String, DataFrame, String)])
       : DataFrame = {
     require(edges.nonEmpty)

@@ -111,6 +111,20 @@ class ProfileSpec extends SparkSpec {
     assert(conc > 0.02, s"empty-bin smoothing terms missing: $conc")
   }
 
+  test("schemaDiff reports added, removed, retyped, and renullabled columns") {
+    import spark.implicits._
+    val before = Seq((1L, "x", 1.0)).toDF("id", "name", "score")
+    val after = Seq((1, "x", true)).toDF("id", "flag", "extra")
+      .select(col("id"), col("flag"), col("extra"))
+    val diff = Profile.schemaDiff(before, after).toMap
+    assert(diff("name") == "removed string")
+    assert(diff("score") == "removed double")
+    assert(diff("flag") == "added string")
+    assert(diff("extra") == "added boolean")
+    assert(diff("id") == "retyped bigint -> int")
+    assert(Profile.schemaDiff(before, before).isEmpty)
+  }
+
   test("fkAudit counts orphans (incl. null FKs) and coverage per edge") {
     import spark.implicits._
     val parent = Seq(1L, 2L, 3L).toDF("pk")
