@@ -1,0 +1,117 @@
+package graft
+
+import graft.sources.ProductGen
+import graft.streaming.{BucketedStore, UpsertStream}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.SparkSession
+
+/** Phase-level profiling of the streaming-upsert open loop (not part of the
+  * driver contract): feeds single-object updates at a fixed offered rate and
+  * prints every commit's size and latency so the sustained-QPS work targets
+  * the real bottleneck (per-commit fixed cost vs queue growth).
+  */
+object UpsertProbe {
+  private def t(name: String)(f: => Unit): Unit = {
+    val t0 = System.nanoTime()
+    f
+    println(f"[probe] $name: ${(System.nanoTime() - t0) / 1e9}%.3f s")
+  }
+
+  def main(args: Array[String]): Unit = {
+    val builder = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+    GraftSession.defaults.foreach { case (k, v) => builder.config(k, v) }
+    val spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    GraftSession.prepare(spark)
+
+    val dims = 2688
+    val n = if (args.nonEmpty) args(0).toLong else 100000L
+    val base = java.nio.file.Files.createTempDirectory("graft_uprobe").toString
+
+    val store = new BucketedStore(s"$base/store", nBuckets = 64)
+    t("store_init") {
+      store.initialize(ProductGen.products(spark, n, dims, partitions = 32),
+        "parent_asin")
+    }
+
+    def tier(name: String, nObjects: Int, offeredQps: Double, idOffset: Long): Unit = {
+      val arrivals = new java.util.concurrent.ConcurrentHashMap[Long, Long]()
+      val lats = new java.util.concurrent.ConcurrentLinkedQueue[java.lang.Double]()
+      var lastCommit = System.nanoTime()
+      t(name) {
+        import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+        implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+        import spark.implicits._
+        val mem = MemoryStream[Long]
+        val updates = ProductGen.fromIds(
+          mem.toDF().withColumnRenamed("value", "id"), dims)
+        val q = updates.writeStream
+          .outputMode("append")
+          .option("checkpointLocation",
+            java.nio.file.Files.createTempDirectory("graft_ck").toString)
+          .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime(0))
+          .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+            val c0 = System.nanoTime()
+            val rows = batch.coalesce(4).collect().toIndexedSeq
+            val c1 = System.nanoTime()
+            if (rows.nonEmpty) {
+              val local = spark.createDataFrame(
+                java.util.Arrays.asList(rows: _*), batch.schema)
+              val c2 = System.nanoTime()
+              val v = store.appendDelta(local, "parent_asin")
+              val now = System.nanoTime()
+              println(f"[probe]   commit v=$v n=${rows.size} " +
+                f"collect=${(c1 - c0) / 1e9}%.3f mkdf=${(c2 - c1) / 1e9}%.3f " +
+                f"append=${(now - c2) / 1e9}%.3f interCommit=${(now - lastCommit) / 1e9}%.3f s")
+              lastCommit = now
+              rows.foreach { r =>
+                val id = r.getAs[String]("parent_asin").substring(1).toLong
+                val t0 = arrivals.get(id)
+                if (t0 != 0L) lats.add((now - t0) / 1e9)
+              }
+            }
+          }
+          .start()
+        mem.addData(idOffset - 1)
+        q.processAllAvailable()
+        // drain pending writeback (store init / previous tier) so the
+        // kernel's aged-dirty-page flush doesn't land mid-window
+        try { new ProcessBuilder("sync").start().waitFor(); () }
+        catch { case _: Throwable => () }
+        val t0 = System.nanoTime()
+        var i = 0
+        while (i < nObjects) {
+          val nowNs = System.nanoTime()
+          val due = math.min(nObjects.toLong,
+            ((nowNs - t0) / 1e9 * offeredQps).toLong + 1).toInt
+          if (due > i) {
+            (i until due).foreach { j =>
+              arrivals.put(idOffset + j, t0 + (j / offeredQps * 1e9).toLong)
+            }
+            mem.addData((i until due).map(j => idOffset + j): _*)
+            i = due
+          }
+          Thread.sleep(50)
+        }
+        q.processAllAvailable()
+        q.stop()
+      }
+      import scala.jdk.CollectionConverters._
+      val xs = lats.asScala.map(_.toDouble).toArray.sorted
+      if (xs.nonEmpty) {
+        val p95 = xs(math.min(xs.length - 1, math.ceil(0.95 * xs.length).toInt - 1))
+        println(f"[probe] ${name}_p95: $p95%.3f s over ${xs.length} objects")
+      }
+    }
+
+    tier("open40", 200, 40.0, 2000000L)
+    tier("open200", 1000, 200.0, 3000000L)
+
+    spark.stop()
+    import scala.jdk.CollectionConverters._
+    val root = java.nio.file.Paths.get(base)
+    java.nio.file.Files.walk(root).iterator().asScala.toSeq.reverse
+      .foreach(p => try java.nio.file.Files.delete(p) catch { case _: Throwable => () })
+  }
+}

@@ -199,11 +199,14 @@ object VectorSearch {
     // (≤ tasks × clusters files, one open writer at a time) without moving
     // the vectors through a shuffle at all — measured 3.5× faster than
     // `repartition(__cluster)` at 1 GB index scale, and the shuffle it
-    // avoids is exactly the kind that dies first at 100 TB. zstd on the
-    // index: vector payloads are write-once/probe-few, so smaller files
-    // beat snappy's cheaper decode — measured ~25% faster to write.
+    // avoids is exactly the kind that dies first at 100 TB. snappy on the
+    // index: near-unit-norm float vectors barely compress, so zstd's extra
+    // CPU buys ~20% size but costs 4× on the write AND slows every probe's
+    // decode (measured round 3 on the 1.1 GB bucketed store: init 4.2 s
+    // snappy vs 16.6 s zstd, selective read 0.9 s vs 2.6 s) — the hot-path
+    // codec is snappy; reserve zstd for cold archival tiers.
     assigned.sortWithinPartitions(col("__cluster"))
-      .write.mode("overwrite").option("compression", "zstd")
+      .write.mode("overwrite").option("compression", "snappy")
       .partitionBy("__cluster").parquet(path)
     IvfIndex(path, centroids)
   }

@@ -67,8 +67,17 @@ final class SnapshotStore(val root: String) {
   *
   * Readers resolve the `_CURRENT` manifest once; commits are an atomic
   * pointer flip, same isolation story as [[SnapshotStore]].
+  *
+  * `codec` is the parquet compression for bucket data. Default snappy: the
+  * store is a HOT table (every upsert rewrites buckets, every read decodes
+  * them) and near-unit-norm embedding floats barely compress, so zstd's
+  * ~20% size win cost 4× on writes and ~3× on selective reads when measured
+  * round 3 (init 4.2 s vs 16.6 s, 10-row CoW upsert 1.7 s vs 7.4 s,
+  * filtered top-k 0.9 s vs 2.6 s, 1445 MB vs 1135 MB at 100k×2688). Pass
+  * zstd only for cold, read-rarely tiers.
   */
-final class BucketedStore(val root: String, val nBuckets: Int) {
+final class BucketedStore(val root: String, val nBuckets: Int,
+    val codec: String = "snappy") {
   import java.nio.file.{Files, Paths, StandardCopyOption}
 
   private val pointer = Paths.get(root, "_CURRENT")
@@ -156,7 +165,7 @@ final class BucketedStore(val root: String, val nBuckets: Int) {
       if (preBucketed) withB.sortWithinPartitions(col("__b"))
       else withB.repartition(nBuckets, col("__b"))
     laidOut
-      .write.mode("overwrite").option("compression", "zstd")
+      .write.mode("overwrite").option("compression", codec)
         .partitionBy("__b").parquet(s"$root/v0/data")
     // relocate partition dirs to the bucket layout
     val dataDir = Paths.get(root, "v0", "data")
@@ -285,7 +294,7 @@ final class BucketedStore(val root: String, val nBuckets: Int) {
     // own per-bucket files, so tasks already write ~one bucket each; a
     // shuffle would move every touched vector for no file-count win.
     val dataDir = s"$root/v$next/data"
-    merged.write.mode("overwrite").option("compression", "zstd")
+    merged.write.mode("overwrite").option("compression", codec)
       .partitionBy("__b").parquet(dataDir)
     touched.foreach { b =>
       val src = Paths.get(dataDir, s"__b=$b")
@@ -377,20 +386,47 @@ object UpsertStream {
     * is a delta append (cost ∝ batch size, so single-object p95 stays flat
     * at any table size); every `compactEvery` batches the accumulated deltas
     * fold into the buckets, bounding read amplification.
+    *
+    * The micro-batch is collected to the driver ONCE and committed from a
+    * local relation: this path's contract is small high-frequency batches
+    * (single-object upserts grouped by the trigger), so one collect replaces
+    * TWO executions of the batch plan (the emptiness probe + the write job
+    * re-computing e.g. the re-embedding), and the delta write becomes a
+    * single-task job over in-memory rows — the fixed cost that bounds p95.
+    * Bulk backfills belong on [[runBucketed]]/[[BucketedStore.upsert]],
+    * which never materialize the batch on the driver.
+    *
+    * `onCommit(version, rows)` fires after each commit's pointer flip with
+    * the rows that just became visible — the hook for measuring per-object
+    * visibility latency (arrival → committed), which is the latency a reader
+    * actually observes, rather than commit wall-time.
     */
   def runDelta(updates: DataFrame, store: BucketedStore, key: String,
       checkpoint: String,
       trigger: Trigger = Trigger.ProcessingTime("1 second"),
-      compactEvery: Int = 16): StreamingQuery = {
+      compactEvery: Int = 16,
+      onCommit: (Int, Seq[Row]) => Unit = (_, _) => ()): StreamingQuery = {
     updates.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpoint)
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        if (!batch.isEmpty) {
-          store.appendDelta(batch, key)
+        // coalesce first: a high-rate source delivers one tiny input block
+        // PER OBJECT (memory/rate sources, kafka with small fetches), and a
+        // batch that grabbed n queued objects would otherwise schedule n
+        // near-empty tasks — measured ~15 ms/task, i.e. seconds of pure
+        // scheduling per commit at a few hundred queued objects. Four tasks
+        // keep the re-embedding parallel while the scheduling cost stays
+        // fixed.
+        val rows = batch.coalesce(4).collect().toIndexedSeq
+        if (rows.nonEmpty) {
+          val spark = batch.sparkSession
+          val local = spark.createDataFrame(
+            java.util.Arrays.asList(rows: _*), batch.schema)
+          val v = store.appendDelta(local, key)
+          onCommit(v, rows)
           if (store.liveDeltaCount >= compactEvery) {
-            store.compact(batch.sparkSession, key)
+            store.compact(spark, key)
             ()
           }
         }
