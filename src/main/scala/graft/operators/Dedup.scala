@@ -117,16 +117,84 @@ object Dedup {
         (col("c").cast("double") / (col("n1") + col("n2") - col("c"))).as("jaccard"))
   }
 
+  /** Shared core of the near-dup family: collapse exact-duplicate texts to
+    * their min-id representative FIRST, then run MinHash → LSH → Jaccard
+    * over representatives only.
+    *
+    * Why the collapse is load-bearing at scale: identical documents collide
+    * on EVERY band, so one 10k-copy boilerplate page makes each band bucket
+    * quadratic (~5·10⁷ candidate rows per band, times the band count,
+    * through the distinct) — the classic LSH blowup on exact-dup-heavy
+    * crawl corpora. Representatives make the banded join linear in UNIQUE
+    * texts; exact multiplicity lives in the returned membership frame, and
+    * each consumer re-attaches it in the cheapest shape for its own output
+    * (pair expansion, loser sets, star edges) instead of forcing quadratic
+    * intra-group pairs through the join.
+    *
+    * Only shingle-bearing documents (≥ `k` words) participate, matching the
+    * signature path: shorter docs have no shingles, hence no signatures,
+    * hence never pair — and shingle-bearingness is a property of the text,
+    * so an exact group is included or excluded whole.
+    *
+    * Returns `(membership, repPairs)`: membership = (`idCol`, `__rep`) for
+    * every eligible doc (rep = min id of its exact group); repPairs =
+    * (id1, id2, jaccard ≥ threshold) over representative ids. Both are
+    * localCheckpointed — consumers join each several times, and the
+    * checkpoint also keeps the expensive signature pipeline from re-running
+    * per consumer join branch.
+    */
+  private def nearDupCore(
+      df: DataFrame, textCol: String, idCol: String,
+      k: Int, numHashes: Int, rowsPerBand: Int,
+      threshold: Double): (DataFrame, DataFrame) = {
+    val eligible = df
+      .filter(size(TextAnalysis.words(col(textCol))) >= k)
+      .select(col(idCol), col(textCol))
+    val membership = eligible
+      .select(col(idCol), md5(col(textCol)).as("__fp"))
+      .withColumn("__rep", min(col(idCol)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("__fp"))))
+      .drop("__fp")
+      .localCheckpoint(true)
+    val repDocs = eligible.join(
+      membership.filter(col(idCol) === col("__rep")).select(col(idCol)),
+      Seq(idCol), "left_semi")
+    val sigs = minhashSignatures(repDocs, textCol, idCol, k, numHashes)
+    val cands = lshCandidatePairs(sigs, idCol, rowsPerBand)
+    val repPairs = jaccardVerify(repDocs, textCol, idCol, cands, k)
+      .filter(col("jaccard") >= threshold)
+      .localCheckpoint(true)
+    (membership, repPairs)
+  }
+
   /** Near-dup detection end-to-end: MinHash → LSH candidates → Jaccard ≥
-    * `threshold`.
+    * `threshold`. Exact-duplicate groups are collapsed before the banded
+    * join ([[nearDupCore]]) and every qualifying member pair is emitted by
+    * expansion afterward, so the OUTPUT is unchanged — identical docs have
+    * jaccard exactly 1.0 and near-dup similarity transfers member-for-member
+    * — while the join work is linear in unique texts. The expansion itself
+    * is inherently |pairs|-sized; consumers that don't need explicit pairs
+    * ([[dropNearDuplicates]], [[capNearDuplicates]]) stay linear by
+    * consuming the core's membership + representative pairs directly.
     */
   def nearDuplicatePairs(
       df: DataFrame, textCol: String, idCol: String,
       k: Int = 3, numHashes: Int = 8, rowsPerBand: Int = 2,
       threshold: Double = 0.7): DataFrame = {
-    val sigs = minhashSignatures(df, textCol, idCol, k, numHashes)
-    val cands = lshCandidatePairs(sigs, idCol, rowsPerBand)
-    jaccardVerify(df, textCol, idCol, cands, k).filter(col("jaccard") >= threshold)
+    val (membership, repPairs) =
+      nearDupCore(df, textCol, idCol, k, numHashes, rowsPerBand, threshold)
+    val m1 = membership.select(col("__rep").as("id1"), col(idCol).as("__m1"))
+    val m2 = membership.select(col("__rep").as("id2"), col(idCol).as("__m2"))
+    val cross = repPairs.join(m1, "id1").join(m2, "id2")
+      .select(least(col("__m1"), col("__m2")).as("id1"),
+        greatest(col("__m1"), col("__m2")).as("id2"), col("jaccard"))
+    val ga = membership.select(col("__rep"), col(idCol).as("__ma"))
+    val gb = membership.select(col("__rep").as("__repb"), col(idCol).as("__mb"))
+    val intra = ga.join(gb,
+        col("__rep") === col("__repb") && col("__ma") < col("__mb"))
+      .select(col("__ma").as("id1"), col("__mb").as("id2"),
+        lit(1.0).as("jaccard"))
+    cross.union(intra)
   }
 
   /** Remove near-duplicates: for every pair above `threshold` keep the
@@ -148,9 +216,21 @@ object Dedup {
       df: DataFrame, textCol: String, idCol: String,
       k: Int = 3, numHashes: Int = 8, rowsPerBand: Int = 2,
       threshold: Double = 0.7): DataFrame = {
-    val losers = nearDuplicatePairs(df, textCol, idCol, k, numHashes,
-        rowsPerBand, threshold)
-      .select(col("id2").as(idCol)).distinct()
+    // Linear in the corpus even under huge exact-dup groups: the pair-wise
+    // keep-lowest-id policy over EXPANDED pairs is equivalent to dropping
+    // (a) every non-representative member (loses to its own rep) and
+    // (b) every member of a group on the id2 side of a representative pair
+    // (rep1 < rep2 ≤ each member, so each loses to rep1; conversely any doc
+    // with a smaller similar doc lands in one of the two sets) — no
+    // quadratic intra-group pair expansion needed.
+    val (membership, repPairs) =
+      nearDupCore(df, textCol, idCol, k, numHashes, rowsPerBand, threshold)
+    val nonReps = membership.filter(col(idCol) =!= col("__rep"))
+      .select(col(idCol))
+    val losingGroupMembers = repPairs.select(col("id2").as("__rep")).distinct()
+      .join(membership, "__rep")
+      .select(col(idCol))
+    val losers = nonReps.union(losingGroupMembers).distinct()
     df.join(losers, Seq(idCol), "left_anti")
   }
 
@@ -333,18 +413,29 @@ object Dedup {
       threshold: Double = 0.7): DataFrame = {
     val all = batch.select(col(idCol), col(textCol))
       .union(corpus.select(col(idCol), col(textCol)))
-    val pairs = nearDuplicatePairs(all, textCol, idCol, k, numHashes,
-      rowsPerBand, threshold)
-    val corpus1 = corpus.select(col(idCol).as("id1"))
-    val corpus2 = corpus.select(col(idCol).as("id2"))
-    val losesToCorpus =
-      pairs.join(corpus1, Seq("id1"), "left_semi").select(col("id2").as(idCol))
-        .union(
-          pairs.join(corpus2, Seq("id2"), "left_semi").select(col("id1").as(idCol)))
-    val batchInternal = pairs
-      .join(corpus1, Seq("id1"), "left_anti")
-      .join(corpus2, Seq("id2"), "left_anti")
-      .select(col("id2").as(idCol))
+    // Near-dup classification on the exact-collapsed core — never on
+    // expanded member pairs, which go quadratic under exact-dup-heavy
+    // batches. A batch doc is a NEAR loser iff its exact group is
+    //   (a) the id2 side of any representative pair (loses to the smaller
+    //       rep — matches the pair-wise keep-lowest-id policy member for
+    //       member, same argument as dropNearDuplicates), or
+    //   (b) either side of a pair whose other side's group contains a
+    //       corpus doc (every member then near-dups a corpus doc;
+    //       orientation is irrelevant because the corpus is never kept).
+    // Exact duplicates — including non-rep members and whole corpus-y
+    // groups — are the md5 passes' job below, unchanged.
+    val (membership, repPairs) =
+      nearDupCore(all, textCol, idCol, k, numHashes, rowsPerBand, threshold)
+    val corpusGroups = membership
+      .join(corpus.select(col(idCol)), Seq(idCol), "left_semi")
+      .select(col("__rep")).distinct()
+    val id2Groups = repPairs.select(col("id2").as("__rep"))
+    val id1GroupsVsCorpus = repPairs
+      .join(corpusGroups.select(col("__rep").as("id2")), Seq("id2"), "left_semi")
+      .select(col("id1").as("__rep"))
+    val nearLosers = id2Groups.union(id1GroupsVsCorpus).distinct()
+      .join(membership, "__rep")
+      .select(col(idCol))
     val batchFp = batch.select(col(idCol), md5(col(textCol)).as("__fp"))
     val exactToCorpus = batchFp
       .join(corpus.select(md5(col(textCol)).as("__fp")).distinct(),
@@ -355,7 +446,7 @@ object Dedup {
         "__fp")
       .filter(col(idCol) > col("__keep"))
       .select(col(idCol))
-    val losers = losesToCorpus.union(batchInternal)
+    val losers = nearLosers
       .union(exactToCorpus).union(exactInternal).distinct()
     batch.join(losers, Seq(idCol), "left_anti")
   }
@@ -374,13 +465,18 @@ object Dedup {
     * lineage so round N doesn't re-execute rounds 1..N−1. At 100 TB-scale
     * graphs with long chains, switch to the large-star/small-star
     * alternation (Kiveris et al., "Connected Components in MapReduce"),
-    * which squares the label-spread per round; plain propagation is the
-    * right trade for the shallow clusters dedup produces.
+    * which squares the label-spread per round — available here as
+    * `algorithm = "star"` ([[connectedComponentsStar]]); plain propagation
+    * is the right trade for the shallow clusters dedup produces.
     *
     * Returns one row per node that appears in `edges`: (`node`, `cluster`).
     */
   def connectedComponents(edges: DataFrame, srcCol: String, dstCol: String,
-      maxIter: Int = 20): DataFrame = {
+      maxIter: Int = 20, algorithm: String = "label"): DataFrame = {
+    require(algorithm == "label" || algorithm == "star",
+      s"unknown connected-components algorithm: $algorithm")
+    if (algorithm == "star")
+      return connectedComponentsStar(edges, srcCol, dstCol, maxIter)
     val sym = edges.select(col(srcCol).as("__a"), col(dstCol).as("__b"))
       .union(edges.select(col(dstCol).as("__a"), col(srcCol).as("__b")))
       .distinct()
@@ -404,6 +500,75 @@ object Dedup {
     }
     require(changed == 0, s"connectedComponents did not converge in $maxIter rounds")
     labels.withColumnRenamed("lbl", "cluster")
+  }
+
+  /** Connected components by large-star/small-star alternation (Kiveris et
+    * al., "Connected Components in MapReduce and Beyond") — the deep-chain
+    * escape hatch for [[connectedComponents]]: label propagation needs
+    * diameter rounds (a 1000-link chain of near-dups = 1000 shuffles), the
+    * star alternation converges in O(log diameter) rounds because each
+    * round re-points whole neighbourhoods at their minimum, squaring the
+    * reach per round.
+    *
+    *   - large-star: per node u, every LARGER neighbour re-points to the
+    *     minimum of u's neighbourhood (∪ u) — strictly decreases edges to
+    *     larger targets without disconnecting anything;
+    *   - small-star: per node u (over edges oriented larger → smaller),
+    *     all smaller neighbours and u itself re-point to the neighbourhood
+    *     minimum — flattens chains into stars.
+    *
+    * Both rounds are one groupBy + one equi-join each, on node-id keys.
+    * Fixpoint: the edge set stops changing; edges then form stars
+    * (member → component minimum). Same output contract as
+    * [[connectedComponents]]: one (`node`, `cluster`) row per node
+    * appearing in `edges`.
+    */
+  def connectedComponentsStar(edges: DataFrame, srcCol: String, dstCol: String,
+      maxIter: Int = 20): DataFrame = {
+    def canon(e: DataFrame): DataFrame = e
+      .select(least(col("u"), col("v")).as("u"),
+        greatest(col("u"), col("v")).as("v"))
+      .filter(col("u") =!= col("v"))
+      .distinct()
+    def largeStar(e: DataFrame): DataFrame = {
+      val sym = e.union(e.select(col("v").as("u"), col("u").as("v")))
+      val mins = sym.groupBy(col("u"))
+        .agg(min(col("v")).as("__mn"))
+        .select(col("u"), least(col("__mn"), col("u")).as("__m"))
+      canon(sym.join(mins, "u")
+        .filter(col("v") > col("u"))
+        .select(col("v").as("u"), col("__m").as("v")))
+    }
+    def smallStar(e: DataFrame): DataFrame = {
+      val o = e.select(greatest(col("u"), col("v")).as("h"),
+        least(col("u"), col("v")).as("l"))
+      val mins = o.groupBy(col("h")).agg(min(col("l")).as("__m"))
+      canon(o.join(mins, "h")
+        .select(col("l").as("u"), col("__m").as("v"))
+        .union(mins.select(col("h").as("u"), col("__m").as("v"))))
+    }
+    val raw = edges.select(col(srcCol).as("u"), col(dstCol).as("v"))
+    var cur = canon(raw).localCheckpoint()
+    var converged = false
+    var it = 0
+    while (!converged && it < maxIter) {
+      val next = smallStar(largeStar(cur)).localCheckpoint()
+      // unchanged edge set = fixpoint (both counts needed: exceptAll is
+      // one-directional)
+      converged = next.count() == cur.count() &&
+        next.exceptAll(cur).isEmpty
+      cur = next
+      it += 1
+    }
+    require(converged, s"connectedComponentsStar did not converge in $maxIter rounds")
+    // fixpoint edges are stars; canon orders (least, greatest), so u is the
+    // component minimum and v the member — each member appears in exactly
+    // one edge. Centers (and isolated self-loop nodes) label themselves.
+    val nodes = raw.select(col("u").as("node"))
+      .union(raw.select(col("v").as("node"))).distinct()
+    nodes.join(cur.select(col("v").as("node"), col("u").as("__lbl")),
+        Seq("node"), "left")
+      .select(col("node"), coalesce(col("__lbl"), col("node")).as("cluster"))
   }
 
   /** Leakage-safe train/val/test split: assign every document to a split by
@@ -446,8 +611,15 @@ object Dedup {
       maxCopies: Int = 1, k: Int = 3, numHashes: Int = 8, rowsPerBand: Int = 2,
       threshold: Double = 0.7): DataFrame = {
     require(maxCopies > 0)
-    val pairs = nearDuplicatePairs(df, textCol, idCol, k, numHashes,
-      rowsPerBand, threshold)
+    // components over representative pairs + one STAR edge per non-rep
+    // member (rep → member): same transitive clusters as the expanded pair
+    // graph — an exact group is a clique, and a star spans a clique — with
+    // linearly many edges instead of quadratic intra-group pairs
+    val (membership, repPairs) =
+      nearDupCore(df, textCol, idCol, k, numHashes, rowsPerBand, threshold)
+    val starEdges = membership.filter(col(idCol) =!= col("__rep"))
+      .select(col("__rep").as("id1"), col(idCol).as("id2"))
+    val pairs = repPairs.select(col("id1"), col("id2")).union(starEdges)
     val cc = connectedComponents(pairs, "id1", "id2")
       .select(col("node").as("__ccn"), col("cluster").as("__ccc"))
     val w = org.apache.spark.sql.expressions.Window

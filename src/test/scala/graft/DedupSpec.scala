@@ -227,4 +227,53 @@ class DedupSpec extends SparkSpec {
       .select("doc_id").as[Long].collect().sorted.toSeq
     assert(keep2 == Seq(0L, 1L, 3L, 4L))
   }
+
+  test("exact-dup-heavy corpus: banded join stays linear, pair contract holds") {
+    // 1500 byte-identical docs + 2 distinct docs. Pre-fix, the identical
+    // docs collided on EVERY band: ~1500²/2 candidate rows per band through
+    // the LSH self-join. Post-fix the banded join sees ONE representative
+    // per distinct text — assert it directly on the internal stages.
+    val n = 1500
+    val dupes = (0L until n.toLong)
+      .map(i => (i, "the same boilerplate page text repeated everywhere"))
+    val corpus = (dupes ++ Seq(
+      (9000L, "a genuinely unique document about spark physical plans"),
+      (9001L, "another unique document concerning parquet row groups")))
+      .toDF("doc_id", "text")
+    // internal shape: signatures/candidates over exact representatives only
+    val reps = Dedup.dropExactDuplicates(corpus, "text", "doc_id")
+    val sigs = Dedup.minhashSignatures(reps, "text", "doc_id")
+    assert(sigs.select("doc_id").distinct().count() == 3)
+    assert(Dedup.lshCandidatePairs(sigs, "doc_id").count() == 0)
+    // the public pair contract is unchanged: every member pair of the
+    // exact group, jaccard 1.0, nothing across distinct texts
+    val pairs = Dedup.nearDuplicatePairs(corpus, "text", "doc_id")
+    assert(pairs.count() == n.toLong * (n - 1) / 2)
+    assert(pairs.filter(col("jaccard") =!= 1.0).count() == 0)
+    assert(pairs.filter(col("id1") >= col("id2")).count() == 0)
+    // and the linear consumer keeps exactly one representative + uniques
+    val kept = Dedup.dropNearDuplicates(corpus, "text", "doc_id")
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(kept == Seq(0L, 9000L, 9001L))
+  }
+
+  test("star connected components matches label propagation, converges on deep chains") {
+    // a 400-link chain: label propagation needs ~400 rounds (would trip
+    // maxIter), the star alternation needs O(log n)
+    val chain = (0L until 400L).map(i => (i, i + 1)).toDF("id1", "id2")
+    val star = Dedup.connectedComponents(chain, "id1", "id2",
+        maxIter = 12, algorithm = "star")
+      .as[(Long, Long)].collect().toMap
+    assert(star.size == 401)
+    assert(star.values.toSet == Set(0L))
+    // agreement with label propagation on a branchy small graph
+    val g = Seq((1L, 2L), (2L, 3L), (10L, 11L), (12L, 11L), (20L, 21L),
+      (21L, 22L), (22L, 23L), (23L, 24L)).toDF("id1", "id2")
+    val lbl = Dedup.connectedComponents(g, "id1", "id2")
+      .as[(Long, Long)].collect().toMap
+    val st = Dedup.connectedComponents(g, "id1", "id2", algorithm = "star")
+      .as[(Long, Long)].collect().toMap
+    assert(st == lbl)
+    assert(st(24L) == 20L && st(12L) == 10L && st(3L) == 1L)
+  }
 }
