@@ -21,6 +21,43 @@ import org.apache.spark.sql.functions._
   */
 object Embedding {
 
+  /** Embedding validity scan with string-fallback recovery (reference
+    * `scripts/generate_benchmark_reports.py:401-416`: corpora where some
+    * files deliver the embedding column as its STRING form — the
+    * `eval(str)` rows the reference recovers). Adds two columns:
+    * `emb_parsed` (array&lt;float&gt; of exactly `dims`, null when
+    * unrecoverable) and `emb_src` tagging where each row's vector came
+    * from: `array` (well-typed column, right size), `string` (recovered
+    * via `from_json`), or `invalid` (null, wrong dimension, or unparseable
+    * text).
+    *
+    * For an array-typed column the parse branch never materializes; for a
+    * string-typed column the recovery is one codegen'd `from_json` per row
+    * — a narrow projection either way, no shuffle, so the scan cost at
+    * 100 TB is the read itself. A float array survives Spark's
+    * string-cast round trip bit-exactly (shortest-round-trip formatting),
+    * so recovered vectors are safe to mix with natively typed ones
+    * downstream.
+    */
+  def parseEmbeddings(df: DataFrame, embCol: String, dims: Int): DataFrame = {
+    import org.apache.spark.sql.types.{ArrayType, FloatType, StringType}
+    df.schema(embCol).dataType match {
+      case StringType =>
+        val parsed = from_json(col(embCol), ArrayType(FloatType))
+        val ok = parsed.isNotNull && size(parsed) === dims
+        df.withColumn("emb_parsed", when(ok, parsed))
+          .withColumn("emb_src", when(ok, lit("string")).otherwise(lit("invalid")))
+      case _: ArrayType =>
+        val cast = col(embCol).cast(ArrayType(FloatType))
+        val ok = cast.isNotNull && size(cast) === dims
+        df.withColumn("emb_parsed", when(ok, cast))
+          .withColumn("emb_src", when(ok, lit("array")).otherwise(lit("invalid")))
+      case other =>
+        throw new IllegalArgumentException(
+          s"$embCol must be an array or string column, got ${other.simpleString}")
+    }
+  }
+
   /** Per-dimension mean/variance/min/max in one narrow pass via
     * `Summarizer`. Output: one row per dimension (dim, mean, std, min, max).
     */

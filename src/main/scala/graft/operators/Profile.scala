@@ -344,9 +344,17 @@ object Profile {
       .join(hist(b, "nb"), Seq("bin"), "left")
       .select(coalesce(col("na"), lit(0L)).as("na"),
         coalesce(col("nb"), lit(0L)).as("nb"))
-    val t = j.agg(sum(col("na")).as("ta"), sum(col("nb")).as("tb"))
+    // totals via an unbounded window over the ≤`bins`-row histogram frame:
+    // one single-partition pass over constant-size data, so each INPUT is
+    // scanned exactly once per evaluation (a separate totals aggregate
+    // would re-run the whole histogram plan — doubling per-micro-batch
+    // source reads in EventPipeline.driftMonitor)
+    val w = org.apache.spark.sql.expressions.Window
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.unboundedFollowing)
     val smooth = bins * 0.5
-    j.crossJoin(broadcast(t))
+    j.select(col("na"), col("nb"),
+        sum(col("na")).over(w).as("ta"), sum(col("nb")).over(w).as("tb"))
       .select(col("ta"), col("tb"),
         ((col("na") + 0.5) / (col("ta") + lit(smooth))).as("pa"),
         ((col("nb") + 0.5) / (col("tb") + lit(smooth))).as("pb"))
@@ -356,18 +364,6 @@ object Profile {
       .select(col("psi"), col("ta").as("n_a"), col("tb").as("n_b"))
   }
 
-  /** Referential-integrity audit over a set of FK edges — the constraint
-    * check a lakehouse has no engine to enforce: per edge, child row count,
-    * orphan count (child FK with no parent), distinct FK values, and
-    * distinct parent keys. Each edge is one left join against the DISTINCT
-    * non-null parent keys (broadcast when small, shuffled on the key
-    * otherwise — both sides key-uniform) folded into a single aggregation
-    * row; the edges union into one report. Null FKs count as orphans (an
-    * unresolvable reference is broken whether missing or dangling); null
-    * parent keys are not joinable and are excluded from `n_parent`. The
-    * distinct-keys frame is persisted so its shuffle runs once, not once
-    * per consumer.
-    */
   /** Schema-evolution audit between two snapshots of a table: columns
     * added, removed, or retyped (by name; nullability changes count as a
     * retype). Pure driver-side metadata — no job runs. Pairs with [[psi]]:
@@ -390,13 +386,28 @@ object Profile {
     added ++ removed ++ retyped
   }
 
+  /** Referential-integrity audit over a set of FK edges — the constraint
+    * check a lakehouse has no engine to enforce: per edge, child row count,
+    * orphan count (child FK with no parent), distinct FK values, and
+    * distinct parent keys. Each edge is one left join against the DISTINCT
+    * non-null parent keys (broadcast when small, shuffled on the key
+    * otherwise — both sides key-uniform) folded into a single aggregation
+    * row; the edges union into one report. Null FKs count as orphans (an
+    * unresolvable reference is broken whether missing or dangling); null
+    * parent keys are not joinable and are excluded from `n_parent`. The
+    * distinct-keys frame is localCheckpointed so its shuffle runs once, not
+    * once per consumer — and, unlike a persist, the blocks release
+    * themselves via the context cleaner when the audit frame is dropped
+    * instead of pinning every parent table's key set in the cache for the
+    * rest of the session.
+    */
   def fkAudit(edges: Seq[(String, DataFrame, String, DataFrame, String)])
       : DataFrame = {
     require(edges.nonEmpty)
     edges.map { case (name, child, fk, parent, pk) =>
       val parents = parent.select(col(pk).as("__pk"))
         .filter(col("__pk").isNotNull).distinct()
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        .localCheckpoint(true)
       child.select(col(fk))
         .join(parents, col(fk) === col("__pk"), "left")
         .agg(count(lit(1)).as("n_child"),
@@ -406,5 +417,63 @@ object Profile {
         .select(lit(name).as("edge"), col("n_child"), col("orphans"),
           col("distinct_fk"), col("n_parent"))
     }.reduce(_ unionByName _)
+  }
+
+  /** Cross-scale sampling-consistency validator (reference
+    * `scripts/generate_benchmark_reports.py:731-740`,
+    * `reports/sampling_analysis.json`): the reference's only cross-variant
+    * correctness notion is "statistics agree across the 10k→10M size
+    * variants within tolerance". This is that check as an operator with a
+    * machine-readable verdict: for each non-baseline variant and each
+    * numeric column, compare mean / stddev / null-fraction to the baseline
+    * (the first frame) and flag whether the relative deviation is within
+    * `tolerance`.
+    *
+    * One single-row aggregation per variant (decimal sums — exact and
+    * order-independent, so the verdict is deterministic on any cluster
+    * layout), unpivoted to (column, metric) rows and joined to the
+    * baseline's; everything after the per-variant scan is constant-size.
+    * Output: (variant, column, metric, value, base, rel_diff, within_tol),
+    * ordered.
+    */
+  def consistencyVerdict(frames: Seq[(String, DataFrame)], cols: Seq[String],
+      tolerance: Double): DataFrame = {
+    require(frames.size >= 2 && cols.nonEmpty && tolerance >= 0)
+    def statsLong(vname: String, df: DataFrame): DataFrame = {
+      val aggs = cols.flatMap { c =>
+        Seq(
+          sum(col(c).cast("decimal(28,6)")).as(s"__s_$c"),
+          sum(col(c).cast("decimal(18,3)") * col(c).cast("decimal(18,3)"))
+            .as(s"__s2_$c"),
+          count(col(c)).as(s"__n_$c"))
+      } :+ count(lit(1)).as("__t")
+      val metrics = cols.flatMap { c =>
+        val n = col(s"__n_$c").cast("double")
+        val m = col(s"__s_$c").cast("double") / n
+        val sd = sqrt(greatest(
+          col(s"__s2_$c").cast("double") / n - m * m, lit(0.0)))
+        val nf = (col("__t") - col(s"__n_$c")).cast("double") / col("__t")
+        Seq(
+          struct(lit(c).as("column"), lit("mean").as("metric"), m.as("value")),
+          struct(lit(c).as("column"), lit("stddev").as("metric"), sd.as("value")),
+          struct(lit(c).as("column"), lit("null_frac").as("metric"), nf.as("value")))
+      }
+      df.agg(aggs.head, aggs.tail: _*)
+        .select(explode(array(metrics: _*)).as("st"))
+        .select(lit(vname).as("variant"), col("st.column").as("column"),
+          col("st.metric").as("metric"), col("st.value").as("value"))
+    }
+    val base = statsLong(frames.head._1, frames.head._2)
+      .select(col("column"), col("metric"), col("value").as("__base"))
+    frames.tail.map { case (n, df) => statsLong(n, df) }
+      .reduce(_ unionByName _)
+      .join(base, Seq("column", "metric"))
+      .select(col("variant"), col("column"), col("metric"),
+        (round(col("value"), 6) + 0.0).as("value"),
+        (round(col("__base"), 6) + 0.0).as("base"),
+        (round(abs(col("value") - col("__base")) /
+          greatest(abs(col("__base")), lit(1e-12)), 6) + 0.0).as("rel_diff"))
+      .withColumn("within_tol", col("rel_diff") <= tolerance)
+      .orderBy(col("variant"), col("column"), col("metric"))
   }
 }

@@ -1172,6 +1172,65 @@ object TextQueries {
           FROM g CROSS JOIN n)
         SELECT a.doc_id, a.j, rk2.doc_id AS neg_doc_id
         FROM adj a JOIN rk rk2 ON a.r = rk2.rank
-        ORDER BY a.doc_id, a.j"""))
+        ORDER BY a.doc_id, a.j""")),
+
+    // ---- cross-scale sampling-consistency verdict (reference
+    //      gbr.py:731-740, reports/sampling_analysis.json): do the stats of
+    //      deterministic half/quarter variants agree with the full corpus
+    //      within tolerance? (Profile.consistencyVerdict) ----
+    QueryDef(
+      "q102_scale_consistency",
+      (s, d) => {
+        val docs = Tables.documents(s, d).withColumn("len", length(col("text")))
+        val u = graft.sources.Ingest.uniformKey(col("doc_id"), 42L)
+        graft.operators.Profile.consistencyVerdict(
+          Seq("full" -> docs,
+            "half" -> docs.filter(u < 0.5),
+            "quarter" -> docs.filter(u < 0.25)),
+          Seq("n_chars", "len"), tolerance = 0.05)
+      },
+      Some(raw"""WITH src AS (SELECT n_chars, length(text) AS len,
+          ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':42'), 1, 13))::BIGINT
+            / 4503599627370496.0 AS u
+          FROM documents),
+        v AS (SELECT 'full' AS variant, 1.1 AS cut UNION ALL
+          SELECT 'half', 0.5 UNION ALL SELECT 'quarter', 0.25),
+        agg AS (SELECT v.variant,
+          sum(CAST(n_chars AS DECIMAL(28,6))) AS s_nc,
+          sum(CAST(n_chars AS DECIMAL(18,3)) * CAST(n_chars AS DECIMAL(18,3))) AS s2_nc,
+          count(n_chars) AS n_nc,
+          sum(CAST(len AS DECIMAL(28,6))) AS s_len,
+          sum(CAST(len AS DECIMAL(18,3)) * CAST(len AS DECIMAL(18,3))) AS s2_len,
+          count(len) AS n_len,
+          count(*) AS t
+          FROM src JOIN v ON src.u < v.cut
+          GROUP BY v.variant),
+        m AS (
+          SELECT variant, 'n_chars' AS "column", 'mean' AS metric,
+            CAST(s_nc AS DOUBLE) / n_nc AS value FROM agg
+          UNION ALL SELECT variant, 'n_chars', 'stddev',
+            sqrt(greatest(CAST(s2_nc AS DOUBLE) / n_nc -
+              (CAST(s_nc AS DOUBLE) / n_nc) * (CAST(s_nc AS DOUBLE) / n_nc), 0))
+            FROM agg
+          UNION ALL SELECT variant, 'n_chars', 'null_frac',
+            CAST(t - n_nc AS DOUBLE) / t FROM agg
+          UNION ALL SELECT variant, 'len', 'mean',
+            CAST(s_len AS DOUBLE) / n_len FROM agg
+          UNION ALL SELECT variant, 'len', 'stddev',
+            sqrt(greatest(CAST(s2_len AS DOUBLE) / n_len -
+              (CAST(s_len AS DOUBLE) / n_len) * (CAST(s_len AS DOUBLE) / n_len), 0))
+            FROM agg
+          UNION ALL SELECT variant, 'len', 'null_frac',
+            CAST(t - n_len AS DOUBLE) / t FROM agg)
+        SELECT a.variant, a."column", a.metric,
+          round(a.value, 6) + 0 AS value, round(b.value, 6) + 0 AS base,
+          round(abs(a.value - b.value) / greatest(abs(b.value), 1e-12), 6) + 0
+            AS rel_diff,
+          (round(abs(a.value - b.value) / greatest(abs(b.value), 1e-12), 6) + 0)
+            <= 0.05 AS within_tol
+        FROM m a JOIN m b ON b.variant = 'full' AND a."column" = b."column"
+          AND a.metric = b.metric
+        WHERE a.variant <> 'full'
+        ORDER BY a.variant, a."column", a.metric"""))
   )
 }

@@ -410,6 +410,34 @@ object VectorQueries {
           SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d, cid)
             AS rn FROM dist) t WHERE rn = 1)
         SELECT vec_id, cid, round(sqrt(greatest(d2, 0)), 6) + 0 AS dist
-        FROM asg ORDER BY dist DESC, vec_id LIMIT 20"""))
+        FROM asg ORDER BY dist DESC, vec_id LIMIT 20""")),
+
+    // ---- string-fallback embedding recovery (reference gbr.py:401-416:
+    //      corpora delivering the embedding column as eval-able text) —
+    //      classify array/string/invalid and recover the vector
+    //      (Embedding.parseEmbeddings). The oracle reproduces the garbling
+    //      rule and computes the norm from the ORIGINAL floats: recovery
+    //      must be value-exact through the string round trip for this to
+    //      hash-match ----
+    QueryDef(
+      "q103_embedding_recovery",
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        val u = graft.sources.Ingest.uniformKey(col("vec_id"), 7L)
+        val asStrings = emb.select(col("vec_id"),
+          when(u < 0.1, lit("not a vector"))
+            .otherwise(col("embedding").cast("string")).as("embedding"))
+        graft.operators.Embedding.parseEmbeddings(asStrings, "embedding", 64)
+          .select(col("vec_id"), col("emb_src"),
+            (round(vec_norm(col("emb_parsed")), 4) + 0.0).as("norm"))
+          .orderBy(col("vec_id"))
+      },
+      Some(s"""SELECT vec_id,
+        CASE WHEN ('0x' || substr(md5(CAST(vec_id AS VARCHAR) || ':7'), 1, 13))::BIGINT
+            / 4503599627370496.0 < 0.1 THEN 'invalid' ELSE 'string' END AS emb_src,
+        CASE WHEN ('0x' || substr(md5(CAST(vec_id AS VARCHAR) || ':7'), 1, 13))::BIGINT
+            / 4503599627370496.0 < 0.1 THEN NULL
+          ELSE round(sqrt(${sqlNormSq("embedding")}), 4) + 0 END AS norm
+        FROM embeddings ORDER BY vec_id"""))
   )
 }

@@ -203,8 +203,14 @@ object Ingest {
   def temperatureMixture(df: DataFrame, idCol: String, stratumCol: String,
       alpha: Double, targetFraction: Double, seed: Long = 42L): DataFrame = {
     require(alpha >= 0 && targetFraction > 0 && targetFraction <= 1)
-    // null strata fall through to mixtureSample's default rate 0 (dropped)
-    val counts = df.groupBy(col(stratumCol)).agg(count(lit(1)).as("__n"))
+    // null strata fall through to mixtureSample's default rate 0 (dropped).
+    // The stratum is cast to string here so non-string stratum columns (an
+    // int language id, a date) work too — mixtureSample's `col === k`
+    // comparison coerces the same way, so the rates keyed by the string
+    // form match.
+    val counts = df
+      .groupBy(col(stratumCol).cast("string").as("__s"))
+      .agg(count(lit(1)).as("__n"))
       .collect().filter(!_.isNullAt(0)).map(r => r.getString(0) -> r.getLong(1)).toMap
     val total = counts.values.sum
     val powSum = counts.values.map(n => math.pow(n.toDouble, alpha)).sum

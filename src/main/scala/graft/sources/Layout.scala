@@ -53,13 +53,20 @@ object Layout {
       bits: Int = 8, numPartitions: Int = 0): DataFrame = {
     val r = df.agg(min(col(colA)).cast("double"), max(col(colA)).cast("double"),
       min(col(colB)).cast("double"), max(col(colB)).cast("double")).head()
-    if (r.isNullAt(0) || r.isNullAt(2)) // empty input (or all-null columns)
-      return df.withColumn("zval", lit(0L))
-    val (aLo, aHi, bLo, bHi) =
-      (r.getDouble(0), r.getDouble(1), r.getDouble(2), r.getDouble(3))
-    val withZ = df.withColumn("zval",
-      zValue(bucketId(col(colA), aLo, aHi, bits),
-        bucketId(col(colB), bLo, bHi, bits), bits))
+    val aNull = r.isNullAt(0)
+    val bNull = r.isNullAt(2)
+    // empty input or both columns all-null: nothing to cluster on
+    if (aNull && bNull) return df.withColumn("zval", lit(0L))
+    // exactly one all-null column degrades to SINGLE-column clustering on
+    // the populated one (its bucket id as zval) instead of silently
+    // disabling layout for both — the still-populated column keeps its
+    // row-group pruning
+    val zcol =
+      if (aNull) bucketId(col(colB), r.getDouble(2), r.getDouble(3), bits)
+      else if (bNull) bucketId(col(colA), r.getDouble(0), r.getDouble(1), bits)
+      else zValue(bucketId(col(colA), r.getDouble(0), r.getDouble(1), bits),
+        bucketId(col(colB), r.getDouble(2), r.getDouble(3), bits), bits)
+    val withZ = df.withColumn("zval", zcol)
     val parted =
       if (numPartitions > 0) withZ.repartitionByRange(numPartitions, col("zval"))
       else withZ.repartitionByRange(col("zval"))

@@ -79,4 +79,33 @@ class EmbeddingSpec extends SparkSpec {
     assert(math.abs(d(out(0), out(2)) - 2.0) < 1e-6)
     assert(math.abs(d(out(0), out(1)) - math.sqrt(2)) < 1e-6)
   }
+
+  test("parseEmbeddings recovers stringified vectors bit-exactly, tags the rest") {
+    import spark.implicits._
+    val arr = Seq(
+      (1L, Array(0.125f, -0.5f, 0.1f)),
+      (2L, Array(1.0f, 2.0f, 3.0f))).toDF("id", "emb")
+    // string round trip: cast to string, parse back, values identical
+    val roundTrip = Embedding.parseEmbeddings(
+      arr.select(col("id"), col("emb").cast("string").as("emb")), "emb", 3)
+    assert(roundTrip.select("emb_src").distinct().collect()
+      .map(_.getString(0)).toSeq == Seq("string"))
+    val back = roundTrip.orderBy("id").select("emb_parsed").collect()
+      .map(_.getSeq[Float](0).toSeq).toSeq
+    assert(back == Seq(Seq(0.125f, -0.5f, 0.1f), Seq(1.0f, 2.0f, 3.0f)))
+    // garbage and wrong-dim strings are invalid with a null vector
+    val bad = Seq((1L, "not json"), (2L, "[0.1, 0.2]"), (3L, null))
+      .toDF("id", "emb")
+    val tagged = Embedding.parseEmbeddings(bad, "emb", 3)
+      .orderBy("id").select("emb_src", "emb_parsed").collect()
+      .map(r => (r.getString(0), r.isNullAt(1)))
+    assert(tagged.toSeq == Seq(("invalid", true), ("invalid", true),
+      ("invalid", true)))
+    // well-typed array column: tagged array, wrong size invalid
+    val mixed = Seq((1L, Array(1f, 2f, 3f)), (2L, Array(1f, 2f)))
+      .toDF("id", "emb")
+    val t2 = Embedding.parseEmbeddings(mixed, "emb", 3).orderBy("id")
+      .select("emb_src").collect().map(_.getString(0))
+    assert(t2.toSeq == Seq("array", "invalid"))
+  }
 }

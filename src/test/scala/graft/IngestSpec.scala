@@ -182,4 +182,16 @@ class IngestSpec extends SparkSpec {
     assert(counts("s1") == 100L, counts.toString)
     assert(math.abs(counts("s0") - 1010L) < 110, counts.toString)
   }
+
+  test("temperatureMixture accepts a non-string stratum column") {
+    // int language-id stratum: the count pass casts to string and
+    // mixtureSample's equality coerces the same way
+    val df = spark.range(6000).toDF("id")
+      .withColumn("lang", pmod(col("id"), lit(3)).cast("int"))
+    val kept = Ingest.temperatureMixture(df, "id", "lang",
+        alpha = 1.0, targetFraction = 0.5)
+      .groupBy("lang").count().collect().map(r => r.getLong(1))
+    assert(kept.length == 3)
+    kept.foreach(n => assert(math.abs(n - 1000L) < 120, kept.toSeq.toString))
+  }
 }

@@ -49,4 +49,22 @@ class LayoutSpec extends SparkSpec {
     val a = graft.plans.PlanAudit.audit(z)
     assert(a.shuffles == 1, s"expected 1 shuffle, plan had ${a.shuffles}")
   }
+
+  test("zOrdered with one all-null column degrades to single-column clustering") {
+    val pts = (0 until 1024)
+      .map(i => (Option.empty[java.lang.Double], i.toDouble)).toDF("x", "y")
+    val z = Layout.zOrdered(pts, "x", "y", bits = 5, numPartitions = 8)
+    // the populated column still clusters: each partition holds a narrow
+    // y-range instead of the full spread a zval=0 no-op would give
+    val spreads = z.groupBy(spark_partition_id().as("p"))
+      .agg((max(col("y")) - min(col("y"))).as("sy")).collect()
+    assert(spreads.nonEmpty)
+    spreads.foreach(r => assert(r.getDouble(1) <= 512.0, s"y-spread too wide: $r"))
+    // both all-null: zval constant 0, no crash
+    val nulls = (0 until 8).map(_ =>
+      (Option.empty[java.lang.Double], Option.empty[java.lang.Double]))
+      .toDF("x", "y")
+    val z0 = Layout.zOrdered(nulls, "x", "y")
+    assert(z0.select("zval").distinct().collect().map(_.getLong(0)).toSeq == Seq(0L))
+  }
 }

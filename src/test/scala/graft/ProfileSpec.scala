@@ -135,4 +135,22 @@ class ProfileSpec extends SparkSpec {
     assert((r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
       r.getLong(4)) == (("child.parent", 5L, 2L, 3L, 3L)))
   }
+
+  test("consistencyVerdict flags drifted variants and passes faithful ones") {
+    import spark.implicits._
+    val base = spark.range(1000).toDF("id")
+      .withColumn("x", (col("id") % 100).cast("double"))
+    val faithful = base.filter(col("id") % 2 === 0) // same x distribution
+    val drifted = base.filter(col("x") < 50)        // halves the mean
+    val out = Profile.consistencyVerdict(
+        Seq("full" -> base, "even" -> faithful, "low" -> drifted),
+        Seq("x"), tolerance = 0.05)
+      .collect().map(r => (r.getString(0), r.getString(2), r.getBoolean(6)))
+    // 2 variants × 1 column × 3 metrics, ordered
+    assert(out.length == 6)
+    val byKey = out.map(t => (t._1, t._2) -> t._3).toMap
+    assert(byKey(("even", "mean")) && byKey(("even", "stddev")))
+    assert(!byKey(("low", "mean")) && !byKey(("low", "stddev")))
+    assert(byKey(("even", "null_frac")) && byKey(("low", "null_frac")))
+  }
 }
