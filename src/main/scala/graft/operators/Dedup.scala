@@ -28,6 +28,59 @@ object Dedup {
   def hash60(c: Column): Column =
     conv(substring(md5(c), 1, 15), 16, 10).cast("long")
 
+  /** Session-scoped memo of expensive dedup intermediates (the MinHash
+    * signature core, connected-components labelings). A dedup-heavy
+    * analysis session asks the same questions of the same corpus in
+    * several shapes — drop the dups, cluster them, split leakage-safely,
+    * cap copies — and each re-derivation re-runs the full
+    * shingle→signature→band→verify pipeline. Entries are keyed on the
+    * INPUT's analyzed logical plan (matched with `sameResult`, so column
+    * renames/reorderings still hit) plus the operator parameters, and hold
+    * localCheckpointed id-sized frames.
+    *
+    * Freshness unit is the session, the same contract as
+    * [[VectorSearch.IvfIndex]]'s relation cache: underlying files changed
+    * from outside are not re-observed until a new session (or
+    * [[clearMemo]]). Bounded (oldest evicted); weak session keys keep
+    * stopped sessions collectable.
+    */
+  private val memo = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[org.apache.spark.sql.SparkSession,
+      scala.collection.mutable.ArrayBuffer[
+        (Any, org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, Any)]]())
+  private val memoMax = 16
+
+  /** Drop every memoized dedup intermediate for `spark` — call after
+    * overwriting source files mid-session.
+    */
+  def clearMemo(spark: org.apache.spark.sql.SparkSession): Unit = {
+    val entries = memo.get(spark)
+    if (entries != null) entries.synchronized { entries.clear() }
+  }
+
+  private def memoized[T](df: DataFrame, params: Any)(compute: => T): T = {
+    val spark = df.sparkSession
+    val plan = df.queryExecution.analyzed
+    val entries = memo.synchronized {
+      var e = memo.get(spark)
+      if (e == null) {
+        e = scala.collection.mutable.ArrayBuffer.empty
+        memo.put(spark, e)
+      }
+      e
+    }
+    entries.synchronized {
+      entries.find(e => e._1 == params && e._2.sameResult(plan)) match {
+        case Some((_, _, v)) => v.asInstanceOf[T]
+        case None =>
+          val v = compute
+          entries += ((params, plan, v))
+          if (entries.length > memoMax) entries.remove(0)
+          v
+      }
+    }
+  }
+
   /** Exact dedup: keep the lowest `idCol` per distinct `textCol`. */
   def dropExactDuplicates(df: DataFrame, textCol: String, idCol: String): DataFrame = {
     val keepers = df.groupBy(md5(col(textCol)).as("__h"))
@@ -144,6 +197,16 @@ object Dedup {
     * per consumer join branch.
     */
   private def nearDupCore(
+      df: DataFrame, textCol: String, idCol: String,
+      k: Int, numHashes: Int, rowsPerBand: Int,
+      threshold: Double): (DataFrame, DataFrame) =
+    memoized(df, ("nearDupCore", textCol, idCol, k, numHashes, rowsPerBand,
+      threshold)) {
+      nearDupCoreUncached(df, textCol, idCol, k, numHashes, rowsPerBand,
+        threshold)
+    }
+
+  private def nearDupCoreUncached(
       df: DataFrame, textCol: String, idCol: String,
       k: Int, numHashes: Int, rowsPerBand: Int,
       threshold: Double): (DataFrame, DataFrame) = {
@@ -477,6 +540,13 @@ object Dedup {
       s"unknown connected-components algorithm: $algorithm")
     if (algorithm == "star")
       return connectedComponentsStar(edges, srcCol, dstCol, maxIter)
+    memoized(edges, ("cc", srcCol, dstCol, maxIter, algorithm)) {
+      connectedComponentsLabel(edges, srcCol, dstCol, maxIter)
+    }
+  }
+
+  private def connectedComponentsLabel(edges: DataFrame, srcCol: String,
+      dstCol: String, maxIter: Int): DataFrame = {
     val sym = edges.select(col(srcCol).as("__a"), col(dstCol).as("__b"))
       .union(edges.select(col(dstCol).as("__a"), col(srcCol).as("__b")))
       .distinct()
