@@ -193,9 +193,19 @@ final class BucketedStore(val root: String, val nBuckets: Int,
     * (latest delta per key wins; base rows lose to any delta on the same
     * key). With no deltas this is a plain multi-directory parquet scan.
     */
-  def read(spark: SparkSession): DataFrame = {
-    val v = currentVersion.getOrElse(
-      throw new IllegalStateException(s"no committed version under $root"))
+  def read(spark: SparkSession): DataFrame =
+    readVersion(spark, currentVersion.getOrElse(
+      throw new IllegalStateException(s"no committed version under $root")))
+
+  /** Time travel: read the snapshot as of committed version `v` — every
+    * version's manifest is immutable once written, so any un-vacuumed
+    * version reconstructs exactly (the audit/debug/reproduce-a-training-run
+    * read path a copy-on-write table gets for free). Fails clearly if `v`
+    * was never committed or its files were [[vacuum]]ed away.
+    */
+  def readVersion(spark: SparkSession, v: Int): DataFrame = {
+    require(Files.exists(Paths.get(root, s"v$v", "manifest.tsv")),
+      s"version $v does not exist under $root (never committed, or vacuumed)")
     val (manifest, deltas) = readManifest(v)
     val base = readBase(spark, manifest)
     latestDeltaRows(spark, deltas, key) match {
@@ -204,6 +214,77 @@ final class BucketedStore(val root: String, val nBuckets: Int,
         base.join(broadcast(del.select(key)), Seq(key), "left_anti")
           .unionByName(del.drop("__seq"))
     }
+  }
+
+  /** All committed, un-vacuumed version ids, ascending. */
+  def versions: Seq[Int] = {
+    import scala.jdk.CollectionConverters._
+    if (!Files.exists(Paths.get(root))) Seq.empty
+    else Files.list(Paths.get(root)).iterator().asScala
+      .map(_.getFileName.toString)
+      .collect { case n if n.startsWith("v") &&
+        Files.exists(Paths.get(root, n, "manifest.tsv")) => n.drop(1).toInt }
+      .toSeq.sorted
+  }
+
+  /** Point lookup: the row(s) for `keyValue`, reading ONE bucket plus the
+    * live deltas — the O(bucket + deltas) read path that makes the store a
+    * serving table, not just a scan target. The key hashes to its bucket
+    * via the same expression writes use, so the scan touches 1/nBuckets of
+    * the data no matter how large the table is; delta files are tiny by
+    * contract. Returns the merged row (latest delta wins over base).
+    */
+  def lookup(spark: SparkSession, keyValue: Any): DataFrame = {
+    val v = currentVersion.getOrElse(
+      throw new IllegalStateException(s"no committed version under $root"))
+    val (manifest, deltas) = readManifest(v)
+    val k = key
+    // same hash as bucketCol, computed driver-side to prune to one dir
+    val bucket = spark.range(1)
+      .select(pmod(xxhash64(lit(keyValue)), lit(nBuckets.toLong)).cast("int"))
+      .head().getInt(0)
+    val owner = manifest(bucket)
+    val basePath = bucketPath(owner, bucket)
+    val base =
+      if (Files.exists(Paths.get(basePath)))
+        spark.read.parquet(basePath).filter(col(k) === lit(keyValue))
+      else spark.emptyDataFrame
+    latestDeltaRows(spark, deltas, k) match {
+      case None => base
+      case Some(del) =>
+        val delK = del.filter(col(k) === lit(keyValue))
+        if (base.isEmpty) delK.drop("__seq")
+        else base.join(broadcast(delK.select(k)), Seq(k), "left_anti")
+          .unionByName(delK.drop("__seq"))
+    }
+  }
+
+  /** Drop versions older than the last `keepLast` — the retention/GC half
+    * of the copy-on-write design, without which every upsert's rewritten
+    * buckets accumulate forever. A version directory survives if it is one
+    * of the kept manifests, OR any kept manifest still references it as a
+    * bucket owner or live delta (copy-on-write re-points untouched buckets
+    * at old version dirs, so "old" files are often still live — vacuum
+    * collects the unreferenced remainder only). Readers of kept versions
+    * are unaffected; time travel to vacuumed versions fails with a clear
+    * error. Returns the deleted version ids.
+    */
+  def vacuum(keepLast: Int = 1): Seq[Int] = {
+    require(keepLast >= 1, "must keep at least the current version")
+    import scala.jdk.CollectionConverters._
+    val all = versions
+    val kept = all.takeRight(keepLast).toSet
+    val referenced = kept.flatMap { v =>
+      val (manifest, deltas) = readManifest(v)
+      manifest.values.toSet ++ deltas
+    } ++ kept
+    val doomed = all.filterNot(referenced)
+    doomed.foreach { v =>
+      val dir = Paths.get(root, s"v$v")
+      Files.walk(dir).iterator().asScala.toSeq.reverse
+        .foreach(p => Files.delete(p))
+    }
+    doomed
   }
 
   /** Merge-on-read append (the sustained-QPS write path): land `updates` as

@@ -189,4 +189,52 @@ class BucketedStoreSpec extends SparkSpec {
     assert(m == Map(1L -> "a3", 2L -> "b", 3L -> "c"))
     assert(store.currentVersion.contains(2))
   }
+
+  test("time travel reconstructs every committed version exactly") {
+    val root = java.nio.file.Files.createTempDirectory("btt").toString
+    val store = new BucketedStore(root, nBuckets = 4)
+    store.initialize(Seq((1L, "a"), (2L, "b")).toDF("k", "v"), "k")
+    store.upsert(Seq((1L, "a2")).toDF("k", "v"), "k")
+    store.appendDelta(Seq((2L, "b2"), (5L, "e")).toDF("k", "v"), "k")
+    assert(store.versions == Seq(0, 1, 2))
+    def at(v: Int) = store.readVersion(spark, v).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(at(0) == Map(1L -> "a", 2L -> "b"))
+    assert(at(1) == Map(1L -> "a2", 2L -> "b"))
+    assert(at(2) == Map(1L -> "a2", 2L -> "b2", 5L -> "e"))
+    intercept[IllegalArgumentException](store.readVersion(spark, 9))
+  }
+
+  test("point lookup reads one bucket + deltas and sees the latest row") {
+    val root = java.nio.file.Files.createTempDirectory("blk").toString
+    val store = new BucketedStore(root, nBuckets = 8)
+    store.initialize((0L until 64L).map(i => (i, s"v$i")).toDF("k", "v"), "k")
+    def look(k: Long) = store.lookup(spark, k).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(look(7L) == Seq((7L, "v7")))
+    store.appendDelta(Seq((7L, "d7"), (200L, "new")).toDF("k", "v"), "k")
+    assert(look(7L) == Seq((7L, "d7")))   // delta beats base
+    assert(look(200L) == Seq((200L, "new"))) // delta-only key
+    assert(look(999L).isEmpty)
+    store.compact(spark, "k")
+    assert(look(7L) == Seq((7L, "d7")))   // survives compaction
+  }
+
+  test("vacuum drops unreferenced versions, keeps live bucket owners") {
+    val root = java.nio.file.Files.createTempDirectory("bvac").toString
+    val store = new BucketedStore(root, nBuckets = 8)
+    store.initialize((0L until 64L).map(i => (i, "orig")).toDF("k", "v"), "k")
+    store.upsert(Seq((1L, "u1")).toDF("k", "v"), "k")   // v1 rewrites 1 bucket
+    store.upsert(Seq((2L, "u2")).toDF("k", "v"), "k")   // v2 rewrites 1 bucket
+    store.upsert(Seq((1L, "u3")).toDF("k", "v"), "k")   // v3 re-rewrites 1's bucket
+    val dropped = store.vacuum(keepLast = 1)
+    // v0 still owns most buckets → survives; v1's bucket was re-owned by
+    // v3 → v1 is collectible; v2 survives unless key 2 shares key 1's
+    // bucket (hash-dependent), in which case it was re-owned too
+    assert(dropped.contains(1) && !dropped.contains(0) && !dropped.contains(3))
+    assert(store.versions.head == 0 && store.versions.last == 3)
+    val m = store.read(spark).collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(m(1L) == "u3" && m(2L) == "u2" && m(5L) == "orig" && m.size == 64)
+    intercept[IllegalArgumentException](store.readVersion(spark, 1))
+  }
 }
