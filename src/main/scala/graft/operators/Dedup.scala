@@ -121,18 +121,26 @@ object Dedup {
         expr(s"stack($numHashes, $stackExpr) AS (seed, minhash)"))
   }
 
+  /** Band keys over [[minhashSignatures]] output: one (`idCol`, band,
+    * bkey) row per document per band — the joinable form of an LSH index
+    * (two documents are candidates iff they share any (band, bkey)).
+    */
+  def lshBandKeys(signatures: DataFrame, idCol: String,
+      rowsPerBand: Int = 2): DataFrame =
+    signatures
+      .withColumn("band", expr(s"seed div $rowsPerBand"))
+      .groupBy(col(idCol), col("band"))
+      .agg(md5(concat_ws(",",
+        expr("transform(array_sort(collect_list(struct(seed, minhash))), x -> cast(x.minhash as string))")))
+        .as("bkey"))
+
   /** LSH banding over [[minhashSignatures]] output: hash each band of
     * `rowsPerBand` signature values to a key; docs sharing any (band, key)
     * are near-dup candidates.
     */
   def lshCandidatePairs(
       signatures: DataFrame, idCol: String, rowsPerBand: Int = 2): DataFrame = {
-    val bands = signatures
-      .withColumn("band", expr(s"seed div $rowsPerBand"))
-      .groupBy(col(idCol), col("band"))
-      .agg(md5(concat_ws(",",
-        expr("transform(array_sort(collect_list(struct(seed, minhash))), x -> cast(x.minhash as string))")))
-        .as("bkey"))
+    val bands = lshBandKeys(signatures, idCol, rowsPerBand)
     val a = bands.select(col(idCol).as("id1"), col("band"), col("bkey"))
     val b = bands.select(col(idCol).as("id2"), col("band").as("band2"),
       col("bkey").as("bkey2"))
@@ -639,6 +647,132 @@ object Dedup {
     nodes.join(cur.select(col("v").as("node"), col("u").as("__lbl")),
         Seq("node"), "left")
       .select(col("node"), coalesce(col("__lbl"), col("node")).as("cluster"))
+  }
+
+  /** Precomputed near-dup signature index over a reference corpus — the
+    * signature-store shape of [[dropDuplicatesAgainst]] for INCREMENTAL
+    * use: build once, dedup every incoming batch against it with O(batch)
+    * new work, optionally growing it with each batch's survivors
+    * ([[graft.streaming.EventPipeline.nearDedupStream]] is the streaming
+    * wrapper). [[dropDuplicatesAgainst]] re-derives the corpus side per
+    * call — right for one-shot jobs, wasteful per micro-batch; here the
+    * corpus never re-tokenizes or re-hashes once built.
+    *
+    * Scale shape: the stored frames are band keys (numHashes/rowsPerBand
+    * rows per doc), distinct shingles, shingle counts and text
+    * fingerprints — all id-keyed, all localCheckpointed. Batch joins key on
+    * (band, bkey) and (doc id, shingle), never a bare hot shingle, so the
+    * per-batch cost is |batch| × shingles-per-doc regardless of index
+    * size. The shingle store is the big one (∝ corpus tokens) — that is
+    * inherent to exact Jaccard verification; swap the verify stage for
+    * signature-estimated Jaccard if the store must stay signature-sized.
+    */
+  final case class NearDupIndex(
+      idCol: String, k: Int, numHashes: Int, rowsPerBand: Int,
+      bands: DataFrame, shingles: DataFrame, counts: DataFrame,
+      fingerprints: DataFrame) {
+
+    /** Batch survivors: rows that are not exact/near duplicates of the
+      * index, after batch-internal dedup (exact keep-lowest-id + the
+      * pair-wise near policy — same semantics as
+      * [[Dedup.dropDuplicatesAgainst]], with the index standing in for the
+      * corpus). Internal dedup runs FIRST so index checks touch only
+      * internal survivors.
+      */
+    def dedupBatch(batch: DataFrame, textCol: String,
+        threshold: Double = 0.7): DataFrame = {
+      val internalFp = batch.select(col(idCol), md5(col(textCol)).as("__fp"))
+      val exactInternalLosers = internalFp
+        .join(internalFp.groupBy(col("__fp")).agg(min(col(idCol)).as("__keep")),
+          "__fp")
+        .filter(col(idCol) > col("__keep")).select(col(idCol))
+      val internal = dropNearDuplicates(batch, textCol, idCol, k, numHashes,
+          rowsPerBand, threshold)
+        .join(exactInternalLosers, Seq(idCol), "left_anti")
+      val exactLosers = internal
+        .select(col(idCol), md5(col(textCol)).as("__fp"))
+        .join(fingerprints, Seq("__fp"), "left_semi")
+        .select(col(idCol))
+      val eligible = internal
+        .filter(size(TextAnalysis.words(col(textCol))) >= k)
+        .select(col(idCol), col(textCol))
+      val bSh = TextAnalysis.shingles(eligible, textCol, k, idCol).distinct()
+      val bCnt = bSh.groupBy(col(idCol)).agg(count(lit(1)).as("__bn"))
+      val bBands = lshBandKeys(
+        minhashSignatures(eligible, textCol, idCol, k, numHashes),
+        idCol, rowsPerBand)
+      val cands = bBands.select(col(idCol).as("__bid"), col("band"), col("bkey"))
+        .join(bands.select(col(idCol).as("__cid"), col("band"), col("bkey")),
+          Seq("band", "bkey"))
+        .select(col("__bid"), col("__cid")).distinct()
+      val inter = cands
+        .join(bSh.select(col(idCol).as("__bid"), col("s")), Seq("__bid"))
+        .join(shingles.select(col(idCol).as("__cid2"), col("s").as("__s2")),
+          col("__cid") === col("__cid2") && col("s") === col("__s2"))
+        .groupBy(col("__bid"), col("__cid")).agg(count(lit(1)).as("__c"))
+      val nearLosers = inter
+        .join(bCnt.select(col(idCol).as("__bid"), col("__bn")), Seq("__bid"))
+        .join(counts.select(col(idCol).as("__cid"), col("__n")), Seq("__cid"))
+        .filter(col("__c").cast("double") /
+          (col("__bn") + col("__n") - col("__c")) >= threshold)
+        .select(col("__bid").as(idCol))
+      internal.join(exactLosers.union(nearLosers).distinct(),
+        Seq(idCol), "left_anti")
+    }
+
+    /** Grow the index with `extra` rows (typically a batch's survivors).
+      * New slices are checkpointed; the stored frames become shallow
+      * unions — call [[compacted]] periodically on long streams to
+      * truncate the growing union lineage.
+      */
+    def appended(extra: DataFrame, textCol: String): NearDupIndex = {
+      val eligible = extra
+        .filter(size(TextAnalysis.words(col(textCol))) >= k)
+        .select(col(idCol), col(textCol))
+      val sh = TextAnalysis.shingles(eligible, textCol, k, idCol)
+        .distinct().localCheckpoint(true)
+      val cnt = sh.groupBy(col(idCol)).agg(count(lit(1)).as("__n"))
+        .localCheckpoint(true)
+      val bnd = lshBandKeys(
+        minhashSignatures(eligible, textCol, idCol, k, numHashes),
+        idCol, rowsPerBand).localCheckpoint(true)
+      val fp = extra.select(md5(col(textCol)).as("__fp")).distinct()
+        .localCheckpoint(true)
+      copy(bands = bands.union(bnd), shingles = shingles.union(sh),
+        counts = counts.union(cnt), fingerprints = fingerprints.union(fp))
+    }
+
+    /** Re-checkpoint every stored frame, truncating the union lineage that
+      * [[appended]] accumulates.
+      */
+    def compacted(): NearDupIndex =
+      copy(bands = bands.localCheckpoint(true),
+        shingles = shingles.localCheckpoint(true),
+        counts = counts.localCheckpoint(true),
+        fingerprints = fingerprints.localCheckpoint(true))
+  }
+
+  object NearDupIndex {
+    /** Build the signature index over `corpus` — one shingle scan, one
+      * signature aggregation, one fingerprint pass; everything stored is
+      * checkpointed and id-keyed.
+      */
+    def build(corpus: DataFrame, textCol: String, idCol: String, k: Int = 3,
+        numHashes: Int = 8, rowsPerBand: Int = 2): NearDupIndex = {
+      val eligible = corpus
+        .filter(size(TextAnalysis.words(col(textCol))) >= k)
+        .select(col(idCol), col(textCol))
+      val sh = TextAnalysis.shingles(eligible, textCol, k, idCol)
+        .distinct().localCheckpoint(true)
+      val cnt = sh.groupBy(col(idCol)).agg(count(lit(1)).as("__n"))
+        .localCheckpoint(true)
+      val bnd = lshBandKeys(
+        minhashSignatures(eligible, textCol, idCol, k, numHashes),
+        idCol, rowsPerBand).localCheckpoint(true)
+      val fp = corpus.select(md5(col(textCol)).as("__fp")).distinct()
+        .localCheckpoint(true)
+      NearDupIndex(idCol, k, numHashes, rowsPerBand, bnd, sh, cnt, fp)
+    }
   }
 
   /** Leakage-safe train/val/test split: assign every document to a split by

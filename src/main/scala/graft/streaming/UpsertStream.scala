@@ -599,6 +599,48 @@ object EventPipeline {
       .dropDuplicatesWithinWatermark("__fp")
       .drop("__fp")
 
+  /** Streaming incremental near-dedup — "dedup the crawl as it arrives":
+    * each micro-batch is deduped (exact + MinHash/LSH/Jaccard near) against
+    * a signature index of everything accepted so far — the seed corpus plus
+    * every earlier batch's survivors — so a re-crawl arriving in batch 40
+    * is dropped against its original from batch 2. Survivors are delivered
+    * to `onBatch` (already collected; this path's batches are small) and
+    * appended to the index.
+    *
+    * The index ([[graft.operators.Dedup.NearDupIndex]]) never re-derives
+    * the corpus side: per batch, only the BATCH's shingles and signatures
+    * are computed, and the joins are id-anchored — per-batch cost is
+    * O(batch), independent of how much has been accepted. Index lineage is
+    * re-checkpointed every `compactEvery` batches to keep the union plan
+    * shallow on long streams. Exactly-once: survivors are decided per
+    * micro-batch; a replayed batch re-dedups against an index that may now
+    * contain its own earlier survivors, dropping them as duplicates —
+    * idempotent delivery for exact re-plays.
+    */
+  def nearDedupStream(docs: DataFrame, corpus: DataFrame, textCol: String,
+      idCol: String, checkpoint: String, threshold: Double = 0.7,
+      k: Int = 3, numHashes: Int = 8, rowsPerBand: Int = 2,
+      compactEvery: Int = 16)
+      (onBatch: (Long, Array[Row]) => Unit): StreamingQuery = {
+    var idx = graft.operators.Dedup.NearDupIndex.build(
+      corpus, textCol, idCol, k, numHashes, rowsPerBand)
+    var batches = 0
+    docs.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        if (!batch.isEmpty) {
+          val survivors = idx.dedupBatch(batch, textCol, threshold)
+            .localCheckpoint(true)
+          idx = idx.appended(survivors, textCol)
+          batches += 1
+          if (batches % compactEvery == 0) idx = idx.compacted()
+          onBatch(id, survivors.collect())
+        }
+      }
+      .start()
+  }
+
   /** Streaming drift monitor: per micro-batch, the PSI of `valueCol`
     * against a STATIC reference sample ([[graft.operators.Profile.psi]]),
     * delivered to `onBatch` as (batchId, psi, n_ref, n_batch) — the

@@ -257,6 +257,63 @@ class DedupSpec extends SparkSpec {
     assert(kept == Seq(0L, 9000L, 9001L))
   }
 
+  test("NearDupIndex dedups batches against corpus and itself incrementally") {
+    val corpus = Seq(
+      (0L, "the quick brown fox jumps over the lazy dog tonight"),
+      (1L, "completely unrelated reference document about databases"))
+      .toDF("doc_id", "text")
+    val idx = Dedup.NearDupIndex.build(corpus, "text", "doc_id")
+    // batch 1: near-dup of corpus doc 0 (one word changed), a fresh doc,
+    // and an exact internal duplicate of the fresh doc
+    val b1 = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog today"),
+      (11L, "a genuinely new document discussing spark physical plans"),
+      (12L, "a genuinely new document discussing spark physical plans"))
+      .toDF("doc_id", "text")
+    val s1 = idx.dedupBatch(b1, "text", threshold = 0.5)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(s1 == Seq(11L))
+    // grow with survivors: batch 2's near-dup of doc 11 is now dropped too
+    val idx2 = idx.appended(b1.filter(col("doc_id") === 11L), "text")
+    val b2 = Seq(
+      (20L, "a genuinely new document discussing spark physical things"),
+      (21L, "an entirely different text about parquet row group pruning"))
+      .toDF("doc_id", "text")
+    val s2 = idx2.dedupBatch(b2, "text", threshold = 0.5)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(s2 == Seq(21L))
+    // without the growth, batch 2's near-dup would have survived
+    val s2Stale = idx.dedupBatch(b2, "text", threshold = 0.5)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(s2Stale == Seq(20L, 21L))
+  }
+
+  test("nearDedupStream drops cross-batch near-dups through the growing index") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val corpus = Seq(
+      (0L, "the quick brown fox jumps over the lazy dog tonight"))
+      .toDF("doc_id", "text")
+    val mem = MemoryStream[(Long, String)]
+    val accepted = scala.collection.mutable.ArrayBuffer[Long]()
+    val q = graft.streaming.EventPipeline.nearDedupStream(
+      mem.toDF().toDF("doc_id", "text"), corpus, "text", "doc_id",
+      java.nio.file.Files.createTempDirectory("ndds_ck").toString,
+      threshold = 0.5) { (_, rows) =>
+      accepted.synchronized { accepted ++= rows.map(_.getLong(0)) }
+    }
+    // batch 1: corpus near-dup dropped, fresh doc accepted
+    mem.addData((10L, "the quick brown fox jumps over the lazy dog today"),
+      (11L, "a genuinely new document discussing spark physical plans"))
+    q.processAllAvailable()
+    // batch 2: near-dup of batch 1's survivor dropped, fresh doc accepted
+    mem.addData((20L, "a genuinely new document discussing spark physical things"),
+      (21L, "an entirely different text about parquet row group pruning"))
+    q.processAllAvailable()
+    q.stop()
+    assert(accepted.sorted.toSeq == Seq(11L, 21L))
+  }
+
   test("star connected components matches label propagation, converges on deep chains") {
     // a 400-link chain: label propagation needs ~400 rounds (would trip
     // maxIter), the star alternation needs O(log n)
