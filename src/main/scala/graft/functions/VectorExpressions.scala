@@ -199,6 +199,115 @@ case class CosineSimilarity(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** `vec_sign_pack(a)` — binary (sign) quantization: bit `i % 64` of output
+  * word `i / 64` is set iff `a[i] >= 0`. 32× smaller than float32 — the
+  * storage tier below int8 codes — and Hamming distance over the packed
+  * words ([[HammingDistance]]) approximates angular distance (Charikar's
+  * sign-random-projection LSH, here with axis-aligned planes so any engine
+  * can reproduce the signature). Output `array<long>`, length ⌈dims/64⌉,
+  * tail bits zero.
+  */
+case class SignPack(child: Expression)
+    extends UnaryExpression with VectorKernelSupport {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "vec_sign_pack"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    checkVectorInput(Seq(child))
+
+  override def nullSafeEval(a: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val t = elementTypeOf(child)
+    val n = x.numElements()
+    val words = new Array[Long]((n + 63) / 64)
+    var i = 0
+    while (i < n) {
+      if (elemAt(x, t, i) >= 0.0) words(i >> 6) |= (1L << (i & 63))
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(words)
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val t = elementTypeOf(child)
+    nullSafeCodeGen(ctx, ev, a => {
+      val i = ctx.freshName("i"); val n = ctx.freshName("n")
+      val words = ctx.freshName("words")
+      s"""
+         |final int $n = $a.numElements();
+         |final long[] $words = new long[($n + 63) / 64];
+         |for (int $i = 0; $i < $n; $i++) {
+         |  if (${readElem(a, t, i)} >= 0.0) {
+         |    $words[$i >> 6] |= (1L << ($i & 63));
+         |  }
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($words);
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** `vec_hamming(a, b)` — Hamming distance between two packed sign
+  * signatures (`array<long>` from [[SignPack]]): popcount of the XOR, the
+  * candidate-generation metric for binary-quantized vector search.
+  * Mismatched lengths use the common prefix, like the float kernels.
+  */
+case class HammingDistance(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "vec_hamming"
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val ok = Seq(left, right).forall(e => e.dataType match {
+      case ArrayType(LongType, _) => true
+      case _ => false
+    })
+    if (ok) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<bigint> sign signatures, got " +
+        s"${left.dataType.sql} / ${right.dataType.sql}")
+  }
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var acc = 0L
+    var i = 0
+    while (i < n) {
+      acc += java.lang.Long.bitCount(x.getLong(i) ^ y.getLong(i))
+      i += 1
+    }
+    acc
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i"); val n = ctx.freshName("n")
+      val acc = ctx.freshName("acc")
+      s"""
+         |final int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |long $acc = 0L;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $acc += java.lang.Long.bitCount($a.getLong($i) ^ $b.getLong($i));
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 /** `nearest_centroid(v)` — index of the nearest centroid (squared-L2, ties
   * → lower index) among a build-time centroid table — the IVF assignment
   * kernel.

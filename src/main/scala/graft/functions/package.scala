@@ -27,12 +27,24 @@ package object functions {
   def nearest_centroid(v: Column, centroids: Array[Array[Float]]): Column =
     Bridge.column(NearestCentroid(Bridge.expression(v), centroids))
 
-  /** Register vec_dot / vec_norm / vec_cos with the session's function
-    * registry for SQL use.
+  /** Packed sign signature (`array<long>`) of an `array<float|double>`
+    * column — binary quantization, 32× smaller than float32.
+    */
+  def vec_sign_pack(a: Column): Column =
+    Bridge.column(SignPack(Bridge.expression(a)))
+
+  /** Hamming distance between two packed sign signatures. */
+  def vec_hamming(a: Column, b: Column): Column =
+    Bridge.column(HammingDistance(Bridge.expression(a), Bridge.expression(b)))
+
+  /** Register vec_dot / vec_norm / vec_cos / vec_sign_pack / vec_hamming
+    * with the session's function registry for SQL use.
     */
   def registerAll(spark: SparkSession): Unit = {
     Bridge.registerFunction(spark, "vec_dot", es => DotProduct(es(0), es(1)))
     Bridge.registerFunction(spark, "vec_norm", es => L2Norm(es.head))
     Bridge.registerFunction(spark, "vec_cos", es => CosineSimilarity(es(0), es(1)))
+    Bridge.registerFunction(spark, "vec_sign_pack", es => SignPack(es.head))
+    Bridge.registerFunction(spark, "vec_hamming", es => HammingDistance(es(0), es(1)))
   }
 }

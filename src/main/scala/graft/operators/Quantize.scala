@@ -76,6 +76,35 @@ object Quantize {
       .drop("__codes", "__qmin", "__qmax", "__approx")
   }
 
+  /** Two-stage BINARY-quantized top-k — the storage tier below
+    * [[topKQuantized]]'s int8 path: stage 1 ranks every row by Hamming
+    * distance between packed sign signatures
+    * ([[graft.functions.vec_sign_pack]], 32× fewer bytes than float32 when
+    * the signature is stored in its own column — sign-random-projection
+    * LSH with axis-aligned planes), stage 2 re-ranks the
+    * `k · shortlistFactor` shortlist with exact float dots. Both stages
+    * plan as `TakeOrderedAndProject`; the signature never shuffles. Recall
+    * is governed by the shortlist factor — Hamming approximates ANGULAR
+    * order, so a larger factor than int8's is the right default.
+    */
+  def topKSignHamming(df: DataFrame, vecCol: String, query: Array[Float],
+      k: Int, shortlistFactor: Int = 8,
+      tieBreak: String = "vec_id"): DataFrame = {
+    import graft.functions.{vec_dot, vec_hamming, vec_sign_pack}
+    val sig =
+      if (df.columns.contains("__sig")) df
+      else df.withColumn("__sig", vec_sign_pack(col(vecCol)))
+    sig
+      .withColumn("__ham",
+        vec_hamming(col("__sig"), vec_sign_pack(typedLit(query))))
+      .orderBy(col("__ham"), col(tieBreak))
+      .limit(k * shortlistFactor)
+      .withColumn("score", vec_dot(col(vecCol), typedLit(query)))
+      .orderBy(desc("score"), col(tieBreak))
+      .limit(k)
+      .drop("__sig", "__ham")
+  }
+
   /** Per-row reconstruction-error stats against the original vector:
     * (`mean_err`, `max_err`), both double.
     */

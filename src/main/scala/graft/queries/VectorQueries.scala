@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import graft.functions.{vec_cos, vec_dot, vec_norm}
+import graft.functions.{vec_cos, vec_dot, vec_hamming, vec_norm, vec_sign_pack}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -438,6 +438,30 @@ object VectorQueries {
         CASE WHEN ('0x' || substr(md5(CAST(vec_id AS VARCHAR) || ':7'), 1, 13))::BIGINT
             / 4503599627370496.0 < 0.1 THEN NULL
           ELSE round(sqrt(${sqlNormSq("embedding")}), 4) + 0 END AS norm
-        FROM embeddings ORDER BY vec_id"""))
+        FROM embeddings ORDER BY vec_id""")),
+
+    // ---- binary (sign) quantization: packed signatures + Hamming
+    //      candidate metric (functions.vec_sign_pack / vec_hamming) — the
+    //      oracle counts per-dimension sign disagreements directly, which
+    //      pins the bit-packing AND the popcount-of-xor to the semantic
+    //      definition ----
+    QueryDef(
+      "q104_sign_hamming",
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        val qv = emb.filter(col("vec_id") === 0).select(col("embedding"))
+          .head().getSeq[Float](0).toArray
+        emb.select(col("vec_id"),
+            vec_hamming(vec_sign_pack(col("embedding")),
+              vec_sign_pack(typedLit(qv))).as("hamming"))
+          .orderBy(col("hamming"), col("vec_id")).limit(20)
+      },
+      Some(raw"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+        SELECT e.vec_id,
+          CAST(list_sum(list_transform(list_zip(e.embedding, q.qv),
+            x -> CASE WHEN (x[1] >= 0) != (x[2] >= 0) THEN 1 ELSE 0 END))
+            AS BIGINT) AS hamming
+        FROM embeddings e CROSS JOIN q
+        ORDER BY hamming, e.vec_id LIMIT 20"""))
   )
 }

@@ -53,6 +53,22 @@ class QuantizeSpec extends SparkSpec {
     assert(approx2 == approx)
   }
 
+  test("topKSignHamming recalls most of the exact top-k") {
+    val rnd = new scala.util.Random(11)
+    val named = (0L until 400L).map(i =>
+      (i, Array.fill(128)(rnd.nextFloat() - 0.5f))).toDF("vec_id", "v")
+    val query = Array.fill(128)(rnd.nextFloat() - 0.5f)
+    val exact = named
+      .select(col("vec_id"), graft.functions.vec_dot(col("v"),
+        typedLit(query)).as("s"))
+      .orderBy(desc("s"), col("vec_id")).limit(10)
+      .collect().map(_.getLong(0)).toSet
+    val approx = Quantize.topKSignHamming(named, "v", query, 10)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    val recall = exact.intersect(approx).size.toDouble / exact.size
+    assert(recall >= 0.7, s"sign-hamming recall $recall: $exact vs $approx")
+  }
+
   test("roundtrip preserves extremes exactly") {
     // min and max elements map to codes 0 and 255 → reconstruct to the
     // float-rounded originals

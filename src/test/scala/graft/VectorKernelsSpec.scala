@@ -119,4 +119,40 @@ class VectorKernelsSpec extends SparkSpec {
       .map(_.getInt(0)).toSeq
     assert(got == Seq(1, 0))
   }
+
+  test("vec_sign_pack packs sign bits into words, tail bits zero") {
+    import graft.functions.vec_sign_pack
+    // 3 dims: bits 0,2 set (v >= 0 incl. zero), bit 1 clear → word 5
+    val w = Seq(Array(1.0f, -2.0f, 0.0f)).toDF("v")
+      .select(vec_sign_pack($"v")).head().getSeq[Long](0)
+    assert(w == Seq(5L))
+    // 70 dims crossing a word boundary: all non-negative → word0 = -1
+    // (all 64 bits), word1 = low 6 bits
+    val big = Seq(Array.fill(70)(1.0f)).toDF("v")
+      .select(vec_sign_pack($"v")).head().getSeq[Long](0)
+    assert(big == Seq(-1L, 63L))
+  }
+
+  test("vec_hamming equals brute-force sign disagreement count") {
+    import graft.functions.{vec_hamming, vec_sign_pack}
+    val rnd = new scala.util.Random(7)
+    val vecs = (0 until 20).map(i =>
+      (i.toLong, Array.fill(130)(rnd.nextFloat() - 0.5f)))
+    val df = vecs.toDF("id", "v")
+    val q = vecs.head._2
+    val got = df.select($"id",
+        vec_hamming(vec_sign_pack($"v"), vec_sign_pack(typedLit(q))).as("h"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    vecs.foreach { case (id, v) =>
+      val brute = v.zip(q).count { case (a, b) => (a >= 0) != (b >= 0) }
+      assert(got(id) == brute.toLong, s"id $id")
+    }
+    // SQL registration
+    val viaSql = {
+      df.createOrReplaceTempView("sv")
+      spark.sql("SELECT sum(vec_hamming(vec_sign_pack(v), vec_sign_pack(v))) FROM sv")
+        .head().getLong(0)
+    }
+    assert(viaSql == 0L)
+  }
 }
