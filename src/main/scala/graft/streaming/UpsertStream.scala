@@ -305,6 +305,31 @@ final class BucketedStore(val root: String, val nBuckets: Int,
     next
   }
 
+  /** Minor compaction: consolidate ALL live delta files into one —
+    * latest-per-key rows survive — without rewriting any bucket. Cost ∝
+    * delta bytes (tiny by contract), so it can run every few commits on
+    * the sustained-write path, keeping the read side's merge amplification
+    * bounded (readers see ≤ a handful of delta files instead of one per
+    * commit) while the expensive bucket fold ([[compact]]) keeps its own
+    * cadence — the L0-merge half of the LSM design. Old delta dirs become
+    * unreferenced and are collected by [[vacuum]].
+    */
+  def consolidateDeltas(spark: SparkSession): Int = {
+    val v = currentVersion.getOrElse(
+      throw new IllegalStateException("initialize first"))
+    val (manifest, deltas) = readManifest(v)
+    if (deltas.length <= 1) v
+    else {
+      val next = v + 1
+      latestDeltaRows(spark, deltas, key).get
+        .withColumn("__seq", lit(next.toLong))
+        .coalesce(1)
+        .write.mode("overwrite").parquet(s"$root/v$next/delta")
+      writeVersion(next, manifest, Seq(next))
+      next
+    }
+  }
+
   /** Fold live deltas into their buckets (copy-on-write merge) — the LSM
     * compaction step. `maxBuckets` bounds one cycle's IO: only the most
     * delta-loaded buckets are rewritten; remaining delta rows consolidate
@@ -465,8 +490,12 @@ object UpsertStream {
   /** Streaming upserts on the merge-on-read path — the sustained-QPS shape
     * of the reference's write workload (`README.md:69-70`): each micro-batch
     * is a delta append (cost ∝ batch size, so single-object p95 stays flat
-    * at any table size); every `compactEvery` batches the accumulated deltas
-    * fold into the buckets, bounding read amplification.
+    * at any table size); every `compactEvery` commits the accumulated
+    * deltas fold into the buckets, and between folds a MINOR compaction
+    * ([[BucketedStore.consolidateDeltas]]) merges delta files whenever
+    * `consolidateEvery` are live — concurrent readers' merge fan-in stays
+    * bounded at O(consolidateEvery) files for O(delta bytes) of extra
+    * write per cycle.
     *
     * The micro-batch is collected to the driver ONCE and committed from a
     * local relation: this path's contract is small high-frequency batches
@@ -486,7 +515,12 @@ object UpsertStream {
       checkpoint: String,
       trigger: Trigger = Trigger.ProcessingTime("1 second"),
       compactEvery: Int = 16,
+      consolidateEvery: Int = 8,
       onCommit: (Int, Seq[Row]) => Unit = (_, _) => ()): StreamingQuery = {
+    // commit counter drives the MAJOR cadence: consolidation resets the
+    // live-delta count, so "deltas accumulated" no longer measures work
+    // since the last bucket fold — commits do
+    var commits = 0
     updates.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpoint)
@@ -506,8 +540,15 @@ object UpsertStream {
             java.util.Arrays.asList(rows: _*), batch.schema)
           val v = store.appendDelta(local, key)
           onCommit(v, rows)
-          if (store.liveDeltaCount >= compactEvery) {
+          commits += 1
+          if (compactEvery != Int.MaxValue && commits % compactEvery == 0) {
             store.compact(spark, key)
+            ()
+          } else if (store.liveDeltaCount >= consolidateEvery) {
+            // L0 merge: keeps concurrent readers' delta fan-in bounded at
+            // O(consolidateEvery) for O(delta bytes) per cycle; the bucket
+            // fold above keeps its own (much coarser) cadence
+            store.consolidateDeltas(spark)
             ()
           }
         }

@@ -190,6 +190,24 @@ class BucketedStoreSpec extends SparkSpec {
     assert(store.currentVersion.contains(2))
   }
 
+  test("consolidateDeltas merges delta files, latest-per-key survives") {
+    val root = java.nio.file.Files.createTempDirectory("bcons").toString
+    val store = new BucketedStore(root, nBuckets = 4)
+    store.initialize((0L until 20L).map(i => (i, "orig")).toDF("k", "v"), "k")
+    store.appendDelta(Seq((1L, "d1"), (50L, "n1")).toDF("k", "v"), "k")
+    store.appendDelta(Seq((1L, "d2")).toDF("k", "v"), "k")
+    store.appendDelta(Seq((2L, "d3"), (51L, "n2")).toDF("k", "v"), "k")
+    assert(store.liveDeltaCount == 3)
+    store.consolidateDeltas(spark)
+    assert(store.liveDeltaCount == 1)
+    val m = store.read(spark).collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(m(1L) == "d2" && m(2L) == "d3" && m(50L) == "n1" && m(51L) == "n2")
+    assert(m(5L) == "orig" && m.size == 22)
+    // later deltas still win over the consolidated file
+    store.appendDelta(Seq((1L, "d4")).toDF("k", "v"), "k")
+    assert(store.read(spark).filter(col("k") === 1L).head().getString(1) == "d4")
+  }
+
   test("time travel reconstructs every committed version exactly") {
     val root = java.nio.file.Files.createTempDirectory("btt").toString
     val store = new BucketedStore(root, nBuckets = 4)
