@@ -46,33 +46,24 @@ object UpsertProbe {
         val mem = MemoryStream[Long]
         val updates = ProductGen.fromIds(
           mem.toDF().withColumnRenamed("value", "id"), dims)
-        val q = updates.writeStream
-          .outputMode("append")
-          .option("checkpointLocation",
-            java.nio.file.Files.createTempDirectory("graft_ck").toString)
-          .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime(0))
-          .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
-            val c0 = System.nanoTime()
-            val rows = batch.coalesce(4).collect().toIndexedSeq
-            val c1 = System.nanoTime()
-            if (rows.nonEmpty) {
-              val local = spark.createDataFrame(
-                java.util.Arrays.asList(rows: _*), batch.schema)
-              val c2 = System.nanoTime()
-              val v = store.appendDelta(local, "parent_asin")
-              val now = System.nanoTime()
-              println(f"[probe]   commit v=$v n=${rows.size} " +
-                f"collect=${(c1 - c0) / 1e9}%.3f mkdf=${(c2 - c1) / 1e9}%.3f " +
-                f"append=${(now - c2) / 1e9}%.3f interCommit=${(now - lastCommit) / 1e9}%.3f s")
-              lastCommit = now
-              rows.foreach { r =>
-                val id = r.getAs[String]("parent_asin").substring(1).toLong
-                val t0 = arrivals.get(id)
-                if (t0 != 0L) lats.add((now - t0) / 1e9)
-              }
+        // the PRODUCTION commit path (runDelta), instrumented through its
+        // onCommit hook — a hand-rolled copy here drifts from the code the
+        // probe exists to profile (it already had: no delta consolidation)
+        val q = UpsertStream.runDelta(updates, store, "parent_asin",
+          java.nio.file.Files.createTempDirectory("graft_ck").toString,
+          trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(0),
+          compactEvery = Int.MaxValue,
+          onCommit = (v, rows) => {
+            val now = System.nanoTime()
+            println(f"[probe]   commit v=$v n=${rows.size} " +
+              f"interCommit=${(now - lastCommit) / 1e9}%.3f s")
+            lastCommit = now
+            rows.foreach { r =>
+              val id = r.getAs[String]("parent_asin").substring(1).toLong
+              val t0 = arrivals.get(id)
+              if (t0 != 0L) lats.add((now - t0) / 1e9)
             }
-          }
-          .start()
+          })
         mem.addData(idOffset - 1)
         q.processAllAvailable()
         // drain pending writeback (store init / previous tier) so the

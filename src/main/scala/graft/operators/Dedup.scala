@@ -41,8 +41,9 @@ object Dedup {
     * Freshness unit is the session, the same contract as
     * [[VectorSearch.IvfIndex]]'s relation cache: underlying files changed
     * from outside are not re-observed until a new session (or
-    * [[clearMemo]]). Bounded (oldest evicted); weak session keys keep
-    * stopped sessions collectable.
+    * [[clearMemo]]). Bounded (oldest evicted); entries of STOPPED sessions
+    * are purged on the next memo access from any session (the cached
+    * frames reference their session, so weak keys alone cannot free them).
     */
   private val memo = java.util.Collections.synchronizedMap(
     new java.util.WeakHashMap[org.apache.spark.sql.SparkSession,
@@ -62,6 +63,13 @@ object Dedup {
     val spark = df.sparkSession
     val plan = df.queryExecution.analyzed
     val entries = memo.synchronized {
+      // purge entries of stopped sessions: their cached frames reference
+      // the session object, so the weak key alone can never be collected
+      val it = memo.entrySet().iterator()
+      while (it.hasNext) {
+        val e = it.next()
+        if (e.getKey != null && e.getKey.sparkContext.isStopped) it.remove()
+      }
       var e = memo.get(spark)
       if (e == null) {
         e = scala.collection.mutable.ArrayBuffer.empty
@@ -69,15 +77,23 @@ object Dedup {
       }
       e
     }
-    entries.synchronized {
-      entries.find(e => e._1 == params && e._2.sameResult(plan)) match {
-        case Some((_, _, v)) => v.asInstanceOf[T]
-        case None =>
-          val v = compute
-          entries += ((params, plan, v))
+    val hit = entries.synchronized {
+      entries.find(e => e._1 == params && e._2.sameResult(plan)).map(_._3)
+    }
+    hit match {
+      case Some(v) => v.asInstanceOf[T]
+      case None =>
+        // compute OUTSIDE the lock: the pipeline runs Spark jobs for
+        // minutes on large corpora and unrelated keys must not serialize
+        // behind it. A concurrent duplicate computation is harmless (both
+        // results are checkpointed frames); first insert wins the reuse.
+        val v = compute
+        entries.synchronized {
+          if (!entries.exists(e => e._1 == params && e._2.sameResult(plan)))
+            entries += ((params, plan, v))
           if (entries.length > memoMax) entries.remove(0)
-          v
-      }
+        }
+        v
     }
   }
 

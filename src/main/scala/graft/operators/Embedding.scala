@@ -44,12 +44,16 @@ object Embedding {
     df.schema(embCol).dataType match {
       case StringType =>
         val parsed = from_json(col(embCol), ArrayType(FloatType))
-        val ok = parsed.isNotNull && size(parsed) === dims
+        // null ELEMENTS are invalid too: "[1, null, 2]" parses to the right
+        // size but would feed silent zeros into the dense-vector kernels
+        val ok = parsed.isNotNull && size(parsed) === dims &&
+          forall(parsed, e => e.isNotNull)
         df.withColumn("emb_parsed", when(ok, parsed))
           .withColumn("emb_src", when(ok, lit("string")).otherwise(lit("invalid")))
       case _: ArrayType =>
         val cast = col(embCol).cast(ArrayType(FloatType))
-        val ok = cast.isNotNull && size(cast) === dims
+        val ok = cast.isNotNull && size(cast) === dims &&
+          forall(cast, e => e.isNotNull)
         df.withColumn("emb_parsed", when(ok, cast))
           .withColumn("emb_src", when(ok, lit("array")).otherwise(lit("invalid")))
       case other =>

@@ -204,10 +204,11 @@ object Ingest {
       alpha: Double, targetFraction: Double, seed: Long = 42L): DataFrame = {
     require(alpha >= 0 && targetFraction > 0 && targetFraction <= 1)
     // null strata fall through to mixtureSample's default rate 0 (dropped).
-    // The stratum is cast to string here so non-string stratum columns (an
-    // int language id, a date) work too — mixtureSample's `col === k`
-    // comparison coerces the same way, so the rates keyed by the string
-    // form match.
+    // The stratum is cast to string on BOTH sides — here for the counts AND
+    // below for the sampling comparison — so non-string stratum columns (an
+    // int language id, a date, a float bucket) work exactly: comparing the
+    // original column against the string key would coerce through double
+    // for float strata ((double)1.1f != 1.1) and silently match nothing.
     val counts = df
       .groupBy(col(stratumCol).cast("string").as("__s"))
       .agg(count(lit(1)).as("__n"))
@@ -220,7 +221,10 @@ object Ingest {
       s -> math.min(1.0, BigDecimal(rate)
         .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble)
     }
-    mixtureSample(df, idCol, stratumCol, rates, default = 0.0, seed)
+    mixtureSample(
+      df.withColumn("__stratum_str", col(stratumCol).cast("string")),
+      idCol, "__stratum_str", rates, default = 0.0, seed)
+      .drop("__stratum_str")
   }
 
   /** Contrastive negative sampling: for every row, `m` pseudo-random OTHER

@@ -220,11 +220,15 @@ final class BucketedStore(val root: String, val nBuckets: Int,
   def versions: Seq[Int] = {
     import scala.jdk.CollectionConverters._
     if (!Files.exists(Paths.get(root))) Seq.empty
-    else Files.list(Paths.get(root)).iterator().asScala
-      .map(_.getFileName.toString)
-      .collect { case n if n.startsWith("v") &&
-        Files.exists(Paths.get(root, n, "manifest.tsv")) => n.drop(1).toInt }
-      .toSeq.sorted
+    else {
+      val stream = Files.list(Paths.get(root)) // close: dir handles leak at ulimit scale
+      try stream.iterator().asScala
+        .map(_.getFileName.toString)
+        .collect { case n if n.startsWith("v") &&
+          Files.exists(Paths.get(root, n, "manifest.tsv")) => n.drop(1).toInt }
+        .toSeq.sorted
+      finally stream.close()
+    }
   }
 
   /** Point lookup: the row(s) for `keyValue`, reading ONE bucket plus the
@@ -239,20 +243,32 @@ final class BucketedStore(val root: String, val nBuckets: Int,
       throw new IllegalStateException(s"no committed version under $root"))
     val (manifest, deltas) = readManifest(v)
     val k = key
-    // same hash as bucketCol, computed driver-side to prune to one dir
+    // the store schema, from any existing bucket (one footer read): the
+    // hash below must run on the KEY COLUMN'S type — xxhash64 is
+    // type-dependent, so lookup(7: Int) on a long-keyed store would
+    // otherwise hash to a different bucket than the write path used
+    val anyBucket = manifest.toSeq.sortBy(_._1).collectFirst {
+      case (b, owner) if Files.exists(Paths.get(bucketPath(owner, b))) =>
+        bucketPath(owner, b)
+    }.getOrElse(throw new IllegalStateException(s"no bucket data under $root"))
+    val schema = spark.read.parquet(anyBucket).schema
+    val keyLit = lit(keyValue).cast(schema(k).dataType)
     val bucket = spark.range(1)
-      .select(pmod(xxhash64(lit(keyValue)), lit(nBuckets.toLong)).cast("int"))
+      .select(pmod(xxhash64(keyLit), lit(nBuckets.toLong)).cast("int"))
       .head().getInt(0)
     val owner = manifest(bucket)
     val basePath = bucketPath(owner, bucket)
     val base =
       if (Files.exists(Paths.get(basePath)))
-        spark.read.parquet(basePath).filter(col(k) === lit(keyValue))
-      else spark.emptyDataFrame
+        spark.read.parquet(basePath).filter(col(k) === keyLit)
+      else // schema-typed empty frame: a key hashing into a never-written
+           // bucket must still yield a frame callers can select/filter on
+        spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](),
+          schema)
     latestDeltaRows(spark, deltas, k) match {
       case None => base
       case Some(del) =>
-        val delK = del.filter(col(k) === lit(keyValue))
+        val delK = del.filter(col(k) === keyLit)
         if (base.isEmpty) delK.drop("__seq")
         else base.join(broadcast(delK.select(k)), Seq(k), "left_anti")
           .unionByName(delK.drop("__seq"))
@@ -281,8 +297,9 @@ final class BucketedStore(val root: String, val nBuckets: Int,
     val doomed = all.filterNot(referenced)
     doomed.foreach { v =>
       val dir = Paths.get(root, s"v$v")
-      Files.walk(dir).iterator().asScala.toSeq.reverse
-        .foreach(p => Files.delete(p))
+      val stream = Files.walk(dir)
+      try stream.iterator().asScala.toSeq.reverse.foreach(p => Files.delete(p))
+      finally stream.close()
     }
     doomed
   }

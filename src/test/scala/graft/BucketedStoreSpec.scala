@@ -236,6 +236,11 @@ class BucketedStoreSpec extends SparkSpec {
     assert(look(999L).isEmpty)
     store.compact(spark, "k")
     assert(look(7L) == Seq((7L, "d7")))   // survives compaction
+    // a differently-typed key value must hash to the same bucket as the
+    // write path (xxhash64 is type-dependent; the lookup casts first)
+    val viaInt = store.lookup(spark, 9).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(viaInt == Seq((9L, "v9")))
   }
 
   test("vacuum drops unreferenced versions, keeps live bucket owners") {

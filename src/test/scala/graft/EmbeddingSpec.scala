@@ -93,7 +93,11 @@ class EmbeddingSpec extends SparkSpec {
     val back = roundTrip.orderBy("id").select("emb_parsed").collect()
       .map(_.getSeq[Float](0).toSeq).toSeq
     assert(back == Seq(Seq(0.125f, -0.5f, 0.1f), Seq(1.0f, 2.0f, 3.0f)))
-    // garbage and wrong-dim strings are invalid with a null vector
+    // garbage, wrong-dim, and null-element strings are invalid with a
+    // null vector (null elements would feed silent zeros into the kernels)
+    val nullElem = Seq((1L, "[0.1, null, 0.2]")).toDF("id", "emb")
+    assert(Embedding.parseEmbeddings(nullElem, "emb", 3)
+      .head().getAs[String]("emb_src") == "invalid")
     val bad = Seq((1L, "not json"), (2L, "[0.1, 0.2]"), (3L, null))
       .toDF("id", "emb")
     val tagged = Embedding.parseEmbeddings(bad, "emb", 3)

@@ -193,5 +193,14 @@ class IngestSpec extends SparkSpec {
       .groupBy("lang").count().collect().map(r => r.getLong(1))
     assert(kept.length == 3)
     kept.foreach(n => assert(math.abs(n - 1000L) < 120, kept.toSeq.toString))
+    // FLOAT strata: comparing the raw column against a string key would
+    // coerce through double ((double)1.1f != 1.1) and silently keep
+    // nothing; both sides must compare as strings
+    val fdf = spark.range(4000).toDF("id")
+      .withColumn("b", (pmod(col("id"), lit(2)).cast("float") + 0.1f))
+    val fkept = Ingest.temperatureMixture(fdf, "id", "b",
+        alpha = 1.0, targetFraction = 0.5)
+      .count()
+    assert(math.abs(fkept - 2000L) < 150, fkept.toString)
   }
 }
