@@ -310,40 +310,69 @@ final class BucketedStore(val root: String, val nBuckets: Int,
     * reference's 2 s p95 at any scale. Call [[compact]] when
     * [[liveDeltaCount]] grows past the read-amplification budget.
     */
-  def appendDelta(updates: DataFrame, key: String): Int = {
-    val v = currentVersion.getOrElse(
-      throw new IllegalStateException("initialize first"))
-    val next = v + 1
-    val (manifest, deltas) = readManifest(v)
-    updates.withColumn("__seq", lit(next.toLong))
-      .coalesce(1)
-      .write.mode("overwrite").parquet(s"$root/v$next/delta")
-    writeVersion(next, manifest, deltas :+ next)
-    next
-  }
+  // Serializes version transitions: the stream thread's appends/folds and
+  // an ASYNC minor compaction's manifest swap may interleave — every
+  // read-manifest → writeVersion sequence must hold this lock. There is
+  // one writer THREAD per path by contract; the lock only arbitrates the
+  // background merge against it.
+  private val versionLock = new Object
 
-  /** Minor compaction: consolidate ALL live delta files into one —
-    * latest-per-key rows survive — without rewriting any bucket. Cost ∝
-    * delta bytes (tiny by contract), so it can run every few commits on
-    * the sustained-write path, keeping the read side's merge amplification
-    * bounded (readers see ≤ a handful of delta files instead of one per
-    * commit) while the expensive bucket fold ([[compact]]) keeps its own
-    * cadence — the L0-merge half of the LSM design. Old delta dirs become
-    * unreferenced and are collected by [[vacuum]].
-    */
-  def consolidateDeltas(spark: SparkSession): Int = {
-    val v = currentVersion.getOrElse(
-      throw new IllegalStateException("initialize first"))
-    val (manifest, deltas) = readManifest(v)
-    if (deltas.length <= 1) v
-    else {
+  def appendDelta(updates: DataFrame, key: String): Int =
+    versionLock.synchronized {
+      val v = currentVersion.getOrElse(
+        throw new IllegalStateException("initialize first"))
       val next = v + 1
-      latestDeltaRows(spark, deltas, key).get
-        .withColumn("__seq", lit(next.toLong))
+      val (manifest, deltas) = readManifest(v)
+      updates.withColumn("__seq", lit(next.toLong))
         .coalesce(1)
         .write.mode("overwrite").parquet(s"$root/v$next/delta")
-      writeVersion(next, manifest, Seq(next))
+      writeVersion(next, manifest, deltas :+ next)
       next
+    }
+
+  /** Minor compaction: consolidate the live delta files into one —
+    * latest-per-key rows survive — without rewriting any bucket. Cost ∝
+    * delta bytes (tiny by contract), keeping the read side's merge
+    * amplification bounded (readers see ≤ a handful of delta files instead
+    * of one per commit) while the expensive bucket fold ([[compact]])
+    * keeps its own cadence — the L0-merge half of the LSM design.
+    *
+    * SAFE TO RUN CONCURRENTLY with the appending writer (the shape
+    * [[UpsertStream.runDelta]] uses): the delta set is captured and the
+    * merged file written entirely OUTSIDE the version lock — the slow part
+    * never blocks a commit — then the manifest swap re-reads the current
+    * state under the lock and keeps any deltas appended meanwhile. The
+    * merged rows are stamped with the HIGHEST captured version, so deltas
+    * landed after the capture still outrank them in the latest-wins merge.
+    * Old delta dirs become unreferenced and are collected by [[vacuum]].
+    */
+  def consolidateDeltas(spark: SparkSession): Int = {
+    val (v0, captured) = versionLock.synchronized {
+      val v = currentVersion.getOrElse(
+        throw new IllegalStateException("initialize first"))
+      (v, readManifest(v)._2)
+    }
+    if (captured.length <= 1) v0
+    else {
+      // slow part, lock-free: merge captured deltas into a staging dir,
+      // seq-stamped so later (uncaptured) deltas still win on key overlap
+      val staging = s"$root/.stage-${java.util.UUID.randomUUID()}"
+      latestDeltaRows(spark, captured, key).get
+        .withColumn("__seq", lit(captured.max.toLong))
+        .coalesce(1)
+        .write.mode("overwrite").parquet(staging)
+      versionLock.synchronized {
+        val v = currentVersion.get
+        val (manifest, deltas) = readManifest(v)
+        val next = v + 1
+        Files.createDirectories(Paths.get(root, s"v$next"))
+        Files.move(Paths.get(staging), Paths.get(root, s"v$next", "delta"))
+        // keep commit order: the merged slab (stamped max(captured))
+        // precedes every delta appended after the capture
+        writeVersion(next, manifest,
+          next +: deltas.filterNot(captured.contains))
+        next
+      }
     }
   }
 
@@ -353,9 +382,13 @@ final class BucketedStore(val root: String, val nBuckets: Int,
     * into ONE delta file (seq values preserved, merge order unchanged).
     * Repeated cycles drain the backlog — at 100 TB this keeps compaction an
     * O(budget) background task instead of an O(table) rewrite.
+    *
+    * Holds the version lock for its duration: folds serialize against the
+    * async minor compaction's manifest swap (a fold recomputes the whole
+    * delta list, so an interleaved swap could resurrect folded rows).
     */
   def compact(spark: SparkSession, key: String,
-      maxBuckets: Int = Int.MaxValue): Int = {
+      maxBuckets: Int = Int.MaxValue): Int = versionLock.synchronized {
     val v = currentVersion.getOrElse(
       throw new IllegalStateException("initialize first"))
     val (_, deltas) = readManifest(v)
@@ -383,7 +416,7 @@ final class BucketedStore(val root: String, val nBuckets: Int,
     * ONE Spark job regardless of how many buckets are touched. Any live
     * deltas are folded in the same commit (updates win over deltas).
     */
-  def upsert(updates: DataFrame, key: String): Int = {
+  def upsert(updates: DataFrame, key: String): Int = versionLock.synchronized {
     val spark = updates.sparkSession
     val v = currentVersion.getOrElse(
       throw new IllegalStateException("initialize first"))
@@ -437,6 +470,17 @@ final class BucketedStore(val root: String, val nBuckets: Int,
 }
 
 object UpsertStream {
+
+  // One shared background thread for ALL delta streams' minor compactions:
+  // L0 merges are IO-bound maintenance — a single daemon worker is both the
+  // throttle (two streams can't saturate the disk with merges) and the
+  // no-leak shape (nothing to shut down per query).
+  private lazy val consolidator =
+    java.util.concurrent.Executors.newSingleThreadExecutor(r => {
+      val t = new Thread(r, "graft-delta-consolidator")
+      t.setDaemon(true)
+      t
+    })
 
   /** Merge semantics: rows of `updates` replace rows of `base` with the same
     * `key`; new keys append. (`base LEFT ANTI updates` ∪ `updates`.)
@@ -512,7 +556,11 @@ object UpsertStream {
     * ([[BucketedStore.consolidateDeltas]]) merges delta files whenever
     * `consolidateEvery` are live — concurrent readers' merge fan-in stays
     * bounded at O(consolidateEvery) files for O(delta bytes) of extra
-    * write per cycle.
+    * write per cycle. The minor compaction runs ASYNCHRONOUSLY on a shared
+    * background thread: the merged-slab write never blocks a commit (the
+    * manifest swap under the store's version lock is the only sync point),
+    * so the L0 merge costs the latency path nothing — the LSM arrangement
+    * a real ingest system uses. Pending merges drain before a bucket fold.
     *
     * The micro-batch is collected to the driver ONCE and committed from a
     * local relation: this path's contract is small high-frequency batches
@@ -538,6 +586,7 @@ object UpsertStream {
     // live-delta count, so "deltas accumulated" no longer measures work
     // since the last bucket fold — commits do
     var commits = 0
+    var pendingMerge: java.util.concurrent.Future[_] = null
     updates.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpoint)
@@ -559,14 +608,26 @@ object UpsertStream {
           onCommit(v, rows)
           commits += 1
           if (compactEvery != Int.MaxValue && commits % compactEvery == 0) {
+            // drain any in-flight L0 merge: the fold recomputes the whole
+            // delta list and must not interleave with a manifest swap
+            if (pendingMerge != null) {
+              try pendingMerge.get()
+              catch { case _: Exception => () }
+              pendingMerge = null
+            }
             store.compact(spark, key)
             ()
-          } else if (store.liveDeltaCount >= consolidateEvery) {
-            // L0 merge: keeps concurrent readers' delta fan-in bounded at
-            // O(consolidateEvery) for O(delta bytes) per cycle; the bucket
-            // fold above keeps its own (much coarser) cadence
-            store.consolidateDeltas(spark)
-            ()
+          } else if (store.liveDeltaCount >= consolidateEvery &&
+              (pendingMerge == null || pendingMerge.isDone)) {
+            // async L0 merge: keeps concurrent readers' delta fan-in
+            // bounded at O(consolidateEvery) for O(delta bytes) per cycle,
+            // off the commit latency path; at most one in flight
+            pendingMerge = consolidator.submit(new Runnable {
+              def run(): Unit =
+                try { store.consolidateDeltas(spark); () }
+                catch { case e: Throwable => System.err.println(
+                  s"[graft] delta consolidation failed: ${e.getMessage}") }
+            })
           }
         }
       }

@@ -208,6 +208,31 @@ class BucketedStoreSpec extends SparkSpec {
     assert(store.read(spark).filter(col("k") === 1L).head().getString(1) == "d4")
   }
 
+  test("consolidation concurrent with an appender loses nothing, latest wins") {
+    val root = java.nio.file.Files.createTempDirectory("bconc").toString
+    val store = new BucketedStore(root, nBuckets = 4)
+    store.initialize((0L until 10L).map(i => (i, "orig")).toDF("k", "v"), "k")
+    @volatile var failure: Option[Throwable] = None
+    val appender = new Thread(() => {
+      try (0 until 30).foreach { i =>
+        store.appendDelta(
+          Seq((i.toLong % 7, s"u$i"), (100L + i, s"n$i")).toDF("k", "v"), "k")
+      } catch { case t: Throwable => failure = Some(t) }
+    })
+    appender.start()
+    // hammer L0 merges while appends land: capture/write/swap must never
+    // drop a delta appended between the capture and the swap
+    while (appender.isAlive) store.consolidateDeltas(spark)
+    appender.join()
+    store.consolidateDeltas(spark)
+    failure.foreach(t => fail(s"appender failed: $t"))
+    assert(store.liveDeltaCount <= 2)
+    val m = store.read(spark).collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(m.size == 40, s"expected 10 base + 30 new keys, got ${m.size}")
+    assert(m(0L) == "u28" && m(1L) == "u29" && m(6L) == "u27")
+    assert(m(129L) == "n29" && m(9L) == "orig")
+  }
+
   test("time travel reconstructs every committed version exactly") {
     val root = java.nio.file.Files.createTempDirectory("btt").toString
     val store = new BucketedStore(root, nBuckets = 4)
