@@ -850,4 +850,129 @@ object Dedup {
       .filter(col("__rn") <= maxCopies)
       .drop("__ccn", "__ccc", "__cluster", "__rn")
   }
+
+  // ---- cross-document repeated-substring (suffix) dedup ----
+  //
+  // Document-level near-dedup (MinHash/SimHash above) misses the other
+  // duplication mode training corpora suffer from: the SAME PASSAGE pasted
+  // into otherwise-distinct documents (boilerplate paragraphs, licenses,
+  // quoted chunks). Lee et al. 2022 ("Deduplicating Training Data Makes
+  // Language Models Better", arXiv:2107.06499) remove any ≥50-token
+  // substring that appears more than once, built on a monolithic suffix
+  // array. The distributed re-expression: a suffix array's duplicated
+  // substrings of length ≥ k are exactly the k-token windows whose content
+  // repeats, so sliding-window fingerprints + one hash-keyed groupBy find
+  // the same spans with no global sort and no all-pairs work.
+
+  /** Every k-token window of every document: (idCol, pos, gh) with `pos`
+    * the 0-based start-token index and `gh` = [[hash60]] of the
+    * space-joined window.
+    *
+    * Scale: the gram string exists only inside the projection — what
+    * shuffles downstream is (id, pos, 60-bit hash), ~20 bytes per token
+    * position, the same order as any inverted-index build. Documents
+    * shorter than k tokens produce no windows.
+    */
+  def windowGrams(df: DataFrame, textCol: String, idCol: String,
+      k: Int): DataFrame = {
+    require(k >= 2, s"window length must be >= 2, got $k")
+    df.select(col(idCol), split(trim(col(textCol)), "\\s+").as("__w"))
+      .filter(size(col("__w")) >= k)
+      .select(col(idCol), posexplode(
+        transform(sequence(lit(0), size(col("__w")) - k),
+          i => concat_ws(" ", slice(col("__w"), i + 1, lit(k)))))
+        .as(Seq("pos", "__gram")))
+      .select(col(idCol), col("pos"), hash60(col("__gram")).as("gh"))
+  }
+
+  /** Window occurrences whose content appears in ≥ `minDocs` distinct
+    * documents: (idCol, pos, gh, keeper) where `keeper` is the lowest doc
+    * id containing that window (the occurrence that survives scrubbing).
+    *
+    * Plan: one hash-keyed partial+final aggregate over the window hashes
+    * (uniform 60-bit keys — skew-free even when one passage repeats across
+    * millions of docs, because the hot key collapses map-side), then an
+    * equi-join back on `gh`. The corpus text never shuffles.
+    */
+  def duplicatedWindows(df: DataFrame, textCol: String, idCol: String,
+      k: Int = 5, minDocs: Int = 2): DataFrame = {
+    require(minDocs >= 2, s"minDocs must be >= 2, got $minDocs")
+    val g = windowGrams(df, textCol, idCol, k)
+    val dup = g.groupBy(col("gh"))
+      .agg(countDistinct(col(idCol)).as("__nd"), min(col(idCol)).as("keeper"))
+      .filter(col("__nd") >= minDocs)
+      .select(col("gh"), col("keeper"))
+    g.join(dup, "gh").select(col(idCol), col("pos"), col("gh"), col("keeper"))
+  }
+
+  /** Per-document repeated-substring profile: token/window counts, how many
+    * windows are cross-document duplicates, how many tokens those windows
+    * cover (union of overlapping [pos, pos+k) spans), and the covered
+    * fraction. `dup_fraction` = 1.0 flags an exact duplicate; intermediate
+    * values measure boilerplate load — the corpus-health number a pipeline
+    * gates on before training.
+    *
+    * The span union needs no interval-merge pass: spans all have length k,
+    * so sorted by start, each one contributes min(next_start − start, k)
+    * tokens (the last contributes k) — a single per-document window
+    * function over id-partitioned dup positions.
+    */
+  def substringDupStats(df: DataFrame, textCol: String, idCol: String,
+      k: Int = 5, minDocs: Int = 2): DataFrame = {
+    val toks = split(trim(col(textCol)), "\\s+")
+    val base = df.select(col(idCol),
+      size(toks).cast("long").as("n_tokens"),
+      greatest(size(toks) - (k - 1), lit(0)).cast("long").as("n_windows"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol)).orderBy(col("pos"))
+    val covered = duplicatedWindows(df, textCol, idCol, k, minDocs)
+      .withColumn("__nxt", lead(col("pos"), 1).over(w))
+      .groupBy(col(idCol)).agg(
+        count(lit(1)).as("__ndw"),
+        sum(when(col("__nxt").isNull, k)
+          .otherwise(least(col("__nxt") - col("pos"), lit(k))))
+          .cast("long").as("__cov"))
+    base.join(covered, Seq(idCol), "left")
+      .select(col(idCol), col("n_tokens"), col("n_windows"),
+        coalesce(col("__ndw"), lit(0L)).as("n_dup_windows"),
+        coalesce(col("__cov"), lit(0L)).as("covered_tokens"))
+      .withColumn("dup_fraction",
+        round(col("covered_tokens") / col("n_tokens"), 4))
+  }
+
+  /** Remove cross-document repeated substrings, keeping one occurrence
+    * corpus-wide: for every duplicated window, occurrences outside the
+    * keeper document (lowest id containing that content) are deleted, and
+    * each document's surviving tokens are re-joined in order. Returns
+    * (idCol, scrubbed, kept_tokens); fully-duplicated documents come back
+    * as empty strings (kept_tokens = 0) for the caller to drop or keep.
+    *
+    * The k-fold position expansion runs only on DUPLICATED windows (the
+    * minority the whole exercise exists to make rare), not the corpus; the
+    * rebuild groups per document, so collect_list buffers one document's
+    * tokens at a time — bounded by max doc length, not corpus size.
+    * Intra-document repetition inside the keeper is preserved by design
+    * (this operator dedups across documents; [[TextAnalysis.dupNgramFraction]]
+    * measures within-document repetition).
+    */
+  def scrubRepeatedSubstrings(df: DataFrame, textCol: String, idCol: String,
+      k: Int = 5, minDocs: Int = 2): DataFrame = {
+    val rem = duplicatedWindows(df, textCol, idCol, k, minDocs)
+      .filter(col(idCol) =!= col("keeper"))
+      .select(col(idCol),
+        explode(sequence(col("pos"), col("pos") + (k - 1))).as("pos"))
+      .distinct()
+    val toks = df.select(col(idCol),
+      posexplode(split(trim(col(textCol)), "\\s+")).as(Seq("pos", "__tok")))
+    val kept = toks.join(rem, Seq(idCol, "pos"), "left_anti")
+      .groupBy(col(idCol)).agg(
+        concat_ws(" ", transform(
+          array_sort(collect_list(struct(col("pos"), col("__tok")))),
+          x => x.getField("__tok"))).as("__scrubbed"),
+        count(lit(1)).as("__kept"))
+    df.select(col(idCol)).join(kept, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("__scrubbed"), lit("")).as("scrubbed"),
+        coalesce(col("__kept"), lit(0L)).as("kept_tokens"))
+  }
 }

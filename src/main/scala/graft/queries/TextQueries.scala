@@ -22,6 +22,13 @@ object TextQueries {
     UNNEST(generate_series(1, len(w) - ${k - 1})) AS t_i(i)"""
   }
 
+  /** DuckDB k-token gram expansion for a window starting at 1-based `i`
+    * over `w` (the regexp_split token array) — the SQL twin of the Spark
+    * side's `concat_ws(" ", slice(w, i+1, k))` in [[Dedup.windowGrams]].
+    */
+  private def sqlGram(k: Int): String =
+    (0 until k).map(j => s"w[i + $j]").mkString(" || ' ' || ")
+
   val all: Seq[QueryDef] = Seq(
 
     // ---- exact deduplication: corpus stats ----
@@ -1231,6 +1238,75 @@ object TextQueries {
         FROM m a JOIN m b ON b.variant = 'full' AND a."column" = b."column"
           AND a.metric = b.metric
         WHERE a.variant <> 'full'
-        ORDER BY a.variant, a."column", a.metric"""))
+        ORDER BY a.variant, a."column", a.metric""")),
+
+    // ---- cross-document repeated-substring profile (suffix dedup à la
+    //      Lee et al. 2022): per-doc count + span-union coverage of 5-token
+    //      windows that appear in >= 2 distinct docs (Dedup.substringDupStats) ----
+    QueryDef(
+      "q105_substring_dups",
+      (s, d) => {
+        Dedup.substringDupStats(Tables.documents(s, d), "text", "doc_id", k = 5)
+          .orderBy(col("doc_id"))
+      },
+      Some(raw"""WITH w AS (SELECT doc_id,
+          regexp_split_to_array(trim(text), '\s+') AS w FROM documents),
+        t AS (SELECT doc_id, len(w) AS n_tokens,
+          greatest(len(w) - 4, 0) AS n_windows FROM w),
+        g AS (SELECT doc_id, i - 1 AS pos,
+          ('0x' || substr(md5(${sqlGram(5)}), 1, 15))::BIGINT AS gh
+          FROM w, UNNEST(generate_series(1, len(w) - 4)) AS t_i(i)
+          WHERE len(w) >= 5),
+        dup AS (SELECT gh FROM g GROUP BY gh
+          HAVING count(DISTINCT doc_id) >= 2),
+        d AS (SELECT g.doc_id, g.pos,
+          lead(g.pos) OVER (PARTITION BY g.doc_id ORDER BY g.pos) AS nxt
+          FROM g JOIN dup USING (gh)),
+        c AS (SELECT doc_id, count(*) AS n_dup_windows,
+          sum(CASE WHEN nxt IS NULL THEN 5 ELSE least(nxt - pos, 5) END)
+            AS covered_tokens
+          FROM d GROUP BY doc_id)
+        SELECT t.doc_id, CAST(t.n_tokens AS BIGINT) AS n_tokens,
+          CAST(t.n_windows AS BIGINT) AS n_windows,
+          CAST(coalesce(c.n_dup_windows, 0) AS BIGINT) AS n_dup_windows,
+          CAST(coalesce(c.covered_tokens, 0) AS BIGINT) AS covered_tokens,
+          round(coalesce(c.covered_tokens, 0) / t.n_tokens, 4) AS dup_fraction
+        FROM t LEFT JOIN c USING (doc_id) ORDER BY t.doc_id""")),
+
+    // ---- repeated-substring scrub: delete duplicated windows outside the
+    //      keeper doc, rebuild surviving text (Dedup.scrubRepeatedSubstrings;
+    //      md5 of the rebuilt text keeps the compare row small) ----
+    QueryDef(
+      "q106_substring_scrub",
+      (s, d) => {
+        Dedup.scrubRepeatedSubstrings(Tables.documents(s, d), "text", "doc_id",
+            k = 5)
+          .select(col("doc_id"), md5(col("scrubbed")).as("scrub_md5"),
+            col("kept_tokens"))
+          .orderBy(col("doc_id"))
+      },
+      Some(raw"""WITH w AS (SELECT doc_id,
+          regexp_split_to_array(trim(text), '\s+') AS w FROM documents),
+        g AS (SELECT doc_id, i - 1 AS pos,
+          ('0x' || substr(md5(${sqlGram(5)}), 1, 15))::BIGINT AS gh
+          FROM w, UNNEST(generate_series(1, len(w) - 4)) AS t_i(i)
+          WHERE len(w) >= 5),
+        dup AS (SELECT gh, min(doc_id) AS keeper FROM g GROUP BY gh
+          HAVING count(DISTINCT doc_id) >= 2),
+        rem AS (SELECT DISTINCT g.doc_id, p AS pos
+          FROM g JOIN dup USING (gh),
+            UNNEST(generate_series(g.pos, g.pos + 4)) AS t_p(p)
+          WHERE g.doc_id <> dup.keeper),
+        tok AS (SELECT doc_id, i - 1 AS pos, w[i] AS tok
+          FROM w, UNNEST(generate_series(1, len(w))) AS t_i(i)),
+        kept AS (SELECT t.doc_id,
+          string_agg(t.tok, ' ' ORDER BY t.pos) AS scrubbed,
+          count(*) AS kept_tokens
+          FROM tok t LEFT JOIN rem r
+            ON t.doc_id = r.doc_id AND t.pos = r.pos
+          WHERE r.doc_id IS NULL GROUP BY t.doc_id)
+        SELECT d.doc_id, coalesce(md5(kept.scrubbed), md5('')) AS scrub_md5,
+          CAST(coalesce(kept.kept_tokens, 0) AS BIGINT) AS kept_tokens
+        FROM documents d LEFT JOIN kept USING (doc_id) ORDER BY d.doc_id"""))
   )
 }

@@ -333,4 +333,54 @@ class DedupSpec extends SparkSpec {
     assert(st == lbl)
     assert(st(24L) == 20L && st(12L) == 10L && st(3L) == 1L)
   }
+
+  // shared 6-token passage pasted into two otherwise-distinct docs, plus an
+  // exact-dup pair and a clean doc — the substring-dedup fixture
+  private lazy val passageDocs = Seq(
+    (0L, "alpha beta gamma delta epsilon zeta unique tail zero"),
+    (1L, "intro words alpha beta gamma delta epsilon zeta other ending"),
+    (2L, "totally unrelated text about columnar shuffles and codegen spans"),
+    (3L, "same exact document body repeated verbatim here"),
+    (4L, "same exact document body repeated verbatim here")
+  ).toDF("doc_id", "text")
+
+  test("substringDupStats: span union covers the shared passage, clean docs zero") {
+    val st = Dedup.substringDupStats(passageDocs, "text", "doc_id", k = 5)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    // doc 0: 9 tokens, 5 windows; the 6-token passage at pos 0 yields dup
+    // windows at 0 and 1 → span union = min(1-0,5) + 5 = 6 covered tokens
+    assert(st(0L) == ((9L, 5L, 2L, 6L)))
+    // doc 1: same passage at pos 2 → windows 2,3 → 6 covered of 10 tokens
+    assert(st(1L) == ((10L, 6L, 2L, 6L)))
+    // clean doc: zero dup windows
+    assert(st(2L)._3 == 0L && st(2L)._4 == 0L)
+    // exact dups: every window duplicated, full coverage
+    assert(st(3L) == ((7L, 3L, 3L, 7L)))
+    assert(st(4L) == ((7L, 3L, 3L, 7L)))
+  }
+
+  test("scrubRepeatedSubstrings: keeper retains text, later docs lose the span") {
+    val out = Dedup.scrubRepeatedSubstrings(passageDocs, "text", "doc_id", k = 5)
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    // doc 0 is keeper for the passage → untouched
+    assert(out(0L)._1 == "alpha beta gamma delta epsilon zeta unique tail zero")
+    // doc 1 loses exactly tokens [2, 8) — the union of its two dup windows
+    assert(out(1L)._1 == "intro words other ending" && out(1L)._2 == 4L)
+    assert(out(2L)._2 == 9L) // clean doc untouched
+    assert(out(3L)._1.nonEmpty && out(3L)._2 == 7L) // keeper of the exact pair
+    assert(out(4L)._1 == "" && out(4L)._2 == 0L) // fully-duplicated doc emptied
+  }
+
+  test("duplicatedWindows is linear in copies for an exact-dup-heavy corpus") {
+    // 300 identical docs: every window hash collides, but the plan is one
+    // groupBy + equi-join back — dup-window rows = docs × windows, never pairs²
+    val many = (0L until 300L).map(i => (i, "repeat this boilerplate block verbatim"))
+      .toDF("doc_id", "text")
+    val dw = Dedup.duplicatedWindows(many, "text", "doc_id", k = 5)
+    assert(dw.count() == 300L) // 1 window per 5-token doc × 300 docs
+    val st = Dedup.substringDupStats(many, "text", "doc_id", k = 5)
+      .agg(sum(col("covered_tokens"))).head().getLong(0)
+    assert(st == 300L * 5)
+  }
 }
