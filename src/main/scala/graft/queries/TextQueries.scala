@@ -1307,6 +1307,49 @@ object TextQueries {
           WHERE r.doc_id IS NULL GROUP BY t.doc_id)
         SELECT d.doc_id, coalesce(md5(kept.scrubbed), md5('')) AS scrub_md5,
           CAST(coalesce(kept.kept_tokens, 0) AS BIGINT) AS kept_tokens
-        FROM documents d LEFT JOIN kept USING (doc_id) ORDER BY d.doc_id"""))
+        FROM documents d LEFT JOIN kept USING (doc_id) ORDER BY d.doc_id""")),
+
+    // ---- weighted sample without replacement (Ingest.weightedSample):
+    //      Efraimidis–Spirakis A-ES keys, inclusion ∝ n_chars, top-50 via
+    //      TakeOrderedAndProject ----
+    QueryDef(
+      "q107_weighted_sample",
+      (s, d) => {
+        graft.sources.Ingest.weightedSample(
+            Tables.documents(s, d), "doc_id", "n_chars", n = 50)
+          .select(col("doc_id"), col("n_chars").as("weight"),
+            (round(col("sample_key"), 6) + lit(0.0)).as("sample_key"))
+      },
+      Some(raw"""SELECT doc_id, CAST(n_chars AS BIGINT) AS weight,
+        round(ln((('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':42'), 1, 13))::BIGINT + 1)
+          / 4503599627370496.0) / n_chars, 6) + 0 AS sample_key
+        FROM documents WHERE n_chars IS NOT NULL AND n_chars > 0
+        ORDER BY ln((('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':42'), 1, 13))::BIGINT + 1)
+          / 4503599627370496.0) / n_chars DESC, doc_id LIMIT 50""")),
+
+    // ---- fractional-epoch repetition mixture (Ingest.epochRepeat):
+    //      2.5 epochs of src0, 0.25 of src2, 1 of everything else ----
+    QueryDef(
+      "q108_epoch_repeat",
+      (s, d) => {
+        graft.sources.Ingest.epochRepeat(Tables.documents(s, d),
+            "doc_id", "source",
+            Map("src0" -> 2.5, "src1" -> 1.0, "src2" -> 0.25), default = 1.0)
+          .groupBy(col("source")).agg(count(lit(1)).as("n_rows"),
+            countDistinct(col("doc_id")).as("n_docs"))
+          .orderBy(col("source"))
+      },
+      Some(raw"""WITH e AS (SELECT doc_id, source,
+          CASE source WHEN 'src0' THEN 2.5 WHEN 'src1' THEN 1.0
+            WHEN 'src2' THEN 0.25 ELSE 1.0 END AS ep,
+          ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':42'), 1, 13))::BIGINT
+            / 4503599627370496.0 AS u
+          FROM documents),
+        c AS (SELECT doc_id, source,
+          CAST(floor(ep) + CASE WHEN u < ep - floor(ep) THEN 1 ELSE 0 END
+            AS INT) AS copies FROM e)
+        SELECT source, count(*) AS n_rows, count(DISTINCT doc_id) AS n_docs
+        FROM c, UNNEST(generate_series(1, copies)) AS t(epoch)
+        GROUP BY source ORDER BY source"""))
   )
 }

@@ -323,4 +323,64 @@ object Ingest {
       .otherwise(fractions.last._1)
     df.withColumn("split", label)
   }
+
+  /** Weighted sample WITHOUT replacement of n rows, inclusion probability
+    * proportional to `weightCol` — "sample training docs by quality score"
+    * in one pass. Efraimidis–Spirakis A-ES keys: each row draws
+    * key = ln(u)/w (u uniform from the row's id hash), and the n LARGEST
+    * keys are exactly a weight-proportional sample; equivalent to u^(1/w)
+    * but ln keeps the full double range for tiny weights instead of
+    * underflowing to 1.
+    *
+    * Scale shape: a narrow per-row projection followed by ORDER BY+LIMIT —
+    * Spark plans `TakeOrderedAndProject` (per-partition n-row heaps, only
+    * n·partitions rows ever move). No groupBy, no window, no full sort.
+    * The ordering key is NOT pre-rounded: keys crowd toward 0 as the corpus
+    * grows, so any fixed rounding would collapse the whole selection
+    * boundary into ties and hand the choice to the id tiebreak. The raw
+    * key is a pure function of (id hash, weight) — deterministic under
+    * retries — and the id tiebreak covers exact hash collisions. Rows with
+    * null or non-positive weight are excluded (zero inclusion probability
+    * by definition).
+    */
+  def weightedSample(df: DataFrame, idCol: String, weightCol: String,
+      n: Int, seed: Long = 42L): DataFrame = {
+    require(n > 0)
+    // (hash+1)/2^52 ∈ (0,1]: ln is finite for every row (ln(0) would send
+    // an unlucky 1-in-2^52 row to -inf, silently unsampleable)
+    val u = (hash52(concat(col(idCol).cast("string"), lit(s":$seed")))
+      .cast("double") + 1.0) / lit(4503599627370496.0)
+    df.filter(col(weightCol).isNotNull && col(weightCol) > 0)
+      .withColumn("sample_key", log(u) / col(weightCol))
+      .orderBy(col("sample_key").desc, col(idCol))
+      .limit(n)
+  }
+
+  /** Epoch-repetition mixture: emit each row `epochs(stratum)` times in
+    * expectation — the fractional-epoch upsampling of data-mixing recipes
+    * ("2.7 epochs of books, 0.3 of web"). A weight e repeats every row
+    * ⌊e⌋ times plus one more for the hash-chosen e−⌊e⌋ fraction of ids,
+    * so the OUTPUT is deterministic row-exact, not an expectation over
+    * rand(): reruns, retries, and any partition layout produce the same
+    * multiset. Adds `epoch` (1-based copy index) — downstream shuffling by
+    * (id, epoch) interleaves copies across the corpus. Weights < 1
+    * subsample (0 copies possible); strata absent from `epochs` use
+    * `default`.
+    *
+    * Narrow generate over the scan — per-row fan-out is ⌈e⌉, no shuffle.
+    */
+  def epochRepeat(df: DataFrame, idCol: String, stratumCol: String,
+      epochs: Map[String, Double], default: Double = 1.0,
+      seed: Long = 42L): DataFrame = {
+    require((epochs.values ++ Seq(default)).forall(_ >= 0))
+    val e = epochs.toSeq.sortBy(_._1).foldLeft(lit(default)) {
+      case (acc, (k, v)) => when(col(stratumCol) === k, lit(v)).otherwise(acc)
+    }
+    val u = uniformKey(col(idCol), seed)
+    val copies = (floor(e) +
+      when(u < e - floor(e), 1L).otherwise(0L)).cast("int")
+    df.withColumn("epoch", explode(
+      when(copies >= 1, sequence(lit(1), copies))
+        .otherwise(array().cast("array<int>"))))
+  }
 }
