@@ -275,6 +275,14 @@ case class HammingDistance(left: Expression, right: Expression)
         s"${left.dataType.sql} / ${right.dataType.sql}")
   }
 
+  // Null ELEMENTS are rejected at runtime, not by type-check: SignPack
+  // emits containsNull=false, but a signature stored to parquet reads back
+  // as containsNull=true (parquet arrays are nullable-element by default),
+  // and rejecting that schema would break every stored-signature table.
+  // Silently reading a null element as 0 would corrupt the distance.
+  private def nullElem(): Nothing = throw new IllegalArgumentException(
+    "vec_hamming: null element in sign signature")
+
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
@@ -282,6 +290,7 @@ case class HammingDistance(left: Expression, right: Expression)
     var acc = 0L
     var i = 0
     while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) nullElem()
       acc += java.lang.Long.bitCount(x.getLong(i) ^ y.getLong(i))
       i += 1
     }
@@ -296,6 +305,10 @@ case class HammingDistance(left: Expression, right: Expression)
          |final int $n = java.lang.Math.min($a.numElements(), $b.numElements());
          |long $acc = 0L;
          |for (int $i = 0; $i < $n; $i++) {
+         |  if ($a.isNullAt($i) || $b.isNullAt($i)) {
+         |    throw new IllegalArgumentException(
+         |      "vec_hamming: null element in sign signature");
+         |  }
          |  $acc += java.lang.Long.bitCount($a.getLong($i) ^ $b.getLong($i));
          |}
          |${ev.value} = $acc;

@@ -81,7 +81,14 @@ object Dedup {
       entries.find(e => e._1 == params && e._2.sameResult(plan)).map(_._3)
     }
     hit match {
-      case Some(v) => v.asInstanceOf[T]
+      case Some(v) =>
+        // observable staleness: a memo hit on a source overwritten
+        // mid-session returns the OLD result — log so the reuse is visible
+        // (clearMemo is the escape hatch)
+        System.err.println(s"[graft] dedup memo hit: " +
+          s"${params.asInstanceOf[Product].productElement(0)} reusing " +
+          "session-cached intermediates (Dedup.clearMemo to invalidate)")
+        v.asInstanceOf[T]
       case None =>
         // compute OUTSIDE the lock: the pipeline runs Spark jobs for
         // minutes on large corpora and unrelated keys must not serialize

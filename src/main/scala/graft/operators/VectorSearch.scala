@@ -123,7 +123,10 @@ object VectorSearch {
           graft.functions.nearest_centroid(col(vecCol), centroids))
         .withColumnRenamed(vecCol, "__vec")
         .sortWithinPartitions(col("__cluster"))
-        .write.mode("append").option("compression", "zstd")
+        // snappy, matching buildIvf: appends land on the same probe hot
+        // path as the build's files, and the measured A/B (BASELINE.md)
+        // showed zstd costs ~3× on decode for ~20% size on these payloads
+        .write.mode("append").option("compression", "snappy")
         .partitionBy("__cluster").parquet(path)
       dfCache.clear() // cached relations pin the old file list
     }

@@ -373,8 +373,12 @@ object Ingest {
       epochs: Map[String, Double], default: Double = 1.0,
       seed: Long = 42L): DataFrame = {
     require((epochs.values ++ Seq(default)).forall(_ >= 0))
+    // compare as string on BOTH sides (same fix as temperatureMixture):
+    // a numeric stratum column compared against a string key would
+    // otherwise cast the strings to numbers and silently match nothing
     val e = epochs.toSeq.sortBy(_._1).foldLeft(lit(default)) {
-      case (acc, (k, v)) => when(col(stratumCol) === k, lit(v)).otherwise(acc)
+      case (acc, (k, v)) =>
+        when(col(stratumCol).cast("string") === k, lit(v)).otherwise(acc)
     }
     val u = uniformKey(col(idCol), seed)
     val copies = (floor(e) +

@@ -301,6 +301,15 @@ final class BucketedStore(val root: String, val nBuckets: Int,
       try stream.iterator().asScala.toSeq.reverse.foreach(p => Files.delete(p))
       finally stream.close()
     }
+    // sweep orphaned consolidation staging dirs (a crash between the
+    // staging write and the manifest move leaves one behind; in-flight
+    // merges of THIS handle are excluded via activeStaging)
+    val ls = Files.list(Paths.get(root))
+    try ls.iterator().asScala
+      .filter(p => p.getFileName.toString.startsWith(".stage-") &&
+        !activeStaging.contains(p.toString))
+      .toSeq.foreach(deleteRecursively)
+    finally ls.close()
     doomed
   }
 
@@ -355,26 +364,51 @@ final class BucketedStore(val root: String, val nBuckets: Int,
     if (captured.length <= 1) v0
     else {
       // slow part, lock-free: merge captured deltas into a staging dir,
-      // seq-stamped so later (uncaptured) deltas still win on key overlap
+      // seq-stamped so later (uncaptured) deltas still win on key overlap.
+      // The staging dir is deleted on ANY failure before the move lands —
+      // vacuum only collects v* dirs, so a leaked .stage-* would live
+      // forever ([[vacuum]] also sweeps orphans as a second line).
       val staging = s"$root/.stage-${java.util.UUID.randomUUID()}"
-      latestDeltaRows(spark, captured, key).get
-        .withColumn("__seq", lit(captured.max.toLong))
-        .coalesce(1)
-        .write.mode("overwrite").parquet(staging)
-      versionLock.synchronized {
-        val v = currentVersion.get
-        val (manifest, deltas) = readManifest(v)
-        val next = v + 1
-        Files.createDirectories(Paths.get(root, s"v$next"))
-        Files.move(Paths.get(staging), Paths.get(root, s"v$next", "delta"))
-        // keep commit order: the merged slab (stamped max(captured))
-        // precedes every delta appended after the capture
-        writeVersion(next, manifest,
-          next +: deltas.filterNot(captured.contains))
-        next
+      activeStaging.add(staging)
+      var moved = false
+      try {
+        latestDeltaRows(spark, captured, key).get
+          .withColumn("__seq", lit(captured.max.toLong))
+          .coalesce(1)
+          .write.mode("overwrite").parquet(staging)
+        versionLock.synchronized {
+          val v = currentVersion.get
+          val (manifest, deltas) = readManifest(v)
+          val next = v + 1
+          Files.createDirectories(Paths.get(root, s"v$next"))
+          Files.move(Paths.get(staging), Paths.get(root, s"v$next", "delta"))
+          moved = true
+          // keep commit order: the merged slab (stamped max(captured))
+          // precedes every delta appended after the capture
+          writeVersion(next, manifest,
+            next +: deltas.filterNot(captured.contains))
+          next
+        }
+      } finally {
+        if (!moved) deleteRecursively(Paths.get(staging))
+        activeStaging.remove(staging)
       }
     }
   }
+
+  // staging dirs of in-flight consolidations (written OUTSIDE the version
+  // lock), so vacuum's orphan sweep never deletes a live one
+  private val activeStaging =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  private def deleteRecursively(dir: java.nio.file.Path): Unit =
+    if (Files.exists(dir)) {
+      import scala.jdk.CollectionConverters._
+      val stream = Files.walk(dir)
+      try stream.iterator().asScala.toSeq.reverse
+        .foreach(p => try Files.delete(p) catch { case _: Exception => () })
+      finally stream.close()
+    }
 
   /** Fold live deltas into their buckets (copy-on-write merge) — the LSM
     * compaction step. `maxBuckets` bounds one cycle's IO: only the most
@@ -581,6 +615,7 @@ object UpsertStream {
       trigger: Trigger = Trigger.ProcessingTime("1 second"),
       compactEvery: Int = 16,
       consolidateEvery: Int = 8,
+      maxCollectRows: Int = 100000,
       onCommit: (Int, Seq[Row]) => Unit = (_, _) => ()): StreamingQuery = {
     // commit counter drives the MAJOR cadence: consolidation resets the
     // live-delta count, so "deltas accumulated" no longer measures work
@@ -598,9 +633,19 @@ object UpsertStream {
         // near-empty tasks — measured ~15 ms/task, i.e. seconds of pure
         // scheduling per commit at a few hundred queued objects. Four tasks
         // keep the re-embedding parallel while the scheduling cost stays
-        // fixed.
-        val rows = batch.coalesce(4).collect().toIndexedSeq
-        if (rows.nonEmpty) {
+        // fixed. The limit caps what ever reaches the driver: a misrouted
+        // bulk backfill (> maxCollectRows) falls back to the distributed
+        // append below instead of OOMing the driver on collect.
+        val rows = batch.coalesce(4).limit(maxCollectRows + 1)
+          .collect().toIndexedSeq
+        if (rows.size > maxCollectRows) {
+          System.err.println(s"[graft] runDelta batch exceeds " +
+            s"$maxCollectRows rows — committing via distributed append " +
+            s"(route bulk backfills through BucketedStore.upsert)")
+          val v = store.appendDelta(batch, key)
+          onCommit(v, Seq.empty)
+          commits += 1
+        } else if (rows.nonEmpty) {
           val spark = batch.sparkSession
           val local = spark.createDataFrame(
             java.util.Arrays.asList(rows: _*), batch.schema)
