@@ -11,6 +11,12 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The driver parses the LAST stdout line of `runMain graft.Bench` as JSON:
+// route forked-run output straight to stdout (no "[info] " prefix) and
+// drop sbt's trailing "[success] Total time" epilogue so the bench's
+// final println IS the final line.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+Global / showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
@@ -24,6 +30,9 @@ val jdk17AddOpens = Seq(
   "java.base/sun.security.action", "java.base/sun.util.calendar",
 ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
 javaOptions ++= jdk17AddOpens ++ Seq(
+  // GC visibility for forked runs (tiny file; invaluable when a latency
+  // tier stalls — pause times tell GC apart from scheduler contention)
+  "-Xlog:gc:file=/tmp/graft_gc.log:time,uptime",
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   // local mode = one JVM; heap is the only memory knob that matters.

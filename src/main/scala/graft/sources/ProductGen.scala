@@ -69,41 +69,46 @@ object ProductGen {
       " ")
   }
 
+  /** The embedding kernel shared by the Spark UDF and the driver-local row
+    * generator — one implementation, zero drift between the two paths.
+    */
+  def embedFields(fields: Seq[String], segDim: Int): Array[Float] = {
+    val out = new Array[Float](fields.length * segDim)
+    var s = 0
+    while (s < fields.length) {
+      var seed = scala.util.hashing.MurmurHash3.stringHash(
+        if (fields(s) == null) "" else fields(s), 0x9747b28c + s).toLong
+      var norm2 = 0.0
+      var i = 0
+      val base = s * segDim
+      while (i < segDim) {
+        // splitmix64 stream
+        seed += 0x9e3779b97f4a7c15L
+        var z = seed
+        z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+        z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+        z = z ^ (z >>> 31)
+        val v = ((z >>> 11).toDouble / (1L << 53).toDouble) * 2.0 - 1.0
+        out(base + i) = v.toFloat
+        norm2 += v * v
+        i += 1
+      }
+      val inv = if (norm2 == 0.0) 0.0 else 1.0 / math.sqrt(norm2)
+      i = 0
+      while (i < segDim) {
+        out(base + i) = (out(base + i) * inv).toFloat
+        i += 1
+      }
+      s += 1
+    }
+    out
+  }
+
   /** The stub embedder: text fields → `segments`×`segDim` concatenated
     * vector, each segment unit-norm. Deterministic per input strings.
     */
   def embedUdf(segDim: Int): org.apache.spark.sql.expressions.UserDefinedFunction =
-    udf { fields: Seq[String] =>
-      val out = new Array[Float](fields.length * segDim)
-      var s = 0
-      while (s < fields.length) {
-        var seed = scala.util.hashing.MurmurHash3.stringHash(
-          if (fields(s) == null) "" else fields(s), 0x9747b28c + s).toLong
-        var norm2 = 0.0
-        var i = 0
-        val base = s * segDim
-        while (i < segDim) {
-          // splitmix64 stream
-          seed += 0x9e3779b97f4a7c15L
-          var z = seed
-          z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
-          z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
-          z = z ^ (z >>> 31)
-          val v = ((z >>> 11).toDouble / (1L << 53).toDouble) * 2.0 - 1.0
-          out(base + i) = v.toFloat
-          norm2 += v * v
-          i += 1
-        }
-        val inv = if (norm2 == 0.0) 0.0 else 1.0 / math.sqrt(norm2)
-        i = 0
-        while (i < segDim) {
-          out(base + i) = (out(base + i) * inv).toFloat
-          i += 1
-        }
-        s += 1
-      }
-      out
-    }
+    udf { fields: Seq[String] => embedFields(fields, segDim) }
 
   /** Generate `n` products. `dims` must be divisible by 7 (7 embedded
     * fields, reference `README.md:54`).
@@ -243,4 +248,114 @@ object ProductGen {
     */
   def sampleBySource(df: DataFrame, fractions: Map[String, Double], seed: Long): DataFrame =
     df.stat.sampleBy("source_dataset", fractions, seed)
+
+  // ---- driver-local row generation (the single-object re-embed path) ----
+  //
+  // A single-object upsert's "re-embedding" is an inference call, not a
+  // distributed job — running the full 2688-wide column plan per streaming
+  // micro-batch puts plan analysis + codegen + job scheduling on the commit
+  // latency path (measured: the per-commit cost balloons under concurrent
+  // readers and the stream falls into a catch-up spiral). This mirror
+  // computes the EXACT same rows in plain Scala: every hash goes through the
+  // same XXH64 primitives the `xxhash64` expression uses, the embedder is
+  // literally the same function ([[embedFields]]), and ProductGenSpec
+  // asserts column-exact parity against [[fromIds]].
+
+  private object LocalGen {
+    import org.apache.spark.sql.catalyst.expressions.XXH64
+
+    /** xxhash64(idCol, lit(i1), ...) with Spark's seed 42 and per-type
+      * hash steps (long column first, int literals after).
+      */
+    def xxLong(id: Long, salts: Int*): Long =
+      salts.foldLeft(XXH64.hashLong(id, 42L))((h, s) => XXH64.hashInt(s, h))
+
+    def pmod(a: Long, m: Long): Long = { val r = a % m; if (r < 0) r + m else r }
+
+    def u(id: Long, salt: Int): Double =
+      pmod(xxLong(id, salt), 1000000L).toDouble / 1000000.0
+
+    def gauss(id: Long, salt: Int): Double =
+      ((0 until 4).map(i => u(id, salt * 31 + i)).sum - 2.0) * math.sqrt(3.0)
+
+    /** Mirrors the expression fold in [[weightedPick]] (same cumulative-sum
+      * association, so double rounding matches).
+      */
+    def weightedPick(id: Long, salt: Int, weights: Seq[(String, Double)],
+        fallback: String): String = {
+      val r = u(id, salt)
+      val cum = weights.scanLeft(0.0)(_ + _._2).tail
+      weights.zip(cum).foldRight(fallback) {
+        case (((v, _), c), acc) => if (r < c) v else acc
+      }
+    }
+
+    def wordSalad(id: Long, salt: Int, nWords: Int): String =
+      (0 until nWords).map { i =>
+        vocab(pmod(xxLong(id, salt, i), vocab.size.toLong).toInt)
+      }.mkString(" ")
+
+    /** Spark's round(): HALF_UP decimal rounding. */
+    def roundAt(x: Double, scale: Int): Double =
+      BigDecimal(x).setScale(scale, BigDecimal.RoundingMode.HALF_UP).toDouble
+  }
+
+  /** One product row (the 17-column [[schema]] layout) computed entirely on
+    * the calling thread — exact parity with [[fromIds]] asserted by spec.
+    */
+  def localRow(id: Long, dims: Int = 2688): org.apache.spark.sql.Row = {
+    import LocalGen.{pmod, roundAt, xxLong}
+    require(dims % 7 == 0, "dims must be 7 segments")
+    val parentAsin = "B%09d".format(id)
+    val title = LocalGen.wordSalad(id, 1, (pmod(xxLong(id, 101), 8L) + 3).toInt)
+    val description =
+      LocalGen.wordSalad(id, 2, (pmod(xxLong(id, 102), 80L) + 10).toInt)
+    val features =
+      LocalGen.wordSalad(id, 3, (pmod(xxLong(id, 103), 40L) + 5).toInt)
+    val averageRating =
+      roundAt(math.max(1.0, math.min(5.0, LocalGen.gauss(id, 11) * 0.76 + 4.23)), 1)
+    val ratingNumber = math.max(1L, math.exp(LocalGen.gauss(id, 12) * 1.6 + 3.8).toLong)
+    val price: java.lang.Double =
+      if (LocalGen.u(id, 13) < 0.42) null
+      else java.lang.Double.valueOf(
+        roundAt(math.exp(LocalGen.gauss(id, 14) * 1.2 + 3.0) + 0.01, 2))
+    val mainCategory: String =
+      if (LocalGen.u(id, 15) < 0.007) null
+      else LocalGen.weightedPick(id, 16, categoryWeights, "Misc")
+    val categories = "['" + LocalGen.weightedPick(id, 17, categoryWeights, "Misc") +
+      "', '" + LocalGen.wordSalad(id, 18, 2) + "']"
+    val store: String =
+      if (LocalGen.u(id, 19) < 0.026) null
+      else "Store " + pmod(xxLong(id, 20), 5000L)
+    val details = "{\"brand\": \"" + LocalGen.wordSalad(id, 21, 1) +
+      "\", \"weight\": \"" + pmod(xxLong(id, 22), 100L) + " oz\"}"
+    val sourceDataset =
+      sourceDatasets(pmod(xxLong(id, 23), sourceDatasets.size.toLong).toInt)
+    // concat_ws skips nulls
+    val combinedText = Seq(title, description, features, mainCategory, store,
+      categories, details).filter(_ != null).mkString(" ")
+    val hasPrice = price != null
+    val ratingTier =
+      if (averageRating >= 4.5) "excellent"
+      else if (averageRating >= 4.0) "high"
+      else if (averageRating >= 3.0) "medium"
+      else "low"
+    val reviewVolume =
+      if (ratingNumber < 50) "few"
+      else if (ratingNumber < 500) "moderate"
+      else if (ratingNumber < 5000) "many"
+      else "popular"
+    val embedding = embedFields(
+      Seq(title, description, features,
+        if (mainCategory == null) "" else mainCategory,
+        if (store == null) "" else store, categories, details),
+      dims / 7).toIndexedSeq
+    // with-schema row so consumers can use name-based access (getAs),
+    // matching what a collected DataFrame row provides
+    new org.apache.spark.sql.catalyst.expressions.GenericRowWithSchema(
+      Array[Any](parentAsin, title, description, features, combinedText,
+        averageRating, ratingNumber, price, mainCategory, categories, store,
+        details, sourceDataset, hasPrice, ratingTier, reviewVolume, embedding),
+      schema(dims))
+  }
 }

@@ -129,6 +129,15 @@ final class BucketedStore(val root: String, val nBuckets: Int,
   def liveDeltaCount: Int =
     currentVersion.map(v => readManifest(v)._2.size).getOrElse(0)
 
+  /** Live deltas below the consolidation size tier — the number that should
+    * drive a minor-compaction trigger. Counting slabs too makes the trigger
+    * fire after every commit once a few slabs exist, keeping a background
+    * merge job permanently in flight for no fan-in reduction.
+    */
+  def smallDeltaCount(slabMaxBytes: Long = 16L * 1024 * 1024): Int =
+    currentVersion.map(v => readManifest(v)._2
+      .count(d => dirBytes(s"$root/v$d/delta") < slabMaxBytes)).getOrElse(0)
+
   /** Latest delta row per key across all live delta files (deltas are tiny
     * by contract — compaction keeps them so — hence the window runs on a
     * small frame and the result broadcasts). `__seq` orders whole delta
@@ -177,13 +186,31 @@ final class BucketedStore(val root: String, val nBuckets: Int,
     writeVersion(0, (0 until nBuckets).map(_ -> 0).toMap)
   }
 
-  /** Base-bucket frame of the current version (no delta merge). */
+  /** Base-bucket frame of the current version (no delta merge), cached per
+    * (session, manifest): delta appends leave the bucket-owner map
+    * unchanged, so during sustained streaming every read reuses one
+    * relation instead of re-listing all bucket directories and re-reading
+    * footers per query — measured as the dominant fixed cost of concurrent
+    * reads during the 200-QPS tier (and the direct analogue of a serving
+    * layer pinning its table snapshot). A fold/initialize changes the
+    * manifest and so misses the cache naturally; weak session keys keep
+    * stopped sessions collectable.
+    */
+  @transient private lazy val baseCache =
+    java.util.Collections.synchronizedMap(
+      new java.util.WeakHashMap[SparkSession, (Map[Int, Int], DataFrame)]())
   private def readBase(spark: SparkSession, manifest: Map[Int, Int]): DataFrame = {
-    val paths = manifest.toSeq.sortBy(_._1).collect {
-      case (b, owner) if Files.exists(Paths.get(bucketPath(owner, b))) =>
-        bucketPath(owner, b)
+    val cached = baseCache.get(spark)
+    if (cached != null && cached._1 == manifest) cached._2
+    else {
+      val paths = manifest.toSeq.sortBy(_._1).collect {
+        case (b, owner) if Files.exists(Paths.get(bucketPath(owner, b))) =>
+          bucketPath(owner, b)
+      }
+      val df = spark.read.parquet(paths: _*)
+      baseCache.put(spark, (manifest, df))
+      df
     }
-    spark.read.parquet(paths: _*)
   }
 
   /** The merge key is fixed per store (recorded at initialize). */
@@ -326,8 +353,10 @@ final class BucketedStore(val root: String, val nBuckets: Int,
   // background merge against it.
   private val versionLock = new Object
 
-  def appendDelta(updates: DataFrame, key: String): Int =
+  def appendDelta(updates: DataFrame, key: String): Int = {
+    val tl0 = System.nanoTime()
     versionLock.synchronized {
+      val tl1 = System.nanoTime()
       val v = currentVersion.getOrElse(
         throw new IllegalStateException("initialize first"))
       val next = v + 1
@@ -335,9 +364,14 @@ final class BucketedStore(val root: String, val nBuckets: Int,
       updates.withColumn("__seq", lit(next.toLong))
         .coalesce(1)
         .write.mode("overwrite").parquet(s"$root/v$next/delta")
+      val tl2 = System.nanoTime()
+      if (sys.env.contains("SPARK_GRAFT_STREAM_DEBUG"))
+        System.err.println(f"[appendDelta] lockWait=${(tl1 - tl0) / 1e9}%.3f " +
+          f"write=${(tl2 - tl1) / 1e9}%.3f deltas=${deltas.size}")
       writeVersion(next, manifest, deltas :+ next)
       next
     }
+  }
 
   /** Minor compaction: consolidate the live delta files into one —
     * latest-per-key rows survive — without rewriting any bucket. Cost ∝
@@ -350,30 +384,65 @@ final class BucketedStore(val root: String, val nBuckets: Int,
     * [[UpsertStream.runDelta]] uses): the delta set is captured and the
     * merged file written entirely OUTSIDE the version lock — the slow part
     * never blocks a commit — then the manifest swap re-reads the current
-    * state under the lock and keeps any deltas appended meanwhile. The
-    * merged rows are stamped with the HIGHEST captured version, so deltas
-    * landed after the capture still outrank them in the latest-wins merge.
+    * state under the lock and keeps any deltas appended meanwhile. Each
+    * surviving row KEEPS its original `__seq`, so key precedence against
+    * deltas outside the merged set (landed later, or excluded by the size
+    * tier) is decided row-by-row, exactly as before the merge.
     * Old delta dirs become unreferenced and are collected by [[vacuum]].
+    *
+    * TIERED: deltas whose directory already exceeds `slabMaxBytes` are
+    * left alone. Without the tier, every cycle re-merges the previous
+    * cycle's output — the slab grows with total streamed rows and each
+    * cycle's cost grows with it (O(streamed²) total work; measured as the
+    * consolidation outgrowing its budget and stalling the commit path it
+    * exists to protect). With the tier, a cycle's cost is bounded by
+    * (consolidateEvery × batch) bytes; readers see ≤ a few slabs + the
+    * small live deltas; slabs are folded by the next [[compact]].
     */
-  def consolidateDeltas(spark: SparkSession): Int = {
-    val (v0, captured) = versionLock.synchronized {
+  def consolidateDeltas(spark: SparkSession,
+      slabMaxBytes: Long = 16L * 1024 * 1024): Int = {
+    val tcons0 = System.nanoTime()
+    val (v0, live) = versionLock.synchronized {
       val v = currentVersion.getOrElse(
         throw new IllegalStateException("initialize first"))
       (v, readManifest(v)._2)
     }
+    val captured = live.filter(d => dirBytes(s"$root/v$d/delta") < slabMaxBytes)
+    if (sys.env.contains("SPARK_GRAFT_STREAM_DEBUG"))
+      System.err.println(
+        s"[consolidate] start captured=${captured.length}/${live.length}")
+    try consolidateCore(spark, v0, captured)
+    finally if (sys.env.contains("SPARK_GRAFT_STREAM_DEBUG"))
+      System.err.println(
+        f"[consolidate] done in ${(System.nanoTime() - tcons0) / 1e9}%.3f s")
+  }
+
+  private def dirBytes(path: String): Long = {
+    val p = Paths.get(path)
+    if (!Files.exists(p)) 0L
+    else {
+      import scala.jdk.CollectionConverters._
+      val stream = Files.walk(p)
+      try stream.iterator().asScala
+        .filter(Files.isRegularFile(_)).map(Files.size).sum
+      finally stream.close()
+    }
+  }
+
+  private def consolidateCore(spark: SparkSession, v0: Int,
+      captured: Seq[Int]): Int = {
     if (captured.length <= 1) v0
     else {
-      // slow part, lock-free: merge captured deltas into a staging dir,
-      // seq-stamped so later (uncaptured) deltas still win on key overlap.
-      // The staging dir is deleted on ANY failure before the move lands —
-      // vacuum only collects v* dirs, so a leaked .stage-* would live
-      // forever ([[vacuum]] also sweeps orphans as a second line).
+      // slow part, lock-free: merge captured deltas into a staging dir
+      // (latest row per key, original __seq kept). The staging dir is
+      // deleted on ANY failure before the move lands — vacuum only
+      // collects v* dirs, so a leaked .stage-* would live forever
+      // ([[vacuum]] also sweeps orphans as a second line).
       val staging = s"$root/.stage-${java.util.UUID.randomUUID()}"
       activeStaging.add(staging)
       var moved = false
       try {
         latestDeltaRows(spark, captured, key).get
-          .withColumn("__seq", lit(captured.max.toLong))
           .coalesce(1)
           .write.mode("overwrite").parquet(staging)
         versionLock.synchronized {
@@ -383,8 +452,8 @@ final class BucketedStore(val root: String, val nBuckets: Int,
           Files.createDirectories(Paths.get(root, s"v$next"))
           Files.move(Paths.get(staging), Paths.get(root, s"v$next", "delta"))
           moved = true
-          // keep commit order: the merged slab (stamped max(captured))
-          // precedes every delta appended after the capture
+          // list order is cosmetic — key precedence lives in the per-row
+          // __seq values the merge preserved
           writeVersion(next, manifest,
             next +: deltas.filterNot(captured.contains))
           next
@@ -616,6 +685,7 @@ object UpsertStream {
       compactEvery: Int = 16,
       consolidateEvery: Int = 8,
       maxCollectRows: Int = 100000,
+      localMap: Option[(Seq[Row] => Seq[Row], org.apache.spark.sql.types.StructType)] = None,
       onCommit: (Int, Seq[Row]) => Unit = (_, _) => ()): StreamingQuery = {
     // commit counter drives the MAJOR cadence: consolidation resets the
     // live-delta count, so "deltas accumulated" no longer measures work
@@ -636,20 +706,41 @@ object UpsertStream {
         // fixed. The limit caps what ever reaches the driver: a misrouted
         // bulk backfill (> maxCollectRows) falls back to the distributed
         // append below instead of OOMing the driver on collect.
-        val rows = batch.coalesce(4).limit(maxCollectRows + 1)
+        val dbg = sys.env.contains("SPARK_GRAFT_STREAM_DEBUG")
+        val tc0 = System.nanoTime()
+        val collected = batch.coalesce(4).limit(maxCollectRows + 1)
           .collect().toIndexedSeq
-        if (rows.size > maxCollectRows) {
+        val tc1 = System.nanoTime()
+        if (dbg) System.err.println(
+          f"[runDelta] collect n=${collected.size} took ${(tc1 - tc0) / 1e9}%.3f s")
+        if (collected.size > maxCollectRows) {
           System.err.println(s"[graft] runDelta batch exceeds " +
             s"$maxCollectRows rows — committing via distributed append " +
             s"(route bulk backfills through BucketedStore.upsert)")
+          require(localMap.isEmpty,
+            "runDelta localMap path is driver-side only; oversized batches " +
+              "must arrive pre-transformed (route backfills through " +
+              "BucketedStore.upsert)")
           val v = store.appendDelta(batch, key)
           onCommit(v, Seq.empty)
           commits += 1
-        } else if (rows.nonEmpty) {
+        } else if (collected.nonEmpty) {
+          // the driver-local transform (e.g. the per-object re-embed — the
+          // shape of calling an inference endpoint): runs here, on the
+          // already-collected rows, so the commit path never executes a
+          // Spark job for the transform
+          val rows = localMap match {
+            case Some((f, _)) => f(collected).toIndexedSeq
+            case None => collected
+          }
+          val outSchema = localMap.map(_._2).getOrElse(batch.schema)
           val spark = batch.sparkSession
           val local = spark.createDataFrame(
-            java.util.Arrays.asList(rows: _*), batch.schema)
+            java.util.Arrays.asList(rows: _*), outSchema)
           val v = store.appendDelta(local, key)
+          val tc2 = System.nanoTime()
+          if (dbg) System.err.println(
+            f"[runDelta] append n=${rows.size} took ${(tc2 - tc1) / 1e9}%.3f s")
           onCommit(v, rows)
           commits += 1
           if (compactEvery != Int.MaxValue && commits % compactEvery == 0) {
@@ -662,7 +753,7 @@ object UpsertStream {
             }
             store.compact(spark, key)
             ()
-          } else if (store.liveDeltaCount >= consolidateEvery &&
+          } else if (store.smallDeltaCount() >= consolidateEvery &&
               (pendingMerge == null || pendingMerge.isDone)) {
             // async L0 merge: keeps concurrent readers' delta fan-in
             // bounded at O(consolidateEvery) for O(delta bytes) per cycle,

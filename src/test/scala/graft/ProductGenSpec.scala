@@ -56,4 +56,25 @@ class ProductGenSpec extends SparkSpec {
     assert(df.filter($"has_price" =!= $"price".isNotNull).count() == 0)
     assert(df.filter(length($"combined_text") === 0).count() == 0)
   }
+
+  test("localRow mirrors fromIds column-exactly (the re-embed parity contract)") {
+    // small ids + the tier's far-offset id range, incl. enough rows to hit
+    // the null branches (price ~42%, store ~2.6%, category ~0.7%)
+    val ids = (0L until 400L) ++ (10000000000L until 10000000100L) ++
+      (20000000000L until 20000000050L)
+    val dims = 70
+    val sparkRows = ProductGen.fromIds(
+        ids.toDF("id").repartition(4), dims)
+      .collect().map(r => r.getString(0) -> r).toMap
+    ids.foreach { id =>
+      val local = ProductGen.localRow(id, dims)
+      val viaSpark = sparkRows(local.getString(0))
+      (0 until local.length).foreach { i =>
+        val (a, b) = (viaSpark.get(i), local.get(i))
+        assert(a == b,
+          s"id=$id col=${ProductGen.schema(dims).fieldNames(i)}: spark=$a local=$b")
+      }
+    }
+    assert(ids.forall(id => sparkRows.contains("B%09d".format(id))))
+  }
 }
