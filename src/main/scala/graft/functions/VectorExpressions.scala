@@ -403,3 +403,90 @@ case class NearestCentroid(child: Expression, centroids: Array[Array[Float]])
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
 }
+
+/** `nearest_centroid_dist(v)` — TRUE squared-L2 distance to the nearest
+  * centroid (same assignment rule and fused single-pass shape as
+  * [[NearestCentroid]], plus a |x|² accumulation so the result is the
+  * absolute distance, not the rank-only |c|²−2·x·c form). This is the IVF
+  * drift-probe kernel: mean assigned distance rising against the build-time
+  * baseline means the frozen centroids no longer describe the data.
+  */
+case class NearestCentroidDist(child: Expression, centroids: Array[Array[Float]])
+    extends UnaryExpression with VectorKernelSupport {
+
+  require(centroids.nonEmpty)
+
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "nearest_centroid_dist"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    checkVectorInput(Seq(child))
+
+  @transient private lazy val c2: Array[Double] =
+    centroids.map(_.foldLeft(0.0)((acc, v) => acc + v.toDouble * v))
+
+  override def nullSafeEval(a: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val t = elementTypeOf(child)
+    val n = x.numElements()
+    var x2 = 0.0
+    var i = 0
+    while (i < n) { val e = elemAt(x, t, i); x2 += e * e; i += 1 }
+    var best = Double.MaxValue
+    var c = 0
+    while (c < centroids.length) {
+      val cv = centroids(c)
+      val m = math.min(n, cv.length)
+      var acc = 0.0
+      var j = 0
+      while (j < m) { acc += elemAt(x, t, j) * cv(j); j += 1 }
+      val d = c2(c) - 2.0 * acc
+      if (d < best) best = d
+      c += 1
+    }
+    // clamp: |x|² + (|c|²−2xc) is ≥ 0 analytically, but accumulation
+    // order can leave a tiny negative for near-coincident points
+    math.max(0.0, best + x2)
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val t = elementTypeOf(child)
+    val csRef = ctx.addReferenceObj("centroids", centroids, "float[][]")
+    val c2Ref = ctx.addReferenceObj("c2sums", c2, "double[]")
+    nullSafeCodeGen(ctx, ev, a => {
+      val v = ctx.freshName("v"); val best = ctx.freshName("best")
+      val x2 = ctx.freshName("x2"); val c = ctx.freshName("c")
+      val cv = ctx.freshName("cv"); val m = ctx.freshName("m")
+      val acc = ctx.freshName("acc"); val i = ctx.freshName("i")
+      val j = ctx.freshName("j"); val d = ctx.freshName("d")
+      val toPrim = t match {
+        case DoubleType => s"final double[] $v = $a.toDoubleArray();"
+        case ByteType   => s"final byte[] $v = $a.toByteArray();"
+        case _          => s"final float[] $v = $a.toFloatArray();"
+      }
+      s"""
+         |$toPrim
+         |double $x2 = 0.0;
+         |for (int $i = 0; $i < $v.length; $i++) {
+         |  $x2 += (double)$v[$i] * (double)$v[$i];
+         |}
+         |double $best = Double.MAX_VALUE;
+         |for (int $c = 0; $c < $csRef.length; $c++) {
+         |  final float[] $cv = $csRef[$c];
+         |  final int $m = java.lang.Math.min($v.length, $cv.length);
+         |  double $acc = 0.0;
+         |  for (int $j = 0; $j < $m; $j++) {
+         |    $acc += (double)$v[$j] * (double)$cv[$j];
+         |  }
+         |  final double $d = $c2Ref[$c] - 2.0 * $acc;
+         |  if ($d < $best) { $best = $d; }
+         |}
+         |${ev.value} = java.lang.Math.max(0.0, $best + $x2);
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}

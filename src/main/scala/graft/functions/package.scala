@@ -27,6 +27,12 @@ package object functions {
   def nearest_centroid(v: Column, centroids: Array[Array[Float]]): Column =
     Bridge.column(NearestCentroid(Bridge.expression(v), centroids))
 
+  /** True squared-L2 distance to the nearest centroid — the IVF
+    * drift-probe kernel ([[graft.operators.VectorSearch.IvfIndex.driftRatio]]).
+    */
+  def nearest_centroid_dist(v: Column, centroids: Array[Array[Float]]): Column =
+    Bridge.column(NearestCentroidDist(Bridge.expression(v), centroids))
+
   /** Packed sign signature (`array<long>`) of an `array<float|double>`
     * column — binary quantization, 32× smaller than float32.
     */

@@ -127,8 +127,18 @@ object Dedup {
     */
   def minhashSignatures(
       df: DataFrame, textCol: String, idCol: String,
-      k: Int = 3, numHashes: Int = 8): DataFrame = {
-    val sh = TextAnalysis.shingles(df, textCol, k, idCol)
+      k: Int = 3, numHashes: Int = 8): DataFrame =
+    minhashFromShingles(
+      TextAnalysis.shingles(df, textCol, k, idCol), idCol, numHashes)
+
+  /** [[minhashSignatures]] from an already-materialized shingle frame
+    * (`idCol`, s) — `min` is insensitive to duplicate shingles, so a
+    * distinct frame (e.g. [[sigCore]]'s stored one) gives identical
+    * signatures without re-tokenizing the text.
+    */
+  private def minhashFromShingles(
+      sh: DataFrame, idCol: String, numHashes: Int): DataFrame = {
+    val h = sh
       .select(col(idCol), md5(col("s")).as("__md5"))
       .select(col(idCol),
         conv(substring(col("__md5"), 1, 8), 16, 10).cast("long").as("__h1"),
@@ -138,7 +148,7 @@ object Dedup {
     }
     val stackExpr = (0 until numHashes)
       .map(seed => s"${seed}L, __m$seed").mkString(", ")
-    sh.groupBy(col(idCol))
+    h.groupBy(col(idCol))
       .agg(aggs.head, aggs.tail: _*)
       .select(col(idCol),
         expr(s"stack($numHashes, $stackExpr) AS (seed, minhash)"))
@@ -162,8 +172,11 @@ object Dedup {
     * are near-dup candidates.
     */
   def lshCandidatePairs(
-      signatures: DataFrame, idCol: String, rowsPerBand: Int = 2): DataFrame = {
-    val bands = lshBandKeys(signatures, idCol, rowsPerBand)
+      signatures: DataFrame, idCol: String, rowsPerBand: Int = 2): DataFrame =
+    bandSelfPairs(lshBandKeys(signatures, idCol, rowsPerBand), idCol)
+
+  /** Candidate pairs from an already-materialized band-key frame. */
+  private def bandSelfPairs(bands: DataFrame, idCol: String): DataFrame = {
     val a = bands.select(col(idCol).as("id1"), col("band"), col("bkey"))
     val b = bands.select(col(idCol).as("id2"), col("band").as("band2"),
       col("bkey").as("bkey2"))
@@ -187,7 +200,16 @@ object Dedup {
       df: DataFrame, textCol: String, idCol: String,
       candidates: DataFrame, k: Int = 3): DataFrame = {
     val sh = TextAnalysis.shingles(df, textCol, k, idCol).distinct()
-    val cnt = sh.groupBy(col(idCol)).agg(count(lit(1)).as("n"))
+    val cnt = sh.groupBy(col(idCol)).agg(count(lit(1)).as("__n"))
+    jaccardVerifyOn(sh, cnt, idCol, candidates)
+  }
+
+  /** [[jaccardVerify]] from already-materialized distinct-shingle and
+    * shingle-count frames (e.g. [[sigCore]]'s stored ones).
+    */
+  private def jaccardVerifyOn(
+      sh: DataFrame, cnt: DataFrame, idCol: String,
+      candidates: DataFrame): DataFrame = {
     val a = sh.select(col(idCol).as("id1"), col("s"))
     val b = sh.select(col(idCol).as("__bid"), col("s").as("s2"))
     val cand = candidates.select(col("id1"), col("id2")).distinct()
@@ -195,8 +217,8 @@ object Dedup {
       .join(b, col("id2") === col("__bid") && col("s") === col("s2"))
       .groupBy(col("id1"), col("id2")).agg(count(lit(1)).as("c"))
     inter
-      .join(cnt.select(col(idCol).as("id1"), col("n").as("n1")), "id1")
-      .join(cnt.select(col(idCol).as("id2"), col("n").as("n2")), "id2")
+      .join(cnt.select(col(idCol).as("id1"), col("__n").as("n1")), "id1")
+      .join(cnt.select(col(idCol).as("id2"), col("__n").as("n2")), "id2")
       .select(col("id1"), col("id2"),
         (col("c").cast("double") / (col("n1") + col("n2") - col("c"))).as("jaccard"))
   }
@@ -241,25 +263,52 @@ object Dedup {
       df: DataFrame, textCol: String, idCol: String,
       k: Int, numHashes: Int, rowsPerBand: Int,
       threshold: Double): (DataFrame, DataFrame) = {
-    val eligible = df
-      .filter(size(TextAnalysis.words(col(textCol))) >= k)
-      .select(col(idCol), col(textCol))
-    val membership = eligible
-      .select(col(idCol), md5(col(textCol)).as("__fp"))
-      .withColumn("__rep", min(col(idCol)).over(
-        org.apache.spark.sql.expressions.Window.partitionBy(col("__fp"))))
-      .drop("__fp")
-      .localCheckpoint(true)
-    val repDocs = eligible.join(
-      membership.filter(col(idCol) === col("__rep")).select(col(idCol)),
-      Seq(idCol), "left_semi")
-    val sigs = minhashSignatures(repDocs, textCol, idCol, k, numHashes)
-    val cands = lshCandidatePairs(sigs, idCol, rowsPerBand)
-    val repPairs = jaccardVerify(repDocs, textCol, idCol, cands, k)
-      .filter(col("jaccard") >= threshold)
-      .localCheckpoint(true)
-    (membership, repPairs)
+    val c = sigCore(df, textCol, idCol, k, numHashes, rowsPerBand)
+    val repPairs =
+      jaccardVerifyOn(c.shingles, c.counts, idCol, bandSelfPairs(c.bands, idCol))
+        .filter(col("jaccard") >= threshold)
+        .localCheckpoint(true)
+    (c.membership, repPairs)
   }
+
+  /** Threshold-independent signature frames over a corpus, memoized and
+    * localCheckpointed: exact-group membership, distinct shingles of the
+    * group REPRESENTATIVES, per-rep shingle counts, and LSH band keys.
+    * This is the single expensive text pass the whole near-dup family —
+    * [[nearDupCore]] (hence nearDuplicatePairs/dropNearDuplicates/
+    * capNearDuplicates) and [[NearDupIndex.build]] (hence
+    * [[dropDuplicatesAgainst]] and the streaming dedup) — shares: the text
+    * column is scanned exactly twice (membership md5 + shingle pass) per
+    * (corpus, params) per session, and everything downstream of it is
+    * id/hash-keyed. Signatures are derived from the stored distinct-shingle
+    * frame ([[minhashFromShingles]] — `min` is duplicate-insensitive), so
+    * building band keys costs no third scan.
+    */
+  private final case class SigCore(membership: DataFrame, shingles: DataFrame,
+    counts: DataFrame, bands: DataFrame)
+
+  private def sigCore(df: DataFrame, textCol: String, idCol: String,
+      k: Int, numHashes: Int, rowsPerBand: Int): SigCore =
+    memoized(df, ("sigCore", textCol, idCol, k, numHashes, rowsPerBand)) {
+      val eligible = df
+        .filter(size(TextAnalysis.words(col(textCol))) >= k)
+        .select(col(idCol), col(textCol))
+      val membership = eligible
+        .select(col(idCol), md5(col(textCol)).as("__fp"))
+        .withColumn("__rep", min(col(idCol)).over(
+          org.apache.spark.sql.expressions.Window.partitionBy(col("__fp"))))
+        .drop("__fp")
+        .localCheckpoint(true)
+      val repDocs = eligible.join(
+        membership.filter(col(idCol) === col("__rep")).select(col(idCol)),
+        Seq(idCol), "left_semi")
+      val sh = TextAnalysis.shingles(repDocs, textCol, k, idCol)
+        .distinct().localCheckpoint(true)
+      val cnt = sh.groupBy(col(idCol)).agg(count(lit(1)).as("__n"))
+      val bands = lshBandKeys(minhashFromShingles(sh, idCol, numHashes),
+        idCol, rowsPerBand).localCheckpoint(true)
+      SigCore(membership, sh, cnt, bands)
+    }
 
   /** Near-dup detection end-to-end: MinHash → LSH candidates → Jaccard ≥
     * `threshold`. Exact-duplicate groups are collapsed before the banded
@@ -494,56 +543,23 @@ object Dedup {
     * sail through the banded join even when byte-identical (titles and
     * one-liners are common in crawl batches).
     *
-    * Scale shape: identical to [[nearDuplicatePairs]] over the union —
-    * signatures are per-doc (no cross-frame work until the banded
-    * equi-join), so the corpus side can be a pre-computed signature store
-    * in a real pipeline; classification of pair orientation is two
-    * semi-joins against the corpus id set, and the exact pass is one
-    * hash-groupBy + semi-join on uniform md5 keys.
+    * Scale shape: the corpus side IS a pre-computed signature store —
+    * [[NearDupIndex]] built via the memoized [[sigCore]] — so corpus
+    * signatures are derived once per session no matter how many batches
+    * (or other near-dup operators) touch the same corpus; the batch side
+    * is per-doc signature work plus band-keyed equi-joins, and the exact
+    * pass is one hash-groupBy + semi-join on uniform md5 keys.
     */
   def dropDuplicatesAgainst(
       batch: DataFrame, corpus: DataFrame, textCol: String, idCol: String,
       k: Int = 3, numHashes: Int = 8, rowsPerBand: Int = 2,
-      threshold: Double = 0.7): DataFrame = {
-    val all = batch.select(col(idCol), col(textCol))
-      .union(corpus.select(col(idCol), col(textCol)))
-    // Near-dup classification on the exact-collapsed core — never on
-    // expanded member pairs, which go quadratic under exact-dup-heavy
-    // batches. A batch doc is a NEAR loser iff its exact group is
-    //   (a) the id2 side of any representative pair (loses to the smaller
-    //       rep — matches the pair-wise keep-lowest-id policy member for
-    //       member, same argument as dropNearDuplicates), or
-    //   (b) either side of a pair whose other side's group contains a
-    //       corpus doc (every member then near-dups a corpus doc;
-    //       orientation is irrelevant because the corpus is never kept).
-    // Exact duplicates — including non-rep members and whole corpus-y
-    // groups — are the md5 passes' job below, unchanged.
-    val (membership, repPairs) =
-      nearDupCore(all, textCol, idCol, k, numHashes, rowsPerBand, threshold)
-    val corpusGroups = membership
-      .join(corpus.select(col(idCol)), Seq(idCol), "left_semi")
-      .select(col("__rep")).distinct()
-    val id2Groups = repPairs.select(col("id2").as("__rep"))
-    val id1GroupsVsCorpus = repPairs
-      .join(corpusGroups.select(col("__rep").as("id2")), Seq("id2"), "left_semi")
-      .select(col("id1").as("__rep"))
-    val nearLosers = id2Groups.union(id1GroupsVsCorpus).distinct()
-      .join(membership, "__rep")
-      .select(col(idCol))
-    val batchFp = batch.select(col(idCol), md5(col(textCol)).as("__fp"))
-    val exactToCorpus = batchFp
-      .join(corpus.select(md5(col(textCol)).as("__fp")).distinct(),
-        Seq("__fp"), "left_semi")
-      .select(col(idCol))
-    val exactInternal = batchFp
-      .join(batchFp.groupBy(col("__fp")).agg(min(col(idCol)).as("__keep")),
-        "__fp")
-      .filter(col(idCol) > col("__keep"))
-      .select(col(idCol))
-    val losers = nearLosers
-      .union(exactToCorpus).union(exactInternal).distinct()
-    batch.join(losers, Seq(idCol), "left_anti")
-  }
+      threshold: Double = 0.7): DataFrame =
+    // Delegates to the signature index: build once over the corpus
+    // (memoized per session via sigCore, so repeated dedups against the
+    // same corpus — or any other near-dup op on it — never re-derive its
+    // signatures) and classify the batch against it.
+    NearDupIndex.build(corpus, textCol, idCol, k, numHashes, rowsPerBand)
+      .dedupBatch(batch, textCol, threshold)
 
   /** Connected components over an undirected edge list — turns pair-wise
     * near-dup hits into transitive duplicate CLUSTERS (A~B, B~C ⇒ {A,B,C}),
@@ -677,9 +693,9 @@ object Dedup {
     * use: build once, dedup every incoming batch against it with O(batch)
     * new work, optionally growing it with each batch's survivors
     * ([[graft.streaming.EventPipeline.nearDedupStream]] is the streaming
-    * wrapper). [[dropDuplicatesAgainst]] re-derives the corpus side per
-    * call — right for one-shot jobs, wasteful per micro-batch; here the
-    * corpus never re-tokenizes or re-hashes once built.
+    * wrapper, and [[dropDuplicatesAgainst]] is the one-shot facade over
+    * build + dedupBatch). Once built, the corpus never re-tokenizes or
+    * re-hashes — and the build itself is session-memoized.
     *
     * Scale shape: the stored frames are band keys (numHashes/rowsPerBand
     * rows per doc), distinct shingles, shingle counts and text
@@ -704,43 +720,56 @@ object Dedup {
       */
     def dedupBatch(batch: DataFrame, textCol: String,
         threshold: Double = 0.7): DataFrame = {
+      // Batch-side signature frames come from the same memoized sigCore the
+      // rest of the near-dup family uses — computed once per (batch,
+      // params) even though both the internal pass and the index pass below
+      // consume them. All classification runs on exact-group
+      // REPRESENTATIVES; member losers are recovered through the membership
+      // frame (identical text ⇒ identical shingles ⇒ identical verdict),
+      // so nothing here is quadratic in exact-group size.
       val internalFp = batch.select(col(idCol), md5(col(textCol)).as("__fp"))
       val exactInternalLosers = internalFp
         .join(internalFp.groupBy(col("__fp")).agg(min(col(idCol)).as("__keep")),
           "__fp")
         .filter(col(idCol) > col("__keep")).select(col(idCol))
-      val internal = dropNearDuplicates(batch, textCol, idCol, k, numHashes,
-          rowsPerBand, threshold)
-        .join(exactInternalLosers, Seq(idCol), "left_anti")
-      val exactLosers = internal
-        .select(col(idCol), md5(col(textCol)).as("__fp"))
+      val exactVsIndexLosers = internalFp
         .join(fingerprints, Seq("__fp"), "left_semi")
         .select(col(idCol))
-      val eligible = internal
-        .filter(size(TextAnalysis.words(col(textCol))) >= k)
-        .select(col(idCol), col(textCol))
-      val bSh = TextAnalysis.shingles(eligible, textCol, k, idCol).distinct()
-      val bCnt = bSh.groupBy(col(idCol)).agg(count(lit(1)).as("__bn"))
-      val bBands = lshBandKeys(
-        minhashSignatures(eligible, textCol, idCol, k, numHashes),
-        idCol, rowsPerBand)
-      val cands = bBands.select(col(idCol).as("__bid"), col("band"), col("bkey"))
+      // pair-wise keep-lowest-id INSIDE the batch (same derivation as
+      // dropNearDuplicates: non-reps lose to their rep, and every member of
+      // a group on the id2 side of a rep pair loses to the id1 rep)
+      val (membership, repPairs) =
+        nearDupCore(batch, textCol, idCol, k, numHashes, rowsPerBand, threshold)
+      val nonReps = membership.filter(col(idCol) =!= col("__rep"))
+        .select(col(idCol))
+      val losingMembers = repPairs.select(col("id2").as("__rep")).distinct()
+        .join(membership, "__rep").select(col(idCol))
+      // batch reps vs the index: band-keyed candidates, exact-Jaccard
+      // verified against the stored shingle/count frames; a rep that
+      // near-dups the index drops its whole exact group
+      val c = sigCore(batch, textCol, idCol, k, numHashes, rowsPerBand)
+      val cands = c.bands.select(col(idCol).as("__bid"), col("band"), col("bkey"))
         .join(bands.select(col(idCol).as("__cid"), col("band"), col("bkey")),
           Seq("band", "bkey"))
         .select(col("__bid"), col("__cid")).distinct()
       val inter = cands
-        .join(bSh.select(col(idCol).as("__bid"), col("s")), Seq("__bid"))
+        .join(c.shingles.select(col(idCol).as("__bid"), col("s")), Seq("__bid"))
         .join(shingles.select(col(idCol).as("__cid2"), col("s").as("__s2")),
           col("__cid") === col("__cid2") && col("s") === col("__s2"))
         .groupBy(col("__bid"), col("__cid")).agg(count(lit(1)).as("__c"))
-      val nearLosers = inter
-        .join(bCnt.select(col(idCol).as("__bid"), col("__bn")), Seq("__bid"))
+      val nearRepLosers = inter
+        .join(c.counts.select(col(idCol).as("__bid"), col("__n").as("__bn")),
+          Seq("__bid"))
         .join(counts.select(col(idCol).as("__cid"), col("__n")), Seq("__cid"))
         .filter(col("__c").cast("double") /
           (col("__bn") + col("__n") - col("__c")) >= threshold)
-        .select(col("__bid").as(idCol))
-      internal.join(exactLosers.union(nearLosers).distinct(),
-        Seq(idCol), "left_anti")
+        .select(col("__bid").as("__rep")).distinct()
+      val nearVsIndexLosers = nearRepLosers
+        .join(membership, "__rep").select(col(idCol))
+      val losers = exactInternalLosers.union(exactVsIndexLosers)
+        .union(nonReps).union(losingMembers).union(nearVsIndexLosers)
+        .distinct()
+      batch.join(losers, Seq(idCol), "left_anti")
     }
 
     /** Grow the index with `extra` rows (typically a batch's survivors).
@@ -780,22 +809,25 @@ object Dedup {
       * signature aggregation, one fingerprint pass; everything stored is
       * checkpointed and id-keyed.
       */
+    /** Build the signature index over `corpus` from the session-memoized
+      * [[sigCore]] — one shingle scan, one fingerprint pass, shared with
+      * every other near-dup operator touching the same corpus this
+      * session. The stored band/shingle/count frames cover exact-group
+      * REPRESENTATIVES only: identical corpus texts share every band key
+      * and shingle, so rep rows generate the same batch-side candidates
+      * and verdicts at 1/group-size the join fan-in, and exact members
+      * are fully covered by the (distinct) fingerprint frame.
+      */
     def build(corpus: DataFrame, textCol: String, idCol: String, k: Int = 3,
-        numHashes: Int = 8, rowsPerBand: Int = 2): NearDupIndex = {
-      val eligible = corpus
-        .filter(size(TextAnalysis.words(col(textCol))) >= k)
-        .select(col(idCol), col(textCol))
-      val sh = TextAnalysis.shingles(eligible, textCol, k, idCol)
-        .distinct().localCheckpoint(true)
-      val cnt = sh.groupBy(col(idCol)).agg(count(lit(1)).as("__n"))
-        .localCheckpoint(true)
-      val bnd = lshBandKeys(
-        minhashSignatures(eligible, textCol, idCol, k, numHashes),
-        idCol, rowsPerBand).localCheckpoint(true)
-      val fp = corpus.select(md5(col(textCol)).as("__fp")).distinct()
-        .localCheckpoint(true)
-      NearDupIndex(idCol, k, numHashes, rowsPerBand, bnd, sh, cnt, fp)
-    }
+        numHashes: Int = 8, rowsPerBand: Int = 2): NearDupIndex =
+      memoized(corpus, ("nearDupIndex", textCol, idCol, k, numHashes,
+        rowsPerBand)) {
+        val c = sigCore(corpus, textCol, idCol, k, numHashes, rowsPerBand)
+        val fp = corpus.select(md5(col(textCol)).as("__fp")).distinct()
+          .localCheckpoint(true)
+        NearDupIndex(idCol, k, numHashes, rowsPerBand, c.bands, c.shingles,
+          c.counts, fp)
+      }
   }
 
   /** Leakage-safe train/val/test split: assign every document to a split by

@@ -48,8 +48,13 @@ object VectorSearch {
 
   /** An IVF (inverted-file) coarse quantizer: rows bucketed by nearest
     * KMeans centroid, stored as cluster-partitioned parquet.
+    *
+    * `baselineDist` is the build-time mean squared-L2 distance of vectors
+    * to their assigned centroid (NaN when the index predates the probe) —
+    * the yardstick [[driftRatio]] measures centroid drift against.
     */
-  final case class IvfIndex(path: String, centroids: Array[Array[Float]]) {
+  final case class IvfIndex(path: String, centroids: Array[Array[Float]],
+      baselineDist: Double = Double.NaN) {
 
     /** Cluster ids nearest to `query` by dot product (probe order). */
     def nearestClusters(query: Array[Float], nprobe: Int): Seq[Int] =
@@ -130,6 +135,48 @@ object VectorSearch {
         .partitionBy("__cluster").parquet(path)
       dfCache.clear() // cached relations pin the old file list
     }
+
+    /** Centroid-drift probe — the maintenance hook behind [[append]]'s
+      * frozen-centroid trade: current mean assigned-centroid distance over
+      * a sample of the index, as a ratio to the build-time baseline.
+      * ≈ 1.0 means appends still match the trained distribution; a
+      * sustained rise means the frozen centroids no longer describe the
+      * data, probe lists are growing lopsided, and recall at fixed nprobe
+      * is decaying — re-train ([[buildIvf]]) when it crosses the caller's
+      * threshold ([[needsRetrain]] packages the common case).
+      *
+      * Cost: one narrow sampled pass over (`__vec`) with the fused
+      * [[graft.functions.nearest_centroid_dist]] kernel — no shuffle, no
+      * exact recall evaluation (which would need exact top-k ground truth,
+      * i.e. full scans per query). Run it per maintenance window, not per
+      * append.
+      */
+    def driftRatio(spark: SparkSession, sampleFraction: Double = 0.1,
+        seed: Long = 42L): Double = {
+      require(!baselineDist.isNaN,
+        "driftRatio: index has no build-time baseline (rebuild with buildIvf)")
+      val sampled =
+        if (sampleFraction >= 1.0) indexDf(spark)
+        else indexDf(spark).sample(withReplacement = false, sampleFraction, seed)
+      val cur = sampled
+        .select(avg(graft.functions.nearest_centroid_dist(col("__vec"),
+          centroids)).as("d"))
+        .head().getDouble(0)
+      // an all-identical degenerate build can have baseline 0; any real
+      // spread after appends then reads as infinite drift, which is the
+      // right signal
+      if (baselineDist == 0.0) { if (cur == 0.0) 1.0 else Double.PositiveInfinity }
+      else cur / baselineDist
+    }
+
+    /** True when [[driftRatio]] ≥ `threshold` — the "schedule a re-train"
+      * signal. 1.5 default: KMeans quantization error rising 50% over build
+      * time reliably coincides with measurable recall loss at fixed nprobe,
+      * while staying comfortably above sampling noise.
+      */
+    def needsRetrain(spark: SparkSession, threshold: Double = 1.5,
+        sampleFraction: Double = 0.1): Boolean =
+      driftRatio(spark, sampleFraction) >= threshold
   }
 
   private def dotLocal(a: Array[Float], b: Array[Float]): Double = {
@@ -211,7 +258,15 @@ object VectorSearch {
     assigned.sortWithinPartitions(col("__cluster"))
       .write.mode("overwrite").option("compression", "snappy")
       .partitionBy("__cluster").parquet(path)
-    IvfIndex(path, centroids)
+    // Build-time drift baseline: mean assigned-centroid distance over the
+    // same bounded sample the fit used — one extra narrow pass, so the
+    // probe ([[IvfIndex.driftRatio]]) has a yardstick without ever needing
+    // a full-corpus scan.
+    val baseline = sampled
+      .select(avg(graft.functions.nearest_centroid_dist(col(vecCol),
+        centroids)).as("d"))
+      .head().getDouble(0)
+    IvfIndex(path, centroids, baseline)
   }
 
   /** Maximal-Marginal-Relevance re-rank: diversified top-`k` — greedily

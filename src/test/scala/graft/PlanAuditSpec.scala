@@ -148,4 +148,33 @@ class PlanAuditSpec extends SparkSpec {
         df.queryExecution.executedPlan.toString)
     }
   }
+
+  test("merged-store reads keep heap top-k and prune the vector column") {
+    // the 200-QPS tier's concurrent-read path: store.read() is base ∪ live
+    // deltas (anti-join + union) — the serving-read plan properties must
+    // survive the merge, not just a plain scan
+    val root = java.nio.file.Files.createTempDirectory("pa_store").toString
+    val store = new graft.streaming.BucketedStore(root, nBuckets = 4)
+    import spark.implicits._
+    val rows = (0L until 200L).map { i =>
+      (i, s"cat${i % 3}", Array.tabulate(16)(d => (i + d).toFloat))
+    }.toDF("id", "category", "embedding")
+    store.initialize(rows, "id")
+    store.appendDelta(
+      Seq((3L, "cat0", Array.fill(16)(9.0f)),
+        (500L, "cat1", Array.fill(16)(1.0f)))
+        .toDF("id", "category", "embedding"), "id")
+    val merged = store.read(spark)
+    // vector top-k over the merged view: per-partition heap, no global sort
+    val q = Array.fill(16)(0.5f)
+    val topPlan = planOf(VectorSearch.topK(merged, "embedding", q, 10,
+      Some(col("category") === "cat1"), projection = Seq("id")))
+    assert(topPlan.contains("TakeOrderedAndProject"), topPlan)
+    assert(!topPlan.contains("ShuffleExchange"), topPlan)
+    // non-vector projection: the embedding column must not be read on
+    // EITHER side of the base ∪ delta union
+    val statPlan = planOf(
+      merged.groupBy(col("category")).agg(count(lit(1)).as("n")))
+    assert(!statPlan.contains("embedding:"), statPlan)
+  }
 }

@@ -95,6 +95,36 @@ class VectorKernelsSpec extends SparkSpec {
     assert(tied == 0)
   }
 
+  test("nearest_centroid_dist equals brute-force min squared-L2 distance") {
+    val rnd = new scala.util.Random(13)
+    val centroids = Array.fill(6)(Array.fill(24)(rnd.nextFloat() * 4 - 2))
+    val vecs = (0 until 100).map(_ => Array.fill(24)(rnd.nextFloat() * 4 - 2))
+    def brute(v: Array[Float]): Double =
+      centroids.map { c =>
+        c.zip(v).foldLeft(0.0) { case (acc, (ci, vi)) =>
+          acc + (ci.toDouble - vi) * (ci.toDouble - vi) }
+      }.min
+    val got = vecs.toDF("v")
+      .select(graft.functions.nearest_centroid_dist($"v", centroids)).collect()
+      .map(_.getDouble(0))
+    vecs.zip(got).foreach { case (v, g) =>
+      assert(math.abs(g - brute(v)) < 1e-6, s"$g vs ${brute(v)}")
+    }
+    // a vector sitting exactly on a centroid is distance 0 (clamped, not
+    // a tiny negative from accumulation order)
+    val onCentroid = Seq(centroids(2)).toDF("v")
+      .select(graft.functions.nearest_centroid_dist($"v", centroids))
+      .head().getDouble(0)
+    assert(onCentroid >= 0.0 && onCentroid < 1e-9)
+    // interpreted eval agrees with the codegen path exercised above
+    val interp = graft.functions.NearestCentroidDist(
+      org.apache.spark.sql.catalyst.expressions.Literal.create(vecs.head,
+        org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.FloatType, false)),
+      centroids).eval(null).asInstanceOf[Double]
+    assert(math.abs(interp - brute(vecs.head)) < 1e-6)
+  }
+
   test("vec_dot and nearest_centroid accept array<tinyint> code inputs") {
     // Seq[Byte] (not Array[Byte], which encodes as BINARY) → array<tinyint>
     val dotted = Seq((Seq[Byte](1, -2, 3), Array(2.0f, 3.0f, 4.0f)))

@@ -64,6 +64,30 @@ class VectorSearchSpec extends SparkSpec {
     assert(top.tail.nonEmpty)
   }
 
+  test("IVF drift probe: skewed appends trip needsRetrain, aligned ones don't") {
+    val dir = java.nio.file.Files.createTempDirectory("ivf_drift").toString
+    val idx = VectorSearch.buildIvf(clustered, "embedding", 3, dir)
+    assert(!idx.baselineDist.isNaN && idx.baselineDist >= 0.0)
+    // in-distribution appends: more vectors around an existing center
+    val rnd = new scala.util.Random(11)
+    val aligned = (1000L until 1040L).map { i =>
+      (i, 0, Array.fill(8)(5.0f + rnd.nextFloat() - 0.5f))
+    }.toDF("vec_id", "true_cluster", "embedding")
+    idx.append(aligned, "embedding")
+    val healthy = idx.driftRatio(spark, sampleFraction = 1.0)
+    assert(healthy < 1.5, s"healthy appends read as drift: $healthy")
+    assert(!idx.needsRetrain(spark, sampleFraction = 1.0))
+    // skewed appends: a new mode far from every trained centroid
+    val skewed = (2000L until 2080L).map { i =>
+      (i, 3, Array.tabulate(8)(d => if (d < 4) 40.0f else -40.0f))
+    }.toDF("vec_id", "true_cluster", "embedding")
+    idx.append(skewed, "embedding")
+    val drifted = idx.driftRatio(spark, sampleFraction = 1.0)
+    assert(drifted > healthy && drifted >= 1.5,
+      s"drift not detected: healthy=$healthy drifted=$drifted")
+    assert(idx.needsRetrain(spark, sampleFraction = 1.0))
+  }
+
   test("mmrTopK diversifies: near-duplicate of a selected hit is deferred") {
     val q = Array(1.0f, 0.0f, 0.0f, 0.0f)
     val df = Seq(
