@@ -231,6 +231,10 @@ object Bench {
       val reader: Option[Thread] =
         if (!readsDuring) None
         else Some(new Thread(() => {
+          // reads in their own FAIR pool: wide read scans must not starve
+          // the commit path's 1-task jobs (and vice versa)
+          spark.sparkContext.setLocalProperty("spark.scheduler.pool",
+            "graft-read")
           var nextDue = System.nanoTime()
           var prepared: DataFrame = null
           var preparedAt = 0L
@@ -298,13 +302,19 @@ object Bench {
             }
           })
         qOpt = Some(q)
-        // one warmup commit before the clock starts: stream startup + first
-        // plan analysis/codegen is a fixed one-off (~2 s) that would
-        // otherwise be charged to the first dozen objects of the measured
-        // window — the tier measures STEADY-STATE rate and latency, per the
-        // reference's sustained-QPS framing
-        mem.addData(idOffset - 1)
-        q.processAllAvailable()
+        // graduated warmup commits before the clock starts: stream startup,
+        // first plan analysis/codegen AND the parquet-writer/coalesce JIT
+        // are fixed one-offs (~2 s total, measured decaying over the first
+        // ~3 commits) that would otherwise be charged to the first dozen
+        // objects of the measured window — the tier measures STEADY-STATE
+        // rate and latency, per the reference's sustained-QPS framing.
+        // Warmup ids sit below idOffset so they never collide with a
+        // measured object's arrival record.
+        var warmId = idOffset - 1
+        Seq(1, 8, 32).foreach { n =>
+          mem.addData((0 until n).map { _ => warmId -= 1; warmId + 1 }: _*)
+          q.processAllAvailable()
+        }
         // drain pending writeback (store init / previous sections) so the
         // kernel's aged-dirty-page flush doesn't land mid-window — measured
         // as 3-5× commit stalls cascading into the latency tail

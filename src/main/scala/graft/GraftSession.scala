@@ -23,6 +23,15 @@ object GraftSession {
     // commits a (tiny) job per micro-batch — one less file create + fsync
     // on every single-object commit's latency path
     "spark.hadoop.mapreduce.fileoutputcommitter.marksuccessfuljobs" -> "false",
+    // FAIR scheduling across pools (static conf — applies to sessions built
+    // with these defaults, not via prepare()): the streaming commit path
+    // runs 1–4-task jobs that must never queue behind a concurrent
+    // reader's 100-task scan under FIFO — measured as multi-second commit
+    // stalls exactly while a read was draining. Threads that opt into a
+    // named pool (graft-commit / graft-read / graft-maintenance) get a
+    // fair slot share; everything else lands in the default pool and
+    // behaves as before (single-pool FAIR ≈ FIFO).
+    "spark.scheduler.mode" -> "FAIR",
     "spark.ui.enabled" -> "false"
   )
 

@@ -208,6 +208,36 @@ class BucketedStoreSpec extends SparkSpec {
     assert(store.read(spark).filter(col("k") === 1L).head().getString(1) == "d4")
   }
 
+  test("consolidateDeltasFromRows: driver-local merge matches distributed semantics") {
+    val root = java.nio.file.Files.createTempDirectory("blocal").toString
+    val store = new BucketedStore(root, nBuckets = 4)
+    store.initialize((0L until 20L).map(i => (i, "orig")).toDF("k", "v"), "k")
+    val b1 = Seq((1L, "d1"), (50L, "n1"))
+    val b2 = Seq((1L, "d2"))
+    val b3 = Seq((2L, "d3"), (51L, "n2"))
+    val v1 = store.appendDelta(b1.toDF("k", "v"), "k")
+    val v2 = store.appendDelta(b2.toDF("k", "v"), "k")
+    val v3 = store.appendDelta(b3.toDF("k", "v"), "k")
+    assert(store.liveDeltaCount == 3)
+    val schema = Seq((0L, "x")).toDF("k", "v").schema
+    def rows(b: Seq[(Long, String)]) =
+      b.map(t => org.apache.spark.sql.Row(t._1, t._2))
+    store.consolidateDeltasFromRows(spark, schema,
+      Seq(v1 -> rows(b1), v2 -> rows(b2), v3 -> rows(b3)))
+    assert(store.liveDeltaCount == 1)
+    val m = store.read(spark).collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(m(1L) == "d2" && m(2L) == "d3" && m(50L) == "n1" && m(51L) == "n2")
+    assert(m(5L) == "orig" && m.size == 22)
+    // a delta landing AFTER the capture set still wins over the slab
+    store.appendDelta(Seq((1L, "d4")).toDF("k", "v"), "k")
+    assert(store.read(spark).filter(col("k") === 1L).head().getString(1) == "d4")
+    // a captured version that is no longer live aborts without a swap
+    val vBefore = store.currentVersion.get
+    val unchanged = store.consolidateDeltasFromRows(spark, schema,
+      Seq(v1 -> rows(b1), v2 -> rows(b2)))
+    assert(unchanged == vBefore && store.currentVersion.contains(vBefore))
+  }
+
   test("consolidation concurrent with an appender loses nothing, latest wins") {
     val root = java.nio.file.Files.createTempDirectory("bconc").toString
     val store = new BucketedStore(root, nBuckets = 4)
