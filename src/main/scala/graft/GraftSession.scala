@@ -19,6 +19,13 @@ object GraftSession {
     // events.parquet carries TIMESTAMP(NANOS); Spark reads it as long
     // (nanos since epoch) with this flag, and Tables.events converts.
     "spark.sql.legacy.parquet.nanosAsLong" -> "true",
+    // the testdata's timestamp[us] columns carry no timezone tag; read them
+    // as TimestampType (micros-since-epoch, session TZ = UTC) instead of
+    // TIMESTAMP_NTZ so the engine's unix_micros/window arithmetic applies
+    // and timestamp predicates still push into the parquet scan (a post-read
+    // NTZ→TZ cast would block pushdown). Matches DuckDB's naive-timestamp
+    // read of the same files.
+    "spark.sql.parquet.inferTimestampNTZ.enabled" -> "false",
     // nothing in the engine reads _SUCCESS markers, and the upsert path
     // commits a (tiny) job per micro-batch — one less file create + fsync
     // on every single-object commit's latency path
