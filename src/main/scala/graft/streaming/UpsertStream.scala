@@ -4,7 +4,7 @@ import java.nio.file.{Files, Paths, StandardCopyOption}
 
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{DataStreamWriter, GroupState, GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
-import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, Row, SparkSession}
 
 /** The reference's write path (reference `README.md:69-70`): sustained
   * single-object upserts — replace-by-key including a re-computed embedding —
@@ -618,6 +618,115 @@ final class BucketedStore(val root: String, val nBuckets: Int,
     }
     writeVersion(next, manifest ++ touched.map(_ -> next), newDeltas)
     next
+  }
+
+  /** Create a [[PreparedTopK]] serving handle for this store. `slack`
+    * defaults to max(4·k, 256) extra cached base rows (the displacement
+    * budget before a read falls back to a full scan).
+    */
+  def prepareTopK(spark: SparkSession, vecCol: String, query: Array[Float],
+      k: Int, filter: Option[Column] = None,
+      projection: Seq[String] = Seq.empty, slack: Int = -1): PreparedTopK =
+    new PreparedTopK(spark, vecCol, query, k, filter, projection,
+      if (slack >= 0) slack else math.max(4 * k, 256))
+
+  /** Snapshot-prepared filtered top-k — the MVCC serving shape for reads
+    * concurrent with sustained upserts. The bucketed base is immutable
+    * between bucket folds, so its top-(k+slack) is scored ONCE per bucket
+    * manifest and cached driver-side; each [[read]] then scans only the
+    * live delta files (tiny by contract — minor compaction keeps them so)
+    * and merges:
+    *
+    *   topk(base ∪ Δ) = topk((cached base hits \ Δ-keys) ∪ σ_filter(Δ_latest))
+    *
+    * A delta on key K displaces K's base row regardless of the read filter
+    * (K's current version IS the delta row), so cached hits are dropped by
+    * key against the full delta key set. Exactness: the cache is a prefix
+    * of the base's score order, so the merge equals the full merged-store
+    * scan whenever (a) ≥ k cached hits survive displacement, or (b) the
+    * cache holds the COMPLETE filtered base (fewer matching rows than
+    * k+slack). Otherwise the read falls back to the full scan — exact
+    * always, fast in the overwhelmingly common case. Per-read cost at any
+    * table size: O(delta bytes) + O(k+slack) driver work; the base is
+    * served from a materialized result, not rescanned. The cache refreshes
+    * itself when the bucket manifest changes (compaction/CoW upsert).
+    */
+  final class PreparedTopK private[BucketedStore] (
+      spark: SparkSession, vecCol: String, query: Array[Float], k: Int,
+      filter: Option[Column], projection: Seq[String], slack: Int) {
+    import graft.functions.vec_dot
+
+    private val keyCol = BucketedStore.this.key
+    private val baseProj: Seq[String] = (keyCol +: projection).distinct
+    private val scoreIdx = baseProj.length
+    private val keyIdx = baseProj.indexOf(keyCol)
+    private val projIdx = projection.map(baseProj.indexOf)
+    // (bucket manifest, cached base hits as (baseProj..., score) rows)
+    @volatile private var cached: (Map[Int, Int], Array[Row]) = null
+    private val fast = new java.util.concurrent.atomic.AtomicLong
+    private val fallbacks = new java.util.concurrent.atomic.AtomicLong
+    /** reads served from cache + deltas only / via full-scan fallback */
+    def fastReadCount: Long = fast.get
+    def fallbackReadCount: Long = fallbacks.get
+
+    private def num(a: Any): Double = a.asInstanceOf[Number].doubleValue()
+
+    private def ensureBase(manifest: Map[Int, Int]): Array[Row] =
+      this.synchronized {
+        val c = cached
+        if (c != null && c._1 == manifest) c._2
+        else {
+          val hits = graft.operators.VectorSearch.topK(
+            readBase(spark, manifest), vecCol, query, k + slack, filter,
+            baseProj).collect()
+          cached = (manifest, hits)
+          hits
+        }
+      }
+
+    /** One read against the CURRENT snapshot. Returns up to k rows shaped
+      * (projection..., score), best first — same rows as
+      * `VectorSearch.topK(store.read(spark), …).collect()`.
+      */
+    def read(): Array[Row] = {
+      val v = currentVersion.getOrElse(
+        throw new IllegalStateException(s"no committed version under $root"))
+      val (manifest, deltas) = readManifest(v)
+      val base = ensureBase(manifest)
+      val out: Seq[(Double, Seq[Any])] =
+        if (deltas.isEmpty)
+          base.iterator.map(r =>
+            (num(r.get(scoreIdx)), projIdx.map(r.get) :+ r.get(scoreIdx))).toSeq
+        else {
+          // one tiny job: every live-delta key (for displacement) plus each
+          // latest row's filter verdict, score and projection — no
+          // embedding bytes reach the driver
+          val sel = Seq(col(keyCol).as("__k"),
+            filter.map(f => coalesce(f.cast("boolean"), lit(false)))
+              .getOrElse(lit(true)).as("__pass"),
+            vec_dot(col(vecCol), typedLit(query)).as("__s")) ++
+            projection.map(col)
+          val dRows = latestDeltaRows(spark, deltas, keyCol).get
+            .select(sel: _*).collect()
+          val deltaKeys = dRows.iterator.map(_.get(0)).toSet
+          val survivors = base.filter(r => !deltaKeys.contains(r.get(keyIdx)))
+          val baseComplete = base.length < k + slack
+          if (!baseComplete && survivors.length < k) {
+            fallbacks.incrementAndGet()
+            return graft.operators.VectorSearch.topK(
+              readVersion(spark, v), vecCol, query, k, filter, projection)
+              .collect()
+          }
+          survivors.iterator.map(r =>
+            (num(r.get(scoreIdx)), projIdx.map(r.get) :+ r.get(scoreIdx))).toSeq ++
+            dRows.iterator.filter(_.getBoolean(1)).map { r =>
+              (num(r.get(2)),
+                (0 until projection.length).map(i => r.get(3 + i)) :+ r.get(2))
+            }.toSeq
+        }
+      fast.incrementAndGet()
+      out.sortBy(-_._1).take(k).map(t => Row(t._2: _*)).toArray
+    }
   }
 }
 
