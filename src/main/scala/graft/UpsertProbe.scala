@@ -35,9 +35,39 @@ object UpsertProbe {
         "parent_asin")
     }
 
-    def tier(name: String, nObjects: Int, offeredQps: Double, idOffset: Long): Unit = {
+    def tier(name: String, nObjects: Int, offeredQps: Double, idOffset: Long,
+        readsDuring: Boolean = false): Unit = {
       val arrivals = new java.util.concurrent.ConcurrentHashMap[Long, Long]()
       val lats = new java.util.concurrent.ConcurrentLinkedQueue[java.lang.Double]()
+      val readLats = new java.util.concurrent.ConcurrentLinkedQueue[java.lang.Double]()
+      @volatile var reading = true
+      // prepared serving reads at ~1/s against the live store, as Bench's
+      // 200-tier does — validates the snapshot-prepared read path under a
+      // real commit stream without the full bench's IO bill
+      val queryVec = store.read(spark).select(org.apache.spark.sql.functions.col("embedding"))
+        .head().getSeq[Float](0).toArray
+      val pq = if (!readsDuring) None
+        else Some(store.prepareTopK(spark, "embedding", queryVec, 100,
+          projection = Seq("parent_asin")))
+      val reader = pq.map { p =>
+        new Thread(() => {
+          spark.sparkContext.setLocalProperty("spark.scheduler.pool", "graft-read")
+          var nextDue = System.nanoTime()
+          while (reading) {
+            val rt0 = System.nanoTime()
+            try {
+              p.read()
+              readLats.add((System.nanoTime() - rt0) / 1e9)
+            } catch { case e: Throwable =>
+              println(s"[probe] read FAILED: ${e.getClass.getName}: ${e.getMessage}")
+            }
+            nextDue += 1000000000L
+            val waitMs = (nextDue - System.nanoTime()) / 1000000L
+            if (waitMs > 0 && reading) Thread.sleep(waitMs)
+            else nextDue = System.nanoTime()
+          }
+        }, s"$name-reader")
+      }
       var lastCommit = System.nanoTime()
       t(name) {
         import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
@@ -70,6 +100,8 @@ object UpsertProbe {
         // kernel's aged-dirty-page flush doesn't land mid-window
         try { new ProcessBuilder("sync").start().waitFor(); () }
         catch { case _: Throwable => () }
+        pq.foreach(p => try p.read() catch { case _: Throwable => () })
+        reader.foreach(_.start())
         val t0 = System.nanoTime()
         var i = 0
         while (i < nObjects) {
@@ -87,6 +119,8 @@ object UpsertProbe {
         }
         q.processAllAvailable()
         q.stop()
+        reading = false
+        reader.foreach(_.join(10000))
       }
       import scala.jdk.CollectionConverters._
       val xs = lats.asScala.map(_.toDouble).toArray.sorted
@@ -94,10 +128,16 @@ object UpsertProbe {
         val p95 = xs(math.min(xs.length - 1, math.ceil(0.95 * xs.length).toInt - 1))
         println(f"[probe] ${name}_p95: $p95%.3f s over ${xs.length} objects")
       }
+      val rs = readLats.asScala.map(_.toDouble).toArray.sorted
+      if (rs.nonEmpty) {
+        val p95 = rs(math.min(rs.length - 1, math.ceil(0.95 * rs.length).toInt - 1))
+        println(f"[probe] ${name}_read_p95: $p95%.3f s over ${rs.length} reads, " +
+          s"fallbacks=${pq.map(_.fallbackReadCount).getOrElse(0L)}")
+      }
     }
 
     tier("open40", 200, 40.0, 2000000L)
-    tier("open200", 1000, 200.0, 3000000L)
+    tier("open200", 1000, 200.0, 3000000L, readsDuring = true)
 
     spark.stop()
     import scala.jdk.CollectionConverters._

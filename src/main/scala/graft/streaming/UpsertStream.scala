@@ -76,6 +76,16 @@ final class SnapshotStore(val root: String) {
   * filtered top-k 0.9 s vs 2.6 s, 1445 MB vs 1135 MB at 100k×2688). Pass
   * zstd only for cold, read-rarely tiers.
   */
+/** One scored delta row held by a [[BucketedStore.PreparedTopK]] cache:
+  * merge key, commit seq, filter verdict, score, projection values. Delta
+  * files are immutable once written, so these cache per delta version — a
+  * steady-state read scores only the files committed since the previous
+  * read (usually one), and latest-per-key across versions resolves
+  * driver-side by max `__seq`.
+  */
+private[streaming] final case class DRow(k: Any, seq: Long, pass: Boolean,
+  score: Double, proj: Seq[Any])
+
 final class BucketedStore(val root: String, val nBuckets: Int,
     val codec: String = "snappy") {
   import java.nio.file.{Files, Paths, StandardCopyOption}
@@ -669,7 +679,49 @@ final class BucketedStore(val root: String, val nBuckets: Int,
     def fastReadCount: Long = fast.get
     def fallbackReadCount: Long = fallbacks.get
 
+    private val deltaCache =
+      scala.collection.mutable.HashMap[Int, Array[DRow]]()
+    // guard: past this many cached delta rows the store's small-delta
+    // contract is being violated (e.g. bulk backfills through the delta
+    // path) — stop caching and serve via the distributed scan instead
+    private val maxCachedDeltaRows = 500000
+
     private def num(a: Any): Double = a.asInstanceOf[Number].doubleValue()
+
+    private def passCol: Column =
+      filter.map(f => coalesce(f.cast("boolean"), lit(false)))
+        .getOrElse(lit(true))
+
+    /** Scored rows for every live delta version: cache hits for files seen
+      * before, one narrow scan per newly-committed file. Returns None when
+      * the cached total would exceed the guard (caller falls back to the
+      * distributed merge). Synchronized with base refresh — one reader
+      * thread is the intended shape, the lock just makes others safe.
+      */
+    private def deltaRows(deltas: Seq[Int]): Option[Iterable[DRow]] =
+      this.synchronized {
+        deltaCache.keys.filterNot(deltas.contains).toSeq
+          .foreach(deltaCache.remove) // consolidated away: slab re-read below
+        var total = deltaCache.valuesIterator.map(_.length.toLong).sum
+        val missing = deltas.filterNot(deltaCache.contains)
+        val sel = Seq(col(keyCol).as("__k"), col("__seq"),
+          passCol.as("__pass"),
+          graft.functions.vec_dot(col(vecCol), typedLit(query)).as("__s")) ++
+          projection.map(col)
+        missing.foreach { d =>
+          if (total <= maxCachedDeltaRows) {
+            val got = spark.read.parquet(s"$root/v$d/delta").select(sel: _*)
+              .collect().map { r =>
+                DRow(r.get(0), r.getLong(1), r.getBoolean(2), num(r.get(3)),
+                  (0 until projection.length).map(i => r.get(4 + i)))
+              }
+            total += got.length
+            deltaCache.put(d, got)
+          }
+        }
+        if (total > maxCachedDeltaRows) None
+        else Some(deltaCache.valuesIterator.flatten.toVector)
+      }
 
     private def ensureBase(manifest: Map[Int, Int]): Array[Row] =
       this.synchronized {
@@ -698,17 +750,27 @@ final class BucketedStore(val root: String, val nBuckets: Int,
           base.iterator.map(r =>
             (num(r.get(scoreIdx)), projIdx.map(r.get) :+ r.get(scoreIdx))).toSeq
         else {
-          // one tiny job: every live-delta key (for displacement) plus each
-          // latest row's filter verdict, score and projection — no
-          // embedding bytes reach the driver
-          val sel = Seq(col(keyCol).as("__k"),
-            filter.map(f => coalesce(f.cast("boolean"), lit(false)))
-              .getOrElse(lit(true)).as("__pass"),
-            vec_dot(col(vecCol), typedLit(query)).as("__s")) ++
-            projection.map(col)
-          val dRows = latestDeltaRows(spark, deltas, keyCol).get
-            .select(sel: _*).collect()
-          val deltaKeys = dRows.iterator.map(_.get(0)).toSet
+          val latest: Iterable[DRow] = deltaRows(deltas) match {
+            case Some(rows) =>
+              // latest commit per key wins (consolidated slabs keep each
+              // row's original __seq, so precedence survives merges)
+              rows.groupBy(_.k).valuesIterator
+                .map(_.maxBy(_.seq)).toVector
+            case None =>
+              // delta volume past the cache guard: distributed merge, one
+              // narrow job — no embedding bytes reach the driver
+              val sel = Seq(col(keyCol).as("__k"), col("__seq"),
+                passCol.as("__pass"),
+                vec_dot(col(vecCol), typedLit(query)).as("__s")) ++
+                projection.map(col)
+              latestDeltaRows(spark, deltas, keyCol).get.select(sel: _*)
+                .collect().map { r =>
+                  DRow(r.get(0), r.getLong(1), r.getBoolean(2),
+                    num(r.get(3)),
+                    (0 until projection.length).map(i => r.get(4 + i)))
+                }.toSeq
+          }
+          val deltaKeys = latest.map(_.k).toSet
           val survivors = base.filter(r => !deltaKeys.contains(r.get(keyIdx)))
           val baseComplete = base.length < k + slack
           if (!baseComplete && survivors.length < k) {
@@ -719,10 +781,8 @@ final class BucketedStore(val root: String, val nBuckets: Int,
           }
           survivors.iterator.map(r =>
             (num(r.get(scoreIdx)), projIdx.map(r.get) :+ r.get(scoreIdx))).toSeq ++
-            dRows.iterator.filter(_.getBoolean(1)).map { r =>
-              (num(r.get(2)),
-                (0 until projection.length).map(i => r.get(3 + i)) :+ r.get(2))
-            }.toSeq
+            latest.iterator.filter(_.pass).map(d =>
+              (d.score, d.proj :+ (d.score: Any))).toSeq
         }
       fast.incrementAndGet()
       out.sortBy(-_._1).take(k).map(t => Row(t._2: _*)).toArray
