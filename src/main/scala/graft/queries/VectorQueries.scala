@@ -462,6 +462,66 @@ object VectorQueries {
             x -> CASE WHEN (x[1] >= 0) != (x[2] >= 0) THEN 1 ELSE 0 END))
             AS BIGINT) AS hamming
         FROM embeddings e CROSS JOIN q
-        ORDER BY hamming, e.vec_id LIMIT 20"""))
+        ORDER BY hamming, e.vec_id LIMIT 20""")),
+
+    // ---- MVCC serving read: snapshot-prepared top-k over a merge-on-read
+    //      store (BucketedStore.prepareTopK). The store takes one delta of
+    //      DISPLACING updates (negated vectors — the keys stay present but
+    //      fall out of the top-k) and one of NEW keys that outscore the
+    //      base; the prepared read serves from the cached base prefix plus
+    //      the delta files. The oracle reconstructs the merged snapshot
+    //      relationally: base minus updated keys, union latest updates ----
+    QueryDef(
+      "q109_prepared_topk",
+      (s, d) => {
+        val e = Tables.embeddings(s, d)
+        val root = java.nio.file.Files.createTempDirectory("q109_store")
+        try {
+          val store = new graft.streaming.BucketedStore(root.toString,
+            nBuckets = 8)
+          store.initialize(e, "vec_id")
+          store.appendDelta(
+            e.filter(col("vec_id") % 40 === 0)
+              .select(col("vec_id"),
+                transform(col("embedding"), x => -x).as("embedding"),
+                col("label")), "vec_id")
+          store.appendDelta(
+            e.filter(col("vec_id") < 10)
+              .select((col("vec_id") + 1000000L).as("vec_id"),
+                transform(col("embedding"), x => x * lit(2.0f)).as("embedding"),
+                col("label")), "vec_id")
+          val qv = e.filter(col("vec_id") === 0).select(col("embedding"))
+            .head().getSeq[Float](0).toArray
+          val hits = store.prepareTopK(s, "embedding", qv, 20,
+            projection = Seq("vec_id")).read()
+          import s.implicits._
+          hits.map(r => (r.getLong(0), r.get(1).asInstanceOf[Double]))
+            .sortBy(t => (-t._2, t._1)).toSeq
+            .toDF("vec_id", "score_raw")
+            .select(col("vec_id"),
+              (round(col("score_raw"), 4) + 0.0).as("score"))
+        } finally {
+          import scala.jdk.CollectionConverters._
+          java.nio.file.Files.walk(root).iterator().asScala.toSeq.reverse
+            .foreach(p => try java.nio.file.Files.delete(p)
+              catch { case _: Throwable => () })
+        }
+      },
+      Some(s"""WITH upd1 AS (SELECT vec_id,
+          list_transform(embedding, x -> -x) AS embedding
+          FROM embeddings WHERE vec_id % 40 = 0),
+        upd2 AS (SELECT vec_id + 1000000 AS vec_id,
+          list_transform(embedding, x -> x * CAST(2 AS FLOAT)) AS embedding
+          FROM embeddings WHERE vec_id < 10),
+        merged AS (
+          SELECT vec_id, embedding FROM embeddings
+            WHERE vec_id NOT IN (SELECT vec_id FROM upd1)
+          UNION ALL SELECT vec_id, embedding FROM upd1
+          UNION ALL SELECT vec_id, embedding FROM upd2),
+        q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+        scored AS (SELECT m.vec_id, ${sqlDot("m.embedding", "q.qv")} AS dot
+          FROM merged m CROSS JOIN q)
+        SELECT vec_id, round(dot, 4) + 0 AS score
+        FROM scored ORDER BY dot DESC, vec_id LIMIT 20"""))
   )
 }
