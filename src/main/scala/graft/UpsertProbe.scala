@@ -74,8 +74,12 @@ object UpsertProbe {
         implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
         import spark.implicits._
         val mem = MemoryStream[Long]
-        val updates = ProductGen.fromIds(
-          mem.toDF().withColumnRenamed("value", "id"), dims)
+        // BENCH's shape: ids-only stream, per-object re-embed driver-local
+        // (runDelta's localMap) — the plan-per-micro-batch alternative
+        // measured as a catch-up spiral at 200 QPS (see Bench.streamTier)
+        val updates = mem.toDF().withColumnRenamed("value", "id")
+        val embedLocal: Seq[org.apache.spark.sql.Row] => Seq[org.apache.spark.sql.Row] =
+          rows => rows.map(r => ProductGen.localRow(r.getLong(0), dims))
         // the PRODUCTION commit path (runDelta), instrumented through its
         // onCommit hook — a hand-rolled copy here drifts from the code the
         // probe exists to profile (it already had: no delta consolidation)
@@ -83,6 +87,7 @@ object UpsertProbe {
           java.nio.file.Files.createTempDirectory("graft_ck").toString,
           trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(0),
           compactEvery = Int.MaxValue,
+          localMap = Some((embedLocal, ProductGen.schema(dims))),
           onCommit = (v, rows) => {
             val now = System.nanoTime()
             println(f"[probe]   commit v=$v n=${rows.size} " +
