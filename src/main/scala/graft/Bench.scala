@@ -54,6 +54,34 @@ object Bench {
     sys.env.get("SPARK_GRAFT_WORK_DIR").getOrElse(
       Files.createTempDirectory("graft_bench").toString)
 
+  /** Measure the scratch device's current sequential write throughput:
+    * 64 MB written + fsynced, reported as MB/s. The VM's IO budget depletes
+    * under repeated multi-GB runs and refills on a multi-hour horizon
+    * (BASELINE.md round-3 notes); recording the measured throughput inside
+    * the artifact makes a depleted-budget run self-evident — write-heavy
+    * entries and the streaming tiers inflate 2-6× when this reads low
+    * (healthy: hundreds of MB/s; depleted: ~10-30 MB/s).
+    */
+  private def ioProbeMbps(dir: String): Double = {
+    import java.nio.file.StandardOpenOption._
+    val p = java.nio.file.Paths.get(dir, s"_ioprobe_${System.nanoTime()}")
+    try {
+      Files.createDirectories(p.getParent)
+      val buf = new Array[Byte](8 * 1024 * 1024)
+      new java.util.Random(42).nextBytes(buf)
+      val t0 = System.nanoTime()
+      val ch = java.nio.channels.FileChannel.open(p, CREATE, WRITE,
+        TRUNCATE_EXISTING)
+      try {
+        var i = 0
+        while (i < 8) { ch.write(java.nio.ByteBuffer.wrap(buf)); i += 1 }
+        ch.force(true)
+      } finally ch.close()
+      64.0 / ((System.nanoTime() - t0) / 1e9)
+    } catch { case _: Throwable => -1.0 }
+    finally { try Files.deleteIfExists(p) catch { case _: Throwable => () } }
+  }
+
   /** Run `f`, record elapsed seconds under `name`; on failure record -1.0. */
   private def timed(name: String)(f: => Unit): Unit = {
     val t0 = System.nanoTime()
@@ -144,6 +172,7 @@ object Bench {
     // keeps all cores busy and total files stay bounded (~95 at sf0.1);
     // the same sizing rule at cluster scale: files per category ≥ the
     // parallelism you want for a single-category scan.
+    results("io_mbps_start_value") = ioProbeMbps(base)
     timed("index_build") {
       val nCpus = cpus.toInt
       val baseCols = ProductGen.baseColumns(
@@ -375,6 +404,7 @@ object Bench {
     }
     // id offsets sit far above any generated product id so tier updates
     // upsert NEW keys at every sf
+    results("io_mbps_stream_value") = ioProbeMbps(base)
     streamTier("upsert_stream", 200, 40.0, idOffset = 10000000000L,
       readsDuring = false)
     // keep the r2 metric names the verdict tracks
