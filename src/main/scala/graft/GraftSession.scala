@@ -73,8 +73,27 @@ object GraftSession {
   * can run through `spark.sql`.
   */
 object Tables {
+
+  /** Belt-and-suspenders for sessions built WITHOUT GraftSession.defaults
+    * (where parquet TIMESTAMP_NTZ inference may be on): cast any NTZ column
+    * to TimestampType — session TZ is UTC, so the cast is a reinterpretation
+    * of the same micros. When the session conf already disabled NTZ
+    * inference (the normal path) no column matches and the DataFrame is
+    * returned untouched — no projection, pushdown intact.
+    */
+  private def normalizeNtz(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.types.TimestampNTZType
+    val ntz = df.schema.fields.collect {
+      case f if f.dataType == TimestampNTZType => f.name
+    }.toSet
+    if (ntz.isEmpty) df
+    else df.select(df.columns.toIndexedSeq.map(c =>
+      if (ntz(c)) col(c).cast("timestamp").as(c) else col(c)): _*)
+  }
+
   private def load(spark: SparkSession, dir: String, name: String): DataFrame = {
-    val df = spark.read.parquet(s"$dir/$name.parquet")
+    val df = normalizeNtz(spark.read.parquet(s"$dir/$name.parquet"))
     df.createOrReplaceTempView(name)
     df
   }
@@ -100,7 +119,7 @@ object Tables {
     val df = raw.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType =>
         raw.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
-      case _ => raw
+      case _ => normalizeNtz(raw)
     }
     df.createOrReplaceTempView("events")
     df
