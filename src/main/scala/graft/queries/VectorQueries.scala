@@ -522,6 +522,81 @@ object VectorQueries {
         scored AS (SELECT m.vec_id, ${sqlDot("m.embedding", "q.qv")} AS dot
           FROM merged m CROSS JOIN q)
         SELECT vec_id, round(dot, 4) + 0 AS score
-        FROM scored ORDER BY dot DESC, vec_id LIMIT 20"""))
+        FROM scored ORDER BY dot DESC, vec_id LIMIT 20""")),
+
+    // ---- table-format reads: time travel + point lookup across a minor
+    //      compaction. Two deltas land (the second overrides half the
+    //      first's keys and adds new ones), then the live deltas merge into
+    //      one slab — and the query reads (a) the snapshot AS OF the first
+    //      delta's commit, (b) the current snapshot (reconstructed through
+    //      the merged slab, where surviving rows keep their original seq),
+    //      and (c) a point lookup of one doubly-updated key. The oracle
+    //      rebuilds each snapshot relationally ----
+    QueryDef(
+      "q110_time_travel",
+      (s, d) => {
+        val e = Tables.embeddings(s, d)
+        val root = java.nio.file.Files.createTempDirectory("q110_store")
+        try {
+          val store = new graft.streaming.BucketedStore(root.toString,
+            nBuckets = 8)
+          store.initialize(e, "vec_id") // v0
+          store.appendDelta( // v1: every 40th key, label += 100
+            e.filter(col("vec_id") % 40 === 0)
+              .select(col("vec_id"), col("embedding"),
+                (col("label") + 100).as("label")), "vec_id")
+          store.appendDelta( // v2: every 80th key again (label += 200
+            // overrides v1 for those keys), plus brand-new keys
+            e.filter(col("vec_id") % 80 === 0)
+              .select(col("vec_id"), col("embedding"),
+                (col("label") + 200).as("label"))
+              .unionByName(e.filter(col("vec_id") < 5)
+                .select((col("vec_id") + 1000000L).as("vec_id"),
+                  col("embedding"), (col("label") + 7).as("label"))),
+            "vec_id")
+          store.consolidateDeltas(s) // v3: one merged slab, seqs preserved
+          val stats = (tag: String, df: org.apache.spark.sql.DataFrame) =>
+            df.agg(count(lit(1)).as("n"),
+                sum(col("label")).cast("long").as("sum_label"))
+              .select(lit(tag).as("snapshot"), col("n"), col("sum_label"))
+          // materialize before the store is cleaned up (the plan reads the
+          // store's files; the returned frame must not)
+          val out = stats("asof_v1", store.readVersion(s, 1))
+            .unionByName(stats("current", store.read(s)))
+            .unionByName(stats("lookup_k0", store.lookup(s, 0L)))
+            .orderBy(col("snapshot")).collect()
+          import s.implicits._
+          out.map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+            .toDF("snapshot", "n", "sum_label")
+        } finally {
+          import scala.jdk.CollectionConverters._
+          java.nio.file.Files.walk(root).iterator().asScala.toSeq.reverse
+            .foreach(p => try java.nio.file.Files.delete(p)
+              catch { case _: Throwable => () })
+        }
+      },
+      Some("""WITH upd1 AS (SELECT vec_id, label + 100 AS label
+          FROM embeddings WHERE vec_id % 40 = 0),
+        upd2 AS (SELECT vec_id, label + 200 AS label
+          FROM embeddings WHERE vec_id % 80 = 0
+          UNION ALL SELECT vec_id + 1000000 AS vec_id, label + 7 AS label
+          FROM embeddings WHERE vec_id < 5),
+        v1 AS (SELECT vec_id, label FROM embeddings
+            WHERE vec_id NOT IN (SELECT vec_id FROM upd1)
+          UNION ALL SELECT vec_id, label FROM upd1),
+        cur AS (SELECT vec_id, label FROM embeddings
+            WHERE vec_id NOT IN (SELECT vec_id FROM upd1)
+              AND vec_id NOT IN (SELECT vec_id FROM upd2)
+          UNION ALL SELECT vec_id, label FROM upd1
+            WHERE vec_id NOT IN (SELECT vec_id FROM upd2)
+          UNION ALL SELECT vec_id, label FROM upd2)
+        SELECT * FROM (
+          SELECT 'asof_v1' AS snapshot, count(*) AS n,
+            CAST(sum(label) AS BIGINT) AS sum_label FROM v1
+          UNION ALL SELECT 'current', count(*),
+            CAST(sum(label) AS BIGINT) FROM cur
+          UNION ALL SELECT 'lookup_k0', count(*),
+            CAST(sum(label) AS BIGINT) FROM cur WHERE vec_id = 0)
+        ORDER BY snapshot"""))
   )
 }
