@@ -560,15 +560,8 @@ object Bench {
       f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
     spark.stop()
     // clean the scratch data (2+ GB per run) unless the caller pinned a dir
-    if (userWorkDir.isEmpty) {
-      import java.nio.file.Files
-      import scala.jdk.CollectionConverters._
-      val root = java.nio.file.Paths.get(base)
-      if (Files.exists(root)) {
-        Files.walk(root).iterator().asScala.toSeq.reverse
-          .foreach(p => try Files.delete(p) catch { case _: Throwable => () })
-      }
-    }
+    if (userWorkDir.isEmpty)
+      FsUtil.deleteRecursively(java.nio.file.Paths.get(base))
     // the JSON goes to well-known files AND stdout. The compact summary
     // (workload entries only) prints first for humans scanning the log;
     // the FULL per-query line prints LAST — build.sbt routes forked-run

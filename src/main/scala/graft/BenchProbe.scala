@@ -122,9 +122,6 @@ object BenchProbe {
     }
 
     spark.stop()
-    import scala.jdk.CollectionConverters._
-    val root = java.nio.file.Paths.get(base)
-    java.nio.file.Files.walk(root).iterator().asScala.toSeq.reverse
-      .foreach(p => try java.nio.file.Files.delete(p) catch { case _: Throwable => () })
+    FsUtil.deleteRecursively(java.nio.file.Paths.get(base))
   }
 }

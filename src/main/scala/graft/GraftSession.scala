@@ -88,8 +88,16 @@ object Tables {
       case f if f.dataType == TimestampNTZType => f.name
     }.toSet
     if (ntz.isEmpty) df
-    else df.select(df.columns.toIndexedSeq.map(c =>
-      if (ntz(c)) col(c).cast("timestamp").as(c) else col(c)): _*)
+    else {
+      // the NTZ→timestamp cast reinterprets the naive wall clock in the
+      // SESSION timezone — value-preserving only under UTC. This branch
+      // fires precisely for sessions built without GraftSession.defaults,
+      // which may also lack timeZone=UTC, so pin it (runtime conf; UTC is
+      // the engine's documented session contract — defaults set it too).
+      df.sparkSession.conf.set("spark.sql.session.timeZone", "UTC")
+      df.select(df.columns.toIndexedSeq.map(c =>
+        if (ntz(c)) col(c).cast("timestamp").as(c) else col(c)): _*)
+    }
   }
 
   private def load(spark: SparkSession, dir: String, name: String): DataFrame = {

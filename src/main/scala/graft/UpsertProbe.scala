@@ -44,11 +44,14 @@ object UpsertProbe {
       // prepared serving reads at ~1/s against the live store, as Bench's
       // 200-tier does — validates the snapshot-prepared read path under a
       // real commit stream without the full bench's IO bill
-      val queryVec = store.read(spark).select(org.apache.spark.sql.functions.col("embedding"))
-        .head().getSeq[Float](0).toArray
       val pq = if (!readsDuring) None
-        else Some(store.prepareTopK(spark, "embedding", queryVec, 100,
-          projection = Seq("parent_asin")))
+        else {
+          val queryVec = store.read(spark)
+            .select(org.apache.spark.sql.functions.col("embedding"))
+            .head().getSeq[Float](0).toArray
+          Some(store.prepareTopK(spark, "embedding", queryVec, 100,
+            projection = Seq("parent_asin")))
+        }
       val reader = pq.map { p =>
         new Thread(() => {
           spark.sparkContext.setLocalProperty("spark.scheduler.pool", "graft-read")
@@ -124,9 +127,12 @@ object UpsertProbe {
         }
         q.processAllAvailable()
         q.stop()
-        reading = false
-        reader.foreach(_.join(10000))
       }
+      // reader drains OUTSIDE the timed block (Bench stops its reader in
+      // the finally for the same reason): its last sleep slot or an
+      // in-flight read must not inflate the tier wall-clock
+      reading = false
+      reader.foreach(_.join(10000))
       import scala.jdk.CollectionConverters._
       val xs = lats.asScala.map(_.toDouble).toArray.sorted
       if (xs.nonEmpty) {
@@ -145,9 +151,6 @@ object UpsertProbe {
     tier("open200", 1000, 200.0, 3000000L, readsDuring = true)
 
     spark.stop()
-    import scala.jdk.CollectionConverters._
-    val root = java.nio.file.Paths.get(base)
-    java.nio.file.Files.walk(root).iterator().asScala.toSeq.reverse
-      .foreach(p => try java.nio.file.Files.delete(p) catch { case _: Throwable => () })
+    FsUtil.deleteRecursively(java.nio.file.Paths.get(base))
   }
 }

@@ -492,20 +492,19 @@ object VectorQueries {
                 col("label")), "vec_id")
           val qv = e.filter(col("vec_id") === 0).select(col("embedding"))
             .head().getSeq[Float](0).toArray
-          val hits = store.prepareTopK(s, "embedding", qv, 20,
+          // fetch a 30-row margin, then apply the (score desc, vec_id)
+          // tiebreak and LIMIT 20 locally: the prepared read's internal
+          // truncation has no tiebreak, so ulp-close scores at its k
+          // boundary must not be the oracle's LIMIT boundary
+          val hits = store.prepareTopK(s, "embedding", qv, 30,
             projection = Seq("vec_id")).read()
           import s.implicits._
           hits.map(r => (r.getLong(0), r.get(1).asInstanceOf[Double]))
-            .sortBy(t => (-t._2, t._1)).toSeq
+            .sortBy(t => (-t._2, t._1)).take(20).toSeq
             .toDF("vec_id", "score_raw")
             .select(col("vec_id"),
               (round(col("score_raw"), 4) + 0.0).as("score"))
-        } finally {
-          import scala.jdk.CollectionConverters._
-          java.nio.file.Files.walk(root).iterator().asScala.toSeq.reverse
-            .foreach(p => try java.nio.file.Files.delete(p)
-              catch { case _: Throwable => () })
-        }
+        } finally graft.FsUtil.deleteRecursively(root)
       },
       Some(s"""WITH upd1 AS (SELECT vec_id,
           list_transform(embedding, x -> -x) AS embedding
@@ -568,12 +567,7 @@ object VectorQueries {
           import s.implicits._
           out.map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
             .toDF("snapshot", "n", "sum_label")
-        } finally {
-          import scala.jdk.CollectionConverters._
-          java.nio.file.Files.walk(root).iterator().asScala.toSeq.reverse
-            .foreach(p => try java.nio.file.Files.delete(p)
-              catch { case _: Throwable => () })
-        }
+        } finally graft.FsUtil.deleteRecursively(root)
       },
       Some("""WITH upd1 AS (SELECT vec_id, label + 100 AS label
           FROM embeddings WHERE vec_id % 40 = 0),

@@ -636,9 +636,10 @@ final class BucketedStore(val root: String, val nBuckets: Int,
     */
   def prepareTopK(spark: SparkSession, vecCol: String, query: Array[Float],
       k: Int, filter: Option[Column] = None,
-      projection: Seq[String] = Seq.empty, slack: Int = -1): PreparedTopK =
+      projection: Seq[String] = Seq.empty, slack: Int = -1,
+      deltaCacheRows: Int = 500000): PreparedTopK =
     new PreparedTopK(spark, vecCol, query, k, filter, projection,
-      if (slack >= 0) slack else math.max(4 * k, 256))
+      if (slack >= 0) slack else math.max(4 * k, 256), deltaCacheRows)
 
   /** Snapshot-prepared filtered top-k — the MVCC serving shape for reads
     * concurrent with sustained upserts. The bucketed base is immutable
@@ -663,7 +664,8 @@ final class BucketedStore(val root: String, val nBuckets: Int,
     */
   final class PreparedTopK private[BucketedStore] (
       spark: SparkSession, vecCol: String, query: Array[Float], k: Int,
-      filter: Option[Column], projection: Seq[String], slack: Int) {
+      filter: Option[Column], projection: Seq[String], slack: Int,
+      deltaCacheRows: Int) {
     import graft.functions.vec_dot
 
     private val keyCol = BucketedStore.this.key
@@ -675,8 +677,15 @@ final class BucketedStore(val root: String, val nBuckets: Int,
     @volatile private var cached: (Map[Int, Int], Array[Row]) = null
     private val fast = new java.util.concurrent.atomic.AtomicLong
     private val fallbacks = new java.util.concurrent.atomic.AtomicLong
-    /** reads served from cache + deltas only / via full-scan fallback */
+    /** Reads served purely from the driver-side caches (at most the
+      * newly-committed delta files scanned).
+      */
     def fastReadCount: Long = fast.get
+    /** Reads that ran a Spark job: displacement past the slack budget
+      * (full merged scan) or delta volume past the cache guard
+      * (distributed delta merge). Exact either way — this is a latency
+      * signal, not a correctness one.
+      */
     def fallbackReadCount: Long = fallbacks.get
 
     private val deltaCache =
@@ -684,7 +693,7 @@ final class BucketedStore(val root: String, val nBuckets: Int,
     // guard: past this many cached delta rows the store's small-delta
     // contract is being violated (e.g. bulk backfills through the delta
     // path) — stop caching and serve via the distributed scan instead
-    private val maxCachedDeltaRows = 500000
+    private val maxCachedDeltaRows = deltaCacheRows
 
     private def num(a: Any): Double = a.asInstanceOf[Number].doubleValue()
 
@@ -692,34 +701,43 @@ final class BucketedStore(val root: String, val nBuckets: Int,
       filter.map(f => coalesce(f.cast("boolean"), lit(false)))
         .getOrElse(lit(true))
 
+    /** Scan+score one delta relation into DRows — shared by the per-version
+      * cache fill and the over-guard distributed merge.
+      */
+    private def scoreDeltas(df: DataFrame): Array[DRow] = {
+      val sel = Seq(col(keyCol).as("__k"), col("__seq"),
+        passCol.as("__pass"),
+        graft.functions.vec_dot(col(vecCol), typedLit(query)).as("__s")) ++
+        projection.map(col)
+      df.select(sel: _*).collect().map { r =>
+        DRow(r.get(0), r.getLong(1), r.getBoolean(2), num(r.get(3)),
+          (0 until projection.length).map(i => r.get(4 + i)))
+      }
+    }
+
     /** Scored rows for every live delta version: cache hits for files seen
       * before, one narrow scan per newly-committed file. Returns None when
-      * the cached total would exceed the guard (caller falls back to the
-      * distributed merge). Synchronized with base refresh — one reader
-      * thread is the intended shape, the lock just makes others safe.
+      * the live delta volume exceeds the guard (caller serves via the
+      * distributed merge) — an oversized file is never admitted into the
+      * cache, so driver memory stays bounded at maxCachedDeltaRows even
+      * when the small-delta contract is violated. Synchronized with base
+      * refresh — one reader thread is the intended shape, the lock just
+      * makes others safe.
       */
     private def deltaRows(deltas: Seq[Int]): Option[Iterable[DRow]] =
       this.synchronized {
         deltaCache.keys.filterNot(deltas.contains).toSeq
           .foreach(deltaCache.remove) // consolidated away: slab re-read below
         var total = deltaCache.valuesIterator.map(_.length.toLong).sum
-        val missing = deltas.filterNot(deltaCache.contains)
-        val sel = Seq(col(keyCol).as("__k"), col("__seq"),
-          passCol.as("__pass"),
-          graft.functions.vec_dot(col(vecCol), typedLit(query)).as("__s")) ++
-          projection.map(col)
-        missing.foreach { d =>
-          if (total <= maxCachedDeltaRows) {
-            val got = spark.read.parquet(s"$root/v$d/delta").select(sel: _*)
-              .collect().map { r =>
-                DRow(r.get(0), r.getLong(1), r.getBoolean(2), num(r.get(3)),
-                  (0 until projection.length).map(i => r.get(4 + i)))
-              }
-            total += got.length
-            deltaCache.put(d, got)
+        var over = false
+        deltas.filterNot(deltaCache.contains).foreach { d =>
+          if (!over) {
+            val got = scoreDeltas(spark.read.parquet(s"$root/v$d/delta"))
+            if (total + got.length > maxCachedDeltaRows) over = true
+            else { total += got.length; deltaCache.put(d, got) }
           }
         }
-        if (total > maxCachedDeltaRows) None
+        if (over) None
         else Some(deltaCache.valuesIterator.flatten.toVector)
       }
 
@@ -745,6 +763,7 @@ final class BucketedStore(val root: String, val nBuckets: Int,
         throw new IllegalStateException(s"no committed version under $root"))
       val (manifest, deltas) = readManifest(v)
       val base = ensureBase(manifest)
+      var ranJob = false // any Spark job on this read → counts as fallback
       val out: Seq[(Double, Seq[Any])] =
         if (deltas.isEmpty)
           base.iterator.map(r =>
@@ -759,24 +778,18 @@ final class BucketedStore(val root: String, val nBuckets: Int,
             case None =>
               // delta volume past the cache guard: distributed merge, one
               // narrow job — no embedding bytes reach the driver
-              val sel = Seq(col(keyCol).as("__k"), col("__seq"),
-                passCol.as("__pass"),
-                vec_dot(col(vecCol), typedLit(query)).as("__s")) ++
-                projection.map(col)
-              latestDeltaRows(spark, deltas, keyCol).get.select(sel: _*)
-                .collect().map { r =>
-                  DRow(r.get(0), r.getLong(1), r.getBoolean(2),
-                    num(r.get(3)),
-                    (0 until projection.length).map(i => r.get(4 + i)))
-                }.toSeq
+              ranJob = true
+              scoreDeltas(latestDeltaRows(spark, deltas, keyCol).get).toSeq
           }
           val deltaKeys = latest.map(_.k).toSet
           val survivors = base.filter(r => !deltaKeys.contains(r.get(keyIdx)))
           val baseComplete = base.length < k + slack
           if (!baseComplete && survivors.length < k) {
             fallbacks.incrementAndGet()
+            // same output shape as the fast path: (projection..., score)
             return graft.operators.VectorSearch.topK(
-              readVersion(spark, v), vecCol, query, k, filter, projection)
+                readVersion(spark, v), vecCol, query, k, filter, projection)
+              .select(projection.map(col) :+ col("score"): _*)
               .collect()
           }
           survivors.iterator.map(r =>
@@ -784,7 +797,7 @@ final class BucketedStore(val root: String, val nBuckets: Int,
             latest.iterator.filter(_.pass).map(d =>
               (d.score, d.proj :+ (d.score: Any))).toSeq
         }
-      fast.incrementAndGet()
+      if (ranJob) fallbacks.incrementAndGet() else fast.incrementAndGet()
       out.sortBy(-_._1).take(k).map(t => Row(t._2: _*)).toArray
     }
   }

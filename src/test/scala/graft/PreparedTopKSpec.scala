@@ -130,6 +130,20 @@ class PreparedTopKSpec extends SparkSpec {
     assert(pq.fallbackReadCount == 0)
   }
 
+  test("delta volume past the cache guard serves distributed, still exact") {
+    val store = mkStore(200)
+    val pq = store.prepareTopK(spark, "embedding", q, 10,
+      projection = Seq("id"), deltaCacheRows = 5)
+    served(pq)
+    // a 10-row delta exceeds the 5-row guard: never cached, every read
+    // runs the distributed merge — counted as fallback, exact regardless
+    store.appendDelta((0L until 10L).map(i => (s"n$i", 1, vec(300 + i)))
+      .toDF("id", "grp", "embedding"), "id")
+    assert(served(pq) == full(store, None))
+    assert(served(pq) == full(store, None))
+    assert(pq.fallbackReadCount == 2 && pq.fastReadCount == 1)
+  }
+
   test("bucket fold refreshes the cache and stays exact") {
     val store = mkStore(200)
     val pq = store.prepareTopK(spark, "embedding", q, 10,
