@@ -591,6 +591,41 @@ object VectorQueries {
             CAST(sum(label) AS BIGINT) FROM cur
           UNION ALL SELECT 'lookup_k0', count(*),
             CAST(sum(label) AS BIGINT) FROM cur WHERE vec_id = 0)
-        ORDER BY snapshot"""))
+        ORDER BY snapshot""")),
+
+    // ---- IVF index end-to-end: build on most of the table, APPEND the
+    //      rest against the frozen centroids, then probe with
+    //      nprobe = nclusters. An exhaustive probe equals the exact top-k
+    //      REGARDLESS of how KMeans clustered — which is what lets a
+    //      DuckDB oracle hash-check the whole build → cluster-partitioned
+    //      layout → append → probe → re-rank pipeline without pinning
+    //      centroid positions ----
+    QueryDef(
+      "q111_ivf_exhaustive",
+      (s, d) => {
+        val e = Tables.embeddings(s, d)
+        val root = java.nio.file.Files.createTempDirectory("q111_ivf")
+        try {
+          val ivf = graft.operators.VectorSearch.buildIvf(
+            e.filter(col("vec_id") >= 10), "embedding", 8,
+            s"$root/ivf", sampleFraction = 1.0)
+          ivf.append(e.filter(col("vec_id") < 10), "embedding")
+          val qv = e.filter(col("vec_id") === 1).select(col("embedding"))
+            .head().getSeq[Float](0).toArray
+          // 30-row margin + local (score, vec_id) tiebreak, as q109
+          val hits = ivf.search(s, qv, 30, nprobe = 8)
+            .select(col("vec_id"), col("score")).collect()
+          import s.implicits._
+          hits.map(r => (r.getLong(0), r.getDouble(1)))
+            .sortBy(t => (-t._2, t._1)).take(20).toSeq
+            .toDF("vec_id", "score_raw")
+            .select(col("vec_id"),
+              (round(col("score_raw"), 4) + 0.0).as("score"))
+        } finally graft.FsUtil.deleteRecursively(root)
+      },
+      Some(s"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 1)
+        SELECT vec_id, round(${sqlDot("e.embedding", "q.qv")}, 4) + 0 AS score
+        FROM embeddings e CROSS JOIN q
+        ORDER BY ${sqlDot("e.embedding", "q.qv")} DESC, vec_id LIMIT 20"""))
   )
 }
