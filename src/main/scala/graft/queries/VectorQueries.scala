@@ -626,6 +626,40 @@ object VectorQueries {
       Some(s"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 1)
         SELECT vec_id, round(${sqlDot("e.embedding", "q.qv")}, 4) + 0 AS score
         FROM embeddings e CROSS JOIN q
-        ORDER BY ${sqlDot("e.embedding", "q.qv")} DESC, vec_id LIMIT 20"""))
+        ORDER BY ${sqlDot("e.embedding", "q.qv")} DESC, vec_id LIMIT 20""")),
+
+    // ---- JSONL sink + source roundtrip fidelity: documents (whose text
+    //      carries newlines/quotes that JSON must escape) written as JSONL
+    //      and read back with the explicit schema; the aggregates match
+    //      the parquet original byte-for-byte if and only if the escaping
+    //      and schema-typed read are lossless ----
+    QueryDef(
+      "q112_jsonl_roundtrip",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val root = java.nio.file.Files.createTempDirectory("q112_jsonl")
+        try {
+          docs.write.mode("overwrite").json(s"$root/docs")
+          val back = s.read.schema(docs.schema).json(s"$root/docs")
+          val out = back.agg(
+            count(lit(1)).as("n"),
+            countDistinct(col("doc_id")).as("ids"),
+            sum(length(col("text"))).cast("long").as("chars"),
+            sum(col("n_chars")).cast("long").as("sum_n_chars"),
+            countDistinct(col("lang")).as("langs"),
+            countDistinct(col("source")).as("sources")).collect()
+          import s.implicits._
+          out.map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+              r.getLong(3), r.getLong(4), r.getLong(5))).toSeq
+            .toDF("n", "ids", "chars", "sum_n_chars", "langs", "sources")
+        } finally graft.FsUtil.deleteRecursively(root)
+      },
+      Some("""SELECT count(*) AS n,
+          count(DISTINCT doc_id) AS ids,
+          CAST(sum(length(text)) AS BIGINT) AS chars,
+          CAST(sum(n_chars) AS BIGINT) AS sum_n_chars,
+          count(DISTINCT lang) AS langs,
+          count(DISTINCT source) AS sources
+        FROM documents"""))
   )
 }
