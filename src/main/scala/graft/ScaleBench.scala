@@ -57,15 +57,24 @@ object ScaleBench {
       results(dir.split('/').last) = entries + ("doc_rows" -> docs.toDouble)
     }
 
-    // synthetic 10× for the structure-independent scan: brute-force top-k
-    // cost is rows × dims regardless of similarity structure, so exact
-    // replication (fresh ids) is a faithful 10× workload with zero disk
-    // writes. Cached to memory first so both points measure compute, not
-    // first-touch IO.
+    // synthetic in-memory points for the structure-independent scan:
+    // brute-force top-k cost is rows × dims regardless of similarity
+    // structure, so replication (fresh ids via one explode, not an N-way
+    // union) is a faithful larger workload with zero disk writes. Two
+    // points — 100× and 1000× the testdata table — sized so compute, not
+    // per-query fixed cost, dominates both; their ratio is the measured
+    // 10× scaling. Cached to memory so neither point measures first-touch
+    // IO.
     val emb = Tables.embeddings(spark, sfDirs.last)
       .select(col("vec_id"), col("embedding"))
+    val baseRows = emb.count()
     val q64 = emb.head().getSeq[Float](1).toArray
-    def topkTime(df: DataFrame, label: String): Double = {
+    def replicate(copies: Long): DataFrame =
+      emb.select(explode(sequence(lit(0L), lit(copies - 1))).as("__k"),
+          col("vec_id"), col("embedding"))
+        .select((col("vec_id") + col("__k") * 10000000L).as("vec_id"),
+          col("embedding"))
+    def topkTime(df: DataFrame): Double = {
       val cached =
         df.persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
       cached.count()
@@ -80,14 +89,12 @@ object ScaleBench {
       cached.unpersist(blocking = true)
       sec
     }
-    val t1x = topkTime(emb, "1x")
-    val emb10 = (0 until 10).map { k =>
-      emb.select((col("vec_id") + lit(k * 10000000L)).as("vec_id"),
-        col("embedding"))
-    }.reduce(_.unionByName(_))
-    val t10x = topkTime(emb10, "10x")
-    results("vec_topk_sf0.1_mem") = Map("seconds" -> t1x, "rows" -> 50000.0)
-    results("vec_topk_10x_mem") = Map("seconds" -> t10x, "rows" -> 500000.0)
+    val t100 = topkTime(replicate(100))
+    val t1000 = topkTime(replicate(1000))
+    results("vec_topk_100x_mem") =
+      Map("seconds" -> t100, "rows" -> (baseRows * 100).toDouble)
+    results("vec_topk_1000x_mem") =
+      Map("seconds" -> t1000, "rows" -> (baseRows * 1000).toDouble)
 
     val json = results.map { case (point, m) =>
       "\"" + point + "\":" + m.toSeq.sortBy(_._1).map { case (k, v) =>
