@@ -38,6 +38,31 @@ object VectorSearch {
     projected.orderBy(desc("score")).limit(k)
   }
 
+  /** Exact filtered top-k for MULTIPLE query vectors in ONE scan — the
+    * batch-evaluation shape (recall sweeps, query workloads): where Q
+    * separate [[topK]] calls decode the vector column Q times, this scores
+    * every query against each row in a single pass and keeps a bounded
+    * per-query heap ([[graft.functions.GroupTopK]]), so the scan+decode —
+    * the dominant cost at wide dims — is paid once. The shuffle carries
+    * O(Q × partitions × k) entries, never rows.
+    *
+    * Returns (`query_id` = index into `queries`, `rank` 1-based, `score`,
+    * `idCol` as string). Ties break on the id's string order, which can
+    * differ from [[topK]]'s arbitrary tie order — recall/set consumers are
+    * unaffected.
+    */
+  def topKMulti(df: DataFrame, vecCol: String, queries: Seq[Array[Float]],
+      k: Int, idCol: String, filter: Option[Column] = None): DataFrame = {
+    require(queries.nonEmpty)
+    val filtered = filter.map(df.filter).getOrElse(df)
+    val scores = array(queries.map(q => vec_dot(col(vecCol), typedLit(q))): _*)
+    val exploded = filtered
+      .select(col(idCol), posexplode(scores).as(Seq("__qid", "__score")))
+    graft.functions.GroupTopK.perGroupStr(exploded, "__qid", "__score", idCol, k)
+      .withColumnRenamed("__qid", "query_id")
+      .withColumnRenamed("__score", "score")
+  }
+
   /** Exact top-k by cosine similarity. */
   def topKCosine(df: DataFrame, vecCol: String, query: Array[Float], k: Int,
       filter: Option[Column] = None): DataFrame = {
@@ -108,6 +133,56 @@ object VectorSearch {
           if (candidates < k) indexDf(spark) else pruned
         } else pruned
       topK(probeDf, "__vec", query, k, filter).drop("__cluster", "__vec")
+    }
+
+    /** [[search]] for MULTIPLE queries in ONE scan over the UNION of their
+      * probe sets. Per-query semantics are preserved exactly: each query's
+      * score is masked to its own `nprobe` nearest clusters (a row in the
+      * union but outside query i's probe set contributes nothing to query
+      * i), and the exact-fallback widens individual queries — a single
+      * partition-pruned, filter-pushed per-cluster count replaces the Q
+      * separate count jobs. Q queries cost one scan + one bounded-heap
+      * aggregation instead of Q × (count job + top-k job).
+      *
+      * Returns (`query_id` = index into `queries`, `rank`, `score`,
+      * `idCol` as string).
+      */
+    def searchMulti(spark: SparkSession, queries: Seq[Array[Float]], k: Int,
+        nprobe: Int, idCol: String, filter: Option[Column] = None,
+        exactFallback: Boolean = true): DataFrame = {
+      require(queries.nonEmpty)
+      val all = centroids.indices.toSet
+      val probeSets = queries.map(q => nearestClusters(q, nprobe).toSet)
+      val effective: Seq[Set[Int]] =
+        if (filter.isDefined && exactFallback && nprobe < centroids.length) {
+          val union = probeSets.reduce(_ ++ _)
+          val pruned = indexDf(spark).filter(col("__cluster").isin(union.toSeq: _*))
+          val counts = filter.map(pruned.filter).getOrElse(pruned)
+            .groupBy(col("__cluster")).agg(count(lit(1)).as("__n"))
+            .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+          probeSets.map { s =>
+            if (s.iterator.map(c => counts.getOrElse(c, 0L)).sum < k) all else s
+          }
+        } else probeSets
+      val unionAll = effective.reduce(_ ++ _)
+      val base =
+        if (unionAll.size == centroids.length) indexDf(spark)
+        else indexDf(spark).filter(col("__cluster").isin(unionAll.toSeq: _*))
+      val filtered = filter.map(base.filter).getOrElse(base)
+      // score masked to the query's own probe set — null outside it, and
+      // GroupTopK drops nulls, so union-probing never inflates a query's
+      // recall beyond what its own nprobe would see
+      val scores = array(queries.zip(effective).map { case (q, s) =>
+        if (s.size == centroids.length) vec_dot(col("__vec"), typedLit(q))
+        else when(col("__cluster").isin(s.toSeq: _*),
+          vec_dot(col("__vec"), typedLit(q)))
+      }: _*)
+      val exploded = filtered
+        .select(col(idCol), posexplode(scores).as(Seq("__qid", "__score")))
+      graft.functions.GroupTopK.perGroupStr(
+          exploded, "__qid", "__score", idCol, k)
+        .withColumnRenamed("__qid", "query_id")
+        .withColumnRenamed("__score", "score")
     }
 
     /** Incrementally add vectors to the index — the vector-store upsert
@@ -186,8 +261,26 @@ object VectorSearch {
     acc
   }
 
+  /** Cluster count for an IVF index over `n` vectors: ~√n, clamped to
+    * [4, 65536]. The standard IVF sizing rule — with k ≈ √n clusters, a
+    * probe touching `nprobe` clusters scans ≈ nprobe·√n vectors, balancing
+    * the centroid-scan (k dot products on the driver) against the
+    * cluster-scan; fewer clusters over-scan per probe, more clusters make
+    * the centroid table itself a scan and starve clusters of members
+    * (recall collapses when a cluster holds < k vectors). At 10M rows this
+    * gives ~3162 clusters; at the 100 TB scale the centroid table (√n ×
+    * dims floats) still fits driver memory comfortably (10¹⁰ rows → 10⁵ ×
+    * 2688 × 4 B ≈ 1 GB — the 65536 cap keeps it below that).
+    */
+  def defaultNumClusters(n: Long): Int =
+    math.max(4L, math.min(65536L, math.round(math.sqrt(n.toDouble)))).toInt
+
   /** Build an IVF index: KMeans over a bounded sample of the vectors, assign
     * every row to its centroid, write partitioned by cluster id.
+    *
+    * `numClusters <= 0` derives the count from the corpus size via
+    * [[defaultNumClusters]] (~√n, the standard IVF sizing rule) — pass an
+    * explicit count only when the probe budget is known up front.
     *
     * At 100 TB: KMeans trains on at most `maxTrainVectors` rows (centroid
     * quality needs far less than the corpus — each KMeans iteration is a
@@ -202,12 +295,12 @@ object VectorSearch {
   def buildIvf(df: DataFrame, vecCol: String, numClusters: Int, path: String,
       sampleFraction: Double = Double.NaN, seed: Long = 42L,
       maxTrainVectors: Long = 1000000L): IvfIndex = {
+    val needCount = numClusters <= 0 || sampleFraction.isNaN
+    val n = if (needCount) df.select(lit(1)).count() else -1L
+    val k = if (numClusters > 0) numClusters else defaultNumClusters(n)
     val fraction =
       if (!sampleFraction.isNaN) sampleFraction
-      else {
-        val n = df.select(lit(1)).count()
-        if (n <= maxTrainVectors) 1.0 else maxTrainVectors.toDouble / n
-      }
+      else if (n <= maxTrainVectors) 1.0 else maxTrainVectors.toDouble / n
     // Only the TRAINING SAMPLE goes through the MLlib vector conversion —
     // the float→double cast + array_to_vector copy over the full table
     // costs more than the clustering itself at index-build scale.
@@ -229,7 +322,7 @@ object VectorSearch {
     // the whole fit.
     val model =
       try new KMeans()
-        .setK(numClusters).setSeed(seed).setFeaturesCol("__mlvec")
+        .setK(k).setSeed(seed).setFeaturesCol("__mlvec")
         .setPredictionCol("__cluster").setMaxIter(10)
         .setInitMode("random")
         .fit(trainDf)

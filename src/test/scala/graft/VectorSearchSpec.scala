@@ -149,4 +149,78 @@ class VectorSearchSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(plan.contains("TakeOrderedAndProject"), plan)
   }
+
+  private def resultSets(df: org.apache.spark.sql.DataFrame): Map[Int, Set[String]] =
+    df.collect().groupBy(_.getInt(0)).map { case (q, rows) =>
+      q -> rows.map(_.getString(3)).toSet
+    }
+
+  test("topKMulti: one scan reproduces per-query topK, with and without filter") {
+    val queries = Seq(Array.fill(8)(5.0f), Array.fill(8)(-5.0f),
+      Array.tabulate(8)(i => if (i % 2 == 0) 5.0f else -5.0f))
+    val multi = resultSets(VectorSearch.topKMulti(
+      clustered, "embedding", queries, 5, "vec_id"))
+    queries.zipWithIndex.foreach { case (q, i) =>
+      val single = VectorSearch.topK(clustered, "embedding", q, 5,
+          projection = Seq("vec_id"))
+        .collect().map(_.getLong(0).toString).toSet
+      assert(multi(i) == single, s"query $i: ${multi(i)} vs $single")
+    }
+    val pred = col("true_cluster") =!= 0
+    val multiF = resultSets(VectorSearch.topKMulti(
+      clustered, "embedding", queries, 5, "vec_id", Some(pred)))
+    queries.zipWithIndex.foreach { case (q, i) =>
+      val single = VectorSearch.topK(clustered, "embedding", q, 5, Some(pred),
+          projection = Seq("vec_id"))
+        .collect().map(_.getLong(0).toString).toSet
+      assert(multiF(i) == single, s"filtered query $i")
+    }
+  }
+
+  test("searchMulti: union probe masked per query matches per-query search") {
+    val dir = java.nio.file.Files.createTempDirectory("ivf_multi").toString
+    val idx = VectorSearch.buildIvf(clustered, "embedding", 3, dir)
+    val queries = Seq(Array.fill(8)(5.0f), Array.fill(8)(-5.0f))
+    // nprobe 1: each query probes a DIFFERENT cluster; the union scan must
+    // still keep each query's hits inside its own probe set
+    val multi = resultSets(idx.searchMulti(spark, queries, 10, nprobe = 1,
+      "vec_id"))
+    queries.zipWithIndex.foreach { case (q, i) =>
+      val single = idx.search(spark, q, 10, nprobe = 1)
+        .select(col("vec_id")).collect().map(_.getLong(0).toString).toSet
+      assert(multi(i) == single, s"query $i: ${multi(i)} vs $single")
+    }
+    // filtered + exact-fallback parity: an ultra-selective predicate must
+    // widen the affected query in both paths
+    val pred = col("vec_id") < 6
+    val multiF = resultSets(idx.searchMulti(spark, queries, 10, nprobe = 1,
+      "vec_id", Some(pred)))
+    queries.zipWithIndex.foreach { case (q, i) =>
+      val single = idx.search(spark, q, 10, nprobe = 1, Some(pred))
+        .select(col("vec_id")).collect().map(_.getLong(0).toString).toSet
+      assert(multiF(i) == single, s"filtered query $i: ${multiF(i)} vs $single")
+    }
+  }
+
+  test("defaultNumClusters follows ~sqrt(n) with clamps; auto build keeps recall") {
+    assert(VectorSearch.defaultNumClusters(1L) == 4)      // floor
+    assert(VectorSearch.defaultNumClusters(10000L) == 100)
+    assert(VectorSearch.defaultNumClusters(10000000L) == 3162)
+    assert(VectorSearch.defaultNumClusters(Long.MaxValue) == 65536) // cap
+    val dir = java.nio.file.Files.createTempDirectory("ivf_auto").toString
+    val idx = VectorSearch.buildIvf(clustered, "embedding", 0, dir)
+    assert(idx.centroids.length == VectorSearch.defaultNumClusters(120),
+      s"derived ${idx.centroids.length}")
+    // recall at the derived count: probing ~1/3 of the derived clusters
+    // must still recover the aligned true cluster's top hits
+    val q = Array.fill(8)(5.0f)
+    val np = math.max(1, idx.centroids.length / 3)
+    val approx = idx.search(spark, q, 10, nprobe = np)
+      .select(lit(0L).as("qid"), col("vec_id"))
+    val exact = VectorSearch.topK(clustered, "embedding", q, 10,
+      projection = Seq("vec_id")).select(lit(0L).as("qid"), col("vec_id"))
+    val recall = VectorSearch.recallAtK(exact, approx, "qid", "vec_id", 10)
+      .head().getDouble(0)
+    assert(recall >= 0.9, s"recall $recall at derived count with nprobe $np")
+  }
 }
