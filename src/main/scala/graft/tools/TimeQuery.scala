@@ -1,0 +1,34 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+/** Ad-hoc single-query timer for perf iteration: runs the named
+  * SparkEntry queries against a testdata dir (default sf0.1) with the
+  * Bench session shape (local[32], 32 shuffle partitions), repeating
+  * `SPARK_GRAFT_REPS` times (default 2) so the steady-state cost is
+  * visible next to the cold one. Usage:
+  *   sbt "runMain graft.tools.TimeQuery q71_dedup_against [q72 ...]"
+  */
+object TimeQuery {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "2").toInt
+    val builder = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", 32)
+    graft.GraftSession.defaults.foreach { case (k, v) => builder.config(k, v) }
+    val spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    graft.GraftSession.prepare(spark)
+    val byName = graft.SparkEntry.allQueries.map(q => q.name -> q).toMap
+    args.foreach { name =>
+      val q = byName.getOrElse(name,
+        sys.error(s"unknown query $name; have ${byName.keys.toSeq.sorted.take(5)}..."))
+      (1 to reps).foreach { r =>
+        val t0 = System.nanoTime()
+        q.run(spark, sfDir).write.mode("overwrite").format("noop").save()
+        println(f"[timequery] $name rep$r: ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      }
+    }
+    spark.stop()
+  }
+}
