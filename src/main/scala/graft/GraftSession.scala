@@ -94,7 +94,17 @@ object Tables {
       // fires precisely for sessions built without GraftSession.defaults,
       // which may also lack timeZone=UTC, so pin it (runtime conf; UTC is
       // the engine's documented session contract — defaults set it too).
-      df.sparkSession.conf.set("spark.sql.session.timeZone", "UTC")
+      // The override is global session state: apply it only when the
+      // session isn't already UTC, and say so loudly — silently repointing
+      // the timezone would change timestamp rendering/arithmetic for the
+      // caller's unrelated queries.
+      val tz = df.sparkSession.conf.get("spark.sql.session.timeZone", "")
+      if (tz != "UTC") {
+        System.err.println(s"[graft] Tables: session timeZone '$tz' -> " +
+          "'UTC' (required for the NTZ timestamp normalization; build the " +
+          "session with GraftSession.defaults to avoid this override)")
+        df.sparkSession.conf.set("spark.sql.session.timeZone", "UTC")
+      }
       df.select(df.columns.toIndexedSeq.map(c =>
         if (ntz(c)) col(c).cast("timestamp").as(c) else col(c)): _*)
     }

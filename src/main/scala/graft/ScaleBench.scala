@@ -74,9 +74,15 @@ object ScaleBench {
           col("vec_id"), col("embedding"))
         .select((col("vec_id") + col("__k") * 10000000L).as("vec_id"),
           col("embedding"))
-    def topkTime(df: DataFrame): Double = {
+    // MEMORY_AND_DISK, not MEMORY_ONLY: on a heap too small for the larger
+    // point MEMORY_ONLY silently evicts and the timed pass re-executes the
+    // explode/projection, skewing the "compute-dominated" ratio with no
+    // signal in the artifact. Spilled blocks read back sequentially
+    // instead; the cached-fraction is recorded next to the timing so a
+    // not-fully-resident point is self-evident.
+    def topkTime(df: DataFrame): (Double, Double) = {
       val cached =
-        df.persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
+        df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       cached.count()
       VectorSearch.topK(cached, "embedding", q64, 100,
         projection = Seq("vec_id")).collect() // warm codegen
@@ -86,15 +92,20 @@ object ScaleBench {
           projection = Seq("vec_id")).collect()
       }
       val sec = (System.nanoTime() - t0) / 1e9 / 3
+      val memFraction = spark.sparkContext.getRDDStorageInfo
+        .find(_.numCachedPartitions > 0)
+        .map(i => if (i.memSize + i.diskSize == 0) 1.0
+          else i.memSize.toDouble / (i.memSize + i.diskSize))
+        .getOrElse(Double.NaN)
       cached.unpersist(blocking = true)
-      sec
+      (sec, memFraction)
     }
-    val t100 = topkTime(replicate(100))
-    val t1000 = topkTime(replicate(1000))
-    results("vec_topk_100x_mem") =
-      Map("seconds" -> t100, "rows" -> (baseRows * 100).toDouble)
-    results("vec_topk_1000x_mem") =
-      Map("seconds" -> t1000, "rows" -> (baseRows * 1000).toDouble)
+    val (t100, f100) = topkTime(replicate(100))
+    val (t1000, f1000) = topkTime(replicate(1000))
+    results("vec_topk_100x_mem") = Map("seconds" -> t100,
+      "rows" -> (baseRows * 100).toDouble, "mem_fraction" -> f100)
+    results("vec_topk_1000x_mem") = Map("seconds" -> t1000,
+      "rows" -> (baseRows * 1000).toDouble, "mem_fraction" -> f1000)
 
     val json = results.map { case (point, m) =>
       "\"" + point + "\":" + m.toSeq.sortBy(_._1).map { case (k, v) =>

@@ -104,11 +104,18 @@ object ProductGen {
     out
   }
 
-  /** The stub embedder: text fields → `segments`×`segDim` concatenated
-    * vector, each segment unit-norm. Deterministic per input strings.
+  /** Distributed embedding through the [[FieldEmbedder]] seam: the UDF
+    * closes over the (Serializable) embedder and ships it to executors.
+    * Rows reach the adapter as size-1 batches here; an adapter that needs
+    * larger batches plugs into the `mapPartitions` boundary instead (the
+    * [[graft.operators.Multimodal]] pattern).
     */
+  def embedUdf(embedder: FieldEmbedder): org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf { fields: Seq[String] => embedder.embedBatch(Seq(fields)).head }
+
+  /** [[embedUdf]] with the deterministic stub at `segDim` per field. */
   def embedUdf(segDim: Int): org.apache.spark.sql.expressions.UserDefinedFunction =
-    udf { fields: Seq[String] => embedFields(fields, segDim) }
+    embedUdf(StubFieldEmbedder(segDim))
 
   /** Generate `n` products. `dims` must be divisible by 7 (7 embedded
     * fields, reference `README.md:54`).
@@ -186,8 +193,13 @@ object ProductGen {
     * product columns (surface A of the reference: `combined_text`,
     * `has_price`, `rating_tier`, `review_volume`, `embedding`).
     */
-  def withDerived(df: DataFrame, dims: Int): DataFrame = {
-    val segDim = dims / 7
+  def withDerived(df: DataFrame, dims: Int): DataFrame =
+    withDerived(df, StubFieldEmbedder(dims / 7))
+
+  /** [[withDerived]] against an explicit embedding model — the adapter
+    * seam for a real encoder (vector width = 7 × `embedder.segDim`).
+    */
+  def withDerived(df: DataFrame, embedder: FieldEmbedder): DataFrame = {
     df
       .withColumn("combined_text",
         concat_ws(" ", col("title"), col("description"), col("features"),
@@ -197,7 +209,7 @@ object ProductGen {
       .withColumn("review_volume", reviewVolume(col("rating_number")))
       // embedded fields in reference order (README.md:54): title,
       // description, features, main_category, store, categories, details
-      .withColumn("embedding", embedUdf(segDim)(array(
+      .withColumn("embedding", embedUdf(embedder)(array(
         col("title"), col("description"), col("features"),
         coalesce(col("main_category"), lit("")), coalesce(col("store"), lit("")),
         col("categories"), col("details"))))
@@ -303,9 +315,21 @@ object ProductGen {
   /** One product row (the 17-column [[schema]] layout) computed entirely on
     * the calling thread — exact parity with [[fromIds]] asserted by spec.
     */
-  def localRow(id: Long, dims: Int = 2688): org.apache.spark.sql.Row = {
+  def localRow(id: Long, dims: Int = 2688): org.apache.spark.sql.Row =
+    localRow(id, dims, StubFieldEmbedder(dims / 7))
+
+  /** [[localRow]] with an explicit embedding model — the single-object
+    * re-embed seam of the streaming upsert path (runDelta's `localMap`
+    * collects a micro-batch and calls this per object, the shape of
+    * hitting an inference endpoint); a real adapter replaces the stub
+    * here and in [[withDerived]] and the two paths stay column-exact.
+    */
+  def localRow(id: Long, dims: Int,
+      embedder: FieldEmbedder): org.apache.spark.sql.Row = {
     import LocalGen.{pmod, roundAt, xxLong}
     require(dims % 7 == 0, "dims must be 7 segments")
+    require(embedder.segDim == dims / 7,
+      s"embedder segDim ${embedder.segDim} != ${dims / 7}")
     val parentAsin = "B%09d".format(id)
     val title = LocalGen.wordSalad(id, 1, (pmod(xxLong(id, 101), 8L) + 3).toInt)
     val description =
@@ -345,11 +369,11 @@ object ProductGen {
       else if (ratingNumber < 500) "moderate"
       else if (ratingNumber < 5000) "many"
       else "popular"
-    val embedding = embedFields(
+    val embedding = embedder.embedBatch(Seq(
       Seq(title, description, features,
         if (mainCategory == null) "" else mainCategory,
-        if (store == null) "" else store, categories, details),
-      dims / 7).toIndexedSeq
+        if (store == null) "" else store, categories, details)))
+      .head.toIndexedSeq
     // with-schema row so consumers can use name-based access (getAs),
     // matching what a collected DataFrame row provides
     new org.apache.spark.sql.catalyst.expressions.GenericRowWithSchema(

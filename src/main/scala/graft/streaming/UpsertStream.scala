@@ -677,14 +677,16 @@ final class BucketedStore(val root: String, val nBuckets: Int,
     @volatile private var cached: (Map[Int, Int], Array[Row]) = null
     private val fast = new java.util.concurrent.atomic.AtomicLong
     private val fallbacks = new java.util.concurrent.atomic.AtomicLong
-    /** Reads served purely from the driver-side caches (at most the
-      * newly-committed delta files scanned).
+    /** Reads served from the driver-side caches. A fast read MAY still run
+      * bounded narrow scans of newly-committed delta files (the cache
+      * admission in `deltaRows`) — what it never does is rescan the base
+      * or merge the full delta set distributively.
       */
     def fastReadCount: Long = fast.get
-    /** Reads that ran a Spark job: displacement past the slack budget
-      * (full merged scan) or delta volume past the cache guard
-      * (distributed delta merge). Exact either way — this is a latency
-      * signal, not a correctness one.
+    /** Reads whose RESULT required a Spark job: displacement past the
+      * slack budget (full merged scan) or an oversized delta past the
+      * cache guard (distributed delta merge). Exact either way — this is
+      * a latency signal, not a correctness one.
       */
     def fallbackReadCount: Long = fallbacks.get
 
@@ -715,12 +717,23 @@ final class BucketedStore(val root: String, val nBuckets: Int,
       }
     }
 
+    // live delta versions too large to admit — remembered so a read never
+    // re-scans an oversized file just to rediscover it is oversized
+    private val oversized = scala.collection.mutable.HashSet[Int]()
+
     /** Scored rows for every live delta version: cache hits for files seen
       * before, one narrow scan per newly-committed file. Returns None when
-      * the live delta volume exceeds the guard (caller serves via the
-      * distributed merge) — an oversized file is never admitted into the
-      * cache, so driver memory stays bounded at maxCachedDeltaRows even
-      * when the small-delta contract is violated. Synchronized with base
+      * any live delta exceeded the admission budget (caller serves via the
+      * distributed merge). The guard bounds the CACHE, not the over-path
+      * read: each admission scan is `limit`-bounded so no more than the
+      * remaining budget + 1 rows ever reach the driver here, an oversized
+      * file is never admitted (and never re-scanned — it is remembered in
+      * `oversized` until consolidation evicts it), and SMALL deltas
+      * committed after an oversized one are still admitted, so one bulk
+      * backfill does not disable caching of subsequent normal commits.
+      * The distributed-merge path the caller falls back to collects one
+      * narrow DRow per distinct delta KEY — bounded by the store's delta
+      * volume between folds, not by this guard. Synchronized with base
       * refresh — one reader thread is the intended shape, the lock just
       * makes others safe.
       */
@@ -728,16 +741,20 @@ final class BucketedStore(val root: String, val nBuckets: Int,
       this.synchronized {
         deltaCache.keys.filterNot(deltas.contains).toSeq
           .foreach(deltaCache.remove) // consolidated away: slab re-read below
+        oversized.filterNot(deltas.contains).toSeq.foreach(oversized.remove)
         var total = deltaCache.valuesIterator.map(_.length.toLong).sum
-        var over = false
-        deltas.filterNot(deltaCache.contains).foreach { d =>
-          if (!over) {
-            val got = scoreDeltas(spark.read.parquet(s"$root/v$d/delta"))
-            if (total + got.length > maxCachedDeltaRows) over = true
-            else { total += got.length; deltaCache.put(d, got) }
+        deltas.filterNot(d => deltaCache.contains(d) || oversized.contains(d))
+          .foreach { d =>
+            val budget = (maxCachedDeltaRows - total).toInt
+            if (budget <= 0) oversized.add(d)
+            else {
+              val got = scoreDeltas(
+                spark.read.parquet(s"$root/v$d/delta").limit(budget + 1))
+              if (got.length > budget) oversized.add(d)
+              else { total += got.length; deltaCache.put(d, got) }
+            }
           }
-        }
-        if (over) None
+        if (oversized.nonEmpty) None
         else Some(deltaCache.valuesIterator.flatten.toVector)
       }
 
@@ -763,7 +780,10 @@ final class BucketedStore(val root: String, val nBuckets: Int,
         throw new IllegalStateException(s"no committed version under $root"))
       val (manifest, deltas) = readManifest(v)
       val base = ensureBase(manifest)
-      var ranJob = false // any Spark job on this read → counts as fallback
+      // counts as fallback when the read's RESULT needed a distributed
+      // job (full-scan or delta-merge); the fast path's bounded admission
+      // scans of new delta files do not flip this — see fastReadCount
+      var ranJob = false
       val out: Seq[(Double, Seq[Any])] =
         if (deltas.isEmpty)
           base.iterator.map(r =>

@@ -144,6 +144,28 @@ class PreparedTopKSpec extends SparkSpec {
     assert(pq.fallbackReadCount == 2 && pq.fastReadCount == 1)
   }
 
+  test("small deltas after an oversized one are still admitted; consolidation restores the fast path") {
+    val store = mkStore(200)
+    val pq = store.prepareTopK(spark, "embedding", q, 10,
+      projection = Seq("id"), deltaCacheRows = 5)
+    served(pq)
+    // bulk backfill past the guard, then a normal small commit
+    store.appendDelta((0L until 10L).map(i => (s"n$i", 1, vec(300 + i)))
+      .toDF("id", "grp", "embedding"), "id")
+    store.appendDelta(Seq(("s0", 1, vec(400L))).toDF("id", "grp", "embedding"),
+      "id")
+    // oversized delta live → distributed merge, exact; the small delta is
+    // admitted to the cache regardless
+    assert(served(pq) == full(store, None))
+    assert(pq.fallbackReadCount == 1)
+    // consolidating folds the oversized slab away; the consolidated slab
+    // exceeds the tiny guard too, so force a bucket fold instead: deltas
+    // clear entirely and reads serve fast again
+    store.compact(spark, "id")
+    assert(served(pq) == full(store, None))
+    assert(pq.fallbackReadCount == 1 && pq.fastReadCount >= 2)
+  }
+
   test("bucket fold refreshes the cache and stays exact") {
     val store = mkStore(200)
     val pq = store.prepareTopK(spark, "embedding", q, 10,

@@ -77,4 +77,36 @@ class ProductGenSpec extends SparkSpec {
     }
     assert(ids.forall(id => sparkRows.contains("B%09d".format(id))))
   }
+
+  test("FieldEmbedder seam: a custom adapter drives both embed paths") {
+    // a trivially-verifiable "model": every field embeds to a constant
+    // unit vector scaled by the field's length parity — distinguishable
+    // from the stub on every row
+    final case class FakeModel(segDim: Int) extends graft.sources.FieldEmbedder {
+      override def embedBatch(rows: Seq[Seq[String]]): Seq[Array[Float]] =
+        rows.map { fields =>
+          fields.toArray.flatMap { f =>
+            val v = if (f != null && f.length % 2 == 0) 1.0f else -1.0f
+            Array.tabulate(segDim)(i => if (i == 0) v else 0.0f)
+          }
+        }
+      override def name: String = "fake-parity-model"
+    }
+    val dims = 14
+    val viaSpark = ProductGen.withDerived(
+        ProductGen.baseColumns((0L until 20L).toDF("id")), FakeModel(2))
+      .select($"parent_asin", $"embedding")
+      .collect().map(r => r.getString(0) -> r.getSeq[Float](1)).toMap
+    (0L until 20L).foreach { id =>
+      val local = ProductGen.localRow(id, dims, FakeModel(2))
+      val emb = local.getAs[Seq[Float]]("embedding")
+      assert(viaSpark(local.getString(0)) == emb, s"id=$id")
+      // the fake model's signature, not the stub's: segments are one-hot
+      assert(emb.count(_ != 0.0f) == 7, s"id=$id got $emb")
+    }
+    // segDim mismatch is a compile-to-runtime contract violation
+    intercept[IllegalArgumentException] {
+      ProductGen.localRow(0L, dims, FakeModel(3))
+    }
+  }
 }
