@@ -2,6 +2,7 @@ package graft.queries
 
 import graft.Tables
 import graft.functions.{vec_cos, vec_dot, vec_hamming, vec_norm, vec_sign_pack}
+import graft.operators.VectorSearch
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -660,6 +661,42 @@ object VectorQueries {
           CAST(sum(n_chars) AS BIGINT) AS sum_n_chars,
           count(DISTINCT lang) AS langs,
           count(DISTINCT source) AS sources
-        FROM documents"""))
+        FROM documents""")),
+
+    // ---- multi-query top-k in ONE scan (VectorSearch.topKMulti): the 3
+    //      lowest-vec_id embeddings as query vectors, top-5 neighbors
+    //      each by dot product. The operator selects a raw-score top-8
+    //      per query (bounded per-query heaps, one pass over the table);
+    //      the wrapper re-ranks by (rounded score, vec_id) so the emitted
+    //      ranks are float-robust across engines, same device as q26 ----
+    QueryDef(
+      "q113_topk_multi",
+      (s, d) => {
+        val e = Tables.embeddings(s, d)
+        val queries = e.filter(col("vec_id") < 3)
+          .orderBy(col("vec_id")).collect()
+          .map(_.getSeq[Float](1).toArray).toSeq
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("query_id")).orderBy(desc("score"), col("vec_id"))
+        VectorSearch.topKMulti(e, "embedding", queries, 8, "vec_id")
+          .select(col("query_id").cast("long").as("query_id"),
+            (round(col("score"), 4) + 0.0).as("score"), col("vec_id"))
+          .withColumn("rank", row_number().over(w).cast("long"))
+          .filter(col("rank") <= 5)
+          .select(col("query_id"), col("rank"), col("score"), col("vec_id"))
+          .orderBy(col("query_id"), col("rank"))
+      },
+      Some(s"""WITH q AS (SELECT vec_id AS qid, embedding AS qv
+          FROM embeddings WHERE vec_id < 3),
+        scored AS (SELECT q.qid AS query_id,
+            CAST(e.vec_id AS VARCHAR) AS vec_id,
+            round(${sqlDot("e.embedding", "q.qv")}, 4) + 0 AS score
+          FROM embeddings e CROSS JOIN q),
+        ranked AS (SELECT query_id, score, vec_id,
+            row_number() OVER (PARTITION BY query_id
+              ORDER BY score DESC, vec_id) AS rank
+          FROM scored)
+        SELECT query_id, rank, score, vec_id FROM ranked
+        WHERE rank <= 5 ORDER BY query_id, rank"""))
   )
 }

@@ -87,11 +87,24 @@ private[streaming] final case class DRow(k: Any, seq: Long, pass: Boolean,
   score: Double, proj: Seq[Any])
 
 final class BucketedStore(val root: String, val nBuckets: Int,
-    val codec: String = "snappy") {
+    val codec: String = "snappy", val deltaRoot: Option[String] = None) {
   import java.nio.file.{Files, Paths, StandardCopyOption}
 
   private val pointer = Paths.get(root, "_CURRENT")
   Files.createDirectories(Paths.get(root))
+
+  // The L0 media split: delta files (and consolidation slabs) can live on
+  // a different — typically faster — filesystem than the bucket data.
+  // Deltas are small and short-lived by contract (consolidation and bucket
+  // folds drain them), so pointing `deltaRoot` at low-latency media (local
+  // NVMe / tmpfs) insulates the sustained-upsert commit path from
+  // throughput stalls on the capacity tier, exactly the LSM deployment
+  // shape at cluster scale: WAL/L0 on local disks, L1+ buckets on object
+  // storage. Manifests and buckets stay under `root`; a reader needs both
+  // mounts. Default: deltas co-located with the buckets.
+  private val deltaBase = deltaRoot.getOrElse(root)
+  Files.createDirectories(Paths.get(deltaBase))
+  private def deltaPath(v: Int): String = s"$deltaBase/v$v/delta"
 
   private def bucketCol(key: String) =
     pmod(xxhash64(col(key)), lit(nBuckets.toLong)).cast("int")
@@ -146,7 +159,7 @@ final class BucketedStore(val root: String, val nBuckets: Int,
     */
   def smallDeltaCount(slabMaxBytes: Long = 16L * 1024 * 1024): Int =
     currentVersion.map(v => readManifest(v)._2
-      .count(d => dirBytes(s"$root/v$d/delta") < slabMaxBytes)).getOrElse(0)
+      .count(d => dirBytes(deltaPath(d)) < slabMaxBytes)).getOrElse(0)
 
   /** Latest delta row per key across all live delta files (deltas are tiny
     * by contract — compaction keeps them so — hence the window runs on a
@@ -160,7 +173,7 @@ final class BucketedStore(val root: String, val nBuckets: Int,
       key: String): Option[DataFrame] =
     if (deltas.isEmpty) None
     else {
-      val df = spark.read.parquet(deltas.map(d => s"$root/v$d/delta"): _*)
+      val df = spark.read.parquet(deltas.map(deltaPath): _*)
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy(col(key)).orderBy(col("__seq").desc)
       Some(df.withColumn("__rn", row_number().over(w))
@@ -337,11 +350,13 @@ final class BucketedStore(val root: String, val nBuckets: Int,
       val stream = Files.walk(dir)
       try stream.iterator().asScala.toSeq.reverse.foreach(p => Files.delete(p))
       finally stream.close()
+      // the version's delta files live on the delta tier when split
+      if (deltaBase != root) deleteRecursively(Paths.get(deltaBase, s"v$v"))
     }
     // sweep orphaned consolidation staging dirs (a crash between the
     // staging write and the manifest move leaves one behind; in-flight
     // merges of THIS handle are excluded via activeStaging)
-    val ls = Files.list(Paths.get(root))
+    val ls = Files.list(Paths.get(deltaBase))
     try ls.iterator().asScala
       .filter(p => p.getFileName.toString.startsWith(".stage-") &&
         !activeStaging.contains(p.toString))
@@ -373,7 +388,7 @@ final class BucketedStore(val root: String, val nBuckets: Int,
       val (manifest, deltas) = readManifest(v)
       updates.withColumn("__seq", lit(next.toLong))
         .coalesce(1)
-        .write.mode("overwrite").parquet(s"$root/v$next/delta")
+        .write.mode("overwrite").parquet(deltaPath(next))
       val tl2 = System.nanoTime()
       if (sys.env.contains("SPARK_GRAFT_STREAM_DEBUG"))
         System.err.println(f"[appendDelta] lockWait=${(tl1 - tl0) / 1e9}%.3f " +
@@ -417,7 +432,7 @@ final class BucketedStore(val root: String, val nBuckets: Int,
         throw new IllegalStateException("initialize first"))
       (v, readManifest(v)._2)
     }
-    val captured = live.filter(d => dirBytes(s"$root/v$d/delta") < slabMaxBytes)
+    val captured = live.filter(d => dirBytes(deltaPath(d)) < slabMaxBytes)
     if (sys.env.contains("SPARK_GRAFT_STREAM_DEBUG"))
       System.err.println(
         s"[consolidate] start captured=${captured.length}/${live.length}")
@@ -496,7 +511,9 @@ final class BucketedStore(val root: String, val nBuckets: Int,
     * lock, keeping any deltas appended meanwhile.
     */
   private def stageAndSwap(mergedDf: DataFrame, captured: Seq[Int]): Int = {
-    val staging = s"$root/.stage-${java.util.UUID.randomUUID()}"
+    // staging lives on the DELTA tier: the final rename into deltaPath
+    // must stay a same-filesystem atomic move
+    val staging = s"$deltaBase/.stage-${java.util.UUID.randomUUID()}"
     activeStaging.add(staging)
     var moved = false
     try {
@@ -508,8 +525,8 @@ final class BucketedStore(val root: String, val nBuckets: Int,
           v // a captured delta was folded meanwhile: abort, keep current
         else {
           val next = v + 1
-          Files.createDirectories(Paths.get(root, s"v$next"))
-          Files.move(Paths.get(staging), Paths.get(root, s"v$next", "delta"))
+          Files.createDirectories(Paths.get(deltaBase, s"v$next"))
+          Files.move(Paths.get(staging), Paths.get(deltaPath(next)))
           moved = true
           // list order is cosmetic — key precedence lives in the per-row
           // __seq values the merge preserved
@@ -622,7 +639,7 @@ final class BucketedStore(val root: String, val nBuckets: Int,
     // under this version; otherwise the delta list clears
     val newDeltas = leftoverDeltas match {
       case Some(rest) =>
-        rest.coalesce(1).write.mode("overwrite").parquet(s"$root/v$next/delta")
+        rest.coalesce(1).write.mode("overwrite").parquet(deltaPath(next))
         Seq(next)
       case None => Seq.empty[Int]
     }
@@ -749,7 +766,7 @@ final class BucketedStore(val root: String, val nBuckets: Int,
             if (budget <= 0) oversized.add(d)
             else {
               val got = scoreDeltas(
-                spark.read.parquet(s"$root/v$d/delta").limit(budget + 1))
+                spark.read.parquet(deltaPath(d)).limit(budget + 1))
               if (got.length > budget) oversized.add(d)
               else { total += got.length; deltaCache.put(d, got) }
             }
@@ -1003,6 +1020,7 @@ object UpsertStream {
             case Some((f, _)) => f(collected).toIndexedSeq
             case None => collected
           }
+          val te = System.nanoTime()
           val outSchema = localMap.map(_._2).getOrElse(batch.schema)
           val spark = batch.sparkSession
           val local = spark.createDataFrame(
@@ -1010,7 +1028,8 @@ object UpsertStream {
           val v = store.appendDelta(local, key)
           val tc2 = System.nanoTime()
           if (dbg) System.err.println(
-            f"[runDelta] append n=${rows.size} took ${(tc2 - tc1) / 1e9}%.3f s")
+            f"[runDelta] append n=${rows.size} took ${(tc2 - tc1) / 1e9}%.3f s " +
+              f"(embed=${(te - tc1) / 1e9}%.3f write=${(tc2 - te) / 1e9}%.3f)")
           onCommit(v, rows)
           commits += 1
           recentDeltas(v) = rows

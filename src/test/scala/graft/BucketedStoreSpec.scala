@@ -107,6 +107,32 @@ class BucketedStoreSpec extends SparkSpec {
     assert(after == before)
   }
 
+  test("split delta tier: deltas land under deltaRoot, merge/compact/vacuum intact") {
+    val root = java.nio.file.Files.createTempDirectory("bsplit").toString
+    val dtier = java.nio.file.Files.createTempDirectory("bsplit_l0").toString
+    val store = new BucketedStore(root, nBuckets = 4, deltaRoot = Some(dtier))
+    store.initialize((0L until 50L).map(i => (i, "orig")).toDF("k", "v"), "k")
+    store.appendDelta(Seq((3L, "d1"), (100L, "new")).toDF("k", "v"), "k")
+    store.appendDelta(Seq((3L, "d2")).toDF("k", "v"), "k")
+    // delta files live on the delta tier, not under the bucket root
+    assert(new java.io.File(s"$dtier/v1/delta").exists())
+    assert(!new java.io.File(s"$root/v1/delta").exists())
+    val m1 = store.read(spark).collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(m1.size == 51 && m1(3L) == "d2" && m1(100L) == "new")
+    // consolidation stages + swaps on the delta tier
+    store.consolidateDeltas(spark)
+    assert(store.liveDeltaCount == 1)
+    val m2 = store.read(spark).collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(m2 == m1)
+    // a fold clears the tier; vacuum reclaims the old versions' delta dirs
+    store.compact(spark, "k")
+    assert(store.liveDeltaCount == 0)
+    val m3 = store.read(spark).collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(m3 == m1)
+    store.vacuum()
+    assert(!new java.io.File(s"$dtier/v1").exists())
+  }
+
   test("upsert with live deltas folds them and updates win") {
     val root = java.nio.file.Files.createTempDirectory("bdelta2").toString
     val store = new BucketedStore(root, nBuckets = 4)
