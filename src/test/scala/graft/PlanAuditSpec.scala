@@ -177,4 +177,18 @@ class PlanAuditSpec extends SparkSpec {
       merged.groupBy(col("category")).agg(count(lit(1)).as("n")))
     assert(!statPlan.contains("embedding:"), statPlan)
   }
+
+  test("multi-query top-k: one scan, one exchange, no Sort operator") {
+    val emb = Tables.embeddings(spark, dir)
+    val queries = Seq(Array.fill(64)(0.5f), Array.fill(64)(-0.5f),
+      Array.tabulate(64)(i => if (i % 2 == 0) 0.5f else -0.5f))
+    val df = VectorSearch.topKMulti(emb, "embedding", queries, 10, "vec_id")
+    val plan = planOf(df)
+    // the hash-agg top-k formulation: no Sort of the scored rows anywhere
+    assert(!plan.contains("Sort "), plan)
+    // exactly one parquet scan of the table feeds all three queries
+    assert("FileScan parquet".r.findAllIn(plan).length == 1, plan)
+    val audit = graft.plans.PlanAudit.audit(df)
+    assert(audit.shuffles == 1, s"expected 1 shuffle, got ${audit.shuffles}")
+  }
 }
