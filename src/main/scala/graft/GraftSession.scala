@@ -16,6 +16,18 @@ object GraftSession {
     "spark.sql.adaptive.enabled" -> "true",
     "spark.sql.adaptive.coalescePartitions.enabled" -> "true",
     "spark.sql.adaptive.skewJoin.enabled" -> "true",
+    // Let AQE coalesce small shuffles BELOW the cluster parallelism
+    // (parallelismFirst's default=true pins every reduce stage at >=
+    // defaultParallelism tasks, so a 50 kB shuffle still launches 32
+    // tasks — measured ~0.1-0.3 s of pure task-launch overhead per stage,
+    // which dominates interactive/mid-size queries that run 10-40 stages).
+    // With it false, stage width follows data volume via the advisory
+    // size: tiny stages collapse to 1 task, and a 16 MB advisory (vs the
+    // 64 MB default, which Spark's own docs recommend raising parallelism
+    // from when setting parallelismFirst=false) keeps 100 MB+ shuffles
+    // wide enough to fill the box.
+    "spark.sql.adaptive.coalescePartitions.parallelismFirst" -> "false",
+    "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "16m",
     // events.parquet carries TIMESTAMP(NANOS); Spark reads it as long
     // (nanos since epoch) with this flag, and Tables.events converts.
     "spark.sql.legacy.parquet.nanosAsLong" -> "true",

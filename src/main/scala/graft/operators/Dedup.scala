@@ -59,6 +59,32 @@ object Dedup {
     if (entries != null) entries.synchronized { entries.clear() }
   }
 
+  /** Size-adaptive execution mode for the near-dup family. The pipeline's
+    * intermediates (signature core, pair verdicts) are eagerly
+    * `localCheckpoint`ed so that multi-consumer reuse never re-runs the
+    * text scans — the right trade on a large corpus, where one barrier job
+    * costs seconds and a re-scan costs minutes. On an INTERACTIVE corpus
+    * the trade inverts: each checkpoint is a full job launch (~0.2–1 s of
+    * scheduler/stage fixed cost) strung into a sequential chain, while the
+    * "saved" recomputation is milliseconds of hashing. So for inputs whose
+    * Catalyst-estimated size is at or below `graft.dedup.inlineMaxBytes`
+    * (default 64 MB), the SINGLE-CONSUMER leaf frames (pair verdicts, the
+    * index fingerprint frame) stay LAZY and fuse into the consumer's one
+    * job. The multi-consumer core frames (distinct shingles, band keys)
+    * stay eager in both modes: they are re-read through aliased self-join
+    * branches where `ReusedExchange` does not fire, so a lazy core
+    * re-tokenizes per branch and the fused plan grows combinatorially
+    * (measured SLOWER than the barriers it saves, even at 2.5k docs). The
+    * size estimate comes from `optimizedPlan.stats` (parquet footer sizes
+    * × filter selectivity) — driver-side, no job. Set the conf to 0 to
+    * force the barrier path everywhere.
+    */
+  private def interactive(df: DataFrame): Boolean = {
+    val maxBytes = df.sparkSession.conf
+      .get("graft.dedup.inlineMaxBytes", (64L << 20).toString).toLong
+    df.queryExecution.optimizedPlan.stats.sizeInBytes <= maxBytes
+  }
+
   private def memoized[T](df: DataFrame, params: Any)(compute: => T): T = {
     val spark = df.sparkSession
     val plan = df.queryExecution.analyzed
@@ -264,10 +290,11 @@ object Dedup {
       k: Int, numHashes: Int, rowsPerBand: Int,
       threshold: Double): (DataFrame, DataFrame) = {
     val c = sigCore(df, textCol, idCol, k, numHashes, rowsPerBand)
-    val repPairs =
+    val repPairsLazy =
       jaccardVerifyOn(c.shingles, c.counts, idCol, bandSelfPairs(c.bands, idCol))
         .filter(col("jaccard") >= threshold)
-        .localCheckpoint(true)
+    val repPairs =
+      if (interactive(df)) repPairsLazy else repPairsLazy.localCheckpoint(true)
     (c.membership, repPairs)
   }
 
@@ -308,6 +335,14 @@ object Dedup {
       // window is computed twice, but over (id, fp) only — one extra
       // narrow shuffle buys one fewer sequential materialization, and at
       // interactive corpus sizes the barriers dominate the chain.
+      //
+      // These two checkpoints (sh, bands) stay EAGER in both modes: sh is
+      // the text→id collapse every downstream frame re-reads through
+      // aliased self-join branches (where ReusedExchange never fires — a
+      // lazy sh re-tokenizes per branch and the plan blows up
+      // combinatorially), and bands feeds both the self-pair and the
+      // index-probe joins. Only the single-consumer leaves (repPairs, the
+      // index fingerprint frame) go lazy in interactive mode.
       val memF = Future { membershipLazy.localCheckpoint(true) }
       val repDocs = eligible.join(
         membershipLazy.filter(col(idCol) === col("__rep")).select(col(idCol)),
@@ -315,6 +350,11 @@ object Dedup {
       val sh = TextAnalysis.shingles(repDocs, textCol, k, idCol)
         .distinct().localCheckpoint(true)
       val cnt = sh.groupBy(col(idCol)).agg(count(lit(1)).as("__n"))
+      // bands stay eager in both modes too: a lazy band frame re-runs its
+      // minhash aggregation per aliased self-join branch AND loses the
+      // accurate checkpoint statistics the join planning keys off —
+      // measured 2-3× slower on the clustered consumers (q92) than the
+      // barrier it saves
       val bands = lshBandKeys(minhashFromShingles(sh, idCol, numHashes),
         idCol, rowsPerBand).localCheckpoint(true)
       SigCore(Await.result(memF, Duration.Inf), sh, cnt, bands)
@@ -858,9 +898,11 @@ object Dedup {
         rowsPerBand)) {
         // fingerprints are independent of the signature chain — derive
         // them concurrently so the build's critical path is sigCore alone
+        // (lazily in interactive mode, where no job runs until a batch is
+        // classified and the whole build is just plan construction)
         val fpF = Future {
-          corpus.select(md5(col(textCol)).as("__fp")).distinct()
-            .localCheckpoint(true)
+          val fp = corpus.select(md5(col(textCol)).as("__fp")).distinct()
+          if (interactive(corpus)) fp else fp.localCheckpoint(true)
         }
         val c = sigCore(corpus, textCol, idCol, k, numHashes, rowsPerBand)
         NearDupIndex(idCol, k, numHashes, rowsPerBand, c.bands, c.shingles,
