@@ -136,6 +136,12 @@ object Bench {
         // the other half of the depleted-IO variance
         .config("spark.local.dir", s"$base/spark-local")
       GraftSession.defaults.foreach { case (k, v) => builder.config(k, v) }
+      // A/B hook for perf iteration: semicolon-separated k=v conf overrides
+      sys.env.get("SPARK_GRAFT_EXTRA_CONF").foreach(_.split(';')
+        .filter(_.contains('=')).foreach { kv =>
+          val i = kv.indexOf('=')
+          builder.config(kv.take(i).trim, kv.drop(i + 1).trim)
+        })
       val s = builder.getOrCreate()
       s.sparkContext.setLogLevel("WARN")
       GraftSession.prepare(s)

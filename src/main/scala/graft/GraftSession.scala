@@ -16,18 +16,14 @@ object GraftSession {
     "spark.sql.adaptive.enabled" -> "true",
     "spark.sql.adaptive.coalescePartitions.enabled" -> "true",
     "spark.sql.adaptive.skewJoin.enabled" -> "true",
-    // Let AQE coalesce small shuffles BELOW the cluster parallelism
-    // (parallelismFirst's default=true pins every reduce stage at >=
-    // defaultParallelism tasks, so a 50 kB shuffle still launches 32
-    // tasks — measured ~0.1-0.3 s of pure task-launch overhead per stage,
-    // which dominates interactive/mid-size queries that run 10-40 stages).
-    // With it false, stage width follows data volume via the advisory
-    // size: tiny stages collapse to 1 task, and a 16 MB advisory (vs the
-    // 64 MB default, which Spark's own docs recommend raising parallelism
-    // from when setting parallelismFirst=false) keeps 100 MB+ shuffles
-    // wide enough to fill the box.
-    "spark.sql.adaptive.coalescePartitions.parallelismFirst" -> "false",
-    "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "16m",
+    // adaptive.coalescePartitions.parallelismFirst stays at its true
+    // default DELIBERATELY: an A/B (2026-08-14) measured
+    // parallelismFirst=false + 16 MB advisory as a wash on the analytical
+    // suite (stage-launch savings ≈ lost parallelism, within run noise)
+    // while SEVERELY regressing the write/serving path — bucketed-store
+    // init 41 s → 94 s (single-task coalesced writes) and the 200-QPS
+    // tier p95 1.1 s → 16 s (fat coalesced tasks → multi-GB young-gen
+    // allocation spikes → 1-5 s G1 evacuation pauses on the commit path).
     // events.parquet carries TIMESTAMP(NANOS); Spark reads it as long
     // (nanos since epoch) with this flag, and Tables.events converts.
     "spark.sql.legacy.parquet.nanosAsLong" -> "true",
@@ -54,12 +50,25 @@ object GraftSession {
     "spark.ui.enabled" -> "false"
   )
 
+  /** Dev/perf-iteration hook: semicolon-separated `k=v` Spark conf
+    * overrides from SPARK_GRAFT_EXTRA_CONF, applied after [[defaults]] by
+    * [[local]] and [[prepare]] (A/B-ing a conf without a rebuild).
+    */
+  private[graft] def extraConf: Seq[(String, String)] =
+    sys.env.get("SPARK_GRAFT_EXTRA_CONF").toSeq.flatMap(_.split(';').toSeq
+      .filter(_.contains('='))
+      .map { kv =>
+        val i = kv.indexOf('=')
+        (kv.take(i).trim, kv.drop(i + 1).trim)
+      })
+
   def local(cores: Int = 32, shufflePartitions: Int = 32): SparkSession = {
     val b = SparkSession.builder()
       .master(s"local[$cores]")
       .appName("graft")
       .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
     defaults.foreach { case (k, v) => b.config(k, v) }
+    extraConf.foreach { case (k, v) => b.config(k, v) }
     val spark = b.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     functions.registerAll(spark)
@@ -70,7 +79,7 @@ object GraftSession {
     * (e.g. the one the driver's Verify/Bench mains created).
     */
   def prepare(spark: SparkSession): SparkSession = {
-    defaults.foreach { case (k, v) =>
+    (defaults ++ extraConf).foreach { case (k, v) =>
       // legacy.parquet.nanosAsLong is a static conf — only settable at
       // session build; ignore failures for an already-built session.
       try spark.conf.set(k, v) catch { case _: Exception => () }
