@@ -144,6 +144,47 @@ class DedupSpec extends SparkSpec {
     assert(kept == Seq(3L, 7L))
   }
 
+  test("interactive (lazy-leaf) and forced-barrier modes agree, lazily cheaper") {
+    // same corpus/batch through both execution modes: results must be
+    // identical, and the interactive default must launch no MORE jobs
+    // than the forced-barrier path (it elides the repPairs/fingerprint
+    // checkpoint jobs; the memo is cleared between runs so each mode
+    // derives its own frames)
+    val corpus = (0L until 40L by 2L).map(i =>
+      (i, s"corpus sentence number ${i / 2} about topic ${i % 6} with shared boilerplate tail"))
+      .toDF("doc_id", "text")
+    val batch = (1L until 40L by 2L).map(i =>
+      (i, if (i < 11) s"corpus sentence number ${(i - 1) / 2} about topic ${(i - 1) % 6} with shared boilerplate tail"
+          else s"novel batch document ${i} with its own distinct words entirely"))
+      .toDF("doc_id", "text")
+    def jobsDuring(f: => Seq[Long]): (Seq[Long], Int) = {
+      val n = new java.util.concurrent.atomic.AtomicInteger()
+      val l = new org.apache.spark.scheduler.SparkListener {
+        override def onJobStart(
+            e: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+          n.incrementAndGet()
+      }
+      spark.sparkContext.addSparkListener(l)
+      try { val r = f; Thread.sleep(300); (r, n.get()) }
+      finally spark.sparkContext.removeSparkListener(l)
+    }
+    def run(): Seq[Long] =
+      Dedup.dropDuplicatesAgainst(batch, corpus, "text", "doc_id",
+        threshold = 0.5).select("doc_id").as[Long].collect().sorted.toSeq
+    Dedup.clearMemo(spark)
+    val (lazyRes, lazyJobs) = jobsDuring(run())
+    Dedup.clearMemo(spark)
+    spark.conf.set("graft.dedup.inlineMaxBytes", "0")
+    val (barrierRes, barrierJobs) =
+      try jobsDuring(run())
+      finally spark.conf.unset("graft.dedup.inlineMaxBytes")
+    Dedup.clearMemo(spark)
+    assert(lazyRes == barrierRes)
+    assert(lazyRes.take(3) == Seq(11L, 13L, 15L)) // dup half dropped
+    assert(lazyJobs <= barrierJobs,
+      s"interactive mode ran $lazyJobs jobs vs $barrierJobs with barriers")
+  }
+
   test("dropDuplicatesAgainst catches exact dups too short for shingles") {
     val corpus = Seq((0L, "hello world")).toDF("doc_id", "text")
     val batch = Seq(
