@@ -136,12 +136,8 @@ object Bench {
         // the other half of the depleted-IO variance
         .config("spark.local.dir", s"$base/spark-local")
       GraftSession.defaults.foreach { case (k, v) => builder.config(k, v) }
-      // A/B hook for perf iteration: semicolon-separated k=v conf overrides
-      sys.env.get("SPARK_GRAFT_EXTRA_CONF").foreach(_.split(';')
-        .filter(_.contains('=')).foreach { kv =>
-          val i = kv.indexOf('=')
-          builder.config(kv.take(i).trim, kv.drop(i + 1).trim)
-        })
+      // A/B hook for perf iteration (SPARK_GRAFT_EXTRA_CONF)
+      GraftSession.extraConf.foreach { case (k, v) => builder.config(k, v) }
       val s = builder.getOrCreate()
       s.sparkContext.setLogLevel("WARN")
       GraftSession.prepare(s)
@@ -197,31 +193,12 @@ object Bench {
     val dims = 2688
     val productsPath = s"$base/products"
 
-    // index build: generate + embed + write, partitioned by the filter
-    // column so selective reads prune directories (reference README.md:64).
-    // The base columns are repartitioned by (category, weighted salt) BEFORE
-    // the embedding step: the shuffle moves only ~1 KB of text per row, the
-    // embed compute stays balanced across tasks (no task owns all of Books'
-    // 41%), and the partitioned write emits ~one file per salt instead of
-    // one per (task × category). Salt count = 4× cores, NOT cores: a
-    // category's file count caps the read parallelism of any scan filtered
-    // to it (one ~20 MB file = one row group = one task), and at 1× cores
-    // the 4%-weight Computers category got 2 files — measured 4-9× slower
-    // selective top-k (the r2 read_sel regression). At 4× cores every tier
-    // keeps all cores busy and total files stay bounded (~95 at sf0.1);
-    // the same sizing rule at cluster scale: files per category ≥ the
-    // parallelism you want for a single-category scan.
+    // index build: generate + embed + write with the shared balanced
+    // layout (ProductWorkload.writeIndexed — layout rationale there)
     gateIo(base, "start")
     timed("index_build") {
-      val nCpus = cpus.toInt
-      val baseCols = ProductGen.baseColumns(
-        spark.range(0, nProducts, 1, nCpus).toDF("id"))
-      val balanced = baseCols.repartition(4 * nCpus, col("main_category"),
-        ProductGen.categorySalt(col("id"), col("main_category"), 4 * nCpus))
-      ProductGen.withDerived(balanced, dims)
-        .select(ProductGen.schema(dims).fieldNames.map(col).toIndexedSeq: _*)
-        .write.mode("overwrite").partitionBy("main_category")
-        .parquet(productsPath)
+      ProductWorkload.writeIndexed(spark, nProducts, dims, cpus.toInt,
+        productsPath)
     }
 
     val products = spark.read.parquet(productsPath)
@@ -232,18 +209,11 @@ object Bench {
       VectorSearch.topK(products, "embedding", queryVec, 100,
         Some(filter), projection = Seq("parent_asin"))
 
-    // the four selectivity tiers (reference README.md:80-83); observed
-    // selectivity of each predicate on the generated data is reported as a
-    // pseudo-entry so the tiers are auditable
-    val selPreds = Seq(
-      "read_sel_0001" -> (col("average_rating") <= 3.0 &&
-        col("rating_number") > 130 && col("main_category") === "Computers"),
-      "read_sel_01" -> (col("average_rating") <= 3.5 &&
-        col("rating_number") > 15 && col("main_category") === "Computers"),
-      "read_sel_1" -> (col("average_rating") >= 3.5 &&
-        col("rating_number") > 10 && col("main_category") === "Computers"),
-      "read_sel_10" ->
-        col("main_category").isin("Computers", "All Beauty", "Buy a Kindle"))
+    // the four selectivity tiers (shared with ScalePoint via
+    // ProductWorkload); observed selectivity of each predicate on the
+    // generated data is reported as a pseudo-entry so the tiers are
+    // auditable
+    val selPreds = ProductWorkload.selPreds
     val selCounts = products.agg(
       count(lit(1)).as("total"),
       selPreds.map { case (n, p) => sum(p.cast("long")).as(n) }: _*).head()
@@ -281,6 +251,13 @@ object Bench {
       if (java.nio.file.Files.isWritable(java.nio.file.Paths.get("/dev/shm")))
         Some(s"/dev/shm/graft_delta_${System.nanoTime()}")
       else None
+    // tmpfs files are RAM — reclaim them even on a crashed/killed run,
+    // not just on the happy-path delete at the end of main
+    deltaTier.foreach { d =>
+      Runtime.getRuntime.addShutdownHook(new Thread(() =>
+        try FsUtil.deleteRecursively(java.nio.file.Paths.get(d))
+        catch { case _: Throwable => () }))
+    }
     val store = new BucketedStore(s"$base/store", nBuckets = 64,
       deltaRoot = deltaTier)
     timed("upsert_store_init") {

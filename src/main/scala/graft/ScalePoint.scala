@@ -53,19 +53,12 @@ object ScalePoint {
     val dims = 2688
     val productsPath = s"$base/products_sf1"
 
-    // identical layout rules to Bench.index_build (category-salted
-    // balance, partitioned by the filter column) so the ratio isolates
-    // data volume, not plan shape
+    // identical layout rules to Bench.index_build — by construction: both
+    // call ProductWorkload.writeIndexed, so the ratio isolates data
+    // volume, not plan shape
     timed("index_build") {
-      val nCpus = cpus.toInt
-      val baseCols = ProductGen.baseColumns(
-        spark.range(0, nProducts, 1, nCpus).toDF("id"))
-      val balanced = baseCols.repartition(4 * nCpus, col("main_category"),
-        ProductGen.categorySalt(col("id"), col("main_category"), 4 * nCpus))
-      ProductGen.withDerived(balanced, dims)
-        .select(ProductGen.schema(dims).fieldNames.map(col).toIndexedSeq: _*)
-        .write.mode("overwrite").partitionBy("main_category")
-        .parquet(productsPath)
+      ProductWorkload.writeIndexed(spark, nProducts, dims, cpus.toInt,
+        productsPath)
     }
 
     val products = spark.read.parquet(productsPath)
@@ -77,16 +70,7 @@ object ScalePoint {
     def topk(filter: Column): DataFrame =
       VectorSearch.topK(products, "embedding", queryVec, 100,
         Some(filter), projection = Seq("parent_asin"))
-    val selPreds = Seq(
-      "read_sel_0001" -> (col("average_rating") <= 3.0 &&
-        col("rating_number") > 130 && col("main_category") === "Computers"),
-      "read_sel_01" -> (col("average_rating") <= 3.5 &&
-        col("rating_number") > 15 && col("main_category") === "Computers"),
-      "read_sel_1" -> (col("average_rating") >= 3.5 &&
-        col("rating_number") > 10 && col("main_category") === "Computers"),
-      "read_sel_10" ->
-        col("main_category").isin("Computers", "All Beauty", "Buy a Kindle"))
-    selPreds.foreach { case (name, pred) =>
+    ProductWorkload.selPreds.foreach { case (name, pred) =>
       timed(name) { topk(pred).collect() }
     }
 

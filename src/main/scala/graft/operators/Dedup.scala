@@ -279,11 +279,20 @@ object Dedup {
       df: DataFrame, textCol: String, idCol: String,
       k: Int, numHashes: Int, rowsPerBand: Int,
       threshold: Double): (DataFrame, DataFrame) =
-    memoized(df, ("nearDupCore", textCol, idCol, k, numHashes, rowsPerBand,
-      threshold)) {
+    // interactive mode bypasses the memo: its repPairs frame is LAZY, and
+    // the memo's contract is checkpointed snapshots only (staleness =
+    // session, never a mid-session re-read). Re-deriving the lazy verify
+    // DAG per call is driver-side plan construction over the memoized
+    // (checkpointed) sigCore frames — the expensive part still hits.
+    if (interactive(df))
       nearDupCoreUncached(df, textCol, idCol, k, numHashes, rowsPerBand,
         threshold)
-    }
+    else
+      memoized(df, ("nearDupCore", textCol, idCol, k, numHashes, rowsPerBand,
+        threshold)) {
+        nearDupCoreUncached(df, textCol, idCol, k, numHashes, rowsPerBand,
+          threshold)
+      }
 
   private def nearDupCoreUncached(
       df: DataFrame, textCol: String, idCol: String,
@@ -894,20 +903,28 @@ object Dedup {
       import scala.concurrent.duration.Duration
       implicit val ec: scala.concurrent.ExecutionContext =
         scala.concurrent.ExecutionContext.global
-      memoized(corpus, ("nearDupIndex", textCol, idCol, k, numHashes,
-        rowsPerBand)) {
+      def mk(inline: Boolean): NearDupIndex = {
         // fingerprints are independent of the signature chain — derive
         // them concurrently so the build's critical path is sigCore alone
         // (lazily in interactive mode, where no job runs until a batch is
         // classified and the whole build is just plan construction)
         val fpF = Future {
           val fp = corpus.select(md5(col(textCol)).as("__fp")).distinct()
-          if (interactive(corpus)) fp else fp.localCheckpoint(true)
+          if (inline) fp else fp.localCheckpoint(true)
         }
         val c = sigCore(corpus, textCol, idCol, k, numHashes, rowsPerBand)
         NearDupIndex(idCol, k, numHashes, rowsPerBand, c.bands, c.shingles,
           c.counts, Await.result(fpF, Duration.Inf))
       }
+      // interactive mode bypasses the memo (lazy fingerprint frame — the
+      // memo holds checkpointed snapshots only); the sigCore underneath is
+      // still memoized, so a repeat build re-pays only the fingerprint
+      // plan construction. Long-lived holders (the streaming dedup) keep
+      // the returned index object itself, so per-call laziness never
+      // compounds across micro-batches.
+      if (interactive(corpus)) mk(inline = true)
+      else memoized(corpus, ("nearDupIndex", textCol, idCol, k, numHashes,
+        rowsPerBand)) { mk(inline = false) }
     }
   }
 

@@ -665,10 +665,14 @@ object VectorQueries {
 
     // ---- multi-query top-k in ONE scan (VectorSearch.topKMulti): the 3
     //      lowest-vec_id embeddings as query vectors, top-5 neighbors
-    //      each by dot product. The operator selects a raw-score top-8
+    //      each by dot product. The operator selects a raw-score top-32
     //      per query (bounded per-query heaps, one pass over the table);
     //      the wrapper re-ranks by (rounded score, vec_id) so the emitted
-    //      ranks are float-robust across engines, same device as q26 ----
+    //      ranks are float-robust across engines, same device as q26. The
+    //      27-row buffer past the emitted top-5 keeps the rounded-score
+    //      re-rank exact even when a 4-decimal tie group straddles the
+    //      heap cut (the raw cut at exactly k would let DuckDB pick a
+    //      lower-id tie member the heap never kept) ----
     QueryDef(
       "q113_topk_multi",
       (s, d) => {
@@ -678,7 +682,7 @@ object VectorQueries {
           .map(_.getSeq[Float](1).toArray).toSeq
         val w = org.apache.spark.sql.expressions.Window
           .partitionBy(col("query_id")).orderBy(desc("score"), col("vec_id"))
-        VectorSearch.topKMulti(e, "embedding", queries, 8, "vec_id")
+        VectorSearch.topKMulti(e, "embedding", queries, 32, "vec_id")
           .select(col("query_id").cast("long").as("query_id"),
             (round(col("score"), 4) + 0.0).as("score"), col("vec_id"))
           .withColumn("rank", row_number().over(w).cast("long"))

@@ -1183,8 +1183,12 @@ object EventPipeline {
       k: Int = 3, numHashes: Int = 8, rowsPerBand: Int = 2,
       compactEvery: Int = 16)
       (onBatch: (Long, Array[Row]) => Unit): StreamingQuery = {
+    // compacted() pins the index to checkpointed frames regardless of the
+    // build's size-adaptive mode: a long-lived stream holder must not
+    // re-scan a lazy corpus leaf on every micro-batch, nor observe corpus
+    // files changing mid-stream out of sync with the checkpointed parts
     var idx = graft.operators.Dedup.NearDupIndex.build(
-      corpus, textCol, idCol, k, numHashes, rowsPerBand)
+      corpus, textCol, idCol, k, numHashes, rowsPerBand).compacted()
     var batches = 0
     docs.writeStream
       .outputMode("append")
