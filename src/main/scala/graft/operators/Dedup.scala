@@ -845,9 +845,12 @@ object Dedup {
         .select(col("__bid").as("__rep")).distinct()
       val nearVsIndexLosers = nearRepLosers
         .join(membership, "__rep").select(col(idCol))
+      // no distinct on the union: left_anti hash-dedups its build side,
+      // and the loser multiplicity is bounded (each branch emits at most
+      // one row per batch doc), so the exchange+aggregate a distinct
+      // would add buys nothing at any scale
       val losers = exactInternalLosers.union(exactVsIndexLosers)
         .union(nonReps).union(losingMembers).union(nearVsIndexLosers)
-        .distinct()
       batch.join(losers, Seq(idCol), "left_anti")
     }
 
