@@ -180,6 +180,11 @@ object Bench {
       spark = newSession()
     }
 
+    // SPARK_GRAFT_BENCH_SECTIONS=suite stops after the oracle suite (a
+    // zero-bulk-write run for suite-latency iteration); the whole workload
+    // section below is skipped. Not re-indented — the brace closes right
+    // before the epilogue.
+    if (sections != "suite") {
     // SPARK_GRAFT_BENCH_ONLY=stream narrows the workload section to the
     // store-init + streaming tiers (their minimal dependency chain) for
     // perf iteration on the commit path without re-paying the read/ivf/
@@ -608,6 +613,12 @@ object Bench {
     }
     } // runAll
 
+    // the tmpfs delta tier is RAM — reclaim it proactively (the shutdown
+    // hook is the crash backstop)
+    deltaTier.foreach(d =>
+      FsUtil.deleteRecursively(java.nio.file.Paths.get(d)))
+    } // sections != "suite"
+
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
     val total = results.collect {
@@ -615,10 +626,7 @@ object Bench {
     val json =
       f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
     spark.stop()
-    // clean the scratch data (2+ GB per run) unless the caller pinned a
-    // dir; the tmpfs delta tier is RAM — always reclaim it
-    deltaTier.foreach(d =>
-      FsUtil.deleteRecursively(java.nio.file.Paths.get(d)))
+    // clean the scratch data (2+ GB per run) unless the caller pinned a dir
     if (userWorkDir.isEmpty)
       FsUtil.deleteRecursively(java.nio.file.Paths.get(base))
     // the JSON goes to well-known files AND stdout. The FULL per-query

@@ -821,8 +821,7 @@ object Dedup {
         nearDupCore(batch, textCol, idCol, k, numHashes, rowsPerBand, threshold)
       val nonReps = membership.filter(col(idCol) =!= col("__rep"))
         .select(col(idCol))
-      val losingMembers = repPairs.select(col("id2").as("__rep")).distinct()
-        .join(membership, "__rep").select(col(idCol))
+      val losingBatchReps = repPairs.select(col("id2").as("__rep")).distinct()
       // batch reps vs the index: band-keyed candidates, exact-Jaccard
       // verified against the stored shingle/count frames; a rep that
       // near-dups the index drops its whole exact group
@@ -843,14 +842,19 @@ object Dedup {
         .filter(col("__c").cast("double") /
           (col("__bn") + col("__n") - col("__c")) >= threshold)
         .select(col("__bid").as("__rep")).distinct()
-      val nearVsIndexLosers = nearRepLosers
+      // ONE membership join for both rep-derived loser classes (batch-
+      // internal pair losers and reps near-dup'ing the index): the join
+      // distributes over the union, and each input is already a distinct
+      // rep set, so unioning first halves the join/stage count at
+      // identical semantics
+      val repLosers = losingBatchReps.union(nearRepLosers)
         .join(membership, "__rep").select(col(idCol))
       // no distinct on the union: left_anti hash-dedups its build side,
       // and the loser multiplicity is bounded (each branch emits at most
-      // one row per batch doc), so the exchange+aggregate a distinct
+      // a few rows per batch doc), so the exchange+aggregate a distinct
       // would add buys nothing at any scale
       val losers = exactInternalLosers.union(exactVsIndexLosers)
-        .union(nonReps).union(losingMembers).union(nearVsIndexLosers)
+        .union(nonReps).union(repLosers)
       batch.join(losers, Seq(idCol), "left_anti")
     }
 

@@ -81,16 +81,21 @@ object Q71Profile {
     // pass 2: the exact q71 shape, cold, fresh session, with per-job times
     {
       val s = newSession()
-      val jobs = new java.util.concurrent.ConcurrentHashMap[Int, Long]()
+      val jobs = new java.util.concurrent.ConcurrentHashMap[Int, (Long, String)]()
       s.sparkContext.addSparkListener(
         new org.apache.spark.scheduler.SparkListener {
           override def onJobStart(
-              e: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
-            jobs.put(e.jobId, e.time)
+              e: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+            val site = e.stageInfos.lastOption.map(_.details.linesIterator
+              .find(l => l.contains("graft") && !l.contains("Q71Profile"))
+              .getOrElse("")).getOrElse("")
+            jobs.put(e.jobId, (e.time,
+              s"${e.stageInfos.size}st $site".take(110)))
+          }
           override def onJobEnd(
               e: org.apache.spark.scheduler.SparkListenerJobEnd): Unit = {
-            val t0 = jobs.getOrDefault(e.jobId, e.time)
-            println(f"[q71profile]   job ${e.jobId}: ${(e.time - t0) / 1e3}%.2f s")
+            val (t0, desc) = jobs.getOrDefault(e.jobId, (e.time, "?"))
+            println(f"[q71profile]   job ${e.jobId}: ${(e.time - t0) / 1e3}%.2f s  $desc")
           }
         })
       timed("q71_total_cold") {
