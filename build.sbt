@@ -32,7 +32,7 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   // GC visibility for forked runs (tiny file; invaluable when a latency
   // tier stalls — pause times tell GC apart from scheduler contention)
-  "-Xlog:gc:file=/tmp/graft_gc.log:time,uptime",
+  "-Xlog:gc:file=/tmp/graft_gc_%p.log:time,uptime",
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   // local mode = one JVM; heap is the only memory knob that matters.
