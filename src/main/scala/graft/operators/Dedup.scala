@@ -1101,22 +1101,32 @@ object Dedup {
     */
   def scrubRepeatedSubstrings(df: DataFrame, textCol: String, idCol: String,
       k: Int = 5, minDocs: Int = 2): DataFrame = {
+    // Per-doc REMOVAL-POSITION SETS, not removal rows: only duplicated
+    // window starts shuffle (grouped by doc id), and the k-fold span
+    // expansion happens inside the aggregated array. The corpus tokens
+    // never shuffle at all — the rebuild below is a narrow per-row
+    // transform over the split array, so the operator's exchange volume is
+    // O(duplicated windows), not O(corpus tokens) as the previous
+    // explode + anti-join + collect_list shape was.
     val rem = duplicatedWindows(df, textCol, idCol, k, minDocs)
       .filter(col(idCol) =!= col("keeper"))
+      .groupBy(col(idCol))
+      .agg(array_distinct(flatten(transform(
+        collect_set(col("pos")),
+        p => sequence(p, p + (k - 1))))).as("__rm"))
+    // array_except preserves first-argument order, so the surviving
+    // positions stay in document order without a sort; element_at is O(1)
+    // per token on the split array.
+    val keptPos = array_except(
+      sequence(lit(0), size(col("__w")) - 1),
+      coalesce(col("__rm"), array().cast("array<int>")))
+    df.select(col(idCol), split(trim(col(textCol)), "\\s+").as("__w"))
+      .join(rem, Seq(idCol), "left")
+      .withColumn("__kp", keptPos)
       .select(col(idCol),
-        explode(sequence(col("pos"), col("pos") + (k - 1))).as("pos"))
-      .distinct()
-    val toks = df.select(col(idCol),
-      posexplode(split(trim(col(textCol)), "\\s+")).as(Seq("pos", "__tok")))
-    val kept = toks.join(rem, Seq(idCol, "pos"), "left_anti")
-      .groupBy(col(idCol)).agg(
-        concat_ws(" ", transform(
-          array_sort(collect_list(struct(col("pos"), col("__tok")))),
-          x => x.getField("__tok"))).as("__scrubbed"),
-        count(lit(1)).as("__kept"))
-    df.select(col(idCol)).join(kept, Seq(idCol), "left")
-      .select(col(idCol),
-        coalesce(col("__scrubbed"), lit("")).as("scrubbed"),
-        coalesce(col("__kept"), lit(0L)).as("kept_tokens"))
+        concat_ws(" ",
+          transform(col("__kp"), p => element_at(col("__w"), p + 1)))
+          .as("scrubbed"),
+        size(col("__kp")).cast("long").as("kept_tokens"))
   }
 }
