@@ -113,11 +113,24 @@ object TextAnalysis {
     * doc needs a score.
     */
   def dupNgramFraction(df: DataFrame, textCol: String, idCol: String,
-      k: Int): DataFrame =
-    shingles(df, textCol, k, idCol)
-      .groupBy(col(idCol))
-      .agg((lit(1.0) - countDistinct(col("s")).cast("double") / count(lit(1)))
-        .as("dup_frac"))
+      k: Int): DataFrame = {
+    // Fully NARROW: the k-gram array, its distinct count and the fraction
+    // are all computed inside the row (array HOFs), so the operator adds
+    // ZERO exchanges — the previous explode + two hash aggregations
+    // shuffled every (doc, shingle) pair twice to compute a per-doc
+    // scalar. Per-row memory is O(doc tokens × k) — the same envelope as
+    // holding the text itself (array_distinct hashes, not O(n²)).
+    val expand =
+      (0 until k).map(j => s"__w[i + $j]").mkString("concat_ws(' ', ", ", ", ")")
+    df.select(col(idCol), words(col(textCol)).as("__w"))
+      .filter(size(col("__w")) >= k)
+      .select(col(idCol),
+        expr(s"transform(sequence(0, size(__w) - $k), i -> $expand)").as("__s"))
+      .select(col(idCol),
+        (lit(1.0) -
+          size(array_distinct(col("__s"))).cast("double") / size(col("__s")))
+          .as("dup_frac"))
+  }
 
   /** Redact personally-identifiable substrings, replacing each match with a
     * typed placeholder: emails → `<EMAIL>`, IPv4 literals → `<IP>`,
