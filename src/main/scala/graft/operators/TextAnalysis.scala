@@ -309,7 +309,22 @@ object TextAnalysis {
     */
   def crossDocBoilerplate(df: DataFrame, textCol: String, idCol: String,
       k: Int = 3, minDocs: Int = 5): DataFrame = {
-    val docShingles = shingles(df, textCol, k, idCol).distinct()
+    // Per-doc set semantics come from array_distinct INSIDE the row, so
+    // the (doc, shingle) pairs explode already-deduplicated — the previous
+    // post-explode .distinct() shuffled every pair through an extra
+    // corpus-wide exchange just to drop within-doc repeats. The
+    // document-frequency side stays a groupBy + equi-join (not a window
+    // over the shingle key): partial aggregation collapses hot shingles
+    // map-side and AQE splits skewed join partitions, whereas a window
+    // partitioned by shingle would pin a million-doc boilerplate shingle
+    // to one task with no mitigation.
+    val expand =
+      (0 until k).map(j => s"__w[i + $j]").mkString("concat_ws(' ', ", ", ", ")")
+    val docShingles = df
+      .select(col(idCol), words(col(textCol)).as("__w"))
+      .filter(size(col("__w")) >= k)
+      .select(col(idCol), explode(array_distinct(
+        expr(s"transform(sequence(0, size(__w) - $k), i -> $expand)"))).as("s"))
     val dfs = docShingles.groupBy(col("s"))
       .agg(count(lit(1)).as("__df"))
     docShingles.join(dfs, "s")
