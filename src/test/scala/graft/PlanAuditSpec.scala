@@ -178,6 +178,39 @@ class PlanAuditSpec extends SparkSpec {
     assert(!statPlan.contains("embedding:"), statPlan)
   }
 
+  test("duplicate-n-gram fraction is a shuffle-free narrow plan") {
+    // the per-doc repetition scalar evaluates entirely inside the row
+    // (transform + array_distinct) — no explode through an exchange; at
+    // 100 TB the operator's cost is exactly one scan of the text
+    val docs = Tables.documents(spark, dir)
+    val df = graft.operators.TextAnalysis.dupNgramFraction(
+      docs, "text", "doc_id", 3)
+    df.collect()
+    val audit = graft.plans.PlanAudit.audit(df)
+    assert(audit.shuffles == 0, df.queryExecution.executedPlan.toString)
+  }
+
+  test("substring scrub exchanges only duplicated-window data, not corpus tokens") {
+    // removal positions aggregate per doc and join back to the text ONCE;
+    // the token rebuild is narrow (array_except + transform). The plan
+    // must contain no Generate (explode) of the corpus token array — only
+    // the window-gram explode feeding the duplicate detector.
+    val docs = Tables.documents(spark, dir)
+    val df = graft.operators.Dedup.scrubRepeatedSubstrings(
+      docs, "text", "doc_id", k = 5)
+    df.collect()
+    // count explodes in the OPTIMIZED LOGICAL plan (the physical string
+    // re-prints subtrees per AQE stage): the k-gram posexplode appears
+    // twice (duplicate-detector agg side + join-back side of the
+    // self-join) and nothing else generates — the old shape added a
+    // posexplode of every corpus token feeding an anti-join +
+    // collect_list rebuild, plus a span-expansion explode
+    val logical = df.queryExecution.optimizedPlan.toString
+    val generates = "Generate ".r.findAllIn(logical).length
+    assert(generates <= 2,
+      s"expected <=2 Generate nodes, got $generates:\n$logical")
+  }
+
   test("multi-query top-k: one scan, one exchange, no Sort operator") {
     val emb = Tables.embeddings(spark, dir)
     val queries = Seq(Array.fill(64)(0.5f), Array.fill(64)(-0.5f),
