@@ -165,14 +165,21 @@ object Bench {
   private lazy val benchReps: Int =
     math.max(1, sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "2").toInt)
 
-  /** [[timed]], but `f` runs [[benchReps]] times and `name` records the
-    * fastest repetition. `f` must be side-effect-free (idempotent reruns).
+  /** [[timed]], but `f` runs [[benchReps]] times (or `reps` when the entry
+    * overrides it) and `name` records the fastest repetition. `f` must be
+    * side-effect-free (idempotent reruns). Sub-second entries sensitive to
+    * background writeback (the read tiers, which run in the shadow of the
+    * index build's 1.4 GB flush) pass a higher `reps`: each extra rep costs
+    * well under a second and makes the recorded min robust to a multi-second
+    * stall landing inside one rep — measured swings of 0.6 → 8.1 s across
+    * three back-to-back reps of an identical 60-row-result scan.
     */
-  private def timedMin(name: String)(f: => Unit): Unit = {
+  private def timedMin(name: String, reps: Int = 0)(f: => Unit): Unit = {
+    val nReps = if (reps > 0) math.max(reps, benchReps) else benchReps
     var best = Double.MaxValue
     var ok = true
     var r = 0
-    while (ok && r < benchReps) {
+    while (ok && r < nReps) {
       val t0 = System.nanoTime()
       try {
         f
@@ -185,7 +192,7 @@ object Bench {
       r += 1
     }
     results(name) = if (ok) best else -1.0
-    if (ok) System.err.println(f"[bench] $name: $best%.2f s (min of $benchReps)")
+    if (ok) System.err.println(f"[bench] $name: $best%.2f s (min of $nReps)")
   }
 
   def main(args: Array[String]): Unit = {
@@ -293,7 +300,7 @@ object Bench {
       count(lit(1)).as("total"),
       selPreds.map { case (n, p) => sum(p.cast("long")).as(n) }: _*).head()
     if (runAll) selPreds.zipWithIndex.foreach { case ((name, pred), i) =>
-      timedMin(name) { topk(pred).collect() }
+      timedMin(name, reps = 4) { topk(pred).collect() }
       results(s"${name}_pct_value") =
         selCounts.getLong(i + 1) * 100.0 / selCounts.getLong(0)
     }
