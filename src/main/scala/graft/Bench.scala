@@ -226,6 +226,14 @@ object Bench {
             df.select(df.columns.toIndexedSeq.map(c => count(col(c))): _*).collect()
           } catch { case _: Throwable => () }
         }
+      // one representative query untimed (decimal hash-agg + sort over the
+      // pre-read lineitem): the C2 compile of the wide-agg codegen takes
+      // several repetitions to fully warm, and with min-of-2 the FIRST
+      // timed suite entry still absorbed it — q01 recorded 4.3 s in a full
+      // run vs 1.1-1.4 s steady-state in any later repetition
+      try SparkEntry.allQueries.headOption.foreach { q =>
+        q.run(s, sfDir).write.mode("overwrite").format("noop").save()
+      } catch { case _: Throwable => () }
       s
     }
     var spark = newSession()
