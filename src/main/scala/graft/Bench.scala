@@ -324,7 +324,7 @@ object Bench {
     if (runAll) timedMin("profile_pipeline") {
       graft.operators.ProfilePipeline.run(spark,
         Seq("products" -> productsPath), s"$base/reports",
-        embeddingCol = Some("embedding"))
+        embeddingCol = Some("embedding"), labelCol = Some("main_category"))
     }
 
     // upserts (reference README.md:69-70): merge-on-read bucketed store.

@@ -115,4 +115,256 @@ object Embedding {
       .fit(withVec)
     model.explainedVariance.toArray
   }
+
+  /** t-SNE projection to 2-D (reference `gbr.py:459-461`:
+    * `TSNE(n_components=2, random_state=42, perplexity=min(30, n-1))` over a
+    * bounded embedding sample). Exact Barnes-Hut-free t-SNE (van der Maaten
+    * & Hinton, JMLR 2008) — O(sample² · iters), which is exactly why the
+    * SAMPLE is the scale contract: the distributed side is a deterministic
+    * `TakeOrdered` of `sampleN` rows (no shuffle, no full collect), and the
+    * driver-side optimization is bounded by `sampleN`, independent of table
+    * size — the same boundary the reference draws (sklearn fits a ≤1k-row
+    * sample regardless of corpus scale). A visualization projection of more
+    * than ~1k points is unreadable anyway; this is NOT a distributed-ML
+    * seam, by design.
+    *
+    * Deterministic end-to-end: the sample is id-ordered, the init is the
+    * canonicalized local PCA (no RNG anywhere), and the gradient loop is
+    * fixed-iteration — same inputs give bit-identical projections, so specs
+    * can assert exact reruns.
+    *
+    * Returns (idCol, tsne_x, tsne_y), one row per sampled input row.
+    */
+  def tsneProject(df: DataFrame, vecCol: String, idCol: String,
+      sampleN: Int = 1000, perplexity: Double = 30.0,
+      iterations: Int = 400): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{DoubleType, StructField, StructType}
+    val spark = df.sparkSession
+    val rows = df.select(col(idCol), col(vecCol).cast("array<double>"))
+      .orderBy(col(idCol)).limit(sampleN).collect()
+    val x = rows.map(_.getSeq[Double](1).toArray)
+    val y = tsneLocal(x, perplexity, iterations)
+    val out = rows.zipWithIndex.map { case (r, i) =>
+      Row(r.get(0), y(i)(0), y(i)(1)) }
+    val schema = StructType(Seq(df.schema(idCol),
+      StructField("tsne_x", DoubleType, nullable = false),
+      StructField("tsne_y", DoubleType, nullable = false)))
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(out.toIndexedSeq, 1), schema)
+  }
+
+  /** Top-2 principal directions of a small local matrix by power iteration
+    * with deflation, signs canonicalized like [[pcaProject]]. Rows of the
+    * result are the projected 2-D coordinates of the centered input.
+    */
+  private[graft] def localPca2(x: Array[Array[Double]]): Array[Array[Double]] = {
+    val n = x.length
+    val d = x(0).length
+    val mean = new Array[Double](d)
+    x.foreach(r => { var j = 0; while (j < d) { mean(j) += r(j); j += 1 } })
+    var j = 0
+    while (j < d) { mean(j) /= n; j += 1 }
+    val c = x.map { r =>
+      val o = new Array[Double](d)
+      var j = 0; while (j < d) { o(j) = r(j) - mean(j); j += 1 }; o
+    }
+    // power-iterate v <- Cᵀ(Cv) without materializing the d×d covariance
+    def topDirection(exclude: Option[Array[Double]]): Array[Double] = {
+      var v = Array.tabulate(d)(i => 1.0 / math.sqrt(d.toDouble))
+      exclude.foreach { u => // start orthogonal to the first component
+        val dot = v.zip(u).map { case (a, b) => a * b }.sum
+        v = v.zipWithIndex.map { case (a, i) => a - dot * u(i) }
+        if (math.sqrt(v.map(a => a * a).sum) < 1e-12)
+          v = Array.tabulate(d)(i => if (i == 0) 1.0 else 0.0)
+      }
+      var it = 0
+      while (it < 100) {
+        val proj = c.map(r => { // C v
+          var s = 0.0; var j = 0
+          while (j < d) { s += r(j) * v(j); j += 1 }; s
+        })
+        val next = new Array[Double](d)
+        var i = 0
+        while (i < n) {
+          val p = proj(i); val r = c(i); var j = 0
+          while (j < d) { next(j) += r(j) * p; j += 1 }
+          i += 1
+        }
+        exclude.foreach { u => // deflate
+          var dot = 0.0; var j = 0
+          while (j < d) { dot += next(j) * u(j); j += 1 }
+          j = 0; while (j < d) { next(j) -= dot * u(j); j += 1 }
+        }
+        val norm = math.sqrt(next.map(a => a * a).sum)
+        if (norm < 1e-12) return v
+        var j2 = 0
+        while (j2 < d) { next(j2) /= norm; j2 += 1 }
+        v = next
+        it += 1
+      }
+      // canonical sign: largest-|loading| element positive, lowest index wins
+      val absMax = v.map(math.abs).max
+      val k = v.indexWhere(a => math.abs(a) == absMax)
+      if (v(k) < 0) v.map(-_) else v
+    }
+    val v1 = topDirection(None)
+    val v2 = topDirection(Some(v1))
+    c.map { r =>
+      var s1 = 0.0; var s2 = 0.0; var j = 0
+      while (j < d) { s1 += r(j) * v1(j); s2 += r(j) * v2(j); j += 1 }
+      Array(s1, s2)
+    }
+  }
+
+  /** Exact t-SNE over a local matrix; standard formulation — perplexity
+    * calibration by per-point bisection, symmetrized affinities, early
+    * exaggeration (×12 for the first quarter of iterations), gradient
+    * descent with momentum (0.5 → 0.8) and per-parameter gains, PCA init
+    * scaled to 1e-4 std. Deterministic (no RNG).
+    */
+  private[graft] def tsneLocal(x: Array[Array[Double]],
+      perplexity: Double, iterations: Int): Array[Array[Double]] = {
+    val n = x.length
+    require(n >= 4, s"t-SNE needs >= 4 sample rows, got $n")
+    val perp = math.max(2.0, math.min(perplexity, (n - 1) / 3.0))
+    val logU = math.log(perp)
+    // pairwise squared distances
+    val d2 = Array.ofDim[Double](n, n)
+    var i = 0
+    while (i < n) {
+      var j = i + 1
+      while (j < n) {
+        val a = x(i); val b = x(j)
+        var s = 0.0; var k = 0
+        while (k < a.length) { val t = a(k) - b(k); s += t * t; k += 1 }
+        d2(i)(j) = s; d2(j)(i) = s
+        j += 1
+      }
+      i += 1
+    }
+    // conditional affinities via bisection on beta = 1/(2 sigma^2)
+    val p = Array.ofDim[Double](n, n)
+    i = 0
+    while (i < n) {
+      var beta = 1.0
+      var betaLo = Double.NegativeInfinity
+      var betaHi = Double.PositiveInfinity
+      var it = 0
+      while (it < 50) {
+        var sum = 0.0
+        var hBeta = 0.0 // beta * sum_j p_j d_ij (for entropy)
+        var j = 0
+        while (j < n) {
+          if (j != i) {
+            val e = math.exp(-beta * d2(i)(j))
+            p(i)(j) = e; sum += e; hBeta += e * d2(i)(j)
+          }
+          j += 1
+        }
+        if (sum < 1e-300) sum = 1e-300
+        val h = math.log(sum) + beta * hBeta / sum // Shannon entropy of P_i
+        if (math.abs(h - logU) < 1e-5) it = 50
+        else {
+          if (h > logU) { betaLo = beta
+            beta = if (betaHi.isInfinite) beta * 2 else (beta + betaHi) / 2 }
+          else { betaHi = beta
+            beta = if (betaLo.isInfinite) beta / 2 else (beta + betaLo) / 2 }
+        }
+        var j2 = 0
+        while (j2 < n) { if (j2 != i) p(i)(j2) /= sum; j2 += 1 }
+        it += 1
+      }
+      i += 1
+    }
+    // symmetrize + floor
+    val pSym = Array.ofDim[Double](n, n)
+    i = 0
+    while (i < n) {
+      var j = i + 1
+      while (j < n) {
+        val v = math.max((p(i)(j) + p(j)(i)) / (2.0 * n), 1e-12)
+        pSym(i)(j) = v; pSym(j)(i) = v
+        j += 1
+      }
+      i += 1
+    }
+    // init: PCA scaled to std 1e-4 per component
+    val y = localPca2(x)
+    var comp = 0
+    while (comp < 2) {
+      var m = 0.0
+      y.foreach(r => m += r(comp)); m /= n
+      var v = 0.0
+      y.foreach(r => { val t = r(comp) - m; v += t * t }); v = math.sqrt(v / n)
+      val s = if (v < 1e-12) 0.0 else 1e-4 / v
+      y.foreach(r => r(comp) = (r(comp) - m) * s)
+      comp += 1
+    }
+    val grad = Array.ofDim[Double](n, 2)
+    val vel = Array.ofDim[Double](n, 2)
+    val gains = Array.fill(n, 2)(1.0)
+    val num = Array.ofDim[Double](n, n)
+    val exaggerationEnd = math.max(iterations / 4, 1)
+    // sklearn's learning_rate='auto' heuristic: n / early_exaggeration / 4,
+    // floored at 50 — a fixed 200 overshoots small samples into diffuse
+    // overlapping blobs
+    val lr = math.max(n / (12.0 * 4.0), 50.0)
+    var t = 0
+    while (t < iterations) {
+      val exag = if (t < exaggerationEnd) 12.0 else 1.0
+      val momentum = if (t < exaggerationEnd) 0.5 else 0.8
+      // student-t kernel
+      var z = 0.0
+      i = 0
+      while (i < n) {
+        var j = i + 1
+        while (j < n) {
+          val dx = y(i)(0) - y(j)(0); val dy = y(i)(1) - y(j)(1)
+          val q = 1.0 / (1.0 + dx * dx + dy * dy)
+          num(i)(j) = q; num(j)(i) = q; z += 2 * q
+          j += 1
+        }
+        i += 1
+      }
+      if (z < 1e-300) z = 1e-300
+      i = 0
+      while (i < n) {
+        grad(i)(0) = 0.0; grad(i)(1) = 0.0
+        var j = 0
+        while (j < n) {
+          if (j != i) {
+            val mult = (exag * pSym(i)(j) - num(i)(j) / z) * num(i)(j) * 4.0
+            grad(i)(0) += mult * (y(i)(0) - y(j)(0))
+            grad(i)(1) += mult * (y(i)(1) - y(j)(1))
+          }
+          j += 1
+        }
+        i += 1
+      }
+      var my0 = 0.0; var my1 = 0.0
+      i = 0
+      while (i < n) {
+        var c2 = 0
+        while (c2 < 2) {
+          gains(i)(c2) =
+            if (math.signum(grad(i)(c2)) != math.signum(vel(i)(c2)))
+              gains(i)(c2) + 0.2
+            else math.max(gains(i)(c2) * 0.8, 0.01)
+          vel(i)(c2) = momentum * vel(i)(c2) -
+            lr * gains(i)(c2) * grad(i)(c2)
+          y(i)(c2) += vel(i)(c2)
+          c2 += 1
+        }
+        my0 += y(i)(0); my1 += y(i)(1)
+        i += 1
+      }
+      // recenter
+      my0 /= n; my1 /= n
+      i = 0
+      while (i < n) { y(i)(0) -= my0; y(i)(1) -= my1; i += 1 }
+      t += 1
+    }
+    y
+  }
 }

@@ -2,11 +2,12 @@ package graft.operators
 
 import java.nio.file.{Files, Paths}
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** End-to-end profiling pipeline — the reference's `run_full_analysis`
   * (`gbr.py:816-848`): profile each dataset, render a markdown + JSON report
-  * per dataset, then a cross-dataset summary.
+  * per dataset plus the PNG report figures, then a cross-dataset summary.
   *
   * Execution shape per dataset: the §2.4 aggregation passes (each a narrow
   * multi-agg job; only the categorical top-k and embedding stats shuffle,
@@ -14,6 +15,12 @@ import org.apache.spark.sql.SparkSession
   * rendering. The embedding column is read ONLY by the embedding stats pass
   * (column pruning keeps it out of every other scan — it is ~90% of the
   * bytes at the reference's 10M scale).
+  *
+  * Plot rendering (reference `gbr.py:268-550`) follows the same boundary:
+  * every figure draws an already-aggregated driver-side result (histogram
+  * bins, top-k counts, a tiny correlation matrix, a bounded projection
+  * sample), so the PNG step adds a handful of narrow single-column jobs and
+  * zero driver-side data volume that scales with the table.
   */
 object ProfilePipeline {
 
@@ -32,14 +39,115 @@ object ProfilePipeline {
     DatasetReport(name, profile, emb, Profile.fileSizeMb(df, path))
   }
 
+  /** Render the reference's report figures for one profiled dataset into
+    * `dir`: category / null-count bars, per-numeric-column histograms, the
+    * numeric correlation heatmap, and — when an embedding column is present
+    * — norm histogram, per-dimension mean/std lines and PCA + t-SNE
+    * projection scatters over a bounded sample (colored by `labelCol` when
+    * given, mirroring `gbr.py`'s category-colored projections).
+    */
+  private def renderPlots(df: DataFrame, report: DatasetReport,
+      embeddingCol: Option[String], labelCol: Option[String],
+      sampleN: Int, dir: java.nio.file.Path): Unit = {
+    val p = report.profile
+    p.categorical.headOption.filter(_.top.nonEmpty).foreach { c =>
+      Plots.barChart(c.top.map(_._1), c.top.map(_._2.toDouble),
+        s"Top categories — ${c.column}",
+        dir.resolve("category_analysis.png").toString)
+    }
+    if (p.nulls.nonEmpty) {
+      val cols = p.nulls.toSeq.sortBy(_._1)
+      Plots.barChart(cols.map(_._1), cols.map(_._2.toDouble),
+        "Null values by column", dir.resolve("null_analysis.png").toString,
+        yLabel = "nulls")
+    }
+    p.numeric.filter(s => s.max > s.min).take(3).foreach { s =>
+      val h = Profile.histogram(df, s.column, s.min, s.max, 30)
+      Plots.histogram(h.lo, h.hi, h.counts,
+        s"${s.column} distribution", s.column,
+        dir.resolve(s"${s.column}_hist.png").toString)
+    }
+    val corrCols = p.numeric.filter(s => s.max > s.min).map(_.column).take(4)
+    if (corrCols.length >= 2) {
+      val pairs = for (a <- corrCols; b <- corrCols if a < b) yield (a, b)
+      val row = df.select(pairs.map { case (a, b) =>
+        corr(col(a), col(b)).as(s"${a}__$b") }: _*).head()
+      val byPair = pairs.zipWithIndex.map { case ((a, b), i) =>
+        (a, b) -> (if (row.isNullAt(i)) 0.0 else row.getDouble(i)) }.toMap
+      val m = corrCols.map(a => corrCols.map { b =>
+        if (a == b) 1.0
+        else byPair.getOrElse((a, b), byPair.getOrElse((b, a), 0.0))
+      })
+      Plots.heatmap(m, corrCols, "Correlation matrix — numerical features",
+        dir.resolve("correlation_analysis.png").toString)
+    }
+    // Embedding figures compute over ONE bounded sample, collected once —
+    // the reference's exact shape (`gbr.py:423-520` loads `sample_size`
+    // embeddings and derives norms, per-dim mean/std AND the projections
+    // from that same array). The full-table duals of these stats stay
+    // available as distributed oracled operators ([[Profile.embeddingStats]],
+    // [[Embedding.perDimensionSummary]], q25/q44/q48); the figures are
+    // sample sketches by design, so the plot step adds exactly one
+    // limit-pushdown collect regardless of table size.
+    for (embCol <- embeddingCol if df.columns.contains(embCol)) {
+      val lbl = labelCol.filter(df.columns.contains)
+      val sel = col(embCol).cast("array<double>") +:
+        lbl.map(col(_).cast("string")).toSeq
+      val sample = df.select(sel: _*).limit(sampleN).collect()
+        .filter(!_.isNullAt(0))
+      if (sample.length >= 4) {
+        val x = sample.map(_.getSeq[Double](0).toArray)
+        val n = x.length
+        val d = x(0).length
+        val norms = x.map(v => math.sqrt(v.map(a => a * a).sum))
+        val (nLo, nHi0) = (norms.min, norms.max)
+        val nHi = if (nHi0 > nLo) nHi0 else nLo + 1e-9
+        val bins = 30
+        val counts = Array.fill(bins)(0L)
+        norms.foreach { v =>
+          val b = math.min(((v - nLo) / (nHi - nLo) * bins).toInt, bins - 1)
+          counts(b) += 1
+        }
+        Plots.histogram(nLo, nHi, counts.toIndexedSeq,
+          s"Embedding vector norms ($n samples)", "L2 norm",
+          dir.resolve("embedding_norms.png").toString)
+        val mean = Array.tabulate(d)(j => x.map(_(j)).sum / n)
+        val std = Array.tabulate(d) { j =>
+          math.sqrt(x.map(v => { val t = v(j) - mean(j); t * t }).sum /
+            math.max(n - 1, 1))
+        }
+        Plots.linePlot(mean.toIndexedSeq,
+          s"Mean by embedding dimension ($n samples)", "dimension", "mean",
+          dir.resolve("embedding_dim_mean.png").toString)
+        Plots.linePlot(std.toIndexedSeq,
+          s"Std by embedding dimension ($n samples)", "dimension", "std",
+          dir.resolve("embedding_dim_std.png").toString)
+        val classes = sample.map(r =>
+          if (lbl.isEmpty || r.isNullAt(1)) "sample" else r.getString(1))
+          .toIndexedSeq
+        val pca = Embedding.localPca2(x)
+        Plots.scatter(pca.map(r => (r(0), r(1))).toIndexedSeq, classes,
+          "PCA projection of embeddings", "PC1", "PC2",
+          dir.resolve("pca_projection.png").toString)
+        val ts = Embedding.tsneLocal(x, perplexity = 30.0, iterations = 300)
+        Plots.scatter(ts.map(r => (r(0), r(1))).toIndexedSeq, classes,
+          "t-SNE projection of embeddings", "t-SNE 1", "t-SNE 2",
+          dir.resolve("tsne_projection.png").toString)
+      }
+    }
+  }
+
   /** Analyze every (name → path) dataset and write
-    * `outDir/<name>/README.md`, `outDir/<name>/stats.json` and a top-level
+    * `outDir/<name>/README.md`, `outDir/<name>/stats.json`, the PNG report
+    * figures (disable with `plots = false`) and a top-level
     * `outDir/summary_report.md` — the reference's report tree
-    * (`reports/benchmark_{10k,100k,1M,10M}/README.md` and
-    * `reports/summary_report.md`).
+    * (`reports/benchmark_{10k,100k,1M,10M}/README.md`, the `*.png` figures
+    * and `reports/summary_report.md`).
     */
   def run(spark: SparkSession, datasets: Seq[(String, String)], outDir: String,
-      embeddingCol: Option[String] = None): Seq[DatasetReport] = {
+      embeddingCol: Option[String] = None, plots: Boolean = true,
+      labelCol: Option[String] = None,
+      plotSampleN: Int = 500): Seq[DatasetReport] = {
     val reports = datasets.map { case (name, path) =>
       val r = analyzeDataset(spark, name, path, embeddingCol)
       val dir = Paths.get(outDir, name)
@@ -53,6 +161,9 @@ object ProfilePipeline {
       Files.writeString(dir.resolve("README.md"), md.toString)
       Files.writeString(dir.resolve("stats.json"),
         Profile.renderJson(name, r.profile))
+      if (plots)
+        renderPlots(spark.read.parquet(path), r, embeddingCol, labelCol,
+          plotSampleN, dir)
       r
     }
     Files.createDirectories(Paths.get(outDir))

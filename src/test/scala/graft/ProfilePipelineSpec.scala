@@ -50,6 +50,41 @@ class ProfilePipelineSpec extends SparkSpec {
     assert(md.length == 2)
   }
 
+  test("pipeline renders the PNG report figures") {
+    val root = Files.createTempDirectory("profplots").toString
+    val df = (0 until 60).map { i =>
+      val c = i % 3
+      (i.toLong, 10.0 + i % 7, if (i % 5 == 0) null else s"cat$c",
+        Array.tabulate(6)(j =>
+          (if (j == c * 2) 5.0f else 0.1f) + (math.sin(i * 6 + j) * 0.2).toFloat))
+    }.toDF("id", "v", "c", "embedding")
+    df.write.parquet(s"$root/data")
+    val out = s"$root/reports"
+    ProfilePipeline.run(spark, Seq("d" -> s"$root/data"), out,
+      embeddingCol = Some("embedding"), labelCol = Some("c"),
+      plotSampleN = 50)
+    val dir = Paths.get(out, "d")
+    val expected = Seq("category_analysis.png", "null_analysis.png",
+      "correlation_analysis.png", "embedding_norms.png",
+      "embedding_dim_mean.png", "embedding_dim_std.png",
+      "pca_projection.png", "tsne_projection.png")
+    expected.foreach { f =>
+      val p = dir.resolve(f)
+      assert(Files.exists(p), s"missing figure $f")
+      assert(javax.imageio.ImageIO.read(p.toFile) != null,
+        s"figure $f did not decode as a PNG")
+    }
+    // at least one per-numeric-column histogram rendered
+    assert(Files.list(dir).toArray.map(_.toString)
+      .exists(_.endsWith("_hist.png")))
+    // plots = false renders nothing extra
+    val out2 = s"$root/reports2"
+    ProfilePipeline.run(spark, Seq("d" -> s"$root/data"), out2,
+      embeddingCol = Some("embedding"), plots = false)
+    assert(!Files.list(Paths.get(out2, "d")).toArray.map(_.toString)
+      .exists(_.endsWith(".png")))
+  }
+
   test("embedding stats included when the column exists") {
     val root = Files.createTempDirectory("profpipe2").toString
     Seq((1L, Array(3.0f, 4.0f)), (2L, Array(0.0f, 5.0f)))
