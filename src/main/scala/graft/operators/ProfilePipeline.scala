@@ -133,6 +133,35 @@ object ProfilePipeline {
         Plots.scatter(ts.map(r => (r(0), r(1))).toIndexedSeq, classes,
           "t-SNE projection of embeddings", "t-SNE 1", "t-SNE 2",
           dir.resolve("tsne_projection.png").toString)
+        // pairwise cosine similarity over a ≤64 subsample (reference
+        // `gbr.py:530-550` uses ≤200; a 64² annot-free heatmap stays
+        // legible at our canvas size) + the upper-triangle distribution
+        val m = math.min(n, 64)
+        val unit = x.take(m).map { v =>
+          val nm = math.sqrt(v.map(a => a * a).sum)
+          if (nm < 1e-12) v else v.map(_ / nm)
+        }
+        val cosM = unit.map(a => unit.map(b =>
+          a.zip(b).map { case (p, q) => p * q }.sum).toIndexedSeq).toIndexedSeq
+        // index labels unreadable past ~12 cells — draw none
+        val cellLabels =
+          if (m <= 12) (0 until m).map(_.toString) else Seq.fill(m)("")
+        Plots.heatmap(cosM, cellLabels,
+          s"Cosine similarity matrix ($m samples)",
+          dir.resolve("cosine_similarity.png").toString, annot = false)
+        val sims = for (i <- 0 until m; j <- i + 1 until m) yield cosM(i)(j)
+        if (sims.nonEmpty) {
+          val (sLo0, sHi0) = (sims.min, sims.max)
+          val sHi2 = if (sHi0 > sLo0) sHi0 else sLo0 + 1e-9
+          val sCounts = Array.fill(30)(0L)
+          sims.foreach { v =>
+            val b = math.min(((v - sLo0) / (sHi2 - sLo0) * 30).toInt, 29)
+            sCounts(b) += 1
+          }
+          Plots.histogram(sLo0, sHi2, sCounts.toIndexedSeq,
+            "Pairwise cosine similarity distribution", "cosine similarity",
+            dir.resolve("cosine_distribution.png").toString)
+        }
       }
     }
   }

@@ -67,7 +67,8 @@ class ProfilePipelineSpec extends SparkSpec {
     val expected = Seq("category_analysis.png", "null_analysis.png",
       "correlation_analysis.png", "embedding_norms.png",
       "embedding_dim_mean.png", "embedding_dim_std.png",
-      "pca_projection.png", "tsne_projection.png")
+      "pca_projection.png", "tsne_projection.png",
+      "cosine_similarity.png", "cosine_distribution.png")
     expected.foreach { f =>
       val p = dir.resolve(f)
       assert(Files.exists(p), s"missing figure $f")
