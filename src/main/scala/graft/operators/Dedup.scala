@@ -249,6 +249,89 @@ object Dedup {
         (col("c").cast("double") / (col("n1") + col("n2") - col("c"))).as("jaccard"))
   }
 
+  /** MinHash family for the ESTIMATED-Jaccard mode: per-seed affine
+    * transforms `(a_i·h + b_i) mod p` of one md5-derived base hash, with
+    * p = 2³¹−1 (Mersenne prime) and deterministic md5-derived
+    * coefficients — the same construction as Spark MLlib's MinHashLSH,
+    * fully replayable in SQL.
+    *
+    * Why a second family exists: the exact path's cheaper double-hashing
+    * `h1 + seed·h2` ([[minhashFromShingles]]) has NO modular wrap, so the
+    * shingle ordering barely changes across seeds — one shared shingle
+    * with small (h1, h2) is the minimum for EVERY seed, and a pair with
+    * true J = 0.01 "agrees" 32/32 (measured on the test corpus: estimate
+    * 1.0 at exact 0.010). That correlation is harmless when minhash only
+    * GENERATES candidates (recall-only; precision comes from exact
+    * verify) but fatal when agreement IS the similarity estimate. The
+    * mod-p wrap makes each seed's ordering an independent-ish scramble,
+    * restoring the √(J(1−J)/numHashes) error bound.
+    *
+    * Arithmetic stays in Long: a_i ≤ p−1 and h < p, so a_i·h + b_i <
+    * 2⁶² — no overflow, identical in DuckDB BIGINT.
+    */
+  private val MhPrime = 2147483647L // 2^31 - 1
+
+  private def md5Long32(s: String): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8"))
+    java.lang.Long.parseLong(d.take(4).map("%02x".format(_)).mkString, 16)
+  }
+
+  private[operators] def mhA(seed: Int): Long =
+    md5Long32(s"mh-a-$seed") % (MhPrime - 1) + 1
+  private[operators] def mhB(seed: Int): Long =
+    md5Long32(s"mh-b-$seed") % MhPrime
+
+  /** Estimation-grade MinHash signatures over a shingle frame (`idCol`,
+    * s): one `(a_seed·h + b_seed) mod p` minimum per seed, one
+    * aggregation pass (same single-scan shape as
+    * [[minhashFromShingles]]). Output: (`idCol`, seed, minhash).
+    */
+  private def estSignaturesFromShingles(
+      sh: DataFrame, idCol: String, numHashes: Int): DataFrame = {
+    val h = sh.select(col(idCol),
+      (conv(substring(md5(col("s")), 1, 8), 16, 10).cast("long") % MhPrime)
+        .as("__h"))
+    val aggs = (0 until numHashes).map { seed =>
+      min((lit(mhA(seed)) * col("__h") + lit(mhB(seed))) % MhPrime)
+        .as(s"__m$seed")
+    }
+    val stackExpr = (0 until numHashes)
+      .map(seed => s"${seed}L, __m$seed").mkString(", ")
+    h.groupBy(col(idCol))
+      .agg(aggs.head, aggs.tail: _*)
+      .select(col(idCol),
+        expr(s"stack($numHashes, $stackExpr) AS (seed, minhash)"))
+  }
+
+  /** Signature-estimated Jaccard for candidate pairs: the fraction of the
+    * `numHashes` MinHash seeds on which the two documents' signature values
+    * agree — the standard unbiased MinHash estimator of Jaccard similarity
+    * (E[agreement] = J exactly, std-err √(J(1−J)/numHashes)). Both inputs
+    * are [[minhashSignatures]]-shaped frames (`idCol`, seed, minhash);
+    * `cands` has columns (id1, id2) drawn from sigs1/sigs2 respectively.
+    *
+    * Scale shape: each join key includes a document id (pair-anchored,
+    * same reasoning as [[jaccardVerify]]), the per-pair work is exactly
+    * `numHashes` rows, and — the point of the estimator — NO shingle
+    * frame is read: the verify stage costs O(pairs · numHashes)
+    * regardless of document length or corpus size. Deterministic from
+    * the signatures, so a SQL oracle can replay it exactly.
+    */
+  private def estimatedJaccardOn(sigs1: DataFrame, sigs2: DataFrame,
+      idCol: String, numHashes: Int, cands: DataFrame): DataFrame = {
+    val a = sigs1.select(col(idCol).as("id1"), col("seed"),
+      col("minhash").as("__m1"))
+    val b = sigs2.select(col(idCol).as("__bid2"), col("seed").as("__s2"),
+      col("minhash").as("__m2"))
+    cands.select(col("id1"), col("id2")).distinct()
+      .join(a, Seq("id1"))
+      .join(b, col("id2") === col("__bid2") && col("seed") === col("__s2"))
+      .groupBy(col("id1"), col("id2"))
+      .agg((sum(when(col("__m1") === col("__m2"), 1).otherwise(0))
+        .cast("double") / numHashes).as("jaccard"))
+  }
+
   /** Shared core of the near-dup family: collapse exact-duplicate texts to
     * their min-id representative FIRST, then run MinHash → LSH → Jaccard
     * over representatives only.
@@ -368,6 +451,108 @@ object Dedup {
         idCol, rowsPerBand).localCheckpoint(true)
       SigCore(Await.result(memF, Duration.Inf), sh, cnt, bands)
     }
+  }
+
+  /** Signature-only analog of [[sigCore]] for the estimated-Jaccard mode:
+    * exact-group membership, per-representative MinHash signatures (the
+    * estimation-grade affine family — see [[estSignaturesFromShingles]]
+    * for why the exact path's cheaper double-hash family cannot be used
+    * for estimation), and LSH band keys over those signatures — and
+    * nothing shingle-sized. The shingle frame exists only LAZILY inside
+    * the signature aggregation (its single consumer), so the only stored
+    * state is `numHashes` longs + band keys per representative: the index
+    * stays signature-sized no matter how long the documents are. Memoized
+    * per (corpus, params) per session like [[sigCore]].
+    */
+  private final case class EstSigCore(membership: DataFrame, sigs: DataFrame,
+    bands: DataFrame)
+
+  private def estSigCore(df: DataFrame, textCol: String, idCol: String,
+      k: Int, numHashes: Int, rowsPerBand: Int): EstSigCore = {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.global
+    memoized(df, ("estSigCore", textCol, idCol, k, numHashes, rowsPerBand)) {
+      val eligible = df
+        .filter(size(TextAnalysis.words(col(textCol))) >= k)
+        .select(col(idCol), col(textCol))
+      val membershipLazy = eligible
+        .select(col(idCol), md5(col(textCol)).as("__fp"))
+        .withColumn("__rep", min(col(idCol)).over(
+          org.apache.spark.sql.expressions.Window.partitionBy(col("__fp"))))
+        .drop("__fp")
+      // same off-critical-path membership checkpoint as sigCore
+      val memF = Future { membershipLazy.localCheckpoint(true) }
+      val repDocs = eligible.join(
+        membershipLazy.filter(col(idCol) === col("__rep")).select(col(idCol)),
+        Seq(idCol), "left_semi")
+      // estimation-grade family ([[estSignaturesFromShingles]]): the
+      // shingle frame exists only lazily inside this one aggregation
+      val sigs = estSignaturesFromShingles(
+        TextAnalysis.shingles(repDocs, textCol, k, idCol), idCol, numHashes)
+        .localCheckpoint(true)
+      val bands = lshBandKeys(sigs, idCol, rowsPerBand).localCheckpoint(true)
+      EstSigCore(Await.result(memF, Duration.Inf), sigs, bands)
+    }
+  }
+
+  /** [[nearDupCore]] with the verify stage replaced by
+    * [[estimatedJaccardOn]]: same membership/rep-pair contract, but
+    * `jaccard` is the MinHash-agreement estimate and no shingle store is
+    * materialized anywhere.
+    */
+  private def estNearDupCore(
+      df: DataFrame, textCol: String, idCol: String,
+      k: Int, numHashes: Int, rowsPerBand: Int,
+      threshold: Double): (DataFrame, DataFrame) = {
+    def compute: (DataFrame, DataFrame) = {
+      val c = estSigCore(df, textCol, idCol, k, numHashes, rowsPerBand)
+      val repPairsLazy =
+        estimatedJaccardOn(c.sigs, c.sigs, idCol, numHashes,
+          bandSelfPairs(c.bands, idCol))
+          .filter(col("jaccard") >= threshold)
+      val repPairs =
+        if (interactive(df)) repPairsLazy else repPairsLazy.localCheckpoint(true)
+      (c.membership, repPairs)
+    }
+    if (interactive(df)) compute
+    else memoized(df, ("estNearDupCore", textCol, idCol, k, numHashes,
+      rowsPerBand, threshold))(compute)
+  }
+
+  /** [[nearDuplicatePairs]] with signature-estimated Jaccard: candidate
+    * pairs from LSH banding over the estimation-grade signature family
+    * ([[estSignaturesFromShingles]]), each candidate scored by MinHash
+    * agreement ([[estimatedJaccardOn]]) instead of an exact
+    * shingle-intersection join. `jaccard` is the estimate — a multiple of
+    * 1/`numHashes`, within √(J(1−J)/numHashes) of the true value in
+    * expectation; identical shingle sets give identical signatures, so
+    * exact-duplicate pairs carry estimate exactly 1.0.
+    *
+    * This is the 100 TB shape of the verify stage: nothing
+    * O(corpus-tokens) is stored or shuffled after the one signature pass
+    * — the trade production crawl dedup makes to keep dedup state
+    * signature-sized.
+    */
+  def estimatedNearDuplicatePairs(
+      df: DataFrame, textCol: String, idCol: String,
+      k: Int = 3, numHashes: Int = 8, rowsPerBand: Int = 2,
+      threshold: Double = 0.7): DataFrame = {
+    val (membership, repPairs) =
+      estNearDupCore(df, textCol, idCol, k, numHashes, rowsPerBand, threshold)
+    val m1 = membership.select(col("__rep").as("id1"), col(idCol).as("__m1"))
+    val m2 = membership.select(col("__rep").as("id2"), col(idCol).as("__m2"))
+    val cross = repPairs.join(m1, "id1").join(m2, "id2")
+      .select(least(col("__m1"), col("__m2")).as("id1"),
+        greatest(col("__m1"), col("__m2")).as("id2"), col("jaccard"))
+    val ga = membership.select(col("__rep"), col(idCol).as("__ma"))
+    val gb = membership.select(col("__rep").as("__repb"), col(idCol).as("__mb"))
+    val intra = ga.join(gb,
+        col("__rep") === col("__repb") && col("__ma") < col("__mb"))
+      .select(col("__ma").as("id1"), col("__mb").as("id2"),
+        lit(1.0).as("jaccard"))
+    cross.union(intra)
   }
 
   /** Near-dup detection end-to-end: MinHash → LSH candidates → Jaccard ≥
@@ -613,7 +798,7 @@ object Dedup {
   def dropDuplicatesAgainst(
       batch: DataFrame, corpus: DataFrame, textCol: String, idCol: String,
       k: Int = 3, numHashes: Int = 8, rowsPerBand: Int = 2,
-      threshold: Double = 0.7): DataFrame = {
+      threshold: Double = 0.7, estimatedJaccard: Boolean = false): DataFrame = {
     // Delegates to the signature index: build once over the corpus
     // (memoized per session via sigCore, so repeated dedups against the
     // same corpus — or any other near-dup op on it — never re-derive its
@@ -632,10 +817,15 @@ object Dedup {
     implicit val ec: scala.concurrent.ExecutionContext =
       scala.concurrent.ExecutionContext.global
     val idxF = Future {
-      NearDupIndex.build(corpus, textCol, idCol, k, numHashes, rowsPerBand)
+      NearDupIndex.build(corpus, textCol, idCol, k, numHashes, rowsPerBand,
+        estimatedJaccard)
     }
     // warm the batch-side memo entries concurrently with the corpus build
-    nearDupCore(batch, textCol, idCol, k, numHashes, rowsPerBand, threshold)
+    if (estimatedJaccard)
+      estNearDupCore(batch, textCol, idCol, k, numHashes, rowsPerBand,
+        threshold)
+    else
+      nearDupCore(batch, textCol, idCol, k, numHashes, rowsPerBand, threshold)
     val idx = Await.result(idxF, Duration.Inf)
     idx.dedupBatch(batch, textCol, threshold)
   }
@@ -777,18 +967,35 @@ object Dedup {
     * re-hashes — and the build itself is session-memoized.
     *
     * Scale shape: the stored frames are band keys (numHashes/rowsPerBand
-    * rows per doc), distinct shingles, shingle counts and text
-    * fingerprints — all id-keyed, all localCheckpointed. Batch joins key on
-    * (band, bkey) and (doc id, shingle), never a bare hot shingle, so the
-    * per-batch cost is |batch| × shingles-per-doc regardless of index
-    * size. The shingle store is the big one (∝ corpus tokens) — that is
-    * inherent to exact Jaccard verification; swap the verify stage for
-    * signature-estimated Jaccard if the store must stay signature-sized.
+    * rows per doc), text fingerprints, and — mode-dependent — either the
+    * exact-verify frames (distinct shingles + shingle counts) or the
+    * MinHash signatures; all id-keyed, all localCheckpointed. Batch joins
+    * key on (band, bkey) and (doc id, shingle/seed), never a bare hot
+    * shingle, so the per-batch cost is |batch| × shingles-per-doc
+    * regardless of index size.
+    *
+    * The two verify modes are the index's 100 TB dial:
+    *   - EXACT (`signatures = None`): candidates are verified by exact
+    *     shingle-set Jaccard. The shingle store is ∝ corpus TOKENS — at
+    *     100 TB that store is itself TBs, inherent to exact verification.
+    *   - ESTIMATED (`signatures = Some(...)`, built with
+    *     `estimatedJaccard = true`): candidates are scored by MinHash
+    *     agreement ([[estimatedJaccardOn]]); the index stores `numHashes`
+    *     longs + band keys per representative — tens of BYTES per doc, the
+    *     shape that keeps an incremental dedup index deployable against an
+    *     unbounded crawl. The estimate is within √(J(1−J)/numHashes) of
+    *     exact in expectation; raise `numHashes` to tighten it.
     */
   final case class NearDupIndex(
       idCol: String, k: Int, numHashes: Int, rowsPerBand: Int,
-      bands: DataFrame, shingles: DataFrame, counts: DataFrame,
-      fingerprints: DataFrame) {
+      bands: DataFrame, fingerprints: DataFrame,
+      shingles: Option[DataFrame], counts: Option[DataFrame],
+      signatures: Option[DataFrame]) {
+
+    /** True when the index verifies candidates by signature-estimated
+      * Jaccard (no shingle store).
+      */
+    def estimated: Boolean = signatures.isDefined
 
     /** Batch survivors: rows that are not exact/near duplicates of the
       * index, after batch-internal dedup (exact keep-lowest-id + the
@@ -816,32 +1023,52 @@ object Dedup {
         .select(col(idCol))
       // pair-wise keep-lowest-id INSIDE the batch (same derivation as
       // dropNearDuplicates: non-reps lose to their rep, and every member of
-      // a group on the id2 side of a rep pair loses to the id1 rep)
+      // a group on the id2 side of a rep pair loses to the id1 rep). The
+      // verify stage follows the index's mode, so `threshold` means the
+      // same thing batch-internally and vs the index.
       val (membership, repPairs) =
-        nearDupCore(batch, textCol, idCol, k, numHashes, rowsPerBand, threshold)
+        if (estimated)
+          estNearDupCore(batch, textCol, idCol, k, numHashes, rowsPerBand,
+            threshold)
+        else
+          nearDupCore(batch, textCol, idCol, k, numHashes, rowsPerBand,
+            threshold)
       val nonReps = membership.filter(col(idCol) =!= col("__rep"))
         .select(col(idCol))
       val losingBatchReps = repPairs.select(col("id2").as("__rep")).distinct()
-      // batch reps vs the index: band-keyed candidates, exact-Jaccard
-      // verified against the stored shingle/count frames; a rep that
-      // near-dups the index drops its whole exact group
-      val c = sigCore(batch, textCol, idCol, k, numHashes, rowsPerBand)
-      val cands = c.bands.select(col(idCol).as("__bid"), col("band"), col("bkey"))
-        .join(bands.select(col(idCol).as("__cid"), col("band"), col("bkey")),
-          Seq("band", "bkey"))
-        .select(col("__bid"), col("__cid")).distinct()
-      val inter = cands
-        .join(c.shingles.select(col(idCol).as("__bid"), col("s")), Seq("__bid"))
-        .join(shingles.select(col(idCol).as("__cid2"), col("s").as("__s2")),
-          col("__cid") === col("__cid2") && col("s") === col("__s2"))
-        .groupBy(col("__bid"), col("__cid")).agg(count(lit(1)).as("__c"))
-      val nearRepLosers = inter
-        .join(c.counts.select(col(idCol).as("__bid"), col("__n").as("__bn")),
-          Seq("__bid"))
-        .join(counts.select(col(idCol).as("__cid"), col("__n")), Seq("__cid"))
-        .filter(col("__c").cast("double") /
-          (col("__bn") + col("__n") - col("__c")) >= threshold)
-        .select(col("__bid").as("__rep")).distinct()
+      // batch reps vs the index: band-keyed candidates, then mode-matched
+      // verification — exact Jaccard against the stored shingle/count
+      // frames, or MinHash agreement against the stored signatures; a rep
+      // that near-dups the index drops its whole exact group
+      val nearRepLosers = if (estimated) {
+        val c = estSigCore(batch, textCol, idCol, k, numHashes, rowsPerBand)
+        val cands = c.bands
+          .select(col(idCol).as("id1"), col("band"), col("bkey"))
+          .join(bands.select(col(idCol).as("id2"), col("band"), col("bkey")),
+            Seq("band", "bkey"))
+          .select(col("id1"), col("id2")).distinct()
+        estimatedJaccardOn(c.sigs, signatures.get, idCol, numHashes, cands)
+          .filter(col("jaccard") >= threshold)
+          .select(col("id1").as("__rep")).distinct()
+      } else {
+        val c = sigCore(batch, textCol, idCol, k, numHashes, rowsPerBand)
+        val cands = c.bands.select(col(idCol).as("__bid"), col("band"), col("bkey"))
+          .join(bands.select(col(idCol).as("__cid"), col("band"), col("bkey")),
+            Seq("band", "bkey"))
+          .select(col("__bid"), col("__cid")).distinct()
+        val inter = cands
+          .join(c.shingles.select(col(idCol).as("__bid"), col("s")), Seq("__bid"))
+          .join(shingles.get.select(col(idCol).as("__cid2"), col("s").as("__s2")),
+            col("__cid") === col("__cid2") && col("s") === col("__s2"))
+          .groupBy(col("__bid"), col("__cid")).agg(count(lit(1)).as("__c"))
+        inter
+          .join(c.counts.select(col(idCol).as("__bid"), col("__n").as("__bn")),
+            Seq("__bid"))
+          .join(counts.get.select(col(idCol).as("__cid"), col("__n")), Seq("__cid"))
+          .filter(col("__c").cast("double") /
+            (col("__bn") + col("__n") - col("__c")) >= threshold)
+          .select(col("__bid").as("__rep")).distinct()
+      }
       // ONE membership join for both rep-derived loser classes (batch-
       // internal pair losers and reps near-dup'ing the index): the join
       // distributes over the union, and each input is already a distinct
@@ -867,17 +1094,30 @@ object Dedup {
       val eligible = extra
         .filter(size(TextAnalysis.words(col(textCol))) >= k)
         .select(col(idCol), col(textCol))
-      val sh = TextAnalysis.shingles(eligible, textCol, k, idCol)
-        .distinct().localCheckpoint(true)
-      val cnt = sh.groupBy(col(idCol)).agg(count(lit(1)).as("__n"))
-        .localCheckpoint(true)
-      val bnd = lshBandKeys(
-        minhashSignatures(eligible, textCol, idCol, k, numHashes),
-        idCol, rowsPerBand).localCheckpoint(true)
       val fp = extra.select(md5(col(textCol)).as("__fp")).distinct()
         .localCheckpoint(true)
-      copy(bands = bands.union(bnd), shingles = shingles.union(sh),
-        counts = counts.union(cnt), fingerprints = fingerprints.union(fp))
+      if (estimated) {
+        // signature mode grows by numHashes longs + band keys per doc —
+        // the shingle-sized frames are never derived at all; same
+        // estimation-grade family as the stored corpus signatures
+        val sigs = estSignaturesFromShingles(
+          TextAnalysis.shingles(eligible, textCol, k, idCol), idCol, numHashes)
+          .localCheckpoint(true)
+        val bnd = lshBandKeys(sigs, idCol, rowsPerBand).localCheckpoint(true)
+        copy(bands = bands.union(bnd), fingerprints = fingerprints.union(fp),
+          signatures = Some(signatures.get.union(sigs)))
+      } else {
+        val sh = TextAnalysis.shingles(eligible, textCol, k, idCol)
+          .distinct().localCheckpoint(true)
+        val cnt = sh.groupBy(col(idCol)).agg(count(lit(1)).as("__n"))
+          .localCheckpoint(true)
+        val bnd = lshBandKeys(
+          minhashSignatures(eligible, textCol, idCol, k, numHashes),
+          idCol, rowsPerBand).localCheckpoint(true)
+        copy(bands = bands.union(bnd), fingerprints = fingerprints.union(fp),
+          shingles = Some(shingles.get.union(sh)),
+          counts = Some(counts.get.union(cnt)))
+      }
     }
 
     /** Re-checkpoint every stored frame, truncating the union lineage that
@@ -885,9 +1125,10 @@ object Dedup {
       */
     def compacted(): NearDupIndex =
       copy(bands = bands.localCheckpoint(true),
-        shingles = shingles.localCheckpoint(true),
-        counts = counts.localCheckpoint(true),
-        fingerprints = fingerprints.localCheckpoint(true))
+        fingerprints = fingerprints.localCheckpoint(true),
+        shingles = shingles.map(_.localCheckpoint(true)),
+        counts = counts.map(_.localCheckpoint(true)),
+        signatures = signatures.map(_.localCheckpoint(true)))
   }
 
   object NearDupIndex {
@@ -896,16 +1137,23 @@ object Dedup {
       * checkpointed and id-keyed.
       */
     /** Build the signature index over `corpus` from the session-memoized
-      * [[sigCore]] — one shingle scan, one fingerprint pass, shared with
-      * every other near-dup operator touching the same corpus this
-      * session. The stored band/shingle/count frames cover exact-group
-      * REPRESENTATIVES only: identical corpus texts share every band key
-      * and shingle, so rep rows generate the same batch-side candidates
-      * and verdicts at 1/group-size the join fan-in, and exact members
-      * are fully covered by the (distinct) fingerprint frame.
+      * [[sigCore]] (or [[estSigCore]] when `estimatedJaccard`) — one
+      * shingle scan, one fingerprint pass, shared with every other
+      * near-dup operator touching the same corpus this session. The
+      * stored band/shingle/count/signature frames cover exact-group
+      * REPRESENTATIVES only: identical corpus texts share every band key,
+      * shingle and signature, so rep rows generate the same batch-side
+      * candidates and verdicts at 1/group-size the join fan-in, and exact
+      * members are fully covered by the (distinct) fingerprint frame.
+      *
+      * `estimatedJaccard = true` stores MinHash signatures instead of the
+      * O(corpus-tokens) shingle/count frames and verifies candidates by
+      * signature agreement — the signature-sized index for unbounded
+      * corpora (see the class doc's mode table).
       */
     def build(corpus: DataFrame, textCol: String, idCol: String, k: Int = 3,
-        numHashes: Int = 8, rowsPerBand: Int = 2): NearDupIndex = {
+        numHashes: Int = 8, rowsPerBand: Int = 2,
+        estimatedJaccard: Boolean = false): NearDupIndex = {
       import scala.concurrent.{Await, Future}
       import scala.concurrent.duration.Duration
       implicit val ec: scala.concurrent.ExecutionContext =
@@ -919,9 +1167,16 @@ object Dedup {
           val fp = corpus.select(md5(col(textCol)).as("__fp")).distinct()
           if (inline) fp else fp.localCheckpoint(true)
         }
-        val c = sigCore(corpus, textCol, idCol, k, numHashes, rowsPerBand)
-        NearDupIndex(idCol, k, numHashes, rowsPerBand, c.bands, c.shingles,
-          c.counts, Await.result(fpF, Duration.Inf))
+        if (estimatedJaccard) {
+          val c = estSigCore(corpus, textCol, idCol, k, numHashes, rowsPerBand)
+          NearDupIndex(idCol, k, numHashes, rowsPerBand, c.bands,
+            Await.result(fpF, Duration.Inf), None, None, Some(c.sigs))
+        } else {
+          val c = sigCore(corpus, textCol, idCol, k, numHashes, rowsPerBand)
+          NearDupIndex(idCol, k, numHashes, rowsPerBand, c.bands,
+            Await.result(fpF, Duration.Inf), Some(c.shingles), Some(c.counts),
+            None)
+        }
       }
       // interactive mode bypasses the memo (lazy fingerprint frame — the
       // memo holds checkpointed snapshots only); the sigCore underneath is
@@ -931,7 +1186,7 @@ object Dedup {
       // compounds across micro-batches.
       if (interactive(corpus)) mk(inline = true)
       else memoized(corpus, ("nearDupIndex", textCol, idCol, k, numHashes,
-        rowsPerBand)) { mk(inline = false) }
+        rowsPerBand, estimatedJaccard)) { mk(inline = false) }
     }
   }
 

@@ -1350,6 +1350,103 @@ object TextQueries {
             AS INT) AS copies FROM e)
         SELECT source, count(*) AS n_rows, count(DISTINCT doc_id) AS n_docs
         FROM c, UNNEST(generate_series(1, copies)) AS t(epoch)
-        GROUP BY source ORDER BY source"""))
+        GROUP BY source ORDER BY source""")),
+
+    // ---- signature-estimated near-dup pairs: LSH candidates scored by
+    //      MinHash agreement instead of exact shingle Jaccard — the
+    //      verify mode that needs NO shingle store
+    //      (Dedup.estimatedNearDuplicatePairs). The signature family is
+    //      the estimation-grade per-seed affine transform mod 2^31-1
+    //      (the exact path's h1 + seed*h2 family correlates seeds and
+    //      cannot estimate — see estSignaturesFromShingles); all
+    //      arithmetic is md5-derived and deterministic, so DuckDB
+    //      replays agreement-count / 8 exactly ----
+    QueryDef(
+      "q114_est_jaccard_pairs",
+      (s, d) => {
+        Dedup.estimatedNearDuplicatePairs(Tables.documents(s, d),
+            "text", "doc_id", threshold = 0.5)
+          .select(col("id1"), col("id2"),
+            round(col("jaccard"), 4).as("est_jaccard"))
+          .orderBy(col("id1"), col("id2"))
+      },
+      Some(raw"""WITH sh AS (${sqlShingles(3)}),
+        sig AS (SELECT doc_id, seed, min((
+            (('0x' || substr(md5('mh-a-' || CAST(seed AS VARCHAR)), 1, 8))::BIGINT
+              % 2147483646 + 1)
+            * (('0x' || substr(md5(s), 1, 8))::BIGINT % 2147483647)
+            + ('0x' || substr(md5('mh-b-' || CAST(seed AS VARCHAR)), 1, 8))::BIGINT
+              % 2147483647
+          ) % 2147483647) AS minhash
+          FROM sh CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS seed) sd
+          GROUP BY doc_id, seed),
+        bands AS (SELECT doc_id, seed // 2 AS band,
+          md5(string_agg(CAST(minhash AS VARCHAR), ',' ORDER BY seed)) AS bkey
+          FROM sig GROUP BY doc_id, band),
+        cand AS (SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+          FROM bands a JOIN bands b
+            ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id)
+        SELECT c.id1, c.id2,
+          round(sum(CASE WHEN a.minhash = b.minhash THEN 1 ELSE 0 END)
+            / 8.0, 4) AS est_jaccard
+        FROM cand c
+        JOIN sig a ON a.doc_id = c.id1
+        JOIN sig b ON b.doc_id = c.id2 AND b.seed = a.seed
+        GROUP BY c.id1, c.id2
+        HAVING sum(CASE WHEN a.minhash = b.minhash THEN 1 ELSE 0 END) / 8.0
+          >= 0.5
+        ORDER BY id1, id2""")),
+
+    // ---- incremental dedup in signature-estimated mode: same protocol as
+    //      q71 (odd ids = batch, even ids = corpus) but the verify stage is
+    //      MinHash agreement against the signature-sized index
+    //      (Dedup.dropDuplicatesAgainst(estimatedJaccard = true)) ----
+    QueryDef(
+      "q115_est_dedup_against",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        Dedup.dropDuplicatesAgainst(
+            docs.filter(pmod(col("doc_id"), lit(2)) === 1),
+            docs.filter(pmod(col("doc_id"), lit(2)) === 0),
+            "text", "doc_id", threshold = 0.5, estimatedJaccard = true)
+          .select(col("doc_id"), col("lang"))
+          .orderBy(col("doc_id"))
+      },
+      Some(raw"""WITH sh AS (${sqlShingles(3)}),
+        sig AS (SELECT doc_id, seed, min((
+            (('0x' || substr(md5('mh-a-' || CAST(seed AS VARCHAR)), 1, 8))::BIGINT
+              % 2147483646 + 1)
+            * (('0x' || substr(md5(s), 1, 8))::BIGINT % 2147483647)
+            + ('0x' || substr(md5('mh-b-' || CAST(seed AS VARCHAR)), 1, 8))::BIGINT
+              % 2147483647
+          ) % 2147483647) AS minhash
+          FROM sh CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS seed) sd
+          GROUP BY doc_id, seed),
+        bands AS (SELECT doc_id, seed // 2 AS band,
+          md5(string_agg(CAST(minhash AS VARCHAR), ',' ORDER BY seed)) AS bkey
+          FROM sig GROUP BY doc_id, band),
+        cand AS (SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+          FROM bands a JOIN bands b
+            ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
+        pairs AS (SELECT c.id1, c.id2
+          FROM cand c
+          JOIN sig a ON a.doc_id = c.id1
+          JOIN sig b ON b.doc_id = c.id2 AND b.seed = a.seed
+          GROUP BY c.id1, c.id2
+          HAVING sum(CASE WHEN a.minhash = b.minhash THEN 1 ELSE 0 END) / 8.0
+            >= 0.5),
+        fp AS (SELECT doc_id, md5(text) AS f FROM documents),
+        losers AS (
+          SELECT id2 AS id FROM pairs WHERE id1 % 2 = 0 AND id2 % 2 = 1
+          UNION SELECT id1 FROM pairs WHERE id2 % 2 = 0 AND id1 % 2 = 1
+          UNION SELECT id2 FROM pairs WHERE id1 % 2 = 1 AND id2 % 2 = 1
+          UNION SELECT b.doc_id FROM fp b WHERE b.doc_id % 2 = 1
+            AND b.f IN (SELECT f FROM fp WHERE doc_id % 2 = 0)
+          UNION SELECT b.doc_id FROM fp b JOIN fp a
+            ON a.f = b.f AND a.doc_id < b.doc_id AND a.doc_id % 2 = 1
+            WHERE b.doc_id % 2 = 1)
+        SELECT doc_id, lang FROM documents
+        WHERE doc_id % 2 = 1 AND doc_id NOT IN (SELECT id FROM losers)
+        ORDER BY doc_id"""))
   )
 }

@@ -1181,14 +1181,18 @@ object EventPipeline {
   def nearDedupStream(docs: DataFrame, corpus: DataFrame, textCol: String,
       idCol: String, checkpoint: String, threshold: Double = 0.7,
       k: Int = 3, numHashes: Int = 8, rowsPerBand: Int = 2,
-      compactEvery: Int = 16)
+      compactEvery: Int = 16, estimatedJaccard: Boolean = false)
       (onBatch: (Long, Array[Row]) => Unit): StreamingQuery = {
     // compacted() pins the index to checkpointed frames regardless of the
     // build's size-adaptive mode: a long-lived stream holder must not
     // re-scan a lazy corpus leaf on every micro-batch, nor observe corpus
-    // files changing mid-stream out of sync with the checkpointed parts
+    // files changing mid-stream out of sync with the checkpointed parts.
+    // estimatedJaccard is the unbounded-stream shape: the index state the
+    // stream accretes stays signature-sized forever instead of growing
+    // with corpus tokens.
     var idx = graft.operators.Dedup.NearDupIndex.build(
-      corpus, textCol, idCol, k, numHashes, rowsPerBand).compacted()
+      corpus, textCol, idCol, k, numHashes, rowsPerBand, estimatedJaccard)
+      .compacted()
     var batches = 0
     docs.writeStream
       .outputMode("append")

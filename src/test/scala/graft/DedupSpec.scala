@@ -329,6 +329,74 @@ class DedupSpec extends SparkSpec {
     assert(s2Stale == Seq(20L, 21L))
   }
 
+  test("estimated Jaccard: exact dups estimate 1.0, error bounded vs exact") {
+    // the q37 corpus (driver testdata documents table): score every LSH
+    // candidate pair in both verify modes and bound the estimator error.
+    // numHashes=32 → std-err ≤ √(J(1−J)/32) ≈ 0.09; the assertions pin a
+    // deterministic outcome (md5-derived, no RNG) with comfortable margin.
+    val corpus = Tables.documents(spark, "/root/testdata/sf0.001")
+    Dedup.clearMemo(spark)
+    val exact = Dedup.nearDuplicatePairs(corpus, "text", "doc_id",
+        numHashes = 32, threshold = 0.0)
+      .select(col("id1"), col("id2"), col("jaccard").as("j_exact"))
+    val est = Dedup.estimatedNearDuplicatePairs(corpus, "text", "doc_id",
+        numHashes = 32, threshold = 0.0)
+      .select(col("id1"), col("id2"), col("jaccard").as("j_est"))
+    // the two modes band with different signature families, so candidate
+    // sets may differ at the margin — bound the estimator on the joint set
+    val joined = exact.join(est, Seq("id1", "id2"))
+      .select("id1", "id2", "j_exact", "j_est").collect()
+    // (the independent family bands with far better precision than the
+    // correlated one, so the joint set is close to the true near-dup set)
+    assert(joined.length >= 20, s"only ${joined.length} joint candidate pairs")
+    val errs = joined.map(r => math.abs(r.getDouble(2) - r.getDouble(3)))
+    assert(errs.max <= 0.35, s"max |est - exact| = ${errs.max}")
+    assert(errs.sum / errs.length <= 0.12,
+      s"mean |est - exact| = ${errs.sum / errs.length}")
+    // exact duplicates have identical signatures → estimate exactly 1.0
+    joined.filter(_.getDouble(2) == 1.0).foreach { r =>
+      assert(r.getDouble(3) == 1.0,
+        s"pair (${r.getLong(0)}, ${r.getLong(1)}): exact dup estimated at ${r.getDouble(3)}")
+    }
+    Dedup.clearMemo(spark)
+  }
+
+  test("NearDupIndex estimated mode: signature-sized store, same verdicts") {
+    val corpus = Seq(
+      (0L, "the quick brown fox jumps over the lazy dog tonight"),
+      (1L, "completely unrelated reference document about databases"))
+      .toDF("doc_id", "text")
+    val idx = Dedup.NearDupIndex.build(corpus, "text", "doc_id",
+      estimatedJaccard = true)
+    // the 100 TB contract: no shingle/count frames exist in this mode —
+    // stored state is numHashes signature rows + band keys per rep
+    assert(idx.estimated && idx.shingles.isEmpty && idx.counts.isEmpty)
+    assert(idx.signatures.get.count() == 2L * 8)
+    val b1 = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog today"),
+      (11L, "a genuinely new document discussing spark physical plans"),
+      (12L, "a genuinely new document discussing spark physical plans"))
+      .toDF("doc_id", "text")
+    val s1 = idx.dedupBatch(b1, "text", threshold = 0.5)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(s1 == Seq(11L))
+    // appended growth stays signature-sized and catches cross-batch dups
+    val idx2 = idx.appended(b1.filter(col("doc_id") === 11L), "text")
+    assert(idx2.shingles.isEmpty && idx2.signatures.get.count() == 3L * 8)
+    val b2 = Seq(
+      (20L, "a genuinely new document discussing spark physical things"),
+      (21L, "an entirely different text about parquet row group pruning"))
+      .toDF("doc_id", "text")
+    val s2 = idx2.compacted().dedupBatch(b2, "text", threshold = 0.5)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(s2 == Seq(21L))
+    // dropDuplicatesAgainst facade agrees with the exact mode on this corpus
+    val viaFacade = Dedup.dropDuplicatesAgainst(b1, corpus, "text", "doc_id",
+        threshold = 0.5, estimatedJaccard = true)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(viaFacade == Seq(11L))
+  }
+
   test("nearDedupStream drops cross-batch near-dups through the growing index") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx = spark.sqlContext
