@@ -324,7 +324,8 @@ object Bench {
     if (runAll) timedMin("profile_pipeline") {
       graft.operators.ProfilePipeline.run(spark,
         Seq("products" -> productsPath), s"$base/reports",
-        embeddingCol = Some("embedding"), labelCol = Some("main_category"))
+        embeddingCol = Some("embedding"), labelCol = Some("main_category"),
+        idCol = Some("parent_asin"))
     }
 
     // upserts (reference README.md:69-70): merge-on-read bucketed store.

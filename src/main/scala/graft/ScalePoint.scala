@@ -77,7 +77,7 @@ object ScalePoint {
     timed("profile_pipeline") {
       graft.operators.ProfilePipeline.run(spark,
         Seq("products" -> productsPath), s"$base/reports",
-        embeddingCol = Some("embedding"))
+        embeddingCol = Some("embedding"), idCol = Some("parent_asin"))
     }
 
     // documents at 10× sf0.1 with fresh ids, ON DISK, so the near-dup

@@ -133,7 +133,9 @@ object Embedding {
     * fixed-iteration — same inputs give bit-identical projections, so specs
     * can assert exact reruns.
     *
-    * Returns (idCol, tsne_x, tsne_y), one row per sampled input row.
+    * Returns (idCol, tsne_x, tsne_y), one row per sampled valid input row
+    * (null or wrong-dimension vectors are excluded, the reference's
+    * validity-scan tolerance).
     */
   def tsneProject(df: DataFrame, vecCol: String, idCol: String,
       sampleN: Int = 1000, perplexity: Double = 30.0,
@@ -142,16 +144,255 @@ object Embedding {
     import org.apache.spark.sql.types.{DoubleType, StructField, StructType}
     val spark = df.sparkSession
     val rows = df.select(col(idCol), col(vecCol).cast("array<double>"))
+      .filter(col(vecCol).isNotNull)
       .orderBy(col(idCol)).limit(sampleN).collect()
-    val x = rows.map(_.getSeq[Double](1).toArray)
+    // tolerate ragged corpora (the reference's try/except around its
+    // projection fits): keep only vectors of the first row's dimension
+    val dims = if (rows.isEmpty) 0 else rows.head.getSeq[Double](1).length
+    val valid = rows.filter(r => !r.isNullAt(1) &&
+      r.getSeq[Double](1).length == dims)
+    val x = valid.map(_.getSeq[Double](1).toArray)
     val y = tsneLocal(x, perplexity, iterations)
-    val out = rows.zipWithIndex.map { case (r, i) =>
+    val out = valid.zipWithIndex.map { case (r, i) =>
       Row(r.get(0), y(i)(0), y(i)(1)) }
     val schema = StructType(Seq(df.schema(idCol),
       StructField("tsne_x", DoubleType, nullable = false),
       StructField("tsne_y", DoubleType, nullable = false)))
     spark.createDataFrame(
       spark.sparkContext.parallelize(out.toIndexedSeq, 1), schema)
+  }
+
+  /** UMAP projection to 2-D (reference `gbr.py:470-478`:
+    * `umap.UMAP(n_components=2, random_state=42)` over the same bounded
+    * embedding sample as the other projections). Same scale contract as
+    * [[tsneProject]]: the distributed side is a deterministic id-ordered
+    * `TakeOrdered` of `sampleN` rows, and the driver-side optimization is
+    * bounded by `sampleN` — a visualization projection, NOT a
+    * distributed-ML seam, exactly the boundary the reference draws
+    * (umap-learn fits a ≤1k-row sample regardless of corpus scale).
+    *
+    * Deterministic end-to-end: fixed k-NN graph (index-ordered
+    * tie-breaks), PCA init, full-batch gradient descent with a fixed
+    * schedule — no RNG, unlike umap-learn's negative-sampling SGD, so
+    * identical inputs give bit-identical projections and specs can assert
+    * exact reruns. Null and wrong-dimension vectors are excluded from the
+    * sample (the reference's validity-scan tolerance).
+    *
+    * Returns (idCol, umap_x, umap_y), one row per sampled valid input row.
+    */
+  def umapProject(df: DataFrame, vecCol: String, idCol: String,
+      sampleN: Int = 1000, nNeighbors: Int = 15, minDist: Double = 0.1,
+      iterations: Int = 200): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{DoubleType, StructField, StructType}
+    val spark = df.sparkSession
+    val rows = df.select(col(idCol), col(vecCol).cast("array<double>"))
+      .filter(col(vecCol).isNotNull)
+      .orderBy(col(idCol)).limit(sampleN).collect()
+    val dims = if (rows.isEmpty) 0 else rows.head.getSeq[Double](1).length
+    val valid = rows.filter(r => !r.isNullAt(1) &&
+      r.getSeq[Double](1).length == dims)
+    val x = valid.map(_.getSeq[Double](1).toArray)
+    val y = umapLocal(x, nNeighbors, minDist, iterations)
+    val out = valid.zipWithIndex.map { case (r, i) =>
+      Row(r.get(0), y(i)(0), y(i)(1)) }
+    val schema = StructType(Seq(df.schema(idCol),
+      StructField("umap_x", DoubleType, nullable = false),
+      StructField("umap_y", DoubleType, nullable = false)))
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(out.toIndexedSeq, 1), schema)
+  }
+
+  /** Fit the UMAP low-dimensional similarity curve 1/(1 + a·d^(2b)) to the
+    * target membership psi(d) = 1 for d ≤ minDist, exp(−(d − minDist))
+    * beyond — the (a, b) calibration umap-learn does with scipy
+    * curve_fit. Deterministic coarse log-grid search plus two local
+    * refinement passes over 300 curve samples on (0, 3]; for the default
+    * minDist = 0.1 this lands at a ≈ 1.58, b ≈ 0.90 (umap-learn's
+    * published values ≈ 1.577, 0.895).
+    */
+  private[graft] def umapCurveFit(minDist: Double): (Double, Double) = {
+    val ds = Array.tabulate(300)(i => (i + 1) * 0.01)
+    val target = ds.map(d => if (d <= minDist) 1.0 else math.exp(-(d - minDist)))
+    def sse(a: Double, b: Double): Double = {
+      var s = 0.0
+      var i = 0
+      while (i < ds.length) {
+        val f = 1.0 / (1.0 + a * math.pow(ds(i), 2 * b))
+        val e = f - target(i)
+        s += e * e
+        i += 1
+      }
+      s
+    }
+    var best = (1.0, 1.0)
+    var bestS = Double.MaxValue
+    var aStep = 0
+    while (aStep < 120) { // a on a log grid [1e-2, 1e2]
+      val a = math.pow(10.0, -2.0 + aStep * (4.0 / 119))
+      var bStep = 0
+      while (bStep < 96) { // b linear on [0.1, 2.0]
+        val b = 0.1 + bStep * (1.9 / 95)
+        val s = sse(a, b)
+        if (s < bestS) { bestS = s; best = (a, b) }
+        bStep += 1
+      }
+      aStep += 1
+    }
+    // two shrinking local refinements around the grid optimum
+    var (ba, bb) = best
+    var span = 0.2
+    var pass = 0
+    while (pass < 2) {
+      var i = -10
+      while (i <= 10) {
+        var j = -10
+        while (j <= 10) {
+          val a = ba * math.pow(10.0, i * span / 10)
+          val b = math.max(0.05, bb + j * span / 10)
+          val s = sse(a, b)
+          if (s < bestS) { bestS = s; best = (a, b) }
+          j += 1
+        }
+        i += 1
+      }
+      ba = best._1; bb = best._2; span /= 10
+      pass += 1
+    }
+    best
+  }
+
+  /** Deterministic UMAP over a local matrix (McInnes, Healy & Melville,
+    * arXiv:1802.03426): exact k-NN graph, per-point (rho, sigma)
+    * calibration to log2(k) effective neighbors, fuzzy-union
+    * symmetrization w = w + wᵀ − w∘wᵀ, then full-batch gradient descent
+    * on the fuzzy cross-entropy with the fitted (a, b) kernel, linearly
+    * decaying learning rate and ±4 gradient clipping (umap-learn's clip),
+    * PCA init scaled to max-|coord| 10. Full-batch instead of
+    * negative-sampling SGD trades a constant factor (n ≤ ~1k here) for
+    * bit-exact determinism.
+    */
+  private[graft] def umapLocal(x: Array[Array[Double]], nNeighbors: Int,
+      minDist: Double, iterations: Int): Array[Array[Double]] = {
+    val n = x.length
+    require(n >= 4, s"UMAP needs >= 4 sample rows, got $n")
+    val k = math.max(2, math.min(nNeighbors, n - 1))
+    // pairwise distances
+    val dist = Array.ofDim[Double](n, n)
+    var i = 0
+    while (i < n) {
+      var j = i + 1
+      while (j < n) {
+        val a = x(i); val b = x(j)
+        var s = 0.0; var t = 0
+        while (t < a.length) { val e = a(t) - b(t); s += e * e; t += 1 }
+        val d = math.sqrt(s)
+        dist(i)(j) = d; dist(j)(i) = d
+        j += 1
+      }
+      i += 1
+    }
+    // k nearest neighbors per point, index-ordered tie-break
+    val knn = Array.tabulate(n) { p =>
+      (0 until n).filter(_ != p).sortBy(q => (dist(p)(q), q)).take(k).toArray
+    }
+    // per-point rho (nearest distance) and sigma via binary search so that
+    // sum_j exp(-(max(0, d - rho))/sigma) = log2(k)
+    val logK = math.log(k) / math.log(2.0)
+    val w = Array.ofDim[Double](n, n)
+    i = 0
+    while (i < n) {
+      val rho = dist(i)(knn(i)(0))
+      var lo = 1e-20
+      var hi = 1e4
+      var sigma = 1.0
+      var it = 0
+      while (it < 64) {
+        sigma = (lo + hi) / 2
+        var s = 0.0
+        var jj = 0
+        while (jj < k) {
+          val d = math.max(0.0, dist(i)(knn(i)(jj)) - rho)
+          s += math.exp(-d / sigma)
+          jj += 1
+        }
+        if (s > logK) hi = sigma else lo = sigma
+        it += 1
+      }
+      var jj = 0
+      while (jj < k) {
+        val q = knn(i)(jj)
+        w(i)(q) = math.exp(-math.max(0.0, dist(i)(q) - rho) / sigma)
+        jj += 1
+      }
+      i += 1
+    }
+    // fuzzy union symmetrization
+    val sym = Array.ofDim[Double](n, n)
+    i = 0
+    while (i < n) {
+      var j = i + 1
+      while (j < n) {
+        val v = w(i)(j) + w(j)(i) - w(i)(j) * w(j)(i)
+        sym(i)(j) = v; sym(j)(i) = v
+        j += 1
+      }
+      i += 1
+    }
+    val (a, b) = umapCurveFit(minDist)
+    // PCA init scaled to max-|coordinate| 10 (the spectral-init range)
+    val y = localPca2(x)
+    var mx = 1e-12
+    y.foreach(r => { mx = math.max(mx, math.max(math.abs(r(0)), math.abs(r(1)))) })
+    y.foreach { r => r(0) = r(0) / mx * 10.0; r(1) = r(1) / mx * 10.0 }
+    def clip(v: Double): Double = math.max(-4.0, math.min(4.0, v))
+    val grad = Array.ofDim[Double](n, 2)
+    var epoch = 0
+    while (epoch < iterations) {
+      val alpha = 1.0 - epoch.toDouble / iterations
+      i = 0
+      while (i < n) { grad(i)(0) = 0.0; grad(i)(1) = 0.0; i += 1 }
+      i = 0
+      while (i < n) {
+        var j = i + 1
+        while (j < n) {
+          val dx = y(i)(0) - y(j)(0)
+          val dy = y(i)(1) - y(j)(1)
+          val d2 = dx * dx + dy * dy
+          val wij = sym(i)(j)
+          // attractive: w * dCE/dd of the a,b kernel; repulsive: (1-w)
+          val attr =
+            if (wij > 0.0 && d2 > 0.0)
+              wij * (-2.0 * a * b * math.pow(d2, b - 1.0)) /
+                (1.0 + a * math.pow(d2, b))
+            else 0.0
+          val rep = (1.0 - wij) * (2.0 * b) /
+            ((0.001 + d2) * (1.0 + a * math.pow(d2, b)))
+          val gx = clip(attr * dx) + clip(rep * dx)
+          val gy = clip(attr * dy) + clip(rep * dy)
+          grad(i)(0) += gx; grad(i)(1) += gy
+          grad(j)(0) -= gx; grad(j)(1) -= gy
+          j += 1
+        }
+        i += 1
+      }
+      // full-batch: each point accumulates O(n) clipped pair interactions,
+      // so normalize by n to keep the per-epoch step in umap-learn's
+      // per-interaction range (its SGD applies each interaction alone)
+      i = 0
+      while (i < n) {
+        y(i)(0) += alpha * grad(i)(0) / n
+        y(i)(1) += alpha * grad(i)(1) / n
+        i += 1
+      }
+      epoch += 1
+    }
+    // recenter for stable assertions/plots
+    var m0 = 0.0; var m1 = 0.0
+    y.foreach { r => m0 += r(0); m1 += r(1) }
+    m0 /= n; m1 /= n
+    y.foreach { r => r(0) -= m0; r(1) -= m1 }
+    y
   }
 
   /** Top-2 principal directions of a small local matrix by power iteration

@@ -113,6 +113,21 @@ object Plots {
     g2.dispose()
   }
 
+  /** Widest prefix of `label` (plus ellipsis) that fits in `maxW` pixels.
+    * Measured by PREFIX LENGTH, not by character identity — an
+    * indexOf-based scan would measure the wrong prefix for any label with
+    * repeated characters (i.e. most real category names).
+    */
+  private[graft] def truncateLabel(fm: java.awt.FontMetrics, label: String,
+      maxW: Int): String =
+    if (fm.stringWidth(label) <= maxW) label
+    else {
+      val keepLen = (1 to label.length)
+        .takeWhile(i => fm.stringWidth(label.take(i) + "…") <= maxW)
+        .lastOption.getOrElse(1)
+      label.take(keepLen) + "…"
+    }
+
   private def write(f: Frame, path: String): Unit = {
     f.g.dispose()
     val p = Paths.get(path)
@@ -144,12 +159,7 @@ object Plots {
       f.g.setColor(axisColor)
       val lbl0 = labels(i)
       val maxW = math.max(slot.toInt - 2, 8)
-      val lbl = if (fm.stringWidth(lbl0) <= maxW) lbl0
-        else {
-          val keep = lbl0.takeWhile(c =>
-            fm.stringWidth(lbl0.take(lbl0.indexOf(c) + 1) + "…") <= maxW)
-          (if (keep.isEmpty) lbl0.take(1) else keep) + "…"
-        }
+      val lbl = truncateLabel(fm, lbl0, maxW)
       f.g.drawString(lbl, x + math.max(0, (barW - fm.stringWidth(lbl)) / 2),
         f.y1 + 30)
     }
@@ -200,12 +210,19 @@ object Plots {
   }
 
   /** Class-colored 2-D scatter with a legend (the reference's PCA / t-SNE /
-    * UMAP projection figures). Classes are colored by first-appearance
+    * UMAP projection figures). Coloring is capped at the `maxClasses` most
+    * frequent classes — everything else is drawn as a neutral gray "Other"
+    * — matching the reference's top-10-categories behavior, so the palette
+    * never recycles (distinct classes never share a color) and the legend
+    * row count is bounded. Ties and colors break by first-appearance
     * order — deterministic for a deterministically-ordered sample.
     */
   def scatter(points: Seq[(Double, Double)], classes: Seq[String],
-      title: String, xLabel: String, yLabel: String, path: String): Unit = {
+      title: String, xLabel: String, yLabel: String, path: String,
+      maxClasses: Int = 9): Unit = {
     require(points.length == classes.length, "points/classes length mismatch")
+    require(maxClasses >= 1 && maxClasses < palette.size,
+      s"maxClasses must be in [1, ${palette.size - 1}]")
     val f = newFrame(900, 600, title)
     val xs = points.map(_._1); val ys = points.map(_._2)
     def padded(lo: Double, hi: Double): (Double, Double) = {
@@ -214,21 +231,34 @@ object Plots {
     val (xLo, xHi) = padded(xs.min, xs.max)
     val (yLo, yHi) = padded(ys.min, ys.max)
     drawAxes(f, xLo, xHi, yLo, yHi, xLabel, yLabel)
-    val classColor = scala.collection.mutable.LinkedHashMap[String, Color]()
-    classes.foreach(c =>
-      classColor.getOrElseUpdate(c, palette(classColor.size % palette.size)))
-    points.indices.foreach { i =>
+    val firstSeen = scala.collection.mutable.LinkedHashMap[String, Int]()
+    classes.foreach(c => firstSeen.getOrElseUpdate(c, firstSeen.size))
+    val counts = classes.groupBy(identity).view.mapValues(_.length).toMap
+    val top = firstSeen.keys.toSeq
+      .sortBy(c => (-counts(c), firstSeen(c)))
+      .take(maxClasses)
+    val otherColor = new Color(0xbb, 0xbb, 0xbb)
+    val classColor = top.sortBy(firstSeen).zipWithIndex // stable palette order
+      .map { case (c, i) => c -> palette(i) }.toMap
+    def colorOf(c: String): Color = classColor.getOrElse(c, otherColor)
+    // draw "Other" first so top classes stay visible on top of the gray
+    val order = points.indices.sortBy(i => classColor.contains(classes(i)))
+    order.foreach { i =>
       val x = f.x0 + ((points(i)._1 - xLo) / (xHi - xLo) * f.plotW).toInt
       val y = f.y1 - ((points(i)._2 - yLo) / (yHi - yLo) * f.plotH).toInt
-      f.g.setColor(classColor(classes(i)))
+      f.g.setColor(colorOf(classes(i)))
       f.g.fillOval(x - 3, y - 3, 6, 6)
     }
-    // legend, top-right inside the plot
+    // legend, top-right inside the plot: top classes + a bounded Other row
     val fm = f.g.getFontMetrics
-    classColor.toSeq.zipWithIndex.foreach { case ((name, c), i) =>
+    val legendRows = top.sortBy(firstSeen) ++
+      (if (firstSeen.size > top.length) Seq("Other") else Nil)
+    legendRows.zipWithIndex.foreach { case (name, i) =>
       val y = f.y0 + 14 + i * 16
       val x = f.x1 - 150
-      f.g.setColor(c); f.g.fillOval(x, y - 8, 8, 8)
+      f.g.setColor(if (name == "Other" && !classColor.contains("Other"))
+        otherColor else colorOf(name))
+      f.g.fillOval(x, y - 8, 8, 8)
       f.g.setColor(axisColor); f.g.drawString(name, x + 12, y)
     }
     write(f, path)

@@ -48,7 +48,8 @@ object ProfilePipeline {
     */
   private def renderPlots(df: DataFrame, report: DatasetReport,
       embeddingCol: Option[String], labelCol: Option[String],
-      sampleN: Int, dir: java.nio.file.Path): Unit = {
+      sampleN: Int, dir: java.nio.file.Path,
+      idCol: Option[String] = None): Unit = {
     val p = report.profile
     p.categorical.headOption.filter(_.top.nonEmpty).foreach { c =>
       Plots.barChart(c.top.map(_._1), c.top.map(_._2.toDouble),
@@ -93,8 +94,26 @@ object ProfilePipeline {
       val lbl = labelCol.filter(df.columns.contains)
       val sel = col(embCol).cast("array<double>") +:
         lbl.map(col(_).cast("string")).toSeq
-      val sample = df.select(sel: _*).limit(sampleN).collect()
-        .filter(!_.isNullAt(0))
+      // With an id column the sample is a deterministic TakeOrdered of the
+      // lowest ids (same contract as Embedding.tsneProject/umapProject —
+      // identical figures run to run, at the cost of a full column scan);
+      // without one, limit() keeps the cheap read-few-rows plan and the
+      // figures are best-effort sketches of an arbitrary sample.
+      val base = df.select(sel: _*).filter(col(embCol).isNotNull)
+      val picked = idCol.filter(df.columns.contains) match {
+        case Some(id) => df.select(sel :+ col(id).as("__oid"): _*)
+          .filter(col(embCol).isNotNull)
+          .orderBy(col("__oid")).limit(sampleN).drop("__oid")
+        case None => base.limit(sampleN)
+      }
+      val raw = picked.collect().filter(!_.isNullAt(0))
+      // ragged-corpus guard (the reference tolerates malformed embeddings
+      // via try/except): keep only vectors of the modal dimension so a
+      // short or null-element vector can't abort the whole report
+      val modalDim = raw.map(_.getSeq[Double](0).length).groupBy(identity)
+        .map { case (d, g) => (g.length, d) }.maxOption.map(_._2)
+      val sample = raw.filter(r => modalDim.contains(r.getSeq[Double](0).length)
+        && !r.getSeq[Double](0).contains(null))
       if (sample.length >= 4) {
         val x = sample.map(_.getSeq[Double](0).toArray)
         val n = x.length
@@ -133,6 +152,11 @@ object ProfilePipeline {
         Plots.scatter(ts.map(r => (r(0), r(1))).toIndexedSeq, classes,
           "t-SNE projection of embeddings", "t-SNE 1", "t-SNE 2",
           dir.resolve("tsne_projection.png").toString)
+        val um = Embedding.umapLocal(x, nNeighbors = 15, minDist = 0.1,
+          iterations = 200)
+        Plots.scatter(um.map(r => (r(0), r(1))).toIndexedSeq, classes,
+          "UMAP projection of embeddings", "UMAP 1", "UMAP 2",
+          dir.resolve("umap_projection.png").toString)
         // pairwise cosine similarity over a ≤64 subsample (reference
         // `gbr.py:530-550` uses ≤200; a 64² annot-free heatmap stays
         // legible at our canvas size) + the upper-triangle distribution
@@ -176,7 +200,8 @@ object ProfilePipeline {
   def run(spark: SparkSession, datasets: Seq[(String, String)], outDir: String,
       embeddingCol: Option[String] = None, plots: Boolean = true,
       labelCol: Option[String] = None,
-      plotSampleN: Int = 500): Seq[DatasetReport] = {
+      plotSampleN: Int = 500,
+      idCol: Option[String] = None): Seq[DatasetReport] = {
     val reports = datasets.map { case (name, path) =>
       val r = analyzeDataset(spark, name, path, embeddingCol)
       val dir = Paths.get(outDir, name)
@@ -192,7 +217,7 @@ object ProfilePipeline {
         Profile.renderJson(name, r.profile))
       if (plots)
         renderPlots(spark.read.parquet(path), r, embeddingCol, labelCol,
-          plotSampleN, dir)
+          plotSampleN, dir, idCol)
       r
     }
     Files.createDirectories(Paths.get(outDir))

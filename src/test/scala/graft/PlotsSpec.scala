@@ -78,6 +78,58 @@ class PlotsSpec extends AnyFunSuite {
     assert(marks.size >= 2, s"expected >= 2 class colors, got $marks")
   }
 
+  test("label truncation fits the budget even with repeated characters") {
+    val img = new java.awt.image.BufferedImage(10, 10,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val g = img.createGraphics()
+    g.setFont(new java.awt.Font(java.awt.Font.SANS_SERIF,
+      java.awt.Font.PLAIN, 11))
+    val fm = g.getFontMetrics
+    // repeated characters — the indexOf-based prefix scan measured "m…"
+    // for every position and never truncated
+    val repeated = "m" * 60
+    val t = Plots.truncateLabel(fm, repeated, 80)
+    assert(t.endsWith("…") && fm.stringWidth(t) <= 80,
+      s"'$t' is ${fm.stringWidth(t)}px wide")
+    assert(t.length > 2, "should keep more than one char at 80px")
+    // short labels pass through untouched; impossible budgets keep 1 char
+    assert(Plots.truncateLabel(fm, "ok", 80) == "ok")
+    assert(Plots.truncateLabel(fm, repeated, 1) == "m…")
+    g.dispose()
+  }
+
+  test("scatter caps classes at top-N, colors the rest gray Other") {
+    val p = tmp("scatter_cap.png")
+    // 3 dominant classes (20 points each) + 12 singleton classes: with the
+    // cap, the singletons all render as one gray and the legend is bounded
+    val pts = (0 until 72).map(i => (i % 12 / 12.0, i / 72.0))
+    val classes = (0 until 60).map(i => s"big${i % 3}") ++
+      (0 until 12).map(i => s"rare$i")
+    Plots.scatter(pts, classes, "S", "a", "b", p, maxClasses = 3)
+    val img = png(p)
+    val grayRgb = new java.awt.Color(0xbb, 0xbb, 0xbb).getRGB
+    val all = (for (x <- 0 until img.getWidth; y <- 36 until 542)
+      yield img.getRGB(x, y)).toSet
+    assert(all.contains(grayRgb), "no gray Other marks rendered")
+    // saturated mark colors are bounded by the cap (3 classes), so the
+    // palette never recycles across the 12 rare classes
+    val saturated = all.filter { c0 =>
+      val c = new java.awt.Color(c0)
+      val mx = math.max(c.getRed, math.max(c.getGreen, c.getBlue))
+      val mn = math.min(c.getRed, math.min(c.getGreen, c.getBlue))
+      mx - mn > 100 && mx > 120
+    }
+    // antialiasing multiplies shades; require at least the 3 class colors
+    // and that the exact palette colors beyond index 2 are absent
+    val palette = Seq(0x1f77b4, 0xff7f0e, 0x2ca02c, 0xd62728, 0x9467bd)
+      .map(v => new java.awt.Color(v).getRGB)
+    assert(palette.take(3).forall(all.contains),
+      "top-3 class colors missing")
+    assert(palette.drop(3).forall(c => !all.contains(c)),
+      "palette recycled beyond the cap")
+    assert(saturated.nonEmpty)
+  }
+
   test("heatmap centers the diverging scale at zero") {
     val p = tmp("heat.png")
     Plots.heatmap(

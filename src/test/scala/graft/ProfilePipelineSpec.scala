@@ -62,12 +62,12 @@ class ProfilePipelineSpec extends SparkSpec {
     val out = s"$root/reports"
     ProfilePipeline.run(spark, Seq("d" -> s"$root/data"), out,
       embeddingCol = Some("embedding"), labelCol = Some("c"),
-      plotSampleN = 50)
+      plotSampleN = 50, idCol = Some("id"))
     val dir = Paths.get(out, "d")
     val expected = Seq("category_analysis.png", "null_analysis.png",
       "correlation_analysis.png", "embedding_norms.png",
       "embedding_dim_mean.png", "embedding_dim_std.png",
-      "pca_projection.png", "tsne_projection.png",
+      "pca_projection.png", "tsne_projection.png", "umap_projection.png",
       "cosine_similarity.png", "cosine_distribution.png")
     expected.foreach { f =>
       val p = dir.resolve(f)
