@@ -165,25 +165,45 @@ object Bench {
   private lazy val benchReps: Int =
     math.max(1, sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "2").toInt)
 
+  /** Read-tier repetitions: the read tiers run in the shadow of the index
+    * build's 1.4 GB flush, so they take extra reps by default — each costs
+    * well under a second and makes the recorded min robust to a
+    * multi-second stall landing inside one rep (measured swings of
+    * 0.6 → 8.1 s across three back-to-back reps of an identical
+    * 60-row-result scan). SPARK_GRAFT_BENCH_READ_REPS overrides, the same
+    * way SPARK_GRAFT_BENCH_REPS governs everything else.
+    */
+  private lazy val readReps: Int =
+    math.max(1, sys.env.getOrElse("SPARK_GRAFT_BENCH_READ_REPS",
+      math.max(4, benchReps).toString).toInt)
+
+  /** Every repetition [[timedMin]] measured, keyed by entry name — emitted
+    * into the artifact as `<name>_reps_value` arrays so the min-of-N
+    * policy is auditable: a consumer sees both the discarded reps (the
+    * variance that justifies the policy) and each entry's effective rep
+    * count, making cross-entry and cross-round comparisons
+    * apples-to-apples from the JSON alone.
+    */
+  private val repTimes =
+    scala.collection.mutable.LinkedHashMap[String, Seq[Double]]()
+
   /** [[timed]], but `f` runs [[benchReps]] times (or `reps` when the entry
-    * overrides it) and `name` records the fastest repetition. `f` must be
-    * side-effect-free (idempotent reruns). Sub-second entries sensitive to
-    * background writeback (the read tiers, which run in the shadow of the
-    * index build's 1.4 GB flush) pass a higher `reps`: each extra rep costs
-    * well under a second and makes the recorded min robust to a multi-second
-    * stall landing inside one rep — measured swings of 0.6 → 8.1 s across
-    * three back-to-back reps of an identical 60-row-result scan.
+    * overrides it) and `name` records the fastest repetition; all rep
+    * times land in [[repTimes]]. `f` must be side-effect-free (idempotent
+    * reruns).
     */
   private def timedMin(name: String, reps: Int = 0)(f: => Unit): Unit = {
-    val nReps = if (reps > 0) math.max(reps, benchReps) else benchReps
+    val nReps = if (reps > 0) reps else benchReps
     var best = Double.MaxValue
     var ok = true
     var r = 0
+    val times = scala.collection.mutable.ArrayBuffer.empty[Double]
     while (ok && r < nReps) {
       val t0 = System.nanoTime()
       try {
         f
-        best = math.min(best, (System.nanoTime() - t0) / 1e9)
+        times += (System.nanoTime() - t0) / 1e9
+        best = math.min(best, times.last)
       } catch {
         case e: Throwable =>
           System.err.println(s"[bench] $name FAILED: ${e.getClass.getName}: ${e.getMessage}")
@@ -192,6 +212,7 @@ object Bench {
       r += 1
     }
     results(name) = if (ok) best else -1.0
+    repTimes(name) = times.toSeq
     if (ok) System.err.println(f"[bench] $name: $best%.2f s (min of $nReps)")
   }
 
@@ -226,13 +247,18 @@ object Bench {
             df.select(df.columns.toIndexedSeq.map(c => count(col(c))): _*).collect()
           } catch { case _: Throwable => () }
         }
-      // one representative query untimed (decimal hash-agg + sort over the
-      // pre-read lineitem): the C2 compile of the wide-agg codegen takes
-      // several repetitions to fully warm, and with min-of-2 the FIRST
-      // timed suite entry still absorbed it — q01 recorded 4.3 s in a full
-      // run vs 1.1-1.4 s steady-state in any later repetition
+      // the first suite query untimed, THREE times (decimal hash-agg +
+      // sort over the pre-read lineitem): C2 compilation of the wide-agg
+      // codegen takes several repetitions to fully warm — with a single
+      // warmup iteration q01 still recorded 4.3 s in the r5 full run vs
+      // 2.3 s steady-state, because rep 1 of min-of-2 absorbed the
+      // remaining compile tail. Three untimed iterations cost ~4 s once
+      // per session and make the first timed entry measure steady-state
+      // like every later one.
       try SparkEntry.allQueries.headOption.foreach { q =>
-        q.run(s, sfDir).write.mode("overwrite").format("noop").save()
+        (0 until 3).foreach { _ =>
+          q.run(s, sfDir).write.mode("overwrite").format("noop").save()
+        }
       } catch { case _: Throwable => () }
       s
     }
@@ -308,7 +334,7 @@ object Bench {
       count(lit(1)).as("total"),
       selPreds.map { case (n, p) => sum(p.cast("long")).as(n) }: _*).head()
     if (runAll) selPreds.zipWithIndex.foreach { case ((name, pred), i) =>
-      timedMin(name, reps = 4) { topk(pred).collect() }
+      timedMin(name, reps = readReps) { topk(pred).collect() }
       results(s"${name}_pct_value") =
         selCounts.getLong(i + 1) * 100.0 / selCounts.getLong(0)
     }
@@ -352,8 +378,24 @@ object Bench {
     }
     val store = new BucketedStore(s"$base/store", nBuckets = 64,
       deltaRoot = deltaTier)
+    // Producer-owned bucket layout (the 100 TB shape, and the store's own
+    // documented contract — bucketExpr + preBucketed): the generating
+    // job's LAST shuffle keys on the store's bucket expression while the
+    // rows are still ~1 KB of text, the 2688-dim embed runs after it, and
+    // initialize only sorts within tasks and writes. Versus the previous
+    // shape (read the 1.4 GB index_build output back, second full shuffle
+    // of the embedded payload, write), this measures what a production
+    // pipeline pays: the bucket layout belongs to the job that already
+    // shuffles the data. The generator is deterministic (ProductGenSpec),
+    // so the store holds exactly the rows `products` carries.
     timed("upsert_store_init") {
-      store.initialize(products, "parent_asin")
+      val baseCols = ProductGen.baseColumns(
+        spark.range(0, nProducts, 1, cpus.toInt).toDF("id"))
+      val bucketed = baseCols.repartition(store.nBuckets,
+        store.bucketExpr("parent_asin"))
+      val full = ProductGen.withDerived(bucketed, dims)
+        .select(ProductGen.schema(dims).fieldNames.map(col).toIndexedSeq: _*)
+      store.initialize(full, "parent_asin", preBucketed = true)
     }
     settleIo() // another 1.4 GB of dirty pages ahead of the latency tiers
 
@@ -751,8 +793,13 @@ object Bench {
     } // runStore
     } // sections != "suite"
 
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
-      .mkString("{", ",", "}")
+    // scalar entries first, then the per-rep arrays (auditable min-of-N —
+    // `_value` suffix keeps them out of the total like every pseudo-entry)
+    val qs = (results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" } ++
+      repTimes.collect { case (k, ts) if ts.length > 1 =>
+        "\"" + k + "_reps_value\":" + ts.map(t => f"$t%.3f")
+          .mkString("[", ",", "]")
+      }).mkString("{", ",", "}")
     val total = results.collect {
       case (k, v) if v >= 0 && !k.endsWith("_value") => v }.sum
     val json =

@@ -28,6 +28,33 @@ class BucketedStoreSpec extends SparkSpec {
     assert(m(5L) == "updated" && m(6L) == "v6" && m.size == 100)
   }
 
+  test("pre-bucketed init reads identical to shuffle init, same bucket layout") {
+    // the bench's store init path: the producing frame's last shuffle keys
+    // on the store's bucketExpr, initialize(preBucketed) only sorts within
+    // tasks — the resulting store must be indistinguishable from the
+    // shuffle path to any reader, down to which bucket holds which key
+    val df = (0L until 300L).map(i => (i, s"v$i", i % 7)).toDF("k", "v", "grp")
+    val rootA = java.nio.file.Files.createTempDirectory("bstore_eqA").toString
+    val rootB = java.nio.file.Files.createTempDirectory("bstore_eqB").toString
+    val a = new BucketedStore(rootA, nBuckets = 8)
+    a.initialize(df, "k")
+    val b = new BucketedStore(rootB, nBuckets = 8)
+    b.initialize(df.repartition(8, b.bucketExpr("k")), "k", preBucketed = true)
+    def snap(s: BucketedStore) = s.read(spark)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+      .sortBy(_._1).toSeq
+    assert(snap(a) == snap(b))
+    // per-bucket key sets match: a reader pruning to one bucket sees the
+    // same rows in either store
+    def bucketKeys(root: String): Map[String, Set[Long]] =
+      new java.io.File(s"$root/v0").listFiles()
+        .filter(_.getName.startsWith("b=")).map { d =>
+          d.getName -> spark.read.parquet(d.toString)
+            .select("k").as[Long].collect().toSet
+        }.toMap
+    assert(bucketKeys(rootA) == bucketKeys(rootB))
+  }
+
   test("upsert rewrites only touched buckets and preserves the rest") {
     val root = java.nio.file.Files.createTempDirectory("bstore2").toString
     val store = new BucketedStore(root, nBuckets = 8)

@@ -88,6 +88,66 @@ class VectorSearchSpec extends SparkSpec {
     assert(idx.needsRetrain(spark, sampleFraction = 1.0))
   }
 
+  test("probe order ranks cells by achievable-dot bound, not raw centroid dot") {
+    // tight high-dot cell (centroid (4,0,0,0), radius 0.1) vs a diffuse
+    // cell centered at the origin whose members reach dot 8 — the raw
+    // centroid dot ranks the tight cell first and would give recall 0 at
+    // nprobe 1; the q·c + r·|q| bound routes to the diffuse cell where the
+    // true top hits live
+    val cents = Array(Array(4.0f, 0f, 0f, 0f), Array(0f, 0f, 0f, 0f))
+    val q = Array(1.0f, 0f, 0f, 0f)
+    val bounded = VectorSearch.IvfIndex("unused", cents, Double.NaN,
+      radii = Array(0.1, 8.0))
+    assert(bounded.nearestClusters(q, 2) == Seq(1, 0))
+    // an index without radii degrades to raw-dot order
+    val noRadii = VectorSearch.IvfIndex("unused", cents)
+    assert(noRadii.nearestClusters(q, 2) == Seq(0, 1))
+    // buildIvf populates one radius per centroid from the train sample
+    val dir = java.nio.file.Files.createTempDirectory("ivf_radii").toString
+    val idx = VectorSearch.buildIvf(clustered, "embedding", 3, dir,
+      sampleFraction = 1.0)
+    assert(idx.radii.length == idx.centroids.length)
+    assert(idx.radii.forall(r => r > 0.0 && r < 3.0),
+      s"jitter-cluster radii out of range: ${idx.radii.toSeq}")
+  }
+
+  test("drift loop closes: shifted appends trip retrain, rebuild recovers recall") {
+    val dir = java.nio.file.Files.createTempDirectory("ivf_loop").toString
+    val idx = VectorSearch.buildIvf(clustered, "embedding", 3, dir,
+      sampleFraction = 1.0)
+    // append a shifted mode until the drift probe demands a re-train
+    val rnd = new scala.util.Random(23)
+    val shifted = (3000L until 3080L).map { i =>
+      (i, 3, Array.tabulate(8)(d =>
+        (if (d < 4) 30.0f else -30.0f) + rnd.nextFloat() - 0.5f))
+    }.toDF("vec_id", "true_cluster", "embedding")
+    idx.append(shifted, "embedding")
+    assert(idx.driftRatio(spark, sampleFraction = 1.0) >= 1.5)
+    assert(idx.needsRetrain(spark, sampleFraction = 1.0))
+    // the re-train: rebuild over the index's CURRENT contents (original +
+    // appended rows, read back from the index itself) with a cluster
+    // budget for the new mode
+    val all = spark.read.parquet(dir)
+      .select(col("vec_id"), col("__vec").as("embedding"))
+    val dir2 = java.nio.file.Files.createTempDirectory("ivf_loop2").toString
+    val idx2 = VectorSearch.buildIvf(all, "embedding", 4, dir2,
+      sampleFraction = 1.0)
+    // drift gone, and a query in the shifted mode recovers full recall at
+    // nprobe 1 (the mode owns a centroid again)
+    assert(idx2.driftRatio(spark, sampleFraction = 1.0) < 1.5)
+    assert(!idx2.needsRetrain(spark, sampleFraction = 1.0))
+    val q = Array.tabulate(8)(d => if (d < 4) 30.0f else -30.0f)
+    // nprobe 2 of 4: the re-fit may split the recovered mode across two
+    // cells; the loop contract is recall at a SMALL probe budget, not at 1
+    val approx = idx2.search(spark, q, 10, nprobe = 2)
+      .select(lit(0L).as("qid"), col("vec_id"))
+    val exact = VectorSearch.topK(all, "embedding", q, 10,
+      projection = Seq("vec_id")).select(lit(0L).as("qid"), col("vec_id"))
+    val recall = VectorSearch.recallAtK(exact, approx, "qid", "vec_id", 10)
+      .head().getDouble(0)
+    assert(recall >= 0.9, s"post-retrain recall $recall")
+  }
+
   test("mmrTopK diversifies: near-duplicate of a selected hit is deferred") {
     val q = Array(1.0f, 0.0f, 0.0f, 0.0f)
     val df = Seq(
