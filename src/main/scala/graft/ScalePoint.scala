@@ -146,14 +146,31 @@ object ScalePoint {
           .map(r => r.getString(0) ->
             assignL(r.getSeq[Float](1).toArray, pivf.centroids)).toMap
       }
+      // the analytic curve models the ENGINE's filter-aware probe plan
+      // (IvfIndex.probePlan): cells ranked by the routing bound,
+      // restricted to cells holding matching rows, widened until ≥ k
+      // candidates — `tierCounts` carries the per-(tier, cell) match
+      // counts that plan keys on
+      def planProbe(order: Array[Int], counts: Map[Int, Long], np: Int,
+          k: Int): Set[Int] = {
+        val ranked = order.filter(c => counts.getOrElse(c, 0L) > 0L)
+        val sel = scala.collection.mutable.ArrayBuffer.empty[Int]
+        var cum = 0L
+        var i = 0
+        while (i < ranked.length && (i < np || cum < k)) {
+          sel += ranked(i); cum += counts(ranked(i)); i += 1
+        }
+        sel.toSet
+      }
       def curve(cents: Array[Array[Float]], radii: Array[Double],
-          assign: Map[String, Int], tag: String): Map[String, Int] = {
+          assign: Map[String, Int], tag: String,
+          tierCounts: Map[String, Map[Int, Long]]): Map[String, Int] = {
         val orders = queryVecs.map(q => probeOrder(q, cents, radii))
         ProductWorkload.selPreds.map { case (selName, _) =>
           val tier = selName.stripPrefix("read_")
           val chosen = nprobeGrid.map { np =>
             val rec = queryVecs.indices.map { i =>
-              val probed = orders(i).take(np).toSet
+              val probed = planProbe(orders(i), tierCounts(selName), np, 100)
               val exact = exactTops(selName).getOrElse(i, Set.empty)
               if (exact.isEmpty) 1.0
               else exact.count(id => probed(assign(id))).toDouble / exact.size
@@ -165,7 +182,22 @@ object ScalePoint {
           selName -> chosen
         }.toMap
       }
-      val opPoints = curve(pivf.centroids, pivf.radii, assignDerived, "derived")
+      // per-(tier, cell) match counts from the physical index — ONE scan
+      // of the filter columns with conditional sums, no vector bytes
+      val idxDf = spark.read.parquet(pivfPath)
+      val derivedCounts: Map[String, Map[Int, Long]] = {
+        val aggs = ProductWorkload.selPreds.map { case (n, p) =>
+          sum(p.cast("long")).as(n) }
+        val rows = idxDf.groupBy(col("__cluster")).agg(aggs.head, aggs.tail: _*)
+          .collect()
+        ProductWorkload.selPreds.zipWithIndex.map { case ((n, _), i) =>
+          n -> rows.map(r => r.getInt(0) ->
+            (if (r.isNullAt(i + 1)) 0L else r.getLong(i + 1)))
+            .filter(_._2 > 0).toMap
+        }.toMap
+      }
+      val opPoints = curve(pivf.centroids, pivf.radii, assignDerived,
+        "derived", derivedCounts)
       // physical confirmation at each tier's analytic operating point
       timed("ann_recall_filtered_eval_sf1") {
         ProductWorkload.selPreds.foreach { case (selName, pred) =>
@@ -215,12 +247,27 @@ object ScalePoint {
           .select(col("parent_asin"), col("embedding")).collect()
           .map(r => r.getString(0) ->
             assignL(r.getSeq[Float](1).toArray, cents16)).toMap
+        // per-(tier, cell) match counts for this granularity: one pass
+        // with the assignment kernel + conditional sums
+        val aggs16 = ProductWorkload.selPreds.map { case (n, p) =>
+          sum(p.cast("long")).as(n) }
+        val rows16 = products
+          .withColumn("__c16",
+            graft.functions.nearest_centroid(col("embedding"), cents16))
+          .groupBy(col("__c16")).agg(aggs16.head, aggs16.tail: _*)
+          .collect()
+        val counts16: Map[String, Map[Int, Long]] =
+          ProductWorkload.selPreds.zipWithIndex.map { case ((n, _), i) =>
+            n -> rows16.map(r => r.getInt(0) ->
+              (if (r.isNullAt(i + 1)) 0L else r.getLong(i + 1)))
+              .filter(_._2 > 0).toMap
+          }.toMap
         val orders16 = queryVecs.map(q => probeOrder(q, cents16, radii16))
         ProductWorkload.selPreds.foreach { case (selName, _) =>
           val tier = selName.stripPrefix("read_")
           Seq(2, 4, 8, 16).foreach { np =>
             val rec = queryVecs.indices.map { i =>
-              val probed = orders16(i).take(np).toSet
+              val probed = planProbe(orders16(i), counts16(selName), np, 100)
               val exact = exactTops(selName).getOrElse(i, Set.empty)
               if (exact.isEmpty) 1.0
               else exact.count(id => probed(assign16(id))).toDouble / exact.size

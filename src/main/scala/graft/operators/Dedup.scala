@@ -599,11 +599,15 @@ object Dedup {
     * falls back to a shuffle join keyed on the id when it isn't (one
     * id-keyed, skew-free shuffle of the corpus — the unavoidable cost of a
     * genuinely large drop set).
+    *
+    * `estimatedJaccard = true` verifies candidates by MinHash agreement
+    * ([[estimatedJaccardOn]]) instead of exact shingle-set Jaccard — same
+    * policy, signature-sized state (see [[NearDupIndex]]'s mode table).
     */
   def dropNearDuplicates(
       df: DataFrame, textCol: String, idCol: String,
       k: Int = 3, numHashes: Int = 8, rowsPerBand: Int = 2,
-      threshold: Double = 0.7): DataFrame = {
+      threshold: Double = 0.7, estimatedJaccard: Boolean = false): DataFrame = {
     // Linear in the corpus even under huge exact-dup groups: the pair-wise
     // keep-lowest-id policy over EXPANDED pairs is equivalent to dropping
     // (a) every non-representative member (loses to its own rep) and
@@ -612,7 +616,10 @@ object Dedup {
     // with a smaller similar doc lands in one of the two sets) — no
     // quadratic intra-group pair expansion needed.
     val (membership, repPairs) =
-      nearDupCore(df, textCol, idCol, k, numHashes, rowsPerBand, threshold)
+      if (estimatedJaccard)
+        estNearDupCore(df, textCol, idCol, k, numHashes, rowsPerBand, threshold)
+      else
+        nearDupCore(df, textCol, idCol, k, numHashes, rowsPerBand, threshold)
     val nonReps = membership.filter(col(idCol) =!= col("__rep"))
       .select(col(idCol))
     val losingGroupMembers = repPairs.select(col("id2").as("__rep")).distinct()
@@ -1228,14 +1235,17 @@ object Dedup {
     */
   def capNearDuplicates(df: DataFrame, textCol: String, idCol: String,
       maxCopies: Int = 1, k: Int = 3, numHashes: Int = 8, rowsPerBand: Int = 2,
-      threshold: Double = 0.7): DataFrame = {
+      threshold: Double = 0.7, estimatedJaccard: Boolean = false): DataFrame = {
     require(maxCopies > 0)
     // components over representative pairs + one STAR edge per non-rep
     // member (rep → member): same transitive clusters as the expanded pair
     // graph — an exact group is a clique, and a star spans a clique — with
     // linearly many edges instead of quadratic intra-group pairs
     val (membership, repPairs) =
-      nearDupCore(df, textCol, idCol, k, numHashes, rowsPerBand, threshold)
+      if (estimatedJaccard)
+        estNearDupCore(df, textCol, idCol, k, numHashes, rowsPerBand, threshold)
+      else
+        nearDupCore(df, textCol, idCol, k, numHashes, rowsPerBand, threshold)
     val starEdges = membership.filter(col(idCol) =!= col("__rep"))
       .select(col("__rep").as("id1"), col(idCol).as("id2"))
     val pairs = repPairs.select(col("id1"), col("id2")).union(starEdges)

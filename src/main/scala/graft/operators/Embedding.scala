@@ -143,9 +143,8 @@ object Embedding {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types.{DoubleType, StructField, StructType}
     val spark = df.sparkSession
-    val rows = df.select(col(idCol), col(vecCol).cast("array<double>"))
-      .filter(col(vecCol).isNotNull)
-      .orderBy(col(idCol)).limit(sampleN).collect()
+    val rows = lowestIdRows(df.filter(col(vecCol).isNotNull), idCol,
+      Seq(col(idCol), col(vecCol).cast("array<double>")), sampleN)
     // tolerate ragged corpora (the reference's try/except around its
     // projection fits): keep only vectors of the first row's dimension
     val dims = if (rows.isEmpty) 0 else rows.head.getSeq[Double](1).length
@@ -186,9 +185,8 @@ object Embedding {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types.{DoubleType, StructField, StructType}
     val spark = df.sparkSession
-    val rows = df.select(col(idCol), col(vecCol).cast("array<double>"))
-      .filter(col(vecCol).isNotNull)
-      .orderBy(col(idCol)).limit(sampleN).collect()
+    val rows = lowestIdRows(df.filter(col(vecCol).isNotNull), idCol,
+      Seq(col(idCol), col(vecCol).cast("array<double>")), sampleN)
     val dims = if (rows.isEmpty) 0 else rows.head.getSeq[Double](1).length
     val valid = rows.filter(r => !r.isNullAt(1) &&
       r.getSeq[Double](1).length == dims)
@@ -393,6 +391,28 @@ object Embedding {
     m0 /= n; m1 /= n
     y.foreach { r => r(0) -= m0; r(1) -= m1 }
     y
+  }
+
+  /** Deterministic bounded sample for the projection operators: the
+    * `sampleN` LOWEST ids, collected in two phases so the driver-bound
+    * data is O(sampleN) WIDE rows regardless of table size. A direct
+    * `orderBy(id).limit(n)` over (id, vector) plans as
+    * TakeOrderedAndProject, which returns each task's local top-n WIDE
+    * rows to the driver — tasks × n × vector-bytes, measured 1.03 GB
+    * (> spark.driver.maxResultSize) at 1M rows × 2688 dims × 98 tasks.
+    * Phase 1 runs the TakeOrdered over the id column alone (bytes per
+    * task); phase 2 fetches exactly those rows through an `isin` filter
+    * that pushes into the parquet scan.
+    */
+  private[operators] def lowestIdRows(df: DataFrame, idCol: String,
+      cols: Seq[org.apache.spark.sql.Column],
+      sampleN: Int): Array[org.apache.spark.sql.Row] = {
+    val ids = df.select(col(idCol)).orderBy(col(idCol)).limit(sampleN)
+      .collect().map(_.get(0))
+    if (ids.isEmpty) Array.empty
+    else df.filter(col(idCol).isin(ids.toIndexedSeq: _*))
+      .select(cols: _*)
+      .orderBy(col(idCol)).limit(sampleN).collect()
   }
 
   /** Top-2 principal directions of a small local matrix by power iteration

@@ -94,19 +94,19 @@ object ProfilePipeline {
       val lbl = labelCol.filter(df.columns.contains)
       val sel = col(embCol).cast("array<double>") +:
         lbl.map(col(_).cast("string")).toSeq
-      // With an id column the sample is a deterministic TakeOrdered of the
-      // lowest ids (same contract as Embedding.tsneProject/umapProject —
-      // identical figures run to run, at the cost of a full column scan);
-      // without one, limit() keeps the cheap read-few-rows plan and the
-      // figures are best-effort sketches of an arbitrary sample.
-      val base = df.select(sel: _*).filter(col(embCol).isNotNull)
-      val picked = idCol.filter(df.columns.contains) match {
-        case Some(id) => df.select(sel :+ col(id).as("__oid"): _*)
-          .filter(col(embCol).isNotNull)
-          .orderBy(col("__oid")).limit(sampleN).drop("__oid")
-        case None => base.limit(sampleN)
-      }
-      val raw = picked.collect().filter(!_.isNullAt(0))
+      // With an id column the sample is the deterministic lowest-id set
+      // (same contract as Embedding.tsneProject/umapProject — identical
+      // figures run to run, at the cost of an id scan + a pushed-filter
+      // fetch; Embedding.lowestIdRows explains why a direct wide
+      // TakeOrdered breaks at scale); without one, limit() keeps the
+      // cheap read-few-rows plan and the figures are best-effort sketches
+      // of an arbitrary sample.
+      val raw = (idCol.filter(df.columns.contains) match {
+        case Some(id) => Embedding.lowestIdRows(
+          df.filter(col(embCol).isNotNull), id, sel, sampleN)
+        case None => df.select(sel: _*).filter(col(embCol).isNotNull)
+          .limit(sampleN).collect()
+      }).filter(!_.isNullAt(0))
       // ragged-corpus guard (the reference tolerates malformed embeddings
       // via try/except): keep only vectors of the modal dimension so a
       // short or null-element vector can't abort the whole report

@@ -153,16 +153,60 @@ object VectorSearch {
       * parquet reader, so the fallback reads only the predicate's row
       * groups, not the whole index.
       */
+    /** Per-query effective probe sets. Unfiltered: the `nprobe` best cells
+      * by the routing bound. Filtered: the FILTER-AWARE plan — rank ALL
+      * cells by the bound, keep only cells that contain matching rows
+      * (one per-cluster count with the predicate pushed; reads the
+      * predicate's columns only, never the vectors), and take the best
+      * `nprobe` of those, widening down the ranked list until the probed
+      * cells hold ≥ `k` candidates.
+      *
+      * Why: a metadata filter can be ANTI-correlated with the query's
+      * region (query a Books product, filter main_category = Computers) —
+      * every match-bearing cell then ranks below every query-side cell,
+      * and a query-centric probe list has recall ~0 at any affordable
+      * nprobe (measured at the sf1 scale point: 0.0 at nprobe 128 of 1000
+      * on three of four selectivity tiers). The old binary fallback saved
+      * recall by widening to an EXACT scan whenever the probed candidate
+      * count fell short — correct, but it turned every such query into a
+      * full-index scan. Restricting the ranked list to match-bearing
+      * cells probes exactly the right region at any selectivity, and the
+      * ≥ k widening recovers the ultra-selective tail (where it
+      * degenerates, correctly, to scanning every match-bearing cell —
+      * which IS the exact answer's support). The count scan is cacheable
+      * per (manifest, filter) by a serving layer; at index scale it reads
+      * one narrow column-pruned projection.
+      */
+    private[graft] def probePlan(spark: SparkSession, queries: Seq[Array[Float]],
+        k: Int, nprobe: Int, filter: Option[Column],
+        exactFallback: Boolean): Seq[Seq[Int]] = filter match {
+      case Some(f) if exactFallback && nprobe < centroids.length =>
+        val counts = indexDf(spark).filter(f)
+          .groupBy(col("__cluster")).agg(count(lit(1)).as("__n"))
+          .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+        queries.map { q =>
+          val ranked = nearestClusters(q, centroids.length)
+            .filter(c => counts.getOrElse(c, 0L) > 0L)
+          val sel = scala.collection.mutable.ArrayBuffer.empty[Int]
+          var cum = 0L
+          var i = 0
+          while (i < ranked.length && (i < nprobe || cum < k)) {
+            sel += ranked(i)
+            cum += counts(ranked(i))
+            i += 1
+          }
+          sel.toSeq
+        }
+      case _ => queries.map(q => nearestClusters(q, nprobe))
+    }
+
     def search(spark: SparkSession, query: Array[Float], k: Int, nprobe: Int,
         filter: Option[Column] = None, exactFallback: Boolean = true): DataFrame = {
-      val clusters = nearestClusters(query, nprobe)
-      val pruned = indexDf(spark).filter(col("__cluster").isin(clusters: _*))
+      val clusters = probePlan(spark, Seq(query), k, nprobe, filter,
+        exactFallback).head
       val probeDf =
-        if (filter.isDefined && exactFallback && nprobe < centroids.length) {
-          val candidates = filter.map(pruned.filter).getOrElse(pruned)
-            .select(lit(1)).limit(k).count()
-          if (candidates < k) indexDf(spark) else pruned
-        } else pruned
+        if (clusters.length == centroids.length) indexDf(spark)
+        else indexDf(spark).filter(col("__cluster").isin(clusters: _*))
       topK(probeDf, "__vec", query, k, filter).drop("__cluster", "__vec")
     }
 
@@ -182,19 +226,11 @@ object VectorSearch {
         nprobe: Int, idCol: String, filter: Option[Column] = None,
         exactFallback: Boolean = true): DataFrame = {
       require(queries.nonEmpty)
-      val all = centroids.indices.toSet
-      val probeSets = queries.map(q => nearestClusters(q, nprobe).toSet)
+      // same filter-aware plan as [[search]] — ONE per-cluster count scan
+      // serves every query's widening decision
       val effective: Seq[Set[Int]] =
-        if (filter.isDefined && exactFallback && nprobe < centroids.length) {
-          val union = probeSets.reduce(_ ++ _)
-          val pruned = indexDf(spark).filter(col("__cluster").isin(union.toSeq: _*))
-          val counts = filter.map(pruned.filter).getOrElse(pruned)
-            .groupBy(col("__cluster")).agg(count(lit(1)).as("__n"))
-            .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
-          probeSets.map { s =>
-            if (s.iterator.map(c => counts.getOrElse(c, 0L)).sum < k) all else s
-          }
-        } else probeSets
+        probePlan(spark, queries, k, nprobe, filter, exactFallback)
+          .map(_.toSet)
       val unionAll = effective.reduce(_ ++ _)
       val base =
         if (unionAll.size == centroids.length) indexDf(spark)
@@ -329,9 +365,19 @@ object VectorSearch {
     val needCount = numClusters <= 0 || sampleFraction.isNaN
     val n = if (needCount) df.select(lit(1)).count() else -1L
     val k = if (numClusters > 0) numClusters else defaultNumClusters(n)
+    // Training-set size scales with the CLUSTER COUNT, not the corpus:
+    // ~256 sample points per centroid (the standard IVF training budget;
+    // quality saturates long before that) bounded by maxTrainVectors and
+    // floored at 10k. Lloyd's cost is k·|train|·dims·iters — training on
+    // "everything under the cap" made the sf1 build (k = 1000, n = 1M)
+    // fit on all 1M rows for 35 minutes where 256k rows give the same
+    // centroid quality in a quarter of it; at 100 TB (k = 65536 capped)
+    // the rule asks for 16.7M rows and maxTrainVectors stays the
+    // operator's explicit ceiling.
+    val trainTarget = math.min(maxTrainVectors, math.max(10000L, 256L * k))
     val fraction =
       if (!sampleFraction.isNaN) sampleFraction
-      else if (n <= maxTrainVectors) 1.0 else maxTrainVectors.toDouble / n
+      else if (n <= trainTarget) 1.0 else trainTarget.toDouble / n
     // Only the TRAINING SAMPLE goes through the MLlib vector conversion —
     // the float→double cast + array_to_vector copy over the full table
     // costs more than the clustering itself at index-build scale.

@@ -361,6 +361,35 @@ class DedupSpec extends SparkSpec {
     Dedup.clearMemo(spark)
   }
 
+  test("estimated mode flags on drop/cap agree with exact on a clear-cut corpus") {
+    // exact dup (signature agreement exactly 1.0) + a STRONG near-dup
+    // (one word of ~30 changed, J ≈ 0.87 — comfortably inside the 8-hash
+    // estimator's resolution) + unrelated docs: both verify modes must
+    // make identical decisions
+    val base = "alpha bravo charlie delta echo foxtrot golf hotel india " +
+      "juliet kilo lima mike november oscar papa quebec romeo sierra " +
+      "tango uniform victor whiskey xray yankee zulu one two three four"
+    val strong = Seq(
+      (0L, base),
+      (1L, base), // exact dup of 0
+      (2L, base.replace("quebec", "changed")), // strong near-dup of 0
+      (3L, "a completely different document about catalyst optimizer rules and codegen stages"),
+      (4L, "yet another unrelated text concerning parquet footers and row group statistics"))
+      .toDF("doc_id", "text")
+    val exactDrop = Dedup.dropNearDuplicates(strong, "text", "doc_id",
+        threshold = 0.5)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    val estDrop = Dedup.dropNearDuplicates(strong, "text", "doc_id",
+        threshold = 0.5, estimatedJaccard = true)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(exactDrop == Seq(0L, 3L, 4L))
+    assert(estDrop == exactDrop)
+    val estCap = Dedup.capNearDuplicates(strong, "text", "doc_id",
+        maxCopies = 2, threshold = 0.5, estimatedJaccard = true)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(estCap == Seq(0L, 1L, 3L, 4L))
+  }
+
   test("NearDupIndex estimated mode: signature-sized store, same verdicts") {
     val corpus = Seq(
       (0L, "the quick brown fox jumps over the lazy dog tonight"),

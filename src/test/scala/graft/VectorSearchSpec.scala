@@ -148,6 +148,40 @@ class VectorSearchSpec extends SparkSpec {
     assert(recall >= 0.9, s"post-retrain recall $recall")
   }
 
+  test("filter-aware probe plan routes an anti-correlated filter to its cells") {
+    // query aligned with cluster 0, filter selecting ONLY cluster-1 rows:
+    // a query-centric probe list ranks cluster 1's cell last, so at
+    // nprobe 1 the old plan found zero candidates and widened to a FULL
+    // exact scan; the filter-aware plan probes the best match-bearing
+    // cell directly and still returns the exact filtered top-k
+    val dir = java.nio.file.Files.createTempDirectory("ivf_faware").toString
+    val idx = VectorSearch.buildIvf(clustered, "embedding", 3, dir,
+      sampleFraction = 1.0)
+    val q = Array.fill(8)(5.0f)
+    val pred = col("true_cluster") === 1
+    val plan = idx.probePlan(spark, Seq(q), k = 5, nprobe = 1, Some(pred),
+      exactFallback = true).head
+    // the plan touches ONLY cells holding cluster-1 rows — never the
+    // query-side cells and never the whole index
+    val cellsWithMatches = spark.read.parquet(dir).filter(pred)
+      .select("__cluster").distinct().collect().map(_.getInt(0)).toSet
+    assert(plan.nonEmpty && plan.toSet.subsetOf(cellsWithMatches),
+      s"plan $plan vs match-bearing $cellsWithMatches")
+    assert(plan.length < idx.centroids.length)
+    // and the result is still the exact filtered top-k
+    val got = idx.search(spark, q, 5, nprobe = 1, Some(pred))
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    val exact = VectorSearch.topK(clustered, "embedding", q, 5, Some(pred),
+      projection = Seq("vec_id")).collect().map(_.getLong(0)).toSet
+    assert(got == exact)
+    // a filter with zero matches anywhere produces an empty plan + result
+    val none = idx.probePlan(spark, Seq(q), 5, 1,
+      Some(col("true_cluster") === 99), exactFallback = true).head
+    assert(none.isEmpty)
+    assert(idx.search(spark, q, 5, 1, Some(col("true_cluster") === 99))
+      .isEmpty)
+  }
+
   test("mmrTopK diversifies: near-duplicate of a selected hit is deferred") {
     val q = Array(1.0f, 0.0f, 0.0f, 0.0f)
     val df = Seq(
