@@ -59,6 +59,18 @@ class PartitionInvarianceSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("estimated-Jaccard pairs are partition-invariant") {
+    // the estimate is a pure function of md5-derived signatures, so the
+    // pair set AND each pair's estimate must survive any re-layout (and
+    // any retry/speculative re-execution, which is the same property)
+    val (a, b) = both { df =>
+      Dedup.clearMemo(df.sparkSession)
+      Dedup.estimatedNearDuplicatePairs(df, "text", "doc_id",
+        threshold = 0.3)
+    }
+    assert(a.nonEmpty && a == b)
+  }
+
   test("z-order keys are partition-invariant") {
     val pts = (0 until 300).map(i =>
       (i.toLong, (i % 23).toDouble, (i % 31).toDouble)).toDF("id", "x", "y")
