@@ -212,12 +212,12 @@ object VectorSearch {
 
     /** [[search]] for MULTIPLE queries in ONE scan over the UNION of their
       * probe sets. Per-query semantics are preserved exactly: each query's
-      * score is masked to its own `nprobe` nearest clusters (a row in the
-      * union but outside query i's probe set contributes nothing to query
-      * i), and the exact-fallback widens individual queries — a single
-      * partition-pruned, filter-pushed per-cluster count replaces the Q
-      * separate count jobs. Q queries cost one scan + one bounded-heap
-      * aggregation instead of Q × (count job + top-k job).
+      * score is masked to its own effective probe set (a row in the union
+      * but outside query i's set contributes nothing to query i), and the
+      * filter-aware plan ([[probePlan]]) serves every query from ONE
+      * filter-pushed per-cluster count scan instead of Q separate count
+      * jobs. Q queries cost one scan + one bounded-heap aggregation
+      * instead of Q × (count job + top-k job).
       *
       * Returns (`query_id` = index into `queries`, `rank`, `score`,
       * `idCol` as string).
