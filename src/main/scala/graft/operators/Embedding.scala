@@ -145,11 +145,7 @@ object Embedding {
     val spark = df.sparkSession
     val rows = lowestIdRows(df.filter(col(vecCol).isNotNull), idCol,
       Seq(col(idCol), col(vecCol).cast("array<double>")), sampleN)
-    // tolerate ragged corpora (the reference's try/except around its
-    // projection fits): keep only vectors of the first row's dimension
-    val dims = if (rows.isEmpty) 0 else rows.head.getSeq[Double](1).length
-    val valid = rows.filter(r => !r.isNullAt(1) &&
-      r.getSeq[Double](1).length == dims)
+    val valid = modalDimensionRows(rows, 1)
     val x = valid.map(_.getSeq[Double](1).toArray)
     val y = tsneLocal(x, perplexity, iterations)
     val out = valid.zipWithIndex.map { case (r, i) =>
@@ -187,9 +183,7 @@ object Embedding {
     val spark = df.sparkSession
     val rows = lowestIdRows(df.filter(col(vecCol).isNotNull), idCol,
       Seq(col(idCol), col(vecCol).cast("array<double>")), sampleN)
-    val dims = if (rows.isEmpty) 0 else rows.head.getSeq[Double](1).length
-    val valid = rows.filter(r => !r.isNullAt(1) &&
-      r.getSeq[Double](1).length == dims)
+    val valid = modalDimensionRows(rows, 1)
     val x = valid.map(_.getSeq[Double](1).toArray)
     val y = umapLocal(x, nNeighbors, minDist, iterations)
     val out = valid.zipWithIndex.map { case (r, i) =>
@@ -271,20 +265,30 @@ object Embedding {
     * bit-exact determinism.
     */
   private[graft] def umapLocal(x: Array[Array[Double]], nNeighbors: Int,
+      minDist: Double, iterations: Int): Array[Array[Double]] =
+    umapFromD2(pairwiseSquaredDistances(x), localPca2(x), nNeighbors,
+      minDist, iterations)
+
+  /** [[umapLocal]] over a precomputed squared-distance matrix and initial
+    * 2-D layout (cloned before the in-place optimization, so a caller may
+    * share `init` with other consumers) — the entry point for callers
+    * that already paid the pairwise pass and the PCA init
+    * ([[ProfilePipeline]] shares both with t-SNE and the PCA figure).
+    * Bit-identical to [[umapLocal]]: the distance and init arithmetic is
+    * unchanged, only hoisted.
+    */
+  private[graft] def umapFromD2(d2: Array[Array[Double]],
+      init: Array[Array[Double]], nNeighbors: Int,
       minDist: Double, iterations: Int): Array[Array[Double]] = {
-    val n = x.length
+    val n = d2.length
     require(n >= 4, s"UMAP needs >= 4 sample rows, got $n")
     val k = math.max(2, math.min(nNeighbors, n - 1))
-    // pairwise distances
     val dist = Array.ofDim[Double](n, n)
     var i = 0
     while (i < n) {
       var j = i + 1
       while (j < n) {
-        val a = x(i); val b = x(j)
-        var s = 0.0; var t = 0
-        while (t < a.length) { val e = a(t) - b(t); s += e * e; t += 1 }
-        val d = math.sqrt(s)
+        val d = math.sqrt(d2(i)(j))
         dist(i)(j) = d; dist(j)(i) = d
         j += 1
       }
@@ -339,7 +343,7 @@ object Embedding {
     }
     val (a, b) = umapCurveFit(minDist)
     // PCA init scaled to max-|coordinate| 10 (the spectral-init range)
-    val y = localPca2(x)
+    val y = init.map(_.clone())
     var mx = 1e-12
     y.foreach(r => { mx = math.max(mx, math.max(math.abs(r(0)), math.abs(r(1)))) })
     y.foreach { r => r(0) = r(0) / mx * 10.0; r(1) = r(1) / mx * 10.0 }
@@ -391,6 +395,51 @@ object Embedding {
     m0 /= n; m1 /= n
     y.foreach { r => r(0) -= m0; r(1) -= m1 }
     y
+  }
+
+  /** Ragged-corpus guard shared by the projection operators (the
+    * reference's try/except tolerance around its projection fits): keep
+    * only rows whose vector at ordinal `vecIdx` is non-null, has the
+    * MODAL dimension of the sample, and contains no null elements. The
+    * modal — not first — dimension means a single malformed lowest-id
+    * vector cannot silently drop every well-formed row (ties break to the
+    * larger dimension, matching [[ProfilePipeline]]'s figure sampling).
+    */
+  private[operators] def modalDimensionRows(
+      rows: Array[org.apache.spark.sql.Row],
+      vecIdx: Int): Array[org.apache.spark.sql.Row] = {
+    val present = rows.filter(!_.isNullAt(vecIdx))
+    val modal = present.map(_.getSeq[Double](vecIdx).length)
+      .groupBy(identity).map { case (d, g) => (g.length, d) }
+      .maxOption.map(_._2)
+    present.filter(r => modal.contains(r.getSeq[Double](vecIdx).length) &&
+      !r.getSeq[Double](vecIdx).contains(null))
+  }
+
+  /** Pairwise SQUARED Euclidean distances of local row vectors, computed
+    * once and shared: t-SNE consumes the squared matrix directly, UMAP its
+    * element-wise square root — so a caller rendering both projections
+    * over the same sample ([[ProfilePipeline]]) pays the O(n²·d) pass
+    * once, not per projection (at 500×2688 the distance pass dominates
+    * both fits).
+    */
+  private[graft] def pairwiseSquaredDistances(
+      x: Array[Array[Double]]): Array[Array[Double]] = {
+    val n = x.length
+    val d2 = Array.ofDim[Double](n, n)
+    var i = 0
+    while (i < n) {
+      var j = i + 1
+      while (j < n) {
+        val a = x(i); val b = x(j)
+        var s = 0.0; var k = 0
+        while (k < a.length) { val t = a(k) - b(k); s += t * t; k += 1 }
+        d2(i)(j) = s; d2(j)(i) = s
+        j += 1
+      }
+      i += 1
+    }
+    d2
   }
 
   /** Deterministic bounded sample for the projection operators: the
@@ -485,28 +534,26 @@ object Embedding {
     * scaled to 1e-4 std. Deterministic (no RNG).
     */
   private[graft] def tsneLocal(x: Array[Array[Double]],
+      perplexity: Double, iterations: Int): Array[Array[Double]] =
+    tsneFromD2(pairwiseSquaredDistances(x), localPca2(x), perplexity,
+      iterations)
+
+  /** [[tsneLocal]] over a precomputed squared-distance matrix and initial
+    * 2-D layout (cloned before the in-place optimization) — shares the
+    * O(n²·d) pairwise pass and the PCA power iteration with other
+    * consumers of the same sample. Bit-identical to [[tsneLocal]]: the
+    * distance and init arithmetic is unchanged, only hoisted.
+    */
+  private[graft] def tsneFromD2(d2: Array[Array[Double]],
+      init: Array[Array[Double]],
       perplexity: Double, iterations: Int): Array[Array[Double]] = {
-    val n = x.length
+    val n = d2.length
     require(n >= 4, s"t-SNE needs >= 4 sample rows, got $n")
     val perp = math.max(2.0, math.min(perplexity, (n - 1) / 3.0))
     val logU = math.log(perp)
-    // pairwise squared distances
-    val d2 = Array.ofDim[Double](n, n)
-    var i = 0
-    while (i < n) {
-      var j = i + 1
-      while (j < n) {
-        val a = x(i); val b = x(j)
-        var s = 0.0; var k = 0
-        while (k < a.length) { val t = a(k) - b(k); s += t * t; k += 1 }
-        d2(i)(j) = s; d2(j)(i) = s
-        j += 1
-      }
-      i += 1
-    }
     // conditional affinities via bisection on beta = 1/(2 sigma^2)
     val p = Array.ofDim[Double](n, n)
-    i = 0
+    var i = 0
     while (i < n) {
       var beta = 1.0
       var betaLo = Double.NegativeInfinity
@@ -551,7 +598,7 @@ object Embedding {
       i += 1
     }
     // init: PCA scaled to std 1e-4 per component
-    val y = localPca2(x)
+    val y = init.map(_.clone())
     var comp = 0
     while (comp < 2) {
       var m = 0.0

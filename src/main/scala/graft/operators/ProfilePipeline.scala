@@ -144,15 +144,24 @@ object ProfilePipeline {
         val classes = sample.map(r =>
           if (lbl.isEmpty || r.isNullAt(1)) "sample" else r.getString(1))
           .toIndexedSeq
+        // the three projection figures share ONE O(n²·d) pairwise pass and
+        // ONE PCA power iteration: localPca2 is both the PCA figure and the
+        // t-SNE/UMAP init, and the squared-distance matrix feeds both fits
+        // (each *FromD2 clones the init before optimizing in place) — at
+        // 500×2688 the distance pass dominates each fit, so sharing it
+        // halves the figures' driver-side cost vs independent tsneLocal +
+        // umapLocal calls
         val pca = Embedding.localPca2(x)
         Plots.scatter(pca.map(r => (r(0), r(1))).toIndexedSeq, classes,
           "PCA projection of embeddings", "PC1", "PC2",
           dir.resolve("pca_projection.png").toString)
-        val ts = Embedding.tsneLocal(x, perplexity = 30.0, iterations = 300)
+        val d2 = Embedding.pairwiseSquaredDistances(x)
+        val ts = Embedding.tsneFromD2(d2, pca, perplexity = 30.0,
+          iterations = 300)
         Plots.scatter(ts.map(r => (r(0), r(1))).toIndexedSeq, classes,
           "t-SNE projection of embeddings", "t-SNE 1", "t-SNE 2",
           dir.resolve("tsne_projection.png").toString)
-        val um = Embedding.umapLocal(x, nNeighbors = 15, minDist = 0.1,
+        val um = Embedding.umapFromD2(d2, pca, nNeighbors = 15, minDist = 0.1,
           iterations = 200)
         Plots.scatter(um.map(r => (r(0), r(1))).toIndexedSeq, classes,
           "UMAP projection of embeddings", "UMAP 1", "UMAP 2",

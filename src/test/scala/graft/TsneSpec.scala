@@ -53,6 +53,18 @@ class TsneSpec extends SparkSpec {
     assert(y1.zip(y2).forall { case (a, b) => a.sameElements(b) })
   }
 
+  test("tsneFromD2 over a shared matrix + init is bit-identical to tsneLocal") {
+    val x = clusteredPoints(10)
+    val d2 = Embedding.pairwiseSquaredDistances(x)
+    val init = Embedding.localPca2(x)
+    val initCopy = init.map(_.clone())
+    val shared = Embedding.tsneFromD2(d2, init, 8.0, 150)
+    assert(shared.zip(Embedding.tsneLocal(x, 8.0, 150))
+      .forall { case (a, b) => a.sameElements(b) })
+    // the caller's init survives (FromD2 clones before optimizing in place)
+    assert(init.zip(initCopy).forall { case (a, b) => a.sameElements(b) })
+  }
+
   test("perplexity is clamped for tiny samples instead of diverging") {
     val x = clusteredPoints(2) // n = 6, requested perplexity 30 >> n
     val y = Embedding.tsneLocal(x, 30.0, 100)

@@ -54,6 +54,32 @@ class UmapSpec extends SparkSpec {
     assert(y1.zip(y2).forall { case (a, b) => a.sameElements(b) })
   }
 
+  test("umapFromD2 over a shared matrix + init is bit-identical to umapLocal") {
+    val x = clusteredPoints(10)
+    val d2 = Embedding.pairwiseSquaredDistances(x)
+    val init = Embedding.localPca2(x)
+    val initCopy = init.map(_.clone())
+    val shared = Embedding.umapFromD2(d2, init, 8, 0.1, 120)
+    assert(shared.zip(Embedding.umapLocal(x, 8, 0.1, 120))
+      .forall { case (a, b) => a.sameElements(b) })
+    assert(init.zip(initCopy).forall { case (a, b) => a.sameElements(b) })
+  }
+
+  test("a malformed lowest-id vector does not drop the well-formed sample") {
+    // row 0 (the LOWEST id) has the wrong dimension — the modal-dimension
+    // guard must keep the 8-dim majority rather than filtering to dim-3
+    val df = (0 until 20).map { i =>
+      (i.toLong,
+        if (i == 0) Array(1.0, 2.0, 3.0)
+        else Array.tabulate(8)(j =>
+          (if (j / 4 == i % 2) 10.0 else 0.0) + math.cos(i * 8 + j) * 0.2))
+    }.toDF("doc_id", "embedding")
+    val out = Embedding.umapProject(df, "embedding", "doc_id",
+      sampleN = 20, nNeighbors = 6, iterations = 60)
+    assert(out.count() == 19) // everything except the malformed row 0
+    assert(!out.select(col("doc_id")).collect().map(_.getLong(0)).contains(0L))
+  }
+
   test("nNeighbors is clamped for tiny samples instead of diverging") {
     val x = clusteredPoints(2) // n = 6, requested k 15 >> n
     val y = Embedding.umapLocal(x, 15, 0.1, 80)
