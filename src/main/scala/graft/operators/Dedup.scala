@@ -130,6 +130,26 @@ object Dedup {
     }
   }
 
+  /** Sentinel for a `numHashes` parameter meaning "the verify mode's own
+    * default": 8 when candidates are verified by EXACT shingle Jaccard
+    * (minhash only generates candidates there — recall-only, so few seeds
+    * suffice), 32 when MinHash agreement IS the similarity estimate
+    * (`estimatedJaccard = true`). The estimator's granularity is
+    * 1/numHashes and its std-err √(J(1−J)/numHashes): at 8 seeds a
+    * threshold decision at the production 0.7–0.8 range flips on
+    * single-seed noise (granularity 0.125, std-err ≈ 0.16 at J = 0.7),
+    * while 32 seeds give granularity 0.03125 and std-err ≈ 0.08 — the
+    * precision DedupSpec's error-bound case certifies. Index cost in
+    * estimated mode grows 8 → 32 longs/doc (~130 → ~520 B/doc with band
+    * keys, SCALE.md) — still 10⁻²–10⁻³ of the exact mode's shingle store.
+    */
+  val AutoNumHashes: Int = 0
+
+  private def resolveNumHashes(numHashes: Int, estimated: Boolean): Int =
+    if (numHashes != AutoNumHashes) numHashes
+    else if (estimated) 32
+    else 8
+
   /** Exact dedup: keep the lowest `idCol` per distinct `textCol`. */
   def dropExactDuplicates(df: DataFrame, textCol: String, idCol: String): DataFrame = {
     val keepers = df.groupBy(md5(col(textCol)).as("__h"))
@@ -537,10 +557,11 @@ object Dedup {
     */
   def estimatedNearDuplicatePairs(
       df: DataFrame, textCol: String, idCol: String,
-      k: Int = 3, numHashes: Int = 8, rowsPerBand: Int = 2,
+      k: Int = 3, numHashes: Int = AutoNumHashes, rowsPerBand: Int = 2,
       threshold: Double = 0.7): DataFrame = {
+    val nh = resolveNumHashes(numHashes, estimated = true)
     val (membership, repPairs) =
-      estNearDupCore(df, textCol, idCol, k, numHashes, rowsPerBand, threshold)
+      estNearDupCore(df, textCol, idCol, k, nh, rowsPerBand, threshold)
     val m1 = membership.select(col("__rep").as("id1"), col(idCol).as("__m1"))
     val m2 = membership.select(col("__rep").as("id2"), col(idCol).as("__m2"))
     val cross = repPairs.join(m1, "id1").join(m2, "id2")
@@ -606,8 +627,9 @@ object Dedup {
     */
   def dropNearDuplicates(
       df: DataFrame, textCol: String, idCol: String,
-      k: Int = 3, numHashes: Int = 8, rowsPerBand: Int = 2,
+      k: Int = 3, numHashes: Int = AutoNumHashes, rowsPerBand: Int = 2,
       threshold: Double = 0.7, estimatedJaccard: Boolean = false): DataFrame = {
+    val nh = resolveNumHashes(numHashes, estimatedJaccard)
     // Linear in the corpus even under huge exact-dup groups: the pair-wise
     // keep-lowest-id policy over EXPANDED pairs is equivalent to dropping
     // (a) every non-representative member (loses to its own rep) and
@@ -617,9 +639,9 @@ object Dedup {
     // quadratic intra-group pair expansion needed.
     val (membership, repPairs) =
       if (estimatedJaccard)
-        estNearDupCore(df, textCol, idCol, k, numHashes, rowsPerBand, threshold)
+        estNearDupCore(df, textCol, idCol, k, nh, rowsPerBand, threshold)
       else
-        nearDupCore(df, textCol, idCol, k, numHashes, rowsPerBand, threshold)
+        nearDupCore(df, textCol, idCol, k, nh, rowsPerBand, threshold)
     val nonReps = membership.filter(col(idCol) =!= col("__rep"))
       .select(col(idCol))
     val losingGroupMembers = repPairs.select(col("id2").as("__rep")).distinct()
@@ -804,7 +826,7 @@ object Dedup {
     */
   def dropDuplicatesAgainst(
       batch: DataFrame, corpus: DataFrame, textCol: String, idCol: String,
-      k: Int = 3, numHashes: Int = 8, rowsPerBand: Int = 2,
+      k: Int = 3, numHashes: Int = AutoNumHashes, rowsPerBand: Int = 2,
       threshold: Double = 0.7, estimatedJaccard: Boolean = false): DataFrame = {
     // Delegates to the signature index: build once over the corpus
     // (memoized per session via sigCore, so repeated dedups against the
@@ -823,16 +845,17 @@ object Dedup {
     import scala.concurrent.duration.Duration
     implicit val ec: scala.concurrent.ExecutionContext =
       scala.concurrent.ExecutionContext.global
+    val nh = resolveNumHashes(numHashes, estimatedJaccard)
     val idxF = Future {
-      NearDupIndex.build(corpus, textCol, idCol, k, numHashes, rowsPerBand,
+      NearDupIndex.build(corpus, textCol, idCol, k, nh, rowsPerBand,
         estimatedJaccard)
     }
     // warm the batch-side memo entries concurrently with the corpus build
     if (estimatedJaccard)
-      estNearDupCore(batch, textCol, idCol, k, numHashes, rowsPerBand,
+      estNearDupCore(batch, textCol, idCol, k, nh, rowsPerBand,
         threshold)
     else
-      nearDupCore(batch, textCol, idCol, k, numHashes, rowsPerBand, threshold)
+      nearDupCore(batch, textCol, idCol, k, nh, rowsPerBand, threshold)
     val idx = Await.result(idxF, Duration.Inf)
     idx.dedupBatch(batch, textCol, threshold)
   }
@@ -1159,8 +1182,9 @@ object Dedup {
       * corpora (see the class doc's mode table).
       */
     def build(corpus: DataFrame, textCol: String, idCol: String, k: Int = 3,
-        numHashes: Int = 8, rowsPerBand: Int = 2,
+        numHashes: Int = AutoNumHashes, rowsPerBand: Int = 2,
         estimatedJaccard: Boolean = false): NearDupIndex = {
+      val nh = resolveNumHashes(numHashes, estimatedJaccard)
       import scala.concurrent.{Await, Future}
       import scala.concurrent.duration.Duration
       implicit val ec: scala.concurrent.ExecutionContext =
@@ -1175,12 +1199,12 @@ object Dedup {
           if (inline) fp else fp.localCheckpoint(true)
         }
         if (estimatedJaccard) {
-          val c = estSigCore(corpus, textCol, idCol, k, numHashes, rowsPerBand)
-          NearDupIndex(idCol, k, numHashes, rowsPerBand, c.bands,
+          val c = estSigCore(corpus, textCol, idCol, k, nh, rowsPerBand)
+          NearDupIndex(idCol, k, nh, rowsPerBand, c.bands,
             Await.result(fpF, Duration.Inf), None, None, Some(c.sigs))
         } else {
-          val c = sigCore(corpus, textCol, idCol, k, numHashes, rowsPerBand)
-          NearDupIndex(idCol, k, numHashes, rowsPerBand, c.bands,
+          val c = sigCore(corpus, textCol, idCol, k, nh, rowsPerBand)
+          NearDupIndex(idCol, k, nh, rowsPerBand, c.bands,
             Await.result(fpF, Duration.Inf), Some(c.shingles), Some(c.counts),
             None)
         }
@@ -1192,7 +1216,7 @@ object Dedup {
       // the returned index object itself, so per-call laziness never
       // compounds across micro-batches.
       if (interactive(corpus)) mk(inline = true)
-      else memoized(corpus, ("nearDupIndex", textCol, idCol, k, numHashes,
+      else memoized(corpus, ("nearDupIndex", textCol, idCol, k, nh,
         rowsPerBand, estimatedJaccard)) { mk(inline = false) }
     }
   }
@@ -1234,18 +1258,20 @@ object Dedup {
     * no partition outgrows a task even when the corpus does.
     */
   def capNearDuplicates(df: DataFrame, textCol: String, idCol: String,
-      maxCopies: Int = 1, k: Int = 3, numHashes: Int = 8, rowsPerBand: Int = 2,
+      maxCopies: Int = 1, k: Int = 3, numHashes: Int = AutoNumHashes,
+      rowsPerBand: Int = 2,
       threshold: Double = 0.7, estimatedJaccard: Boolean = false): DataFrame = {
     require(maxCopies > 0)
+    val nh = resolveNumHashes(numHashes, estimatedJaccard)
     // components over representative pairs + one STAR edge per non-rep
     // member (rep → member): same transitive clusters as the expanded pair
     // graph — an exact group is a clique, and a star spans a clique — with
     // linearly many edges instead of quadratic intra-group pairs
     val (membership, repPairs) =
       if (estimatedJaccard)
-        estNearDupCore(df, textCol, idCol, k, numHashes, rowsPerBand, threshold)
+        estNearDupCore(df, textCol, idCol, k, nh, rowsPerBand, threshold)
       else
-        nearDupCore(df, textCol, idCol, k, numHashes, rowsPerBand, threshold)
+        nearDupCore(df, textCol, idCol, k, nh, rowsPerBand, threshold)
     val starEdges = membership.filter(col(idCol) =!= col("__rep"))
       .select(col("__rep").as("id1"), col(idCol).as("id2"))
     val pairs = repPairs.select(col("id1"), col("id2")).union(starEdges)

@@ -1360,7 +1360,7 @@ object TextQueries {
     //      (the exact path's h1 + seed*h2 family correlates seeds and
     //      cannot estimate — see estSignaturesFromShingles); all
     //      arithmetic is md5-derived and deterministic, so DuckDB
-    //      replays agreement-count / 8 exactly ----
+    //      replays agreement-count / 32 exactly ----
     QueryDef(
       "q114_est_jaccard_pairs",
       (s, d) => {
@@ -1378,7 +1378,7 @@ object TextQueries {
             + ('0x' || substr(md5('mh-b-' || CAST(seed AS VARCHAR)), 1, 8))::BIGINT
               % 2147483647
           ) % 2147483647) AS minhash
-          FROM sh CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS seed) sd
+          FROM sh CROSS JOIN (SELECT unnest(generate_series(0, 31)) AS seed) sd
           GROUP BY doc_id, seed),
         bands AS (SELECT doc_id, seed // 2 AS band,
           md5(string_agg(CAST(minhash AS VARCHAR), ',' ORDER BY seed)) AS bkey
@@ -1388,12 +1388,12 @@ object TextQueries {
             ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id)
         SELECT c.id1, c.id2,
           round(sum(CASE WHEN a.minhash = b.minhash THEN 1 ELSE 0 END)
-            / 8.0, 4) AS est_jaccard
+            / 32.0, 4) AS est_jaccard
         FROM cand c
         JOIN sig a ON a.doc_id = c.id1
         JOIN sig b ON b.doc_id = c.id2 AND b.seed = a.seed
         GROUP BY c.id1, c.id2
-        HAVING sum(CASE WHEN a.minhash = b.minhash THEN 1 ELSE 0 END) / 8.0
+        HAVING sum(CASE WHEN a.minhash = b.minhash THEN 1 ELSE 0 END) / 32.0
           >= 0.5
         ORDER BY id1, id2""")),
 
@@ -1420,7 +1420,7 @@ object TextQueries {
             + ('0x' || substr(md5('mh-b-' || CAST(seed AS VARCHAR)), 1, 8))::BIGINT
               % 2147483647
           ) % 2147483647) AS minhash
-          FROM sh CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS seed) sd
+          FROM sh CROSS JOIN (SELECT unnest(generate_series(0, 31)) AS seed) sd
           GROUP BY doc_id, seed),
         bands AS (SELECT doc_id, seed // 2 AS band,
           md5(string_agg(CAST(minhash AS VARCHAR), ',' ORDER BY seed)) AS bkey
@@ -1433,7 +1433,7 @@ object TextQueries {
           JOIN sig a ON a.doc_id = c.id1
           JOIN sig b ON b.doc_id = c.id2 AND b.seed = a.seed
           GROUP BY c.id1, c.id2
-          HAVING sum(CASE WHEN a.minhash = b.minhash THEN 1 ELSE 0 END) / 8.0
+          HAVING sum(CASE WHEN a.minhash = b.minhash THEN 1 ELSE 0 END) / 32.0
             >= 0.5),
         fp AS (SELECT doc_id, md5(text) AS f FROM documents),
         losers AS (

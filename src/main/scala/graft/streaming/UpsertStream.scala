@@ -1180,7 +1180,8 @@ object EventPipeline {
     */
   def nearDedupStream(docs: DataFrame, corpus: DataFrame, textCol: String,
       idCol: String, checkpoint: String, threshold: Double = 0.7,
-      k: Int = 3, numHashes: Int = 8, rowsPerBand: Int = 2,
+      k: Int = 3, numHashes: Int = graft.operators.Dedup.AutoNumHashes,
+      rowsPerBand: Int = 2,
       compactEvery: Int = 16, estimatedJaccard: Boolean = false)
       (onBatch: (Long, Array[Row]) => Unit): StreamingQuery = {
     // compacted() pins the index to checkpointed frames regardless of the

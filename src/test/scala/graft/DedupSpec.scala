@@ -332,8 +332,15 @@ class DedupSpec extends SparkSpec {
   test("estimated Jaccard: exact dups estimate 1.0, error bounded vs exact") {
     // the q37 corpus (driver testdata documents table): score every LSH
     // candidate pair in both verify modes and bound the estimator error.
-    // numHashes=32 → std-err ≤ √(J(1−J)/32) ≈ 0.09; the assertions pin a
-    // deterministic outcome (md5-derived, no RNG) with comfortable margin.
+    // numHashes=32 — the estimated-mode DEFAULT (Dedup.AutoNumHashes
+    // resolution) — gives std-err ≤ √(J(1−J)/32) ≈ 0.09 and granularity
+    // 1/32; the assertions pin a deterministic outcome (md5-derived, no
+    // RNG) with comfortable margin. Decision error at the production
+    // threshold 0.7: a pair whose true J sits 0.1 below the threshold is
+    // mis-flagged with P ≈ Φ(−0.1/0.087) ≈ 12% at 32 seeds, vs ≈ 28% at
+    // the old 8-seed default (std-err 0.17, granularity 0.125) — which is
+    // why estimated mode now defaults to the precision this case
+    // certifies.
     val corpus = Tables.documents(spark, "/root/testdata/sf0.001")
     Dedup.clearMemo(spark)
     val exact = Dedup.nearDuplicatePairs(corpus, "text", "doc_id",
@@ -363,9 +370,9 @@ class DedupSpec extends SparkSpec {
 
   test("estimated mode flags on drop/cap agree with exact on a clear-cut corpus") {
     // exact dup (signature agreement exactly 1.0) + a STRONG near-dup
-    // (one word of ~30 changed, J ≈ 0.87 — comfortably inside the 8-hash
-    // estimator's resolution) + unrelated docs: both verify modes must
-    // make identical decisions
+    // (one word of ~30 changed, J ≈ 0.87 — comfortably inside the
+    // estimated-mode default's (32-hash) resolution) + unrelated docs:
+    // both verify modes must make identical decisions
     val base = "alpha bravo charlie delta echo foxtrot golf hotel india " +
       "juliet kilo lima mike november oscar papa quebec romeo sierra " +
       "tango uniform victor whiskey xray yankee zulu one two three four"
@@ -398,9 +405,9 @@ class DedupSpec extends SparkSpec {
     val idx = Dedup.NearDupIndex.build(corpus, "text", "doc_id",
       estimatedJaccard = true)
     // the 100 TB contract: no shingle/count frames exist in this mode —
-    // stored state is numHashes signature rows + band keys per rep
+    // stored state is numHashes (32 in estimated mode) signature rows + band keys per rep
     assert(idx.estimated && idx.shingles.isEmpty && idx.counts.isEmpty)
-    assert(idx.signatures.get.count() == 2L * 8)
+    assert(idx.signatures.get.count() == 2L * 32)
     val b1 = Seq(
       (10L, "the quick brown fox jumps over the lazy dog today"),
       (11L, "a genuinely new document discussing spark physical plans"),
@@ -411,7 +418,7 @@ class DedupSpec extends SparkSpec {
     assert(s1 == Seq(11L))
     // appended growth stays signature-sized and catches cross-batch dups
     val idx2 = idx.appended(b1.filter(col("doc_id") === 11L), "text")
-    assert(idx2.shingles.isEmpty && idx2.signatures.get.count() == 3L * 8)
+    assert(idx2.shingles.isEmpty && idx2.signatures.get.count() == 3L * 32)
     val b2 = Seq(
       (20L, "a genuinely new document discussing spark physical things"),
       (21L, "an entirely different text about parquet row group pruning"))
