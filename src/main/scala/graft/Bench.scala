@@ -738,10 +738,15 @@ object Bench {
     var pivf: VectorSearch.IvfIndex = null
     gateIo(base, "ivf")
     timed("ivf_products_build") {
+      // main_category occupancy rides in the build: purely-categorical
+      // filtered searches (read_sel_10's isin) then probe-plan from a
+      // driver lookup with zero count jobs; the mixed predicates take the
+      // per-(handle, filter) memoized count scan instead
       pivf = VectorSearch.buildIvf(
         products.select(col("parent_asin"), col("average_rating"),
           col("rating_number"), col("main_category"), col("embedding")),
-        "embedding", 16, pivfPath, sampleFraction = 0.1)
+        "embedding", 16, pivfPath, sampleFraction = 0.1,
+        occupancyCols = Seq("main_category"))
     }
     timedMin("ann_recall_filtered_eval") {
       // one scan per (tier) for the exact baselines and one scan per

@@ -95,7 +95,7 @@ object ScalePoint {
       pivf = VectorSearch.buildIvf(
         products.select(col("parent_asin"), col("average_rating"),
           col("rating_number"), col("main_category"), col("embedding")),
-        "embedding", 0, pivfPath)
+        "embedding", 0, pivfPath, occupancyCols = Seq("main_category"))
     }
     if (pivf != null) {
       results("ivf_num_clusters_value") = pivf.centroids.length.toDouble
@@ -196,7 +196,11 @@ object ScalePoint {
             .filter(_._2 > 0).toMap
         }.toMap
       }
-      val opPoints = curve(pivf.centroids, pivf.radii, assignDerived,
+      // the analytic curve must model the ENGINE's routing radius — RMS
+      // when the build recorded one (round 7 default), max otherwise
+      val routing =
+        if (pivf.rmsRadii.nonEmpty) pivf.rmsRadii else pivf.radii
+      val opPoints = curve(pivf.centroids, routing, assignDerived,
         "derived", derivedCounts)
       // physical confirmation at each tier's analytic operating point
       timed("ann_recall_filtered_eval_sf1") {
@@ -231,16 +235,19 @@ object ScalePoint {
           .setFeaturesCol("__v").fit(sample)
         val cents16 = model.clusterCenters
           .map(_.toArray.map(_.toFloat))
-        // radii over the same sample, mirroring buildIvf's stats pass
+        // RMS radii over the same sample, mirroring buildIvf's stats pass
+        // and the engine's routing default
         val radii16 = new Array[Double](16)
         products.select(col("embedding"))
           .sample(withReplacement = false, fraction = 0.05, seed = 42L)
           .select(
             graft.functions.nearest_centroid(col("embedding"), cents16).as("__c"),
             graft.functions.nearest_centroid_dist(col("embedding"), cents16).as("__d"))
-          .groupBy(col("__c")).agg(max(col("__d")).as("__m"))
+          .groupBy(col("__c"))
+          .agg(count(lit(1)).as("__n"), sum(col("__d")).as("__s"))
           .collect()
-          .foreach(r => radii16(r.getInt(0)) = math.sqrt(r.getDouble(1)))
+          .foreach(r => radii16(r.getInt(0)) =
+            math.sqrt(r.getDouble(2) / math.max(r.getLong(1), 1L)))
         val allIds = exactTops.values.flatMap(_.values).flatten.toSet.toSeq
         val assign16 = products
           .filter(col("parent_asin").isin(allIds: _*))

@@ -77,16 +77,55 @@ object VectorSearch {
     * `baselineDist` is the build-time mean squared-L2 distance of vectors
     * to their assigned centroid (NaN when the index predates the probe) —
     * the yardstick [[driftRatio]] measures centroid drift against.
+    *
+    * `radii` (max assigned distance) and `rmsRadii` (root-mean-square
+    * assigned distance) come from the build/train sample; `cellCounts`
+    * are that sample's per-cell sizes, kept so [[append]] can fold new
+    * batches into the RMS exactly. `occupancy` maps each registered
+    * categorical column to its per-(cluster, value) row counts over the
+    * FULL index — the driver-side source for [[probePlan]]'s filtered
+    * match counts ([[buildIvf]]'s `occupancyCols`; [[append]] keeps it
+    * current).
     */
   final case class IvfIndex(path: String, centroids: Array[Array[Float]],
       baselineDist: Double = Double.NaN,
-      radii: Array[Double] = Array.empty) {
+      radii: Array[Double] = Array.empty,
+      rmsRadii: Array[Double] = Array.empty,
+      cellCounts: Array[Long] = Array.empty,
+      occupancy: Map[String, Map[(Int, String), Long]] = Map.empty) {
 
-    /** Cluster ids in probe order for a DOT-PRODUCT search: ranked by the
-      * cell's achievable-dot upper bound
-      * `q·c + r_c·|q|` (for any member x, q·x = q·c + q·(x−c) ≤
-      * q·c + |q|·|x−c| ≤ q·c + |q|·r_c), descending — the standard MIPS
-      * cell-routing bound.
+    // occupancy evolves with append(); the ctor param is the build-time
+    // snapshot, reads go through occupancyTable
+    @volatile private var occupancyNow: Map[String, Map[(Int, String), Long]] =
+      occupancy
+
+    /** Current per-(cluster, value) occupancy per registered column —
+      * build-time table plus every batch folded in by [[append]].
+      */
+    private[graft] def occupancyTable: Map[String, Map[(Int, String), Long]] =
+      occupancyNow
+
+    /** Radius used for probe ORDERING: the RMS radius when the build
+      * recorded one, else the max radius. RMS is the robust choice —
+      * ProbeOrderLab measured the max-of-sample bound ranking ~128 junk
+      * cells (few members, outlier-driven radii) ahead of every cell
+      * holding a true hit at fine granularity, because a single sampled
+      * outlier inflates a near-empty cell's max while barely moving its
+      * RMS. The price is admissibility: `q·c + r_rms·|q|` is a ranking
+      * score, not an upper bound on the cell's achievable dot — recall at
+      * a given nprobe is governed by the ordering quality plus the
+      * filter-aware ≥ k widening, which is the trade an IVF probe makes
+      * anyway (nprobe < numClusters is already not exact).
+      */
+    private def routingRadii: Array[Double] =
+      if (rmsRadii.nonEmpty) rmsRadii else radii
+
+    /** Cluster ids in probe order for a DOT-PRODUCT search: ranked by
+      * `q·c + r_c·|q|` descending, where `r_c` is the cell's routing
+      * radius ([[routingRadii]]) — with the max radius this is the
+      * standard MIPS achievable-dot bound (for any member x,
+      * q·x = q·c + q·(x−c) ≤ q·c + |q|·|x−c| ≤ q·c + |q|·r_max); with the
+      * default RMS radius it is the robust version of the same score.
       *
       * Why neither simpler ordering is right:
       *   - raw dot `q·c` ignores cell EXTENT: centroid norms track cluster
@@ -102,17 +141,15 @@ object VectorSearch {
       *     siblings (measured: recall 0.5 at nprobe k/3 on the subdivided
       *     fixture).
       * The radius term subsumes both: equal-radius cells rank by dot,
-      * equal-dot cells by extent. Radii come from the build/train sample
-      * (admissible up to sampling error; [[append]]ed outliers can exceed
-      * them — the exact-fallback guard and the drift probe cover that
-      * corner). An index constructed without radii degrades to raw-dot
-      * ordering.
+      * equal-dot cells by extent. An index constructed without radii
+      * degrades to raw-dot ordering.
       */
     def nearestClusters(query: Array[Float], nprobe: Int): Seq[Int] = {
       val qNorm = math.sqrt(dotLocal(query, query))
+      val rr = routingRadii
       centroids.zipWithIndex
         .map { case (c, i) =>
-          val r = if (i < radii.length) radii(i) else 0.0
+          val r = if (i < rr.length) rr(i) else 0.0
           (i, dotLocal(c, query) + r * qNorm)
         }
         .sortBy(-_._2).take(nprobe).map(_._1).toSeq
@@ -135,24 +172,66 @@ object VectorSearch {
       else { val df = spark.read.parquet(path); dfCache.put(spark, df); df }
     }
 
-    /** Drop cached relations so the next search re-lists the index — call
-      * after another handle/process appended to the same path.
+    /** Drop cached relations and memoized filtered-count maps so the next
+      * search re-lists the index — call after another handle/process
+      * appended to the same path.
       */
-    def refresh(): Unit = dfCache.clear()
+    def refresh(): Unit = { dfCache.clear(); countCache.clear() }
 
-    /** Approximate filtered top-k probing `nprobe` clusters. Partition
-      * pruning limits the scan to those cluster directories.
-      *
-      * With a `filter`, low-selectivity predicates can leave fewer than `k`
-      * qualifying rows inside the probed clusters (at 0.001% selectivity the
-      * probed fraction may contain zero qualifying rows), collapsing recall.
-      * When `exactFallback` is on (default), the qualifying rows in the
-      * probed clusters are counted first — a cheap partition-pruned,
-      * filter-pushed count — and if fewer than `k` remain the search widens
-      * to an exact scan of all clusters. The filter still pushes into the
-      * parquet reader, so the fallback reads only the predicate's row
-      * groups, not the whole index.
+    // Memoized per-cluster match counts, keyed by the filter expression's
+    // string form: each DISTINCT filter pays its pushed count scan once
+    // per handle generation (append/refresh invalidate) instead of once
+    // per search — the serving-layer cache the probe plan wants.
+    @transient private lazy val countCache =
+      new java.util.concurrent.ConcurrentHashMap[String, Map[Int, Long]]()
+
+    /** Per-cluster match counts for `filter`, cheapest source first:
+      * (a) the build-time [[occupancyTable]] when the filter is an
+      *     equality or IN over ONE registered categorical column — a pure
+      *     driver lookup, NO Spark job on the filtered-search hot path
+      *     (the reference's categorical predicates take this path);
+      * (b) the per-(handle, filter) memo — any other predicate pays its
+      *     count job once, then serves from the driver;
+      * (c) the pushed, column-pruned count scan itself (reads the
+      *     predicate's columns only, never the vectors).
       */
+    private def matchCounts(spark: SparkSession, f: Column): Map[Int, Long] =
+      occupancyCounts(f).getOrElse {
+        // Column.toString renders the node tree ("=(main_category, Books)")
+        // — stable across calls for the same predicate, so repeated
+        // searches with an equal filter hit the memo
+        val key = f.toString
+        val cached = countCache.get(key)
+        if (cached != null) cached
+        else {
+          val counts = indexDf(spark).filter(f)
+            .groupBy(col("__cluster")).agg(count(lit(1)).as("__n"))
+            .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+          countCache.put(key, counts)
+          counts
+        }
+      }
+
+    /** Driver-side match counts from the occupancy table, when the filter
+      * is `col === literal` or `col.isin(literals...)` over a registered
+      * occupancy column. None otherwise (conjunctions with numeric ranges
+      * CANNOT use the categorical table — occupancy would only bound the
+      * true match count from above, and the ≥ k widening needs true
+      * counts).
+      */
+    private def occupancyCounts(f: Column): Option[Map[Int, Long]] =
+      // `===` / `isin` shapes only, decoded pre-analysis (Bridge — Spark
+      // 4's node classes are private[sql]); literal values compare in
+      // string form, matching how the table was built
+      org.apache.spark.sql.graft.Bridge.equalityOrIn(f).flatMap {
+        case (name, values) =>
+          occupancyNow.get(name).map { m =>
+            val vs = values.toSet
+            m.iterator.collect { case ((c, v), n) if vs(v) => (c, n) }
+              .toSeq.groupMapReduce(_._1)(_._2)(_ + _)
+          }
+      }
+
     /** Per-query effective probe sets. Unfiltered: the `nprobe` best cells
       * by the routing bound. Filtered: the FILTER-AWARE plan — rank ALL
       * cells by the bound, keep only cells that contain matching rows
@@ -173,17 +252,16 @@ object VectorSearch {
       * cells probes exactly the right region at any selectivity, and the
       * ≥ k widening recovers the ultra-selective tail (where it
       * degenerates, correctly, to scanning every match-bearing cell —
-      * which IS the exact answer's support). The count scan is cacheable
-      * per (manifest, filter) by a serving layer; at index scale it reads
-      * one narrow column-pruned projection.
+      * which IS the exact answer's support). Match counts come from
+      * [[matchCounts]]: a driver lookup for registered categorical
+      * filters, a once-per-(handle, filter) memoized count scan otherwise
+      * — the hot path of a repeated filtered search runs NO count job.
       */
     private[graft] def probePlan(spark: SparkSession, queries: Seq[Array[Float]],
         k: Int, nprobe: Int, filter: Option[Column],
         exactFallback: Boolean): Seq[Seq[Int]] = filter match {
       case Some(f) if exactFallback && nprobe < centroids.length =>
-        val counts = indexDf(spark).filter(f)
-          .groupBy(col("__cluster")).agg(count(lit(1)).as("__n"))
-          .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+        val counts = matchCounts(spark, f)
         queries.map { q =>
           val ranked = nearestClusters(q, centroids.length)
             .filter(c => counts.getOrElse(c, 0L) > 0L)
@@ -200,6 +278,22 @@ object VectorSearch {
       case _ => queries.map(q => nearestClusters(q, nprobe))
     }
 
+    /** Approximate filtered top-k probing `nprobe` clusters. Partition
+      * pruning limits the scan to the probed cluster directories; the
+      * filter and the narrow projection push into the parquet reader.
+      *
+      * `exactFallback` enables the FILTER-AWARE widening in [[probePlan]]:
+      * the probe list is restricted to match-bearing cells and widened
+      * down the ranked order until the probed cells hold ≥ `k` qualifying
+      * rows. This is BEST-EFFORT, not exact — ≥ k candidates probed does
+      * not guarantee the true top-k's cells were among them (SCALE.md's
+      * sf1 point measures 0.997 at the 10%-selectivity tier) — but at
+      * ultra-selective filters it degenerates, correctly, to scanning
+      * every match-bearing cell, which IS the exact answer's support.
+      * With `exactFallback = false` the probe list is the query's own
+      * `nprobe` best cells regardless of the filter (recall collapses
+      * under anti-correlated filters — see [[probePlan]]).
+      */
     def search(spark: SparkSession, query: Array[Float], k: Int, nprobe: Int,
         filter: Option[Column] = None, exactFallback: Boolean = true): DataFrame = {
       val clusters = probePlan(spark, Seq(query), k, nprobe, filter,
@@ -263,19 +357,70 @@ object VectorSearch {
       *
       * `updates` must carry `vecCol` plus the same payload columns the
       * index was built with.
+      *
+      * Besides the file append, the batch is folded into the index's
+      * driver-side statistics so the routing and the probe plan stay
+      * truthful as the index grows: per-cell radii take the max with the
+      * batch's max assigned distance (an appended outlier beyond the
+      * train sample's radius no longer silently escapes the routing
+      * score), the RMS radii merge count-weighted via `cellCounts`, and
+      * the occupancy table gains the batch's per-(cluster, value) counts
+      * (a filtered search for a value seen ONLY in appends still probes
+      * the right cells). One narrow aggregation per batch over the
+      * already-assigned rows — O(batch), on the same persisted frame the
+      * write consumed.
       */
     def append(updates: DataFrame, vecCol: String): Unit = {
-      updates
+      val assigned = updates
         .withColumn("__cluster",
           graft.functions.nearest_centroid(col(vecCol), centroids))
         .withColumnRenamed(vecCol, "__vec")
-        .sortWithinPartitions(col("__cluster"))
-        // snappy, matching buildIvf: appends land on the same probe hot
-        // path as the build's files, and the measured A/B (BASELINE.md)
-        // showed zstd costs ~3× on decode for ~20% size on these payloads
-        .write.mode("append").option("compression", "snappy")
-        .partitionBy("__cluster").parquet(path)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        assigned
+          .sortWithinPartitions(col("__cluster"))
+          // snappy, matching buildIvf: appends land on the same probe hot
+          // path as the build's files, and the measured A/B (BASELINE.md)
+          // showed zstd costs ~3× on decode for ~20% size on these payloads
+          .write.mode("append").option("compression", "snappy")
+          .partitionBy("__cluster").parquet(path)
+        if (radii.nonEmpty || rmsRadii.nonEmpty) {
+          val stats = assigned.select(col("__cluster").as("__c"),
+              graft.functions.nearest_centroid_dist(col("__vec"), centroids)
+                .as("__d"))
+            .groupBy(col("__c"))
+            .agg(count(lit(1)).as("__n"), sum(col("__d")).as("__s"),
+              max(col("__d")).as("__m"))
+            .collect()
+          stats.foreach { r =>
+            val c = r.getInt(0)
+            val n = r.getLong(1); val s = r.getDouble(2); val m = r.getDouble(3)
+            if (c < radii.length)
+              radii(c) = math.max(radii(c), math.sqrt(m))
+            if (c < rmsRadii.length && c < cellCounts.length) {
+              val n0 = cellCounts(c)
+              val meanSq = (rmsRadii(c) * rmsRadii(c) * n0 + s) /
+                math.max(n0 + n, 1L)
+              rmsRadii(c) = math.sqrt(meanSq)
+              cellCounts(c) = n0 + n
+            }
+          }
+        }
+        occupancyNow = occupancyNow.map { case (oc, table) =>
+          if (!assigned.columns.contains(oc)) oc -> table
+          else {
+            val add = assigned.filter(col(oc).isNotNull)
+              .groupBy(col("__cluster"), col(oc).cast("string").as("__v"))
+              .agg(count(lit(1)).as("__n"))
+              .collect().map(r => (r.getInt(0), r.getString(1)) -> r.getLong(2))
+            oc -> add.foldLeft(table) { case (t, (k2, n)) =>
+              t.updated(k2, t.getOrElse(k2, 0L) + n)
+            }
+          }
+        }
+      } finally assigned.unpersist(blocking = false)
       dfCache.clear() // cached relations pin the old file list
+      countCache.clear() // memoized counts predate the appended rows
     }
 
     /** Centroid-drift probe — the maintenance hook behind [[append]]'s
@@ -361,7 +506,8 @@ object VectorSearch {
     */
   def buildIvf(df: DataFrame, vecCol: String, numClusters: Int, path: String,
       sampleFraction: Double = Double.NaN, seed: Long = 42L,
-      maxTrainVectors: Long = 1000000L): IvfIndex = {
+      maxTrainVectors: Long = 1000000L,
+      occupancyCols: Seq[String] = Seq.empty): IvfIndex = {
     val needCount = numClusters <= 0 || sampleFraction.isNaN
     val n = if (needCount) df.select(lit(1)).count() else -1L
     val k = if (numClusters > 0) numClusters else defaultNumClusters(n)
@@ -429,11 +575,13 @@ object VectorSearch {
       .write.mode("overwrite").option("compression", "snappy")
       .partitionBy("__cluster").parquet(path)
     // Build-time drift baseline (mean assigned-centroid distance) AND
-    // per-cluster radii (√ of the max assigned squared distance — the
-    // probe-order bound in [[IvfIndex.nearestClusters]]), both over the
-    // same bounded sample the fit used, in ONE narrow aggregation pass —
-    // the drift probe and the router get their yardsticks without a
-    // full-corpus scan.
+    // per-cluster radii — max (√ of the max assigned squared distance,
+    // the admissible MIPS bound) and RMS (√ of the mean, the robust
+    // probe-ordering default in [[IvfIndex.nearestClusters]]) — all over
+    // the same bounded sample the fit used, in ONE narrow aggregation
+    // pass: the drift probe and the router get their yardsticks without
+    // a full-corpus scan. Per-cell sample counts ride along so append()
+    // can merge batches into the RMS exactly.
     val stats = sampled
       .select(
         graft.functions.nearest_centroid(col(vecCol), centroids).as("__c"),
@@ -446,8 +594,35 @@ object VectorSearch {
     val baseline =
       if (totalN == 0) Double.NaN else stats.map(_.getDouble(2)).sum / totalN
     val radii = new Array[Double](centroids.length)
-    stats.foreach(r => radii(r.getInt(0)) = math.sqrt(r.getDouble(3)))
-    IvfIndex(path, centroids, baseline, radii)
+    val rmsRadii = new Array[Double](centroids.length)
+    val cellN = new Array[Long](centroids.length)
+    stats.foreach { r =>
+      val c = r.getInt(0)
+      radii(c) = math.sqrt(r.getDouble(3))
+      cellN(c) = r.getLong(1)
+      if (cellN(c) > 0) rmsRadii(c) = math.sqrt(r.getDouble(2) / cellN(c))
+    }
+    // Per-(cluster, value) occupancy for the registered categorical
+    // columns, counted over the FULL written index — the filtered probe
+    // plan's ≥ k widening needs TRUE match counts (a sample estimate
+    // showing 0 for a match-bearing cell would wrongly exclude it). One
+    // narrow column-pruned scan per registered column, paid once at
+    // build; filtered searches on these columns then plan with zero
+    // Spark jobs. At the 65536-cell cap × the reference's 46 categories
+    // the table is ≤ ~3M entries — driver-trivial.
+    val written =
+      if (occupancyCols.isEmpty) None
+      else Some(df.sparkSession.read.parquet(path))
+    val occ = occupancyCols.flatMap { oc =>
+      written.filter(_.columns.contains(oc)).map { w =>
+        oc -> w.filter(col(oc).isNotNull)
+          .groupBy(col("__cluster"), col(oc).cast("string").as("__v"))
+          .agg(count(lit(1)).as("__n"))
+          .collect().map(r => (r.getInt(0), r.getString(1)) -> r.getLong(2))
+          .toMap
+      }
+    }.toMap
+    IvfIndex(path, centroids, baseline, radii, rmsRadii, cellN, occ)
   }
 
   /** Maximal-Marginal-Relevance re-rank: diversified top-`k` — greedily

@@ -17,6 +17,41 @@ object Bridge {
 
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
 
+  /** When `c` is an equality or IN between ONE unresolved attribute and
+    * literal value(s) — the shapes `col(x) === v` and `col(x).isin(vs)`
+    * build — returns (attribute name, literal values rendered as strings).
+    * None for every other predicate shape. Matched on the Column's
+    * backend-agnostic node tree WITHOUT forcing analysis; lives here
+    * because Spark 4's `ColumnNode` classes are `private[sql]`. Used by
+    * the IVF occupancy fast path (probe planning from a driver-side
+    * categorical count table).
+    */
+  def equalityOrIn(c: Column): Option[(String, Seq[String])] = {
+    import org.apache.spark.sql.internal.{ColumnNode, Literal, UnresolvedAttribute, UnresolvedFunction}
+    def attrName(n: ColumnNode): Option[String] = n match {
+      case a: UnresolvedAttribute => Some(a.nameParts.mkString("."))
+      case _ => None
+    }
+    def litStr(n: ColumnNode): Option[String] = n match {
+      case l: Literal if l.value != null => Some(l.value.toString)
+      case _ => None
+    }
+    c.node match {
+      case fn: UnresolvedFunction
+          if fn.functionName == "=" && fn.arguments.length == 2 =>
+        val Seq(x, y) = fn.arguments
+        (for { n <- attrName(x); v <- litStr(y) } yield (n, Seq(v)))
+          .orElse(for { n <- attrName(y); v <- litStr(x) } yield (n, Seq(v)))
+      case fn: UnresolvedFunction
+          if fn.functionName == "in" && fn.arguments.length >= 2 =>
+        val vals = fn.arguments.tail.map(litStr)
+        attrName(fn.arguments.head)
+          .filter(_ => vals.forall(_.isDefined))
+          .map(n => (n, vals.flatten.toSeq))
+      case _ => None
+    }
+  }
+
   /** Register a builder under `name` so the expression is usable from SQL. */
   def registerFunction(
       spark: SparkSession,

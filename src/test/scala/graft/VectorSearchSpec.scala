@@ -111,6 +111,103 @@ class VectorSearchSpec extends SparkSpec {
       s"jitter-cluster radii out of range: ${idx.radii.toSeq}")
   }
 
+  test("routing radii are robust: one outlier-inflated cell cannot hijack probe order") {
+    // two cells: the true high-dot cell (centroid (4,0,0,0)) with healthy
+    // spread, and a junk cell at the origin whose MAX radius was inflated
+    // by a single sampled outlier while its RMS stayed tiny — the
+    // ProbeOrderLab failure shape (junk cells ranked ahead of every hit
+    // cell at fine granularity). Max-radius routing ranks the junk cell
+    // first (4 + 0.5 < 0 + 8); the RMS routing default keeps the true
+    // cell first.
+    val cents = Array(Array(4.0f, 0f, 0f, 0f), Array(0f, 0f, 0f, 0f))
+    val q = Array(1.0f, 0f, 0f, 0f)
+    val byMax = VectorSearch.IvfIndex("unused", cents, Double.NaN,
+      radii = Array(0.5, 8.0))
+    assert(byMax.nearestClusters(q, 2) == Seq(1, 0)) // the documented fragility
+    val robust = VectorSearch.IvfIndex("unused", cents, Double.NaN,
+      radii = Array(0.5, 8.0), rmsRadii = Array(0.4, 0.2))
+    assert(robust.nearestClusters(q, 2) == Seq(0, 1))
+    // buildIvf populates both radius families + per-cell sample counts
+    val dir = java.nio.file.Files.createTempDirectory("ivf_rms").toString
+    val idx = VectorSearch.buildIvf(clustered, "embedding", 3, dir,
+      sampleFraction = 1.0)
+    assert(idx.rmsRadii.length == idx.centroids.length)
+    assert(idx.cellCounts.sum == 120L)
+    // RMS ≤ max per cell, both positive on the jitter clusters
+    assert(idx.rmsRadii.zip(idx.radii).forall { case (r, m) =>
+      r > 0.0 && r <= m })
+  }
+
+  test("occupancy probe plan equals the count-scan plan, with zero Spark jobs") {
+    val dir = java.nio.file.Files.createTempDirectory("ivf_occ").toString
+    val idx = VectorSearch.buildIvf(clustered, "embedding", 3, dir,
+      sampleFraction = 1.0, occupancyCols = Seq("true_cluster"))
+    // the table covers the FULL index, not the train sample
+    assert(idx.occupancyTable("true_cluster").values.sum == 120L)
+    val q = Array.fill(8)(5.0f)
+    val pred = col("true_cluster") === 1
+    val plan = idx.probePlan(spark, Seq(q), 5, 1, Some(pred),
+      exactFallback = true)
+    // same handle without the occupancy table falls back to the pushed
+    // count scan — the two plans must be identical (the occupancy IS the
+    // count scan's result, precomputed)
+    val scanIdx = idx.copy(occupancy = Map.empty)
+    assert(plan == scanIdx.probePlan(spark, Seq(q), 5, 1, Some(pred),
+      exactFallback = true))
+    // IN-form predicates route through the table too
+    val predIn = col("true_cluster").isin(0, 2)
+    assert(idx.probePlan(spark, Seq(q), 5, 1, Some(predIn), true) ==
+      scanIdx.probePlan(spark, Seq(q), 5, 1, Some(predIn), true))
+    // proof that the categorical path runs NO job: a handle whose path
+    // does not exist can still plan (any scan attempt would throw)
+    val offline = VectorSearch.IvfIndex("/no/such/ivf/path", idx.centroids,
+      Double.NaN, idx.radii, idx.rmsRadii, idx.cellCounts,
+      idx.occupancyTable)
+    assert(offline.probePlan(spark, Seq(q), 5, 1, Some(pred), true) == plan)
+    // a conjunction with a numeric range must NOT use the table (it would
+    // over-count) — it takes the scan path, which the memo then caches
+    val mixed = pred && col("vec_id") < 3
+    val planMixed = idx.probePlan(spark, Seq(q), 5, 1, Some(mixed), true)
+    assert(planMixed == scanIdx.probePlan(spark, Seq(q), 5, 1, Some(mixed),
+      true))
+    // filtered search results stay exact under the occupancy plan
+    val got = idx.search(spark, q, 5, nprobe = 1, Some(pred))
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    val exact = VectorSearch.topK(clustered, "embedding", q, 5, Some(pred),
+      projection = Seq("vec_id")).collect().map(_.getLong(0)).toSet
+    assert(got == exact)
+  }
+
+  test("append folds batch stats: occupancy gains new values, radii absorb outliers") {
+    val dir = java.nio.file.Files.createTempDirectory("ivf_fold").toString
+    val idx = VectorSearch.buildIvf(clustered, "embedding", 3, dir,
+      sampleFraction = 1.0, occupancyCols = Seq("true_cluster"))
+    val r0 = idx.radii.clone()
+    val n0 = idx.cellCounts.sum
+    // category value 7 never existed at build time — the occupancy fold
+    // must make the appended rows plan-visible (a stale table would show
+    // zero match-bearing cells and the probe plan would skip them)
+    val updates = (500L until 510L).map(i =>
+      (i, 7, Array.fill(8)(5.0f + (i % 3) * 0.1f)))
+      .toDF("vec_id", "true_cluster", "embedding")
+    idx.append(updates, "embedding")
+    val q = Array.fill(8)(5.0f)
+    val pred = col("true_cluster") === 7
+    val plan = idx.probePlan(spark, Seq(q), 20, 1, Some(pred),
+      exactFallback = true).head
+    assert(plan.nonEmpty)
+    val got = idx.search(spark, q, 20, nprobe = 1, Some(pred))
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(got == (500L until 510L).toSet, got.toString)
+    assert(idx.cellCounts.sum == n0 + 10)
+    // an appended outlier far beyond the train sample raises its cell's
+    // max radius (the admissible bound stays truthful under appends)
+    idx.append(Seq((999L, 0, Array.fill(8)(20.0f)))
+      .toDF("vec_id", "true_cluster", "embedding"), "embedding")
+    assert(idx.radii.zip(r0).exists { case (a, b) => a > b },
+      s"radii unchanged by outlier append: ${idx.radii.toSeq} vs ${r0.toSeq}")
+  }
+
   test("drift loop closes: shifted appends trip retrain, rebuild recovers recall") {
     val dir = java.nio.file.Files.createTempDirectory("ivf_loop").toString
     val idx = VectorSearch.buildIvf(clustered, "embedding", 3, dir,
