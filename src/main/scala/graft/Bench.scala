@@ -634,7 +634,15 @@ object Bench {
     // the 1/s reader to land ≥ 20 concurrent-read samples
     streamTierRetrying("upsert_stream200", 4000, 200.0, idOffset = 20000000000L,
       readsDuring = true)
-    timed("upsert_stream_read") {
+    // Full merged-snapshot read right after the 200-tier. Side-effect-free,
+    // so it takes the read tiers' min-of-N (r6 recorded 1.88 s single-shot
+    // vs 0.46 s in r5 with no reps to attribute the move); the live delta
+    // count rides along because the per-read merge fan-in is the one
+    // variable that legitimately differs run-to-run here (the tier's
+    // consolidation cadence decides how many delta files survive to this
+    // point — compaction hasn't run yet).
+    results("upsert_stream_read_deltas_value") = store.liveDeltaCount.toDouble
+    timedMin("upsert_stream_read", reps = readReps) {
       store.read(spark).count()
     }
     // Compaction on a BOUNDED budget — the maintenance shape the store
@@ -653,6 +661,27 @@ object Bench {
       drainCycles += 1
     }
     results("upsert_compaction_drain_cycles_value") = drainCycles.toDouble
+
+    // Time travel + retention GC — the store's last untimed surfaces.
+    // readVersion on the OLDEST live version is the worst-case snapshot
+    // reconstruction (that manifest's full bucket set + its delta chain,
+    // merged); it must run BEFORE vacuum, which then collects every
+    // version directory the kept manifest no longer references. A final
+    // snapshot read pins that current readers are unaffected by the GC.
+    val storeVersions = store.versions
+    if (storeVersions.nonEmpty) {
+      results("upsert_versions_value") = storeVersions.length.toDouble
+      timedMin("upsert_time_travel", reps = readReps) {
+        store.readVersion(spark, storeVersions.head).count()
+      }
+    }
+    timed("upsert_vacuum") {
+      results("upsert_vacuum_deleted_value") =
+        store.vacuum(keepLast = 1).length.toDouble
+    }
+    timedMin("upsert_read_after_vacuum") {
+      store.read(spark).count()
+    }
 
     if (runAll) {
     // copy-on-write upsert, AFTER the streaming tiers: a 10-row CoW

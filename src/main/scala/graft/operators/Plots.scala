@@ -249,15 +249,19 @@ object Plots {
       f.g.setColor(colorOf(classes(i)))
       f.g.fillOval(x - 3, y - 3, 6, 6)
     }
-    // legend, top-right inside the plot: top classes + a bounded Other row
+    // legend, top-right inside the plot: top classes + a bounded overflow
+    // row. The overflow label carries the hidden-class count — which also
+    // keeps it distinct from any REAL class named "Other", whose palette
+    // color would otherwise be reused for the gray overflow points and
+    // leave them without a correctly-colored legend entry.
     val fm = f.g.getFontMetrics
-    val legendRows = top.sortBy(firstSeen) ++
-      (if (firstSeen.size > top.length) Seq("Other") else Nil)
-    legendRows.zipWithIndex.foreach { case (name, i) =>
+    val overflow = firstSeen.size - top.length
+    val legendRows = top.sortBy(firstSeen).map(c => c -> colorOf(c)) ++
+      (if (overflow > 0) Seq(s"Other ($overflow more)" -> otherColor) else Nil)
+    legendRows.zipWithIndex.foreach { case ((name, c), i) =>
       val y = f.y0 + 14 + i * 16
       val x = f.x1 - 150
-      f.g.setColor(if (name == "Other" && !classColor.contains("Other"))
-        otherColor else colorOf(name))
+      f.g.setColor(c)
       f.g.fillOval(x, y - 8, 8, 8)
       f.g.setColor(axisColor); f.g.drawString(name, x + 12, y)
     }
