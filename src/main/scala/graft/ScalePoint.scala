@@ -55,6 +55,12 @@ object ScalePoint {
     val dims = 2688
     val productsPath = s"$base/products_sf1"
 
+    // SPARK_GRAFT_SCALE_SECTIONS=docs skips the product-table sections
+    // (the ~25 GB of writes) and runs only the documents-scale dedup
+    // entries — the cheap re-measurable slice on this VM's IO budget
+    val sections = sys.env.getOrElse("SPARK_GRAFT_SCALE_SECTIONS", "all")
+    if (sections != "docs") {
+
     // identical layout rules to Bench.index_build — by construction: both
     // call ProductWorkload.writeIndexed, so the ratio isolates data
     // volume, not plan shape
@@ -285,6 +291,8 @@ object ScalePoint {
       }
     }
 
+    } // sections != "docs"
+
     // documents at 10× sf0.1 with fresh ids, ON DISK, so the near-dup
     // pipeline reads real parquet at the scaled size
     val docsPath = s"$base/documents_10x"
@@ -301,6 +309,34 @@ object ScalePoint {
       Dedup.nearDuplicatePairs(spark.read.parquet(docsPath), "text", "doc_id",
         threshold = 0.5)
         .write.mode("overwrite").format("noop").save()
+    }
+    // PAIRED estimated-mode run at the same docs scale: same LSH banding
+    // shape, verify = MinHash agreement (numHashes 32), NO shingle store.
+    // The index-size rows alongside are the measured counterpart of
+    // SCALE.md's bytes/doc table at 10× docs: exact mode stores the
+    // distinct (doc, shingle) frame, estimated mode stores 32 signature
+    // rows/doc — the build-time delta plus both stored-row counts land in
+    // the artifact.
+    timed("near_dup_pipeline_estimated") {
+      Dedup.estimatedNearDuplicatePairs(spark.read.parquet(docsPath),
+          "text", "doc_id", threshold = 0.5)
+        .write.mode("overwrite").format("noop").save()
+    }
+    timed("near_dup_index_exact_build") {
+      val idx = Dedup.NearDupIndex.build(spark.read.parquet(docsPath),
+        "text", "doc_id")
+      results("near_dup_index_exact_shingle_rows_value") =
+        idx.shingles.get.count().toDouble
+      results("near_dup_index_exact_band_rows_value") =
+        idx.bands.count().toDouble
+    }
+    timed("near_dup_index_est_build") {
+      val idx = Dedup.NearDupIndex.build(spark.read.parquet(docsPath),
+        "text", "doc_id", estimatedJaccard = true)
+      results("near_dup_index_est_sig_rows_value") =
+        idx.signatures.get.count().toDouble
+      results("near_dup_index_est_band_rows_value") =
+        idx.bands.count().toDouble
     }
 
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
