@@ -450,16 +450,24 @@ object Embedding {
     * rows to the driver — tasks × n × vector-bytes, measured 1.03 GB
     * (> spark.driver.maxResultSize) at 1M rows × 2688 dims × 98 tasks.
     * Phase 1 runs the TakeOrdered over the id column alone (bytes per
-    * task); phase 2 fetches exactly those rows through an `isin` filter
-    * that pushes into the parquet scan.
+    * task); phase 2 fetches exactly those rows through a RANGE predicate:
+    * the sample is the n lowest ids, so membership ≡ `id <= max(ids)` —
+    * one comparison that prunes on parquet min/max row-group stats,
+    * where the `isin` form it replaces paid the analysis + codegen of a
+    * sampleN-literal In (measured 13.7 s first-call / 3.8 s steady at
+    * 500 string ids vs sub-second for the range form). Null ids are
+    * excluded up front: ascending order sorts nulls FIRST, so they could
+    * otherwise fill the phase-1 sample with rows no equality or range
+    * predicate can fetch back.
     */
   private[operators] def lowestIdRows(df: DataFrame, idCol: String,
       cols: Seq[org.apache.spark.sql.Column],
       sampleN: Int): Array[org.apache.spark.sql.Row] = {
-    val ids = df.select(col(idCol)).orderBy(col(idCol)).limit(sampleN)
+    val base = df.filter(col(idCol).isNotNull)
+    val ids = base.select(col(idCol)).orderBy(col(idCol)).limit(sampleN)
       .collect().map(_.get(0))
     if (ids.isEmpty) Array.empty
-    else df.filter(col(idCol).isin(ids.toIndexedSeq: _*))
+    else base.filter(col(idCol) <= lit(ids.last))
       .select(cols: _*)
       .orderBy(col(idCol)).limit(sampleN).collect()
   }

@@ -50,6 +50,19 @@ object ProfilePipeline {
       embeddingCol: Option[String], labelCol: Option[String],
       sampleN: Int, dir: java.nio.file.Path,
       idCol: Option[String] = None): Unit = {
+    // SPARK_GRAFT_PROFILE_DEBUG=1: per-step stderr timings (perf
+    // attribution of the bench's profile_pipeline entry)
+    val debug = sys.env.contains("SPARK_GRAFT_PROFILE_DEBUG")
+    def step[A](name: String)(f: => A): A = {
+      if (!debug) f
+      else {
+        val t0 = System.nanoTime()
+        val r = f
+        System.err.println(
+          f"[profile] $name: ${(System.nanoTime() - t0) / 1e9}%.2f s")
+        r
+      }
+    }
     val p = report.profile
     p.categorical.headOption.filter(_.top.nonEmpty).foreach { c =>
       Plots.barChart(c.top.map(_._1), c.top.map(_._2.toDouble),
@@ -101,12 +114,12 @@ object ProfilePipeline {
       // TakeOrdered breaks at scale); without one, limit() keeps the
       // cheap read-few-rows plan and the figures are best-effort sketches
       // of an arbitrary sample.
-      val raw = (idCol.filter(df.columns.contains) match {
+      val raw = step("sample_collect")((idCol.filter(df.columns.contains) match {
         case Some(id) => Embedding.lowestIdRows(
           df.filter(col(embCol).isNotNull), id, sel, sampleN)
         case None => df.select(sel: _*).filter(col(embCol).isNotNull)
           .limit(sampleN).collect()
-      }).filter(!_.isNullAt(0))
+      }).filter(!_.isNullAt(0)))
       // ragged-corpus guard (the reference tolerates malformed embeddings
       // via try/except): keep only vectors of the modal dimension so a
       // short or null-element vector can't abort the whole report
@@ -151,18 +164,18 @@ object ProfilePipeline {
         // 500×2688 the distance pass dominates each fit, so sharing it
         // halves the figures' driver-side cost vs independent tsneLocal +
         // umapLocal calls
-        val pca = Embedding.localPca2(x)
+        val pca = step("pca_fit")(Embedding.localPca2(x))
         Plots.scatter(pca.map(r => (r(0), r(1))).toIndexedSeq, classes,
           "PCA projection of embeddings", "PC1", "PC2",
           dir.resolve("pca_projection.png").toString)
-        val d2 = Embedding.pairwiseSquaredDistances(x)
-        val ts = Embedding.tsneFromD2(d2, pca, perplexity = 30.0,
-          iterations = 300)
+        val d2 = step("pairwise")(Embedding.pairwiseSquaredDistances(x))
+        val ts = step("tsne_fit")(Embedding.tsneFromD2(d2, pca,
+          perplexity = 30.0, iterations = 300))
         Plots.scatter(ts.map(r => (r(0), r(1))).toIndexedSeq, classes,
           "t-SNE projection of embeddings", "t-SNE 1", "t-SNE 2",
           dir.resolve("tsne_projection.png").toString)
-        val um = Embedding.umapFromD2(d2, pca, nNeighbors = 15, minDist = 0.1,
-          iterations = 200)
+        val um = step("umap_fit")(Embedding.umapFromD2(d2, pca,
+          nNeighbors = 15, minDist = 0.1, iterations = 200))
         Plots.scatter(um.map(r => (r(0), r(1))).toIndexedSeq, classes,
           "UMAP projection of embeddings", "UMAP 1", "UMAP 2",
           dir.resolve("umap_projection.png").toString)

@@ -44,6 +44,15 @@ object ProfileProbe {
           Seq("products" -> path), s"$base/reports",
           embeddingCol = Some("embedding"))
       }
+      // the bench entry's exact shape: label-colored projections over the
+      // deterministic lowest-id sample — adds the id scan + pushed fetch
+      // and the t-SNE/UMAP fits to the timing
+      t(s"pipeline_bench rep$rep") {
+        graft.operators.ProfilePipeline.run(spark,
+          Seq("products" -> path), s"$base/reports_bench",
+          embeddingCol = Some("embedding"),
+          labelCol = Some("main_category"), idCol = Some("parent_asin"))
+      }
     }
     graft.FsUtil.deleteRecursively(java.nio.file.Paths.get(base))
     spark.stop()
