@@ -208,6 +208,41 @@ class VectorSearchSpec extends SparkSpec {
       s"radii unchanged by outlier append: ${idx.radii.toSeq} vs ${r0.toSeq}")
   }
 
+  test("IVF manifest: load reopens the index with identical state and results") {
+    val dir = java.nio.file.Files.createTempDirectory("ivf_manifest").toString
+    val idx = VectorSearch.buildIvf(clustered, "embedding", 3, dir,
+      sampleFraction = 1.0, occupancyCols = Seq("true_cluster"))
+    // the manifest is invisible to the index's own parquet scans
+    assert(spark.read.parquet(dir).count() == 120L)
+    val loaded = VectorSearch.IvfIndex.load(spark, dir)
+    assert(loaded.centroids.length == idx.centroids.length)
+    assert(loaded.centroids.zip(idx.centroids).forall { case (a, b) =>
+      a.sameElements(b) })
+    assert(loaded.radii.toSeq == idx.radii.toSeq)
+    assert(loaded.rmsRadii.toSeq == idx.rmsRadii.toSeq)
+    assert(loaded.cellCounts.toSeq == idx.cellCounts.toSeq)
+    assert(loaded.baselineDist == idx.baselineDist)
+    assert(loaded.occupancyTable == idx.occupancyTable)
+    // search parity through the reopened handle, filtered + unfiltered
+    val q = Array.fill(8)(5.0f)
+    def ids(df: org.apache.spark.sql.DataFrame): Seq[Long] =
+      df.select("vec_id").collect().map(_.getLong(0)).toSeq
+    assert(ids(loaded.search(spark, q, 5, nprobe = 1)) ==
+      ids(idx.search(spark, q, 5, nprobe = 1)))
+    val pred = col("true_cluster") === 1
+    assert(ids(loaded.search(spark, q, 5, 1, Some(pred))) ==
+      ids(idx.search(spark, q, 5, 1, Some(pred))))
+    // append + saveManifest checkpoints the folded stats for the next load
+    idx.append(Seq((700L, 9, Array.fill(8)(5.0f)))
+      .toDF("vec_id", "true_cluster", "embedding"), "embedding")
+    idx.saveManifest(spark)
+    val re = VectorSearch.IvfIndex.load(spark, dir)
+    assert(re.occupancyTable == idx.occupancyTable)
+    assert(re.occupancyTable("true_cluster").keys.exists(_._2 == "9"))
+    assert(re.radii.toSeq == idx.radii.toSeq)
+    assert(re.cellCounts.toSeq == idx.cellCounts.toSeq)
+  }
+
   test("drift loop closes: shifted appends trip retrain, rebuild recovers recall") {
     val dir = java.nio.file.Files.createTempDirectory("ivf_loop").toString
     val idx = VectorSearch.buildIvf(clustered, "embedding", 3, dir,
