@@ -229,10 +229,10 @@ object VectorSearch {
       */
     private def matchCounts(spark: SparkSession, f: Column): Map[Int, Long] =
       occupancyCounts(f).getOrElse {
-        // Column.toString renders the node tree ("=(main_category, Books)")
-        // — stable across calls for the same predicate, so repeated
-        // searches with an equal filter hit the memo
-        val key = f.toString
+        // stable across calls for the same predicate (repeated searches
+        // hit the memo) and type-faithful (lit(1) vs lit("1") cannot
+        // alias one entry) — see Bridge.stableKey
+        val key = org.apache.spark.sql.graft.Bridge.stableKey(f)
         val cached = countCache.get(key)
         if (cached != null) cached
         else {

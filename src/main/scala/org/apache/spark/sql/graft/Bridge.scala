@@ -17,6 +17,23 @@ object Bridge {
 
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
 
+  /** A caching key for a predicate Column that is stable across calls
+    * AND type-faithful. `Column.toString` renders the node tree without
+    * literal types — `lit(1)` and `lit("1")` print identically — so the
+    * textual form alone could alias two different predicates under one
+    * cache entry; the appended literal class/type tags (collected in
+    * tree order) disambiguate. Converting to a Catalyst expression
+    * instead would embed `Origin` stack traces, which differ per call.
+    */
+  def stableKey(c: Column): String = {
+    import org.apache.spark.sql.internal.{Literal => NodeLit}
+    val litTags = c.node.collect { case l: NodeLit =>
+      val cls = if (l.value == null) "null" else l.value.getClass.getName
+      cls + ":" + l.dataType.map(_.sql).getOrElse("_")
+    }
+    c.toString + "#" + litTags.mkString(",")
+  }
+
   /** When `c` is an equality or IN between ONE unresolved attribute and
     * literal value(s) — the shapes `col(x) === v` and `col(x).isin(vs)`
     * build — returns (attribute name, literal values rendered as strings).
