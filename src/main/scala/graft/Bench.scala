@@ -663,16 +663,24 @@ object Bench {
     results("upsert_compaction_drain_cycles_value") = drainCycles.toDouble
 
     // Time travel + retention GC — the store's last untimed surfaces.
-    // readVersion on the OLDEST live version is the worst-case snapshot
-    // reconstruction (that manifest's full bucket set + its delta chain,
-    // merged); it must run BEFORE vacuum, which then collects every
-    // version directory the kept manifest no longer references. A final
-    // snapshot read pins that current readers are unaffected by the GC.
+    // readVersion targets a MID-STREAM version (a manifest with a live
+    // delta chain — the oldest is the init snapshot, whose `.count()`
+    // parquet answers from footers alone, measuring nothing) and forces
+    // the key column through the merge, so the entry times what
+    // reconstruction actually costs: listing + manifest resolution + the
+    // anti-join of base against the version's deltas. Must run BEFORE
+    // vacuum, which then collects every version directory the kept
+    // manifest no longer references; a final snapshot read pins that
+    // current readers are unaffected by the GC.
     val storeVersions = store.versions
     if (storeVersions.nonEmpty) {
       results("upsert_versions_value") = storeVersions.length.toDouble
+      val travelV = storeVersions(storeVersions.length / 2)
       timedMin("upsert_time_travel", reps = readReps) {
-        store.readVersion(spark, storeVersions.head).count()
+        // bit_xor, not sum: ANSI mode throws on long overflow, and a sum
+        // of 64-bit hashes overflows almost surely
+        store.readVersion(spark, travelV)
+          .agg(bit_xor(xxhash64(col("parent_asin")))).head()
       }
     }
     timed("upsert_vacuum") {
