@@ -45,6 +45,30 @@ class PlansSpec extends SparkSpec {
     assert(PlanAudit.audit(j).broadcasts >= 1)
   }
 
+  test("Bridge predicate decoding: equalityOrIn shapes and type-faithful keys") {
+    import org.apache.spark.sql.graft.Bridge
+    // the shapes the occupancy fast path recognizes
+    assert(Bridge.equalityOrIn(col("c") === "v") == Some(("c", Seq("v"))))
+    assert(Bridge.equalityOrIn(lit("v") === col("c")) == Some(("c", Seq("v"))))
+    assert(Bridge.equalityOrIn(col("c") === 7) == Some(("c", Seq("7"))))
+    assert(Bridge.equalityOrIn(col("c").isin("a", "b")) ==
+      Some(("c", Seq("a", "b"))))
+    // everything else falls through to the count-scan path
+    assert(Bridge.equalityOrIn(col("c") > 1).isEmpty)
+    assert(Bridge.equalityOrIn(col("c") === col("d")).isEmpty)
+    assert(Bridge.equalityOrIn(col("c") === "v" && col("d") === 1).isEmpty)
+    assert(Bridge.equalityOrIn(col("c").isin(col("d"))).isEmpty)
+    // stableKey: stable across calls (the memo requirement — the Catalyst
+    // expression form embeds per-call Origin stack traces), distinct
+    // across literal types even where a renderer might coalesce them
+    val a = Bridge.stableKey(col("x") === 1)
+    assert(a == Bridge.stableKey(col("x") === 1))
+    assert(a != Bridge.stableKey(col("x") === 1L))
+    assert(a != Bridge.stableKey(col("x") === "1"))
+    assert(Bridge.stableKey(col("x") === 1.5f) !=
+      Bridge.stableKey(col("x") === 1.5d))
+  }
+
   test("IVF probe prunes cluster partitions at the scan") {
     val e = Tables.embeddings(spark, dir)
     val path = java.nio.file.Files.createTempDirectory("ivf_audit").toString
