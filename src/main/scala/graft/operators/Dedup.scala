@@ -173,9 +173,12 @@ object Dedup {
     */
   def minhashSignatures(
       df: DataFrame, textCol: String, idCol: String,
-      k: Int = 3, numHashes: Int = 8): DataFrame =
+      k: Int = 3, numHashes: Int = AutoNumHashes): DataFrame =
     minhashFromShingles(
-      TextAnalysis.shingles(df, textCol, k, idCol), idCol, numHashes)
+      TextAnalysis.shingles(df, textCol, k, idCol), idCol,
+      // exact-verification default (8): signatures here only generate
+      // band candidates; no estimated-Jaccard verification rides on them
+      resolveNumHashes(numHashes, estimated = false))
 
   /** [[minhashSignatures]] from an already-materialized shingle frame
     * (`idCol`, s) — `min` is insensitive to duplicate shingles, so a
@@ -588,10 +591,14 @@ object Dedup {
     */
   def nearDuplicatePairs(
       df: DataFrame, textCol: String, idCol: String,
-      k: Int = 3, numHashes: Int = 8, rowsPerBand: Int = 2,
+      k: Int = 3, numHashes: Int = AutoNumHashes, rowsPerBand: Int = 2,
       threshold: Double = 0.7): DataFrame = {
     val (membership, repPairs) =
-      nearDupCore(df, textCol, idCol, k, numHashes, rowsPerBand, threshold)
+      nearDupCore(df, textCol, idCol, k,
+        // exact-Jaccard verification; the sentinel resolves to the
+        // exact-mode default (8) like every sibling entry point
+        resolveNumHashes(numHashes, estimated = false), rowsPerBand,
+        threshold)
     val m1 = membership.select(col("__rep").as("id1"), col(idCol).as("__m1"))
     val m2 = membership.select(col("__rep").as("id2"), col(idCol).as("__m2"))
     val cross = repPairs.join(m1, "id1").join(m2, "id2")

@@ -80,24 +80,47 @@ object VectorSearch {
     *
     * `radii` (max assigned distance) and `rmsRadii` (root-mean-square
     * assigned distance) come from the build/train sample; `cellCounts`
-    * are that sample's per-cell sizes, kept so [[append]] can fold new
-    * batches into the RMS exactly. `occupancy` maps each registered
-    * categorical column to its per-(cluster, value) row counts over the
-    * FULL index — the driver-side source for [[probePlan]]'s filtered
-    * match counts ([[buildIvf]]'s `occupancyCols`; [[append]] keeps it
-    * current).
+    * are ESTIMATED FULL per-cell sizes (the train sample's counts scaled
+    * by 1/sampleFraction), kept so [[append]]'s count-weighted RMS merge
+    * weighs build and batch contributions on the same scale — folding a
+    * full-count batch against raw sample counts would over-weight the
+    * batch by ~1/sampleFraction and drift the routing radii toward
+    * append statistics. `occupancy` maps each registered categorical
+    * column to its per-(cluster, value) row counts over the FULL index —
+    * the driver-side source for [[probePlan]]'s filtered match counts
+    * ([[buildIvf]]'s `occupancyCols`; [[append]] keeps it current);
+    * `occupancyTypes` records each registered column's Spark type
+    * (catalog string) so the lookup can refuse literals whose JVM type
+    * would render differently than the column's cast-to-string values.
     */
   final case class IvfIndex(path: String, centroids: Array[Array[Float]],
       baselineDist: Double = Double.NaN,
       radii: Array[Double] = Array.empty,
       rmsRadii: Array[Double] = Array.empty,
       cellCounts: Array[Long] = Array.empty,
-      occupancy: Map[String, Map[(Int, String), Long]] = Map.empty) {
+      occupancy: Map[String, Map[(Int, String), Long]] = Map.empty,
+      occupancyTypes: Map[String, String] = Map.empty) {
 
     // occupancy evolves with append(); the ctor param is the build-time
     // snapshot, reads go through occupancyTable
     @volatile private var occupancyNow: Map[String, Map[(Int, String), Long]] =
       occupancy
+
+    /** Manifest checkpoint cadence: every `manifestCheckpointEvery`-th
+      * [[append]] persists the folded driver-side statistics
+      * ([[saveManifest]]) automatically, so a process that appends and
+      * dies cannot leave [[IvfIndex.load]] with routing stats that
+      * predate its batches (the data files land durably on every append;
+      * only the stats evolve in memory — stale stats degrade recall
+      * quietly at small nprobe, which is exactly the failure a durable
+      * artifact must not have). Default 1 = checkpoint every append; the
+      * manifest is ≪ any real batch (centroids + counts, ~10 MB at 1000
+      * cells), so the write rides in the append's shadow. Raise it for
+      * high-frequency small appends at very large cell counts, or set
+      * ≤ 0 to manage [[saveManifest]] manually (the pre-r8 contract).
+      */
+    @volatile var manifestCheckpointEvery: Int = 1
+    @transient private var appendsSinceCheckpoint: Int = 0
 
     /** Current per-(cluster, value) occupancy per registered column —
       * build-time table plus every batch folded in by [[append]].
@@ -228,7 +251,13 @@ object VectorSearch {
       *     predicate's columns only, never the vectors).
       */
     private def matchCounts(spark: SparkSession, f: Column): Map[Int, Long] =
-      occupancyCounts(f).getOrElse {
+      // zero-total backstop: a lookup that finds NO matching rows falls
+      // through to the count scan rather than being trusted — if the
+      // table and the filter genuinely disagree (a literal rendering the
+      // type gate didn't anticipate), the scan is the ground truth, and a
+      // genuinely-zero-match filter pays one memoized empty count job
+      // instead of silently returning zero search results
+      occupancyCounts(f).filter(_.valuesIterator.sum > 0L).getOrElse {
         // stable across calls for the same predicate (repeated searches
         // hit the memo) and type-faithful (lit(1) vs lit("1") cannot
         // alias one entry) — see Bridge.stableKey
@@ -246,22 +275,38 @@ object VectorSearch {
 
     /** Driver-side match counts from the occupancy table, when the filter
       * is `col === literal` or `col.isin(literals...)` over a registered
-      * occupancy column. None otherwise (conjunctions with numeric ranges
-      * CANNOT use the categorical table — occupancy would only bound the
-      * true match count from above, and the ≥ k widening needs true
-      * counts).
+      * occupancy column AND every literal's JVM type is faithful to the
+      * column's Spark type. None otherwise (conjunctions with numeric
+      * ranges CANNOT use the categorical table — occupancy would only
+      * bound the true match count from above, and the ≥ k widening needs
+      * true counts).
+      *
+      * The type gate exists because the table keys are the column's
+      * cast-to-string renders while a literal renders via JVM toString:
+      * same-type comparisons agree exactly with Spark's filter semantics
+      * (string vs string, integral vs integral), but a CROSS-type
+      * comparison can diverge both ways — `col(intCol) === 1.0` renders
+      * "1.0" against table key "1" (filter matches, lookup finds
+      * nothing), and `col(strCol) === 1` coerces "01" rows into the
+      * match set that a "1" lookup doesn't count. Mismatched literals
+      * take the count-scan path, whose semantics ARE the filter's.
       */
     private def occupancyCounts(f: Column): Option[Map[Int, Long]] =
       // `===` / `isin` shapes only, decoded pre-analysis (Bridge — Spark
-      // 4's node classes are private[sql]); literal values compare in
-      // string form, matching how the table was built
-      org.apache.spark.sql.graft.Bridge.equalityOrIn(f).flatMap {
+      // 4's node classes are private[sql])
+      org.apache.spark.sql.graft.Bridge.equalityOrInTyped(f).flatMap {
         case (name, values) =>
-          occupancyNow.get(name).map { m =>
-            val vs = values.toSet
-            m.iterator.collect { case ((c, v), n) if vs(v) => (c, n) }
-              .toSeq.groupMapReduce(_._1)(_._2)(_ + _)
-          }
+          // unknown column type (pre-type-tracking manifest): assume the
+          // registered column is a categorical string — the build shapes
+          // that existed before types were recorded
+          val colType = occupancyTypes.getOrElse(name, "string")
+          occupancyNow.get(name)
+            .filter(_ => values.forall(literalTypeFaithful(colType, _)))
+            .map { m =>
+              val vs = values.map(_.toString).toSet
+              m.iterator.collect { case ((c, v), n) if vs(v) => (c, n) }
+                .toSeq.groupMapReduce(_._1)(_._2)(_ + _)
+            }
       }
 
     /** Per-query effective probe sets. Unfiltered: the `nprobe` best cells
@@ -453,6 +498,14 @@ object VectorSearch {
       } finally assigned.unpersist(blocking = false)
       dfCache.clear() // cached relations pin the old file list
       countCache.clear() // memoized counts predate the appended rows
+      // durable-by-default: checkpoint the folded stats on cadence so a
+      // crashed appender can't strand load() behind its batches
+      appendsSinceCheckpoint += 1
+      if (manifestCheckpointEvery > 0 &&
+          appendsSinceCheckpoint >= manifestCheckpointEvery) {
+        saveManifest(updates.sparkSession)
+        appendsSinceCheckpoint = 0
+      }
     }
 
     /** Persist the index's driver-side state — centroids, both radius
@@ -462,9 +515,11 @@ object VectorSearch {
       * (Hadoop's hidden-file filter skips `_`/`.` paths), and everything
       * is written through Spark, so the manifest lands on whatever
       * filesystem the index lives on. [[buildIvf]] calls this at build
-      * time; call it again at maintenance points after [[append]]s to
-      * checkpoint the folded statistics — the data files are already on
-      * disk, only the stats evolve in memory. [[IvfIndex.load]] then
+      * time and [[append]] re-checkpoints on its own cadence
+      * ([[manifestCheckpointEvery]], default every append) — the data
+      * files are already on disk, only the stats evolve in memory; an
+      * explicit call remains the manual checkpoint for callers that
+      * disabled the cadence. [[IvfIndex.load]] then
       * reopens the index in a FRESH process without retraining or
       * rescanning anything — the cross-process serving path that makes
       * the index a durable artifact rather than one session's object.
@@ -496,9 +551,13 @@ object VectorSearch {
         StructField("col", StringType, nullable = false),
         StructField("cluster", IntegerType, nullable = false),
         StructField("value", StringType, nullable = false),
-        StructField("n", LongType, nullable = false)))
+        StructField("n", LongType, nullable = false),
+        // the registered column's Spark type rides on every row (tiny
+        // table): load() needs it to re-arm the literal-type gate
+        StructField("coltype", StringType, nullable = false)))
       val occRows = occupancyNow.toSeq.flatMap { case (oc, t) =>
-        t.toSeq.map { case ((c, v), n) => Row(oc, c, v, n) }
+        val ct = occupancyTypes.getOrElse(oc, "string")
+        t.toSeq.map { case ((c, v), n) => Row(oc, c, v, n, ct) }
       }
       spark.createDataFrame(
           spark.sparkContext.parallelize(occRows, 1), occSchema)
@@ -581,17 +640,43 @@ object VectorSearch {
         rms(c) = r.getAs[Double]("rms")
         ns(c) = r.getAs[Long]("n")
       }
-      val occ = spark.read.parquet(s"$dir/occupancy").collect()
-        .groupBy(_.getAs[String]("col"))
-        .map { case (oc, rows) =>
-          oc -> rows.map(r => (r.getAs[Int]("cluster"),
-            r.getAs[String]("value")) -> r.getAs[Long]("n")).toMap
-        }
+      val occDf = spark.read.parquet(s"$dir/occupancy")
+      val hasTypes = occDf.columns.contains("coltype")
+      val occRows = occDf.collect().groupBy(_.getAs[String]("col"))
+      val occ = occRows.map { case (oc, rows) =>
+        oc -> rows.map(r => (r.getAs[Int]("cluster"),
+          r.getAs[String]("value")) -> r.getAs[Long]("n")).toMap
+      }
+      // pre-type-tracking manifests default to "string" — the lookup's
+      // gate then admits string literals only, which matches the build
+      // shapes that predate type recording
+      val occTypes = occRows.map { case (oc, rows) =>
+        oc -> (if (hasTypes) rows.head.getAs[String]("coltype") else "string")
+      }
       val meta = spark.read.parquet(s"$dir/meta").head()
       val baseline = if (meta.isNullAt(0)) Double.NaN else meta.getDouble(0)
-      IvfIndex(path, cents, baseline, radii, rms, ns, occ)
+      IvfIndex(path, cents, baseline, radii, rms, ns, occ, occTypes)
     }
   }
+
+  /** True when a literal of `v`'s JVM type renders (toString) identically
+    * to how a matching value of Spark type `colType` (catalog string)
+    * renders under cast-to-string, AND Spark's coerced equality over the
+    * pair is plain same-domain equality — the condition under which the
+    * occupancy table's string-keyed lookup agrees exactly with the filter
+    * Spark would run. Everything else (float/double/decimal literals,
+    * cross-domain pairs like an int literal on a string column) is
+    * rejected; those predicates take the count-scan path.
+    */
+  private[graft] def literalTypeFaithful(colType: String, v: Any): Boolean =
+    v match {
+      case _: String => colType == "string"
+      case _: Int | _: Long | _: Short | _: Byte =>
+        colType == "int" || colType == "bigint" ||
+          colType == "smallint" || colType == "tinyint"
+      case _: Boolean => colType == "boolean"
+      case _ => false
+    }
 
   private def dotLocal(a: Array[Float], b: Array[Float]): Double = {
     var acc = 0.0; var i = 0
@@ -723,11 +808,20 @@ object VectorSearch {
     val radii = new Array[Double](centroids.length)
     val rmsRadii = new Array[Double](centroids.length)
     val cellN = new Array[Long](centroids.length)
+    // cell counts are stored as ESTIMATED FULL counts (sample count /
+    // fraction): append() merges full-count batches into the RMS with
+    // these as weights, and raw sample counts would under-weight the
+    // build side by ~1/fraction (the batch's statistics would dominate
+    // the folded radii on sampled builds)
+    val countScale = if (fraction >= 1.0) 1.0 else 1.0 / fraction
     stats.foreach { r =>
       val c = r.getInt(0)
+      val sampleN = r.getLong(1)
       radii(c) = math.sqrt(r.getDouble(3))
-      cellN(c) = r.getLong(1)
-      if (cellN(c) > 0) rmsRadii(c) = math.sqrt(r.getDouble(2) / cellN(c))
+      if (sampleN > 0) {
+        rmsRadii(c) = math.sqrt(r.getDouble(2) / sampleN)
+        cellN(c) = math.max(1L, math.round(sampleN * countScale))
+      }
     }
     // Per-(cluster, value) occupancy for the registered categorical
     // columns, counted over the FULL written index — the filtered probe
@@ -749,7 +843,14 @@ object VectorSearch {
           .toMap
       }
     }.toMap
-    val idx = IvfIndex(path, centroids, baseline, radii, rmsRadii, cellN, occ)
+    // record each registered column's Spark type so the occupancy lookup
+    // can gate on literal-type faithfulness (see occupancyCounts)
+    val occTypes = occupancyCols.flatMap { oc =>
+      written.filter(_.columns.contains(oc))
+        .map(w => oc -> w.schema(oc).dataType.catalogString)
+    }.toMap
+    val idx = IvfIndex(path, centroids, baseline, radii, rmsRadii, cellN,
+      occ, occTypes)
     // the index is a durable artifact, not a session object: persist the
     // driver-side state so IvfIndex.load reopens it in a fresh process
     // (manifest ≪ data files — see saveManifest scaladoc)

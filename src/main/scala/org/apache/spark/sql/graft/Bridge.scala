@@ -43,25 +43,38 @@ object Bridge {
     * the IVF occupancy fast path (probe planning from a driver-side
     * categorical count table).
     */
-  def equalityOrIn(c: Column): Option[(String, Seq[String])] = {
+  def equalityOrIn(c: Column): Option[(String, Seq[String])] =
+    equalityOrInTyped(c).map { case (n, vs) => (n, vs.map(_.toString)) }
+
+  /** [[equalityOrIn]], but the literal values come back with their JVM
+    * types intact (never null). Callers that compare the rendered value
+    * against stored data — the IVF occupancy fast path — must gate on the
+    * literal's type matching the stored column's: `toString` rendering is
+    * type-blind (`lit(1)`, `lit(1L)` and `lit("1")` all render "1", and
+    * `lit(1.0)` renders "1.0" while an int column's cast-to-string of the
+    * SAME matching rows renders "1"), whereas Spark's own filter applies
+    * type-coerced equality — so a cross-type lookup can silently disagree
+    * with the filter the plan actually runs.
+    */
+  def equalityOrInTyped(c: Column): Option[(String, Seq[Any])] = {
     import org.apache.spark.sql.internal.{ColumnNode, Literal, UnresolvedAttribute, UnresolvedFunction}
     def attrName(n: ColumnNode): Option[String] = n match {
       case a: UnresolvedAttribute => Some(a.nameParts.mkString("."))
       case _ => None
     }
-    def litStr(n: ColumnNode): Option[String] = n match {
-      case l: Literal if l.value != null => Some(l.value.toString)
+    def litVal(n: ColumnNode): Option[Any] = n match {
+      case l: Literal if l.value != null => Some(l.value)
       case _ => None
     }
     c.node match {
       case fn: UnresolvedFunction
           if fn.functionName == "=" && fn.arguments.length == 2 =>
         val Seq(x, y) = fn.arguments
-        (for { n <- attrName(x); v <- litStr(y) } yield (n, Seq(v)))
-          .orElse(for { n <- attrName(y); v <- litStr(x) } yield (n, Seq(v)))
+        (for { n <- attrName(x); v <- litVal(y) } yield (n, Seq(v)))
+          .orElse(for { n <- attrName(y); v <- litVal(x) } yield (n, Seq(v)))
       case fn: UnresolvedFunction
           if fn.functionName == "in" && fn.arguments.length >= 2 =>
-        val vals = fn.arguments.tail.map(litStr)
+        val vals = fn.arguments.tail.map(litVal)
         attrName(fn.arguments.head)
           .filter(_ => vals.forall(_.isDefined))
           .map(n => (n, vals.flatten.toSeq))

@@ -67,6 +67,23 @@ class PlansSpec extends SparkSpec {
     assert(a != Bridge.stableKey(col("x") === "1"))
     assert(Bridge.stableKey(col("x") === 1.5f) !=
       Bridge.stableKey(col("x") === 1.5d))
+    // typed variant keeps the JVM types the occupancy gate needs
+    assert(Bridge.equalityOrInTyped(col("c") === 7) == Some(("c", Seq(7))))
+    assert(Bridge.equalityOrInTyped(col("c") === 7.0) ==
+      Some(("c", Seq(7.0))))
+    assert(Bridge.equalityOrInTyped(col("c").isin(1, 2L)) ==
+      Some(("c", Seq(1, 2L))))
+    // the gate itself: same-domain pairs pass, cross-domain and
+    // fractional literals take the scan path
+    import graft.operators.VectorSearch.literalTypeFaithful
+    assert(literalTypeFaithful("string", "v"))
+    assert(literalTypeFaithful("int", 7) && literalTypeFaithful("bigint", 7))
+    assert(literalTypeFaithful("int", 7L))
+    assert(literalTypeFaithful("boolean", true))
+    assert(!literalTypeFaithful("int", 7.0))
+    assert(!literalTypeFaithful("int", "7"))
+    assert(!literalTypeFaithful("string", 7))
+    assert(!literalTypeFaithful("double", 7.0)) // "7.0" vs "7.000001"-class renders: scan path
   }
 
   test("IVF probe prunes cluster partitions at the scan") {

@@ -162,8 +162,32 @@ class VectorSearchSpec extends SparkSpec {
     // does not exist can still plan (any scan attempt would throw)
     val offline = VectorSearch.IvfIndex("/no/such/ivf/path", idx.centroids,
       Double.NaN, idx.radii, idx.rmsRadii, idx.cellCounts,
-      idx.occupancyTable)
+      idx.occupancyTable, idx.occupancyTypes)
     assert(offline.probePlan(spark, Seq(q), 5, 1, Some(pred), true) == plan)
+    // type gate: a DOUBLE literal on the registered INT column renders
+    // "1.0" against table keys like "1" — Spark's filter would match
+    // rows the lookup can't count, so the fast path must refuse it and
+    // take the scan (the offline handle proves it by throwing)
+    intercept[Exception] {
+      offline.probePlan(spark, Seq(q), 5, 1,
+        Some(col("true_cluster") === 1.0), true)
+    }
+    // ...while the online handle answers it correctly through the scan
+    assert(idx.probePlan(spark, Seq(q), 5, 1,
+      Some(col("true_cluster") === 1.0), true) == plan)
+    // zero-total backstop: a value absent from the table falls through to
+    // the (ground-truth) count scan instead of trusting an empty lookup —
+    // offline that means a throw, not a silent zero-cell plan
+    intercept[Exception] {
+      offline.probePlan(spark, Seq(q), 5, 1,
+        Some(col("true_cluster") === 99), true)
+    }
+    // string literal on the int column: cross-domain, gate refuses (the
+    // filter would coerce; "01"-style renders can disagree both ways)
+    intercept[Exception] {
+      offline.probePlan(spark, Seq(q), 5, 1,
+        Some(col("true_cluster") === "1"), true)
+    }
     // a conjunction with a numeric range must NOT use the table (it would
     // over-count) — it takes the scan path, which the memo then caches
     val mixed = pred && col("vec_id") < 3
@@ -223,6 +247,10 @@ class VectorSearchSpec extends SparkSpec {
     assert(loaded.cellCounts.toSeq == idx.cellCounts.toSeq)
     assert(loaded.baselineDist == idx.baselineDist)
     assert(loaded.occupancyTable == idx.occupancyTable)
+    // the literal-type gate survives the round trip (an int-typed
+    // registered column must not come back string-typed, which would
+    // silently push its filters onto the scan path)
+    assert(loaded.occupancyTypes == Map("true_cluster" -> "int"))
     // search parity through the reopened handle, filtered + unfiltered
     val q = Array.fill(8)(5.0f)
     def ids(df: org.apache.spark.sql.DataFrame): Seq[Long] =
@@ -232,15 +260,28 @@ class VectorSearchSpec extends SparkSpec {
     val pred = col("true_cluster") === 1
     assert(ids(loaded.search(spark, q, 5, 1, Some(pred))) ==
       ids(idx.search(spark, q, 5, 1, Some(pred))))
-    // append + saveManifest checkpoints the folded stats for the next load
+    // append auto-checkpoints the folded stats (manifestCheckpointEvery
+    // default 1) — the crashed-appender round trip: NO explicit
+    // saveManifest, a fresh load must still see the batch's stats
     idx.append(Seq((700L, 9, Array.fill(8)(5.0f)))
       .toDF("vec_id", "true_cluster", "embedding"), "embedding")
-    idx.saveManifest(spark)
     val re = VectorSearch.IvfIndex.load(spark, dir)
     assert(re.occupancyTable == idx.occupancyTable)
     assert(re.occupancyTable("true_cluster").keys.exists(_._2 == "9"))
     assert(re.radii.toSeq == idx.radii.toSeq)
     assert(re.cellCounts.toSeq == idx.cellCounts.toSeq)
+    // cadence N: the (N-1) appends between checkpoints are the accepted
+    // staleness window, the N-th append flushes
+    idx.manifestCheckpointEvery = 2
+    idx.append(Seq((701L, 11, Array.fill(8)(5.0f)))
+      .toDF("vec_id", "true_cluster", "embedding"), "embedding")
+    assert(!VectorSearch.IvfIndex.load(spark, dir)
+      .occupancyTable("true_cluster").keys.exists(_._2 == "11"))
+    idx.append(Seq((702L, 12, Array.fill(8)(5.0f)))
+      .toDF("vec_id", "true_cluster", "embedding"), "embedding")
+    val re2 = VectorSearch.IvfIndex.load(spark, dir)
+    assert(re2.occupancyTable("true_cluster").keys.exists(_._2 == "11"))
+    assert(re2.occupancyTable("true_cluster").keys.exists(_._2 == "12"))
   }
 
   test("drift loop closes: shifted appends trip retrain, rebuild recovers recall") {
