@@ -168,37 +168,158 @@ object VectorSearch {
       * degrades to raw-dot ordering.
       */
     def nearestClusters(query: Array[Float], nprobe: Int): Seq[Int] = {
-      val qNorm = math.sqrt(dotLocal(query, query))
-      val rr = routingRadii
       val k = centroids.length
-      // primitive score pass + bounded heap selection (O(k log nprobe)):
-      // at the 65536-cell cap the tuple-boxed sortBy formulation measured
-      // 192 ms/query (RouteBench) with the dot products themselves ~60 ms
-      // — the selection must not dominate the arithmetic
-      val scores = new Array[Double](k)
-      var i = 0
-      while (i < k) {
-        val r = if (i < rr.length) rr(i) else 0.0
-        scores(i) = dotLocal(centroids(i), query) + r * qNorm
-        i += 1
-      }
       val n = math.min(nprobe, k)
       if (n <= 0) return Seq.empty
-      // min-heap of the n best; ties keep the LOWER cluster id first in
-      // the final order (matching the stable descending sort this replaces,
-      // so probe order stays deterministic)
+      val qNorm = math.sqrt(dotLocal(query, query))
+      val rr = routingRadii
+      coarseRouter match {
+        case Some(cr) => routeTwoLevel(cr, query, qNorm, rr, n)
+        case None =>
+          // flat path: primitive score pass + bounded heap selection
+          // (O(k log nprobe)) — at the 65536-cell cap the tuple-boxed
+          // sortBy formulation measured 192 ms/query (RouteBench) with
+          // the dot products themselves ~60 ms; the selection must not
+          // dominate the arithmetic
+          val ids = new Array[Int](k)
+          val scores = new Array[Double](k)
+          var i = 0
+          while (i < k) {
+            val r = if (i < rr.length) rr(i) else 0.0
+            ids(i) = i
+            scores(i) = dotLocal(centroids(i), query) + r * qNorm
+            i += 1
+          }
+          selectTopIds(ids, scores, n)
+      }
+    }
+
+    /** Two-level routing (large cell counts): walk the ~√k coarse groups
+      * in PLAIN centroid-dot order (`q·c_g`), exact-score each expanded
+      * group's members with the fine routing bound, and STOP as soon as
+      * no unexpanded group can still contribute: the walk keeps a
+      * suffix-max of the admissible group bounds (for any fine cell f in
+      * group g, q·c_f + r_f·|q| ≤ q·c_g + |q|·(|c_f − c_g| + r_f) ≤
+      * q·c_g + R_g·|q|), and once the selection heap is full, every
+      * candidate count is past the floor (max(4n, 2√k)) and the best
+      * remaining bound is strictly below the running n-th-best fine
+      * score, the result is provably the flat ranking's — ties included,
+      * because a tied bound keeps the walk alive. A candidate cap
+      * (max(16n, 8√k)) keeps the worst-case geometry (groups merging
+      * unrelated hubs, whose deliberately-loose bounds would otherwise
+      * force a near-full expansion) at ~3% of the table.
+      *
+      * Two deliberate choices, both echoes of the fine level's RMS
+      * lesson (extent must not rule ORDER):
+      *   - groups are walked by plain dot, NOT by their bound — a group
+      *     that merges two distant hubs has an enormous radius, and
+      *     bound-ordering ranks exactly those junk groups first
+      *     (measured on the 64-hub spec fixture: overlap 0.10 vs the
+      *     flat ranking at nprobe 4);
+      *   - the bound is used only where admissibility helps: as the
+      *     termination certificate.
+      *
+      * Per-query arithmetic drops from k·d (176M mul-adds at the
+      * 65536-cell cap — 178 ms measured flat) to (√k + expanded)·d with
+      * `expanded` between the floor and the cap (~1.5–6M — RouteBench
+      * pins the row). A FULL ranking request (n = k, the filtered probe
+      * plan's path) has floor ≥ k, expands every group, and returns the
+      * flat order exactly.
+      */
+    private def routeTwoLevel(cr: CoarseRouter, query: Array[Float],
+        qNorm: Double, rr: Array[Double], n: Int): Seq[Int] = {
+      val m = cr.cents.length
+      val dots = new Array[Double](m)
+      var g = 0
+      while (g < m) {
+        dots(g) =
+          if (cr.members(g).isEmpty) Double.NegativeInfinity
+          else dotLocal(cr.cents(g), query)
+        g += 1
+      }
+      val order = Array.range(0, m).sortBy(i => -dots(i))
+      // suffix-max of admissible group bounds in walk order: the
+      // termination certificate "nothing past position i can beat s"
+      val suffix = new Array[Double](m + 1)
+      suffix(m) = Double.NegativeInfinity
+      var i = m - 1
+      while (i >= 0) {
+        val gi = order(i)
+        val b =
+          if (dots(gi) == Double.NegativeInfinity) Double.NegativeInfinity
+          else dots(gi) + cr.bounds(gi) * qNorm
+        suffix(i) = math.max(b, suffix(i + 1))
+        i -= 1
+      }
+      val floor = math.max(4 * n, 2 * m)
+      val cap = math.max(16 * n, 4 * m)
+      // incremental selection: same (score desc, id asc) policy as
+      // selectTopIds, maintained during the walk so the running n-th
+      // best drives termination
+      val candIds = new scala.collection.mutable.ArrayBuffer[Int]()
+      val candScores = new scala.collection.mutable.ArrayBuffer[Double]()
+      val heap = new java.util.PriorityQueue[Integer](n,
+        (a: Integer, b: Integer) => {
+          val c = java.lang.Double.compare(candScores(a), candScores(b))
+          if (c != 0) c else Integer.compare(candIds(b), candIds(a))
+        })
+      var cnt = 0
+      var w = 0
+      var done = false
+      while (w < m && !done && dots(order(w)) > Double.NegativeInfinity) {
+        val ms = cr.members(order(w))
+        var j = 0
+        while (j < ms.length) {
+          val f = ms(j)
+          val r = if (f < rr.length) rr(f) else 0.0
+          val s = dotLocal(centroids(f), query) + r * qNorm
+          val p = candIds.length
+          candIds += f
+          candScores += s
+          if (heap.size < n) heap.add(p)
+          else {
+            val worst = heap.peek()
+            if (s > candScores(worst) ||
+                (s == candScores(worst) && f < candIds(worst))) {
+              heap.poll(); heap.add(p)
+            }
+          }
+          j += 1
+        }
+        cnt += ms.length
+        w += 1
+        if (heap.size == n && cnt >= floor &&
+            (suffix(w) < candScores(heap.peek()) || cnt >= cap))
+          done = true
+      }
+      val out = new Array[Int](heap.size)
+      var p = heap.size - 1
+      while (p >= 0) { out(p) = candIds(heap.poll()); p -= 1 }
+      scala.collection.immutable.ArraySeq.unsafeWrapArray(out)
+    }
+
+    /** Heap-select the `n` best of (ids, scores) pairs, highest score
+      * first; ties keep the LOWER cluster id first (matching the stable
+      * descending sort this replaces, so probe order stays deterministic
+      * across the flat and two-level paths).
+      */
+    private def selectTopIds(ids: Array[Int], scores: Array[Double],
+        n0: Int): Seq[Int] = {
+      val n = math.min(n0, ids.length)
+      if (n <= 0) return Seq.empty
+      // min-heap of positions into (ids, scores)
       val heap = new java.util.PriorityQueue[Integer](n,
         (a: Integer, b: Integer) => {
           val c = java.lang.Double.compare(scores(a), scores(b))
-          if (c != 0) c else Integer.compare(b, a)
+          if (c != 0) c else Integer.compare(ids(b), ids(a))
         })
       var j = 0
-      while (j < k) {
+      while (j < ids.length) {
         if (heap.size < n) heap.add(j)
         else {
           val worst = heap.peek()
           if (scores(j) > scores(worst) ||
-              (scores(j) == scores(worst) && j < worst)) {
+              (scores(j) == scores(worst) && ids(j) < ids(worst))) {
             heap.poll(); heap.add(j)
           }
         }
@@ -206,9 +327,25 @@ object VectorSearch {
       }
       val out = new Array[Int](heap.size)
       var p = heap.size - 1
-      while (p >= 0) { out(p) = heap.poll(); p -= 1 }
+      while (p >= 0) { out(p) = ids(heap.poll()); p -= 1 }
       scala.collection.immutable.ArraySeq.unsafeWrapArray(out)
     }
+
+    /** Cells below this count route flat; at or above it, the first
+      * routing call builds the coarse router (a one-time ~2·k·√k·d
+      * parallel pass over the CENTROID table — no data-file IO). 4096
+      * default: below it the flat pass is ≤ ~11 ms/query (RouteBench
+      * interpolation) and a router saves nothing; above it the flat cost
+      * grows linearly to the 178 ms/query cap while two-level stays
+      * ~flat. Set before the first search; specs force 0 to exercise the
+      * two-level path on small indexes.
+      */
+    @volatile private[graft] var twoLevelMinCells: Int = 4096
+
+    @transient private lazy val coarseRouter: Option[CoarseRouter] =
+      if (centroids.length >= math.max(twoLevelMinCells, 2))
+        Some(CoarseRouter.build(centroids, routingRadii))
+      else None
 
     // One relation per session, reused across searches: a fresh
     // `spark.read.parquet` re-lists the whole index directory tree
@@ -612,6 +749,113 @@ object VectorSearch {
     def needsRetrain(spark: SparkSession, threshold: Double = 1.5,
         sampleFraction: Double = 0.1): Boolean =
       driftRatio(spark, sampleFraction) >= threshold
+  }
+
+  /** Two-level routing state: ~√k coarse cells over the FINE centroid
+    * table (not the data!). `cents(g)` is the coarse centroid, `members(g)`
+    * the fine cluster ids assigned to it, `bounds(g)` =
+    * max over members f of (|c_f − c_g| + r_f) — the radius that makes
+    * `q·c_g + bounds(g)·|q|` an upper bound on every member's fine
+    * routing score (see routeTwoLevel).
+    */
+  private final class CoarseRouter(
+      val cents: Array[Array[Float]],
+      val members: Array[Array[Int]],
+      val bounds: Array[Double])
+
+  private object CoarseRouter {
+    /** Cluster the fine centroids into m = ⌈√k⌉ coarse cells: seed with
+      * evenly-spaced fine centroids (deterministic — no RNG), one Lloyd
+      * refinement (assign → means → re-assign), then member lists and
+      * routing bounds. Cost: ~2 assignment passes of k·m·d mul-adds,
+      * parallelized across cores (at the 65536-cell cap × 2688 dims
+      * that's 2×45 GFLOP ≈ a few seconds ONCE per index handle — repaid
+      * within ~30 routed queries vs the flat path). Driver-only; no
+      * Spark jobs, no data-file reads.
+      */
+    def build(centroids: Array[Array[Float]],
+        radii: Array[Double]): CoarseRouter = {
+      val k = centroids.length
+      val m = math.max(1, math.ceil(math.sqrt(k.toDouble)).toInt)
+      def sqDist(a: Array[Float], b: Array[Float]): Double = {
+        var acc = 0.0; var i = 0
+        while (i < a.length) {
+          val d = a(i).toDouble - b(i); acc += d * d; i += 1
+        }
+        acc
+      }
+      def assign(coarse: Array[Array[Float]]): Array[Int] = {
+        val out = new Array[Int](k)
+        java.util.stream.IntStream.range(0, k).parallel().forEach { f =>
+          var best = 0; var bestD = Double.MaxValue
+          var g = 0
+          while (g < coarse.length) {
+            val d = sqDist(centroids(f), coarse(g))
+            if (d < bestD) { bestD = d; best = g }
+            g += 1
+          }
+          out(f) = best
+        }
+        out
+      }
+      def means(asg: Array[Int], coarse: Array[Array[Float]]): Array[Array[Float]] = {
+        val dims = centroids.headOption.map(_.length).getOrElse(0)
+        val sums = Array.fill(m)(new Array[Double](dims))
+        val ns = new Array[Int](m)
+        var f = 0
+        while (f < k) {
+          val g = asg(f); val c = centroids(f); val s = sums(g)
+          var i = 0
+          while (i < dims) { s(i) += c(i); i += 1 }
+          ns(g) += 1
+          f += 1
+        }
+        Array.tabulate(m) { g =>
+          if (ns(g) == 0) coarse(g) // keep the seed; cell stays empty
+          else {
+            val s = sums(g)
+            Array.tabulate(s.length)(i => (s(i) / ns(g)).toFloat)
+          }
+        }
+      }
+      // one seed per contiguous id block, jittered to a prime-spread
+      // offset WITHIN its block (collision-free, deterministic): plain
+      // evenly-spaced picks alias with any periodic structure in the
+      // centroid id order — a stride that lands ≡ 0 mod the period puts
+      // every seed in the same region and one Lloyd pass cannot recover
+      // (measured: selection overlap 0.41 vs 0.97 on the interleaved
+      // RouteBench fixture)
+      val seed = Array.tabulate(m) { g =>
+        val lo = (g.toLong * k / m).toInt
+        val hi = ((g + 1).toLong * k / m).toInt
+        val len = math.max(1, hi - lo)
+        centroids(lo + ((g.toLong * 7919L) % len).toInt)
+      }
+      // three Lloyd rounds: round one mostly recovers from any seed
+      // clumping, the next two settle group means so plain-dot group
+      // ordering tracks the table's actual cluster structure (one round
+      // left the forced-small-k RouteBench row at overlap 0.63; three
+      // rounds cost ~3·k·√k·d parallel mul-adds — ~12 s ONCE at the
+      // 65536-cell cap, amortized over every routed query)
+      var refined = seed
+      var it = 0
+      while (it < 3) { refined = means(assign(refined), refined); it += 1 }
+      val asg = assign(refined)
+      val memberBuf = Array.fill(m)(new scala.collection.mutable.ArrayBuffer[Int]())
+      var f = 0
+      while (f < k) { memberBuf(asg(f)) += f; f += 1 }
+      val members = memberBuf.map(_.toArray)
+      val bounds = Array.tabulate(m) { g =>
+        var b = 0.0
+        members(g).foreach { fi =>
+          val r = if (fi < radii.length) radii(fi) else 0.0
+          val d = math.sqrt(sqDist(centroids(fi), refined(g))) + r
+          if (d > b) b = d
+        }
+        b
+      }
+      new CoarseRouter(refined, members, bounds)
+    }
   }
 
   object IvfIndex {

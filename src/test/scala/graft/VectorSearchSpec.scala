@@ -355,6 +355,87 @@ class VectorSearchSpec extends SparkSpec {
       .isEmpty)
   }
 
+  test("two-level router: parity with flat ranking, exact at full ranking") {
+    // structured centroid table (32 hubs × 64 fine cells in 16 dims) —
+    // the geometry a KMeans fit yields; a coarse router exists to exploit
+    // exactly this. Hub count sits below the router's ⌈√2048⌉ = 46 coarse
+    // cells — the documented operating premise (coarse resolution ≥ the
+    // table's cluster structure); the adaptive bound keeps exactness
+    // inside it and degrades toward the capped budget walk beyond it
+    val rnd = new scala.util.Random(11)
+    val nHubs = 32
+    val hubs = Array.fill(nHubs)(Array.fill(16)(rnd.nextFloat() * 10f))
+    val cents = Array.tabulate(2048) { i =>
+      val h = hubs(i % nHubs)
+      Array.tabulate(16)(d => h(d) + rnd.nextFloat() - 0.5f)
+    }
+    val radii = Array.fill(2048)(rnd.nextDouble() * 0.5)
+    val flat = VectorSearch.IvfIndex("unused", cents, Double.NaN,
+      radii, radii)
+    flat.twoLevelMinCells = Int.MaxValue
+    val two = VectorSearch.IvfIndex("unused", cents, Double.NaN,
+      radii, radii)
+    two.twoLevelMinCells = 0 // force the router below the 4096 default
+    val queries = (0 until 10).map(_ => Array.fill(16)(rnd.nextFloat() * 10f))
+    // probe-list parity at the bench operating points (nprobe 4..32):
+    // the budgeted walk must keep what the flat ranking picks
+    Seq(4, 8, 16, 32).foreach { np =>
+      val overlaps = queries.map { q =>
+        val f = flat.nearestClusters(q, np).toSet
+        val t = two.nearestClusters(q, np).toSet
+        f.intersect(t).size.toDouble / np
+      }
+      val mean = overlaps.sum / overlaps.length
+      assert(mean >= 0.95, s"nprobe=$np mean overlap $mean")
+    }
+    // FULL ranking (n = k — the filtered probe plan's request) must be
+    // IDENTICAL: the budget covers every group, the selection comparator
+    // is shared, so the order is the flat order exactly
+    queries.take(3).foreach { q =>
+      assert(two.nearestClusters(q, cents.length) ==
+        flat.nearestClusters(q, cents.length))
+    }
+    // end-to-end recall parity on a real built index at the sf0.1
+    // operating points: 1000 clustered vectors (8 hubs), 64 cells,
+    // forced router (m = 8 coarse over 64 cells — resolution ≥ hubs)
+    val corpus = (0 until 1000).map { i =>
+      val h = hubs(i % 8)
+      (i.toLong, h.map(v => v + rnd.nextFloat() - 0.5f))
+    }.toDF("vec_id", "embedding")
+    val dir = java.nio.file.Files.createTempDirectory("ivf_2lvl").toString
+    val idx = VectorSearch.buildIvf(corpus, "embedding", 64, dir,
+      sampleFraction = 1.0)
+    idx.twoLevelMinCells = 0
+    val flatIdx = VectorSearch.IvfIndex(dir, idx.centroids, idx.baselineDist,
+      idx.radii, idx.rmsRadii, idx.cellCounts)
+    flatIdx.twoLevelMinCells = Int.MaxValue
+    val qvecs = corpus.limit(5).collect().map(_.getSeq[Float](1).toArray).toSeq
+    Seq(4, 16).foreach { np =>
+      def sets(i: VectorSearch.IvfIndex) =
+        i.searchMulti(spark, qvecs, 100, np, "vec_id").collect()
+          .groupBy(_.getInt(0)).view.mapValues(_.map(_.getString(3)).toSet)
+          .toMap
+      val exact = VectorSearch.topKMulti(corpus, "embedding", qvecs, 100,
+        "vec_id").collect().groupBy(_.getInt(0))
+        .view.mapValues(_.map(_.getString(3)).toSet).toMap
+      def recall(m: Map[Int, Set[String]]): Double =
+        qvecs.indices.map { i =>
+          exact(i).intersect(m.getOrElse(i, Set.empty)).size.toDouble /
+            exact(i).size
+        }.sum / qvecs.length
+      val rFlat = recall(sets(flatIdx))
+      val rTwo = recall(sets(idx))
+      // parity with flat at every operating point; the absolute bar
+      // belongs to the nprobe that meets it flat (recall at low nprobe
+      // is the index's trade, not the router's — both paths probe the
+      // same number of cells)
+      assert(rTwo >= rFlat - 0.02,
+        s"nprobe=$np two-level recall $rTwo vs flat $rFlat")
+      if (np >= 16) assert(rTwo >= 0.9 && rFlat >= 0.9,
+        s"nprobe=$np recall $rTwo (flat $rFlat) below the 0.9 bar")
+    }
+  }
+
   test("mmrTopK diversifies: near-duplicate of a selected hit is deferred") {
     val q = Array(1.0f, 0.0f, 0.0f, 0.0f)
     val df = Seq(
