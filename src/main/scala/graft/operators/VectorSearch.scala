@@ -546,13 +546,43 @@ object VectorSearch {
       val filtered = filter.map(base.filter).getOrElse(base)
       // score masked to the query's own probe set — null outside it, and
       // GroupTopK drops nulls, so union-probing never inflates a query's
-      // recall beyond what its own nprobe would see
-      val scores = array(queries.zip(effective).map { case (q, s) =>
-        if (s.size == centroids.length) vec_dot(col("__vec"), typedLit(q))
-        else when(col("__cluster").isin(s.toSeq: _*),
-          vec_dot(col("__vec"), typedLit(q)))
+      // recall beyond what its own nprobe would see. The mask is ONE
+      // literal map cluster → Q-bit bitmask (a single MapType Literal
+      // node) read once per row, with a constant shift+AND per query —
+      // NOT Q literal `isin` lists: Q × nprobe `In` literals across Q
+      // `when` branches grow the plan with the FAN-OUT, the shape that
+      // measured 13.7 s of first-call analysis+codegen at 500 literals
+      // in one In (BASELINE.md r7). MaskCompileBench at Q=64 ×
+      // nprobe=128: plan 0.04 s, first-call 3.9 s vs 3.2 s steady-state
+      // (the work is the scoring+aggregation, the compile tail is
+      // sub-second and now independent of nprobe); per-row masking is
+      // O(Q) bit tests instead of O(Q·nprobe) In comparisons.
+      val words = (queries.length + 63) / 64
+      val maskMap: Map[Int, Seq[Long]] = {
+        val m = scala.collection.mutable.Map.empty[Int, Array[Long]]
+        effective.zipWithIndex.foreach { case (s, qi) =>
+          s.foreach { c =>
+            val arr = m.getOrElseUpdate(c, new Array[Long](words))
+            arr(qi / 64) |= 1L << (qi % 64)
+          }
+        }
+        m.view.mapValues(_.toSeq).toMap
+      }
+      // the map lookup is MATERIALIZED once per row (Spark's MapType
+      // literal lookup is a linear key scan — leaving it inside every
+      // query branch re-scans the map Q times per row, measured 2×
+      // slower than the isin masks it replaces)
+      val withMask = filtered.withColumn("__mask",
+        element_at(typedLit(maskMap), col("__cluster")))
+      val scores = array(queries.zip(effective).zipWithIndex.map {
+        case ((q, s), qi) =>
+          if (s.size == centroids.length) vec_dot(col("__vec"), typedLit(q))
+          else when(
+            shiftright(element_at(col("__mask"), qi / 64 + 1), qi % 64)
+              .bitwiseAND(1L) === 1L,
+            vec_dot(col("__vec"), typedLit(q)))
       }: _*)
-      val exploded = filtered
+      val exploded = withMask
         .select(col(idCol), posexplode(scores).as(Seq("__qid", "__score")))
       graft.functions.GroupTopK.perGroupStr(
           exploded, "__qid", "__score", idCol, k)
