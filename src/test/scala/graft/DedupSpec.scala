@@ -368,6 +368,54 @@ class DedupSpec extends SparkSpec {
     Dedup.clearMemo(spark)
   }
 
+  test("band operating point: 16 bands of 2 stays the default at threshold 0.7") {
+    // The r7 verdict asked whether rowsPerBand=4 (8 bands at the 32-seed
+    // default) could hold the certified decision error at half the band
+    // storage. Measured answer: on BOTH the driver corpus (all near-dups
+    // J ≈ 1 — every operating point finds everything) and this
+    // threshold-STRADDLING corpus (24 doc pairs, true shingle-Jaccard
+    // 0.63–0.77 around the production threshold 0.7), the two points
+    // make IDENTICAL decisions — the decision error at the threshold is
+    // ESTIMATOR-dominated (std-err √(J(1−J)/32) ≈ 0.087, the error-bound
+    // case above), not banding-dominated. What differs is the ANALYTIC
+    // candidate floor, which compounds with the estimator on adversarial
+    // corpora: P(candidate | J=0.7) = 1−(1−0.7²)¹⁶ ≈ 0.99998 at 16×2 vs
+    // 1−(1−0.7⁴)⁸ ≈ 0.889 at 8×4 — an ~11% structural miss for
+    // exactly-at-threshold pairs that no verify stage can recover
+    // (missed candidates are never scored). The default therefore STAYS
+    // rowsPerBand=2; 8×4 is the documented half-storage option for
+    // thresholds ≥ 0.8, where its floor rises to ≥ 0.985 (SCALE.md r8).
+    val docs = (0 until 24).flatMap { i =>
+      val ov = 78 + (i % 10) // 78..87 of 100 tokens shared
+      val a = (0 until 100).map(j => s"w${i}_$j").mkString(" ")
+      val b = ((0 until ov).map(j => s"w${i}_$j") ++
+        (ov until 100).map(j => s"v${i}_$j")).mkString(" ")
+      Seq((2L * i, a), (2L * i + 1, b))
+    }.toDF("doc_id", "text")
+    Dedup.clearMemo(spark)
+    val exact = Dedup.nearDuplicatePairs(docs, "text", "doc_id",
+        threshold = 0.7)
+      .select("id1", "id2").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    def est(rpb: Int): Set[(Long, Long)] = {
+      Dedup.clearMemo(spark)
+      Dedup.estimatedNearDuplicatePairs(docs, "text", "doc_id",
+          rowsPerBand = rpb, threshold = 0.7)
+        .select("id1", "id2").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    }
+    val b16 = est(2)
+    val b8 = est(4)
+    // md5-deterministic outcome, pinned: the operating points agree
+    // pair-for-pair here, and the estimator (not the banding) accounts
+    // for every divergence from exact
+    assert(b16 == b8,
+      s"banding changed decisions: only16=${b16 -- b8} only8=${b8 -- b16}")
+    val rec = (exact intersect b16).size.toDouble / exact.size
+    assert(rec >= 0.7, s"recall $rec vs exact on straddling pairs")
+    Dedup.clearMemo(spark)
+  }
+
   test("estimated mode flags on drop/cap agree with exact on a clear-cut corpus") {
     // exact dup (signature agreement exactly 1.0) + a STRONG near-dup
     // (one word of ~30 changed, J ≈ 0.87 — comfortably inside the
