@@ -388,7 +388,7 @@ object Bench {
         graft.operators.ProfilePipeline.run(spark,
           Seq("products" -> productsPath), s"$base/reports",
           embeddingCol = Some("embedding"), labelCol = Some("main_category"),
-          idCol = Some("parent_asin"))
+          idCol = Some("parent_asin"), normCol = Some("emb_norm"))
       }
     }
 

@@ -35,6 +35,12 @@ object ProductWorkload {
       ProductGen.categorySalt(col("id"), col("main_category"), 4 * nCpus))
     ProductGen.withDerived(balanced, dims)
       .select(ProductGen.schema(dims).fieldNames.map(col).toIndexedSeq: _*)
+      // stats column of the index LAYOUT (not the product schema): the
+      // per-row L2 norm, 8 bytes against ~11 KB of vector payload, so
+      // norm-level profiling (Profile.embeddingStats normCol path) reads
+      // ~0.1% of the table instead of scanning every vector — at the
+      // reference's 10M scale that is ~80 MB vs ~100 GB
+      .withColumn("emb_norm", graft.functions.vec_norm(col("embedding")))
       .write.mode("overwrite").partitionBy("main_category")
       .parquet(path)
   }

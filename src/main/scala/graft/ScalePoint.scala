@@ -85,7 +85,8 @@ object ScalePoint {
     timed("profile_pipeline") {
       graft.operators.ProfilePipeline.run(spark,
         Seq("products" -> productsPath), s"$base/reports",
-        embeddingCol = Some("embedding"), idCol = Some("parent_asin"))
+        embeddingCol = Some("embedding"), idCol = Some("parent_asin"),
+        normCol = Some("emb_norm"))
     }
 
     // ANN at scale: IVF over the 1M-row table with the DERIVED cluster

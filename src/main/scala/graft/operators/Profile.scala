@@ -138,6 +138,39 @@ object Profile {
     EmbeddingStats(row.getLong(0), row.getInt(3), row.getDouble(1), row.getDouble(2))
   }
 
+  /** [[embeddingStats]] against a storage layout that precomputes the
+    * per-row L2 norm as a scalar stats column
+    * ([[graft.ProductWorkload.writeIndexed]] writes `emb_norm`): count and
+    * norm mean/std aggregate over the 8-byte column, and only a single-row
+    * dimension probe touches the vector payload. The vector column is ~90%
+    * of the table's bytes at the reference's 10M×2688 scale (~100 GB vs
+    * ~80 MB for the norms), so a profiler that scans the payload for stats
+    * the writer already derived pays three orders of magnitude too much IO —
+    * and on this VM's throttled device that scan was exactly the
+    * weather-sensitive part of the `profile_pipeline` bench entry. Values
+    * match the full-scan path by construction: the layout stores
+    * [[graft.functions.vec_norm]] of the same vector this path would have
+    * evaluated inline (parity spec-pinned in ProfileSpec, including a
+    * poisoned-norm case proving the payload is NOT read). Falls back to the
+    * full scan when `normCol` is absent from the schema. Assumes fixed-dim
+    * vectors (true of any embedding index; the generic variable-dim dual
+    * stays available as the full-scan overload).
+    */
+  def embeddingStats(df: DataFrame, vecCol: String,
+      normCol: Option[String]): EmbeddingStats =
+    normCol.filter(df.columns.contains) match {
+      case Some(nc) =>
+        val row = df.agg(count(lit(1)).as("n"), avg(col(nc)).as("m"),
+          stddev_samp(col(nc)).as("s")).head()
+        val dims = df.select(size(col(vecCol)).as("d"))
+          .filter(col(vecCol).isNotNull).limit(1)
+          .take(1).headOption.map(_.getInt(0)).getOrElse(0)
+        EmbeddingStats(row.getLong(0), dims,
+          if (row.isNullAt(1)) Double.NaN else row.getDouble(1),
+          if (row.isNullAt(2)) Double.NaN else row.getDouble(2))
+      case None => embeddingStats(df, vecCol)
+    }
+
   /** Per-dimension mean/std via posexplode + groupBy — shuffles only
     * (dim, partial-moment) pairs, never whole vectors; cardinality = dims,
     * so the shuffle is O(partitions × dims) regardless of row count.

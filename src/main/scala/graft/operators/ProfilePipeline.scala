@@ -27,15 +27,24 @@ object ProfilePipeline {
   final case class DatasetReport(name: String, profile: Profile.TableProfile,
       embedding: Option[Profile.EmbeddingStats], sizeMb: Double)
 
-  /** Profile one parquet dataset; `embeddingCol` adds vector analytics. */
+  /** Profile one parquet dataset; `embeddingCol` adds vector analytics.
+    * `normCol` names a layout-precomputed per-row norm column (see
+    * [[Profile.embeddingStats]]'s normCol overload): when present the
+    * embedding stats never scan the vector payload, and the column is
+    * excluded from the generic profile (it is storage metadata, not a
+    * dataset feature — the report must not change shape when a layout
+    * happens to carry stats columns).
+    */
   def analyzeDataset(spark: SparkSession, name: String, path: String,
-      embeddingCol: Option[String] = None): DatasetReport = {
+      embeddingCol: Option[String] = None,
+      normCol: Option[String] = None): DatasetReport = {
     val df = spark.read.parquet(path)
-    val nonVec = embeddingCol.foldLeft(df)((d, c) => d.drop(c))
+    val nonVec = (embeddingCol.toSeq ++ normCol.toSeq)
+      .foldLeft(df)((d, c) => d.drop(c))
     val profile = Profile.profile(nonVec)
     val emb = embeddingCol
       .filter(df.columns.contains)
-      .map(c => Profile.embeddingStats(df, c))
+      .map(c => Profile.embeddingStats(df, c, normCol))
     DatasetReport(name, profile, emb, Profile.fileSizeMb(df, path))
   }
 
@@ -223,9 +232,10 @@ object ProfilePipeline {
       embeddingCol: Option[String] = None, plots: Boolean = true,
       labelCol: Option[String] = None,
       plotSampleN: Int = 500,
-      idCol: Option[String] = None): Seq[DatasetReport] = {
+      idCol: Option[String] = None,
+      normCol: Option[String] = None): Seq[DatasetReport] = {
     val reports = datasets.map { case (name, path) =>
-      val r = analyzeDataset(spark, name, path, embeddingCol)
+      val r = analyzeDataset(spark, name, path, embeddingCol, normCol)
       val dir = Paths.get(outDir, name)
       Files.createDirectories(dir)
       val md = new StringBuilder(Profile.renderMarkdown(name, r.profile))

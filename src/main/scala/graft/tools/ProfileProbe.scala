@@ -39,6 +39,12 @@ object ProfileProbe {
       t(s"embeddingStats rep$rep") {
         graft.operators.Profile.embeddingStats(df, "embedding")
       }
+      // the layout-stats dual: mean/std from the precomputed emb_norm
+      // column, payload untouched except a one-row dims probe
+      t(s"embeddingStats_norm rep$rep") {
+        graft.operators.Profile.embeddingStats(df, "embedding",
+          Some("emb_norm"))
+      }
       t(s"pipeline rep$rep") {
         graft.operators.ProfilePipeline.run(spark,
           Seq("products" -> path), s"$base/reports",
@@ -51,7 +57,8 @@ object ProfileProbe {
         graft.operators.ProfilePipeline.run(spark,
           Seq("products" -> path), s"$base/reports_bench",
           embeddingCol = Some("embedding"),
-          labelCol = Some("main_category"), idCol = Some("parent_asin"))
+          labelCol = Some("main_category"), idCol = Some("parent_asin"),
+          normCol = Some("emb_norm"))
       }
     }
     graft.FsUtil.deleteRecursively(java.nio.file.Paths.get(base))

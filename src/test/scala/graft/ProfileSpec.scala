@@ -49,6 +49,28 @@ class ProfileSpec extends SparkSpec {
     assert(math.abs(dims(0).getAs[Double]("mean") - 8.0 / 3) < 1e-6)
   }
 
+  test("embedding stats via a layout norm column match the full scan " +
+      "and never read the payload") {
+    val vecs = Seq(
+      Array(3.0f, 4.0f), Array(0.0f, 5.0f), Array(5.0f, 0.0f)
+    ).toDF("embedding")
+    val withNorm = vecs.withColumn("emb_norm",
+      graft.functions.vec_norm(col("embedding")))
+    val full = Profile.embeddingStats(withNorm, "embedding")
+    val fast = Profile.embeddingStats(withNorm, "embedding", Some("emb_norm"))
+    assert(fast.count == full.count && fast.dims == full.dims)
+    assert(math.abs(fast.normMean - full.normMean) < 1e-9)
+    assert(math.abs(fast.normStd - full.normStd) < 1e-9)
+    // poisoned norms: if the fast path scanned vectors these would still be
+    // 5.0 — getting 42 back proves mean/std came from the stats column only
+    val poisoned = vecs.withColumn("emb_norm", lit(42.0))
+    val p = Profile.embeddingStats(poisoned, "embedding", Some("emb_norm"))
+    assert(p.normMean == 42.0 && p.normStd == 0.0 && p.dims == 2)
+    // absent column falls back to the full scan
+    val fb = Profile.embeddingStats(vecs, "embedding", Some("emb_norm"))
+    assert(math.abs(fb.normMean - 5.0) < 1e-9)
+  }
+
   test("full profile routes columns and renders markdown") {
     val p = Profile.profile(df)
     assert(p.rows == 4)
