@@ -39,13 +39,42 @@ object ProfilePipeline {
       embeddingCol: Option[String] = None,
       normCol: Option[String] = None): DatasetReport = {
     val df = spark.read.parquet(path)
-    val nonVec = (embeddingCol.toSeq ++ normCol.toSeq)
-      .foldLeft(df)((d, c) => d.drop(c))
-    val profile = Profile.profile(nonVec)
+    analyzeFrames(df, prunedStats(df, embeddingCol, normCol), name, path,
+      embeddingCol, normCol)
+  }
+
+  /** The table minus payload/stats columns — what every profile pass and
+    * stats figure actually touches.
+    */
+  private def prunedStats(df: DataFrame, embeddingCol: Option[String],
+      normCol: Option[String]): DataFrame =
+    (embeddingCol.toSeq ++ normCol.toSeq).foldLeft(df)((d, c) => d.drop(c))
+
+  private def analyzeFrames(df: DataFrame, statsDf: DataFrame, name: String,
+      path: String, embeddingCol: Option[String],
+      normCol: Option[String]): DatasetReport = {
+    val profile = step("profile_scan")(Profile.profile(statsDf))
     val emb = embeddingCol
       .filter(df.columns.contains)
-      .map(c => Profile.embeddingStats(df, c, normCol))
+      .map(c => step("embedding_stats")(Profile.embeddingStats(df, c, normCol)))
     DatasetReport(name, profile, emb, Profile.fileSizeMb(df, path))
+  }
+
+  // SPARK_GRAFT_PROFILE_DEBUG=1: per-step stderr timings — the perf
+  // attribution for the bench's profile_pipeline entry (covers the analyze
+  // phase and every figure job, so "where did the time go" is one env var
+  // away instead of a guess; the r7 500-literal-In discovery came from
+  // exactly this)
+  private val debug = sys.env.contains("SPARK_GRAFT_PROFILE_DEBUG")
+  private def step[A](name: String)(f: => A): A = {
+    if (!debug) f
+    else {
+      val t0 = System.nanoTime()
+      val r = f
+      System.err.println(
+        f"[profile] $name: ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      r
+    }
   }
 
   /** Render the reference's report figures for one profiled dataset into
@@ -55,23 +84,11 @@ object ProfilePipeline {
     * projection scatters over a bounded sample (colored by `labelCol` when
     * given, mirroring `gbr.py`'s category-colored projections).
     */
-  private def renderPlots(df: DataFrame, report: DatasetReport,
+  private def renderPlots(df: DataFrame, statsDf: DataFrame,
+      report: DatasetReport,
       embeddingCol: Option[String], labelCol: Option[String],
       sampleN: Int, dir: java.nio.file.Path,
       idCol: Option[String] = None): Unit = {
-    // SPARK_GRAFT_PROFILE_DEBUG=1: per-step stderr timings (perf
-    // attribution of the bench's profile_pipeline entry)
-    val debug = sys.env.contains("SPARK_GRAFT_PROFILE_DEBUG")
-    def step[A](name: String)(f: => A): A = {
-      if (!debug) f
-      else {
-        val t0 = System.nanoTime()
-        val r = f
-        System.err.println(
-          f"[profile] $name: ${(System.nanoTime() - t0) / 1e9}%.2f s")
-        r
-      }
-    }
     val p = report.profile
     p.categorical.headOption.filter(_.top.nonEmpty).foreach { c =>
       Plots.barChart(c.top.map(_._1), c.top.map(_._2.toDouble),
@@ -85,7 +102,8 @@ object ProfilePipeline {
         yLabel = "nulls")
     }
     p.numeric.filter(s => s.max > s.min).take(3).foreach { s =>
-      val h = Profile.histogram(df, s.column, s.min, s.max, 30)
+      val h = step(s"hist_${s.column}")(
+        Profile.histogram(statsDf, s.column, s.min, s.max, 30))
       Plots.histogram(h.lo, h.hi, h.counts,
         s"${s.column} distribution", s.column,
         dir.resolve(s"${s.column}_hist.png").toString)
@@ -93,8 +111,8 @@ object ProfilePipeline {
     val corrCols = p.numeric.filter(s => s.max > s.min).map(_.column).take(4)
     if (corrCols.length >= 2) {
       val pairs = for (a <- corrCols; b <- corrCols if a < b) yield (a, b)
-      val row = df.select(pairs.map { case (a, b) =>
-        corr(col(a), col(b)).as(s"${a}__$b") }: _*).head()
+      val row = step("corr_scan")(statsDf.select(pairs.map { case (a, b) =>
+        corr(col(a), col(b)).as(s"${a}__$b") }: _*).head())
       val byPair = pairs.zipWithIndex.map { case ((a, b), i) =>
         (a, b) -> (if (row.isNullAt(i)) 0.0 else row.getDouble(i)) }.toMap
       val m = corrCols.map(a => corrCols.map { b =>
@@ -228,29 +246,52 @@ object ProfilePipeline {
     * (`reports/benchmark_{10k,100k,1M,10M}/README.md`, the `*.png` figures
     * and `reports/summary_report.md`).
     */
+  /** `cacheStats = true` (default) pins the pruned non-payload projection
+    * (in-memory columnar, MEMORY_ONLY) for the duration of one dataset's
+    * analysis: the profile's pass structure plus the stats figures touch
+    * that same projection ~12 times (fused multi-agg, multi-distinct,
+    * top-k per categorical, three histograms, the correlation scan), and
+    * on a device where reads are metered, twelve scans of the text columns
+    * is the difference between a latency-bound report and an IO-bound one.
+    * MEMORY_ONLY deliberately: an overflow drops blocks and recomputes
+    * from parquet rather than writing spill to the same metered device.
+    * The payload columns never enter the cache (the projection is pruned
+    * BEFORE persist), so at the reference's 10M×2688 scale the pinned set
+    * is the ~1% non-vector slice, not the 100 GB payload — the same
+    * prune-then-pin shape a cluster-scale profiler wants.
+    */
   def run(spark: SparkSession, datasets: Seq[(String, String)], outDir: String,
       embeddingCol: Option[String] = None, plots: Boolean = true,
       labelCol: Option[String] = None,
       plotSampleN: Int = 500,
       idCol: Option[String] = None,
-      normCol: Option[String] = None): Seq[DatasetReport] = {
+      normCol: Option[String] = None,
+      cacheStats: Boolean = true): Seq[DatasetReport] = {
     val reports = datasets.map { case (name, path) =>
-      val r = analyzeDataset(spark, name, path, embeddingCol, normCol)
-      val dir = Paths.get(outDir, name)
-      Files.createDirectories(dir)
-      val md = new StringBuilder(Profile.renderMarkdown(name, r.profile))
-      md.append(f"\n## Dataset file\n\n- size: ${r.sizeMb}%.1f MB\n")
-      r.embedding.foreach { e =>
-        md.append(s"\n## Embedding\n\n- vectors: ${e.count}\n- dims: ${e.dims}\n")
-        md.append(f"- mean L2 norm: ${e.normMean}%.4f ± ${e.normStd}%.4f\n")
-      }
-      Files.writeString(dir.resolve("README.md"), md.toString)
-      Files.writeString(dir.resolve("stats.json"),
-        Profile.renderJson(name, r.profile))
-      if (plots)
-        renderPlots(spark.read.parquet(path), r, embeddingCol, labelCol,
-          plotSampleN, dir, idCol)
-      r
+      val df = spark.read.parquet(path)
+      val statsDf0 = prunedStats(df, embeddingCol, normCol)
+      val statsDf =
+        if (cacheStats)
+          statsDf0.persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
+        else statsDf0
+      try {
+        val r = analyzeFrames(df, statsDf, name, path, embeddingCol, normCol)
+        val dir = Paths.get(outDir, name)
+        Files.createDirectories(dir)
+        val md = new StringBuilder(Profile.renderMarkdown(name, r.profile))
+        md.append(f"\n## Dataset file\n\n- size: ${r.sizeMb}%.1f MB\n")
+        r.embedding.foreach { e =>
+          md.append(s"\n## Embedding\n\n- vectors: ${e.count}\n- dims: ${e.dims}\n")
+          md.append(f"- mean L2 norm: ${e.normMean}%.4f ± ${e.normStd}%.4f\n")
+        }
+        Files.writeString(dir.resolve("README.md"), md.toString)
+        Files.writeString(dir.resolve("stats.json"),
+          Profile.renderJson(name, r.profile))
+        if (plots)
+          renderPlots(df, statsDf, r, embeddingCol, labelCol,
+            plotSampleN, dir, idCol)
+        r
+      } finally if (cacheStats) { statsDf.unpersist(); () }
     }
     Files.createDirectories(Paths.get(outDir))
     Files.writeString(Paths.get(outDir, "summary_report.md"),

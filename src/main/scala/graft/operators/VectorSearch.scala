@@ -205,7 +205,7 @@ object VectorSearch {
       * remaining bound is strictly below the running n-th-best fine
       * score, the result is provably the flat ranking's — ties included,
       * because a tied bound keeps the walk alive. A candidate cap
-      * (max(16n, 8√k)) keeps the worst-case geometry (groups merging
+      * (max(16n, 4√k)) keeps the worst-case geometry (groups merging
       * unrelated hubs, whose deliberately-loose bounds would otherwise
       * force a near-full expansion) at ~3% of the table.
       *

@@ -45,10 +45,13 @@ object ProfileProbe {
         graft.operators.Profile.embeddingStats(df, "embedding",
           Some("emb_norm"))
       }
+      // SPARK_GRAFT_PROBE_NOCACHE=1 A/Bs the prune-then-pin cache
+      val cache = !sys.env.contains("SPARK_GRAFT_PROBE_NOCACHE")
       t(s"pipeline rep$rep") {
         graft.operators.ProfilePipeline.run(spark,
           Seq("products" -> path), s"$base/reports",
-          embeddingCol = Some("embedding"))
+          embeddingCol = Some("embedding"), normCol = Some("emb_norm"),
+          cacheStats = cache)
       }
       // the bench entry's exact shape: label-colored projections over the
       // deterministic lowest-id sample — adds the id scan + pushed fetch
@@ -58,7 +61,7 @@ object ProfileProbe {
           Seq("products" -> path), s"$base/reports_bench",
           embeddingCol = Some("embedding"),
           labelCol = Some("main_category"), idCol = Some("parent_asin"),
-          normCol = Some("emb_norm"))
+          normCol = Some("emb_norm"), cacheStats = cache)
       }
     }
     graft.FsUtil.deleteRecursively(java.nio.file.Paths.get(base))
