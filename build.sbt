@@ -38,6 +38,17 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // local mode = one JVM; heap is the only memory knob that matters.
   // The box has 128 GiB — leave room for page cache (parquet IO) and sbt.
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "48g")}",
+  // Pin the heap at Xmx and fault every page in at JVM startup. Without
+  // this, G1 commits heap lazily and each expansion lands first-touch
+  // page faults INSIDE evacuation pauses: the r8 GC logs show young
+  // pauses of 0.5-1.5 s exactly on the commit bumps (26.9->35.8->41.2->
+  // 44.4->46.4 GB) and 0.16-0.22 s for the same collections once the
+  // heap stops growing. Pre-touch moves that cost to startup (untimed,
+  // parallel), which is the right trade for a bench/latency JVM.
+  // SPARK_GRAFT_NO_PRETOUCH=1 restores the lazy-commit behavior for A/Bs.
+  s"-Xms${sys.env.getOrElse("SPARK_DRIVER_MEM", "48g")}",
+) ++ (if (sys.env.contains("SPARK_GRAFT_NO_PRETOUCH")) Seq()
+      else Seq("-XX:+AlwaysPreTouch")) ++ Seq(
   // G1 left to its default 200 ms target grows the young gen to many GB
   // under the commit path's allocation churn, then pays ~1 s evacuation
   // pauses — measured as 1-2.6 s commit stalls (and backlog spirals) in

@@ -143,8 +143,9 @@ object Embedding {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types.{DoubleType, StructField, StructType}
     val spark = df.sparkSession
-    val rows = lowestIdRows(df.filter(col(vecCol).isNotNull), idCol,
-      Seq(col(idCol), col(vecCol).cast("array<double>")), sampleN)
+    val rows = lowestIdRows(df, idCol,
+      Seq(col(idCol), col(vecCol).cast("array<double>")), sampleN,
+      valid = Some(col(vecCol).isNotNull))
     val valid = modalDimensionRows(rows, 1)
     val x = valid.map(_.getSeq[Double](1).toArray)
     val y = tsneLocal(x, perplexity, iterations)
@@ -181,8 +182,9 @@ object Embedding {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types.{DoubleType, StructField, StructType}
     val spark = df.sparkSession
-    val rows = lowestIdRows(df.filter(col(vecCol).isNotNull), idCol,
-      Seq(col(idCol), col(vecCol).cast("array<double>")), sampleN)
+    val rows = lowestIdRows(df, idCol,
+      Seq(col(idCol), col(vecCol).cast("array<double>")), sampleN,
+      valid = Some(col(vecCol).isNotNull))
     val valid = modalDimensionRows(rows, 1)
     val x = valid.map(_.getSeq[Double](1).toArray)
     val y = umapLocal(x, nNeighbors, minDist, iterations)
@@ -459,17 +461,43 @@ object Embedding {
     * excluded up front: ascending order sorts nulls FIRST, so they could
     * otherwise fill the phase-1 sample with rows no equality or range
     * predicate can fetch back.
+    *
+    * `valid` (e.g. `vector IS NOT NULL`) is applied in phase 2 ONLY.
+    * Array-column predicates don't push to parquet, so filtering before
+    * phase 1 forces the id scan to decode the FULL vector payload — the
+    * r8 profile probe measured that shape at 73 s first-call (old-gen
+    * churn from 100k × 2688-double decodes, multi-second G1 evacuation
+    * pauses) vs sub-second for the id-only scan. Phase 2 evaluates the
+    * predicate only on the range-pruned row groups. When invalid rows
+    * occupy lowest ids the fetch comes up short; the id cutoff then
+    * doubles until sampleN valid rows are in range or ids are exhausted —
+    * same final set as filter-first, without the payload decode (zero
+    * extra passes in the common all-valid case).
     */
   private[operators] def lowestIdRows(df: DataFrame, idCol: String,
       cols: Seq[org.apache.spark.sql.Column],
-      sampleN: Int): Array[org.apache.spark.sql.Row] = {
+      sampleN: Int,
+      valid: Option[org.apache.spark.sql.Column] = None)
+      : Array[org.apache.spark.sql.Row] = {
     val base = df.filter(col(idCol).isNotNull)
-    val ids = base.select(col(idCol)).orderBy(col(idCol)).limit(sampleN)
-      .collect().map(_.get(0))
-    if (ids.isEmpty) Array.empty
-    else base.filter(col(idCol) <= lit(ids.last))
-      .select(cols: _*)
-      .orderBy(col(idCol)).limit(sampleN).collect()
+    val fetchBase = valid.foldLeft(base)(_.filter(_))
+    var want = sampleN
+    var out = Array.empty[org.apache.spark.sql.Row]
+    var done = false
+    while (!done) {
+      val ids = base.select(col(idCol)).orderBy(col(idCol)).limit(want)
+        .collect().map(_.get(0))
+      if (ids.isEmpty) done = true
+      else {
+        out = fetchBase.filter(col(idCol) <= lit(ids.last))
+          .select(cols: _*)
+          .orderBy(col(idCol)).limit(sampleN).collect()
+        // enough valid rows in range, or the table has no more ids to widen to
+        if (out.length >= sampleN || ids.length < want) done = true
+        else want = math.multiplyExact(want, 2)
+      }
+    }
+    out
   }
 
   /** Top-2 principal directions of a small local matrix by power iteration

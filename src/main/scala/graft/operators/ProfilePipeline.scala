@@ -143,7 +143,7 @@ object ProfilePipeline {
       // of an arbitrary sample.
       val raw = step("sample_collect")((idCol.filter(df.columns.contains) match {
         case Some(id) => Embedding.lowestIdRows(
-          df.filter(col(embCol).isNotNull), id, sel, sampleN)
+          df, id, sel, sampleN, valid = Some(col(embCol).isNotNull))
         case None => df.select(sel: _*).filter(col(embCol).isNotNull)
           .limit(sampleN).collect()
       }).filter(!_.isNullAt(0)))

@@ -94,4 +94,27 @@ class TsneSpec extends SparkSpec {
     assert(math.hypot(m0._1 - m1._1, m0._2 - m1._2) > 1.0,
       "interleaved clusters did not separate")
   }
+
+  test("null vectors on the lowest ids don't shrink the sample (cutoff widens)") {
+    // ids 0..9 carry null embeddings; the sample must be the 24 lowest
+    // VALID ids (10..33), not 14 survivors of a 24-id cutoff — pins the
+    // phase-2 validity + widening contract of Embedding.lowestIdRows,
+    // whose phase-1 id scan no longer decodes the vector payload
+    val df = (0 until 40).map { i =>
+      val c = i % 2
+      val v = if (i < 10) null
+        else Array.tabulate(8)(j =>
+          (if (j / 4 == c) 10.0 else 0.0) + math.cos(i * 8 + j) * 0.2)
+      (i.toLong, v)
+    }.toDF("doc_id", "embedding")
+    val out = Embedding.tsneProject(df, "embedding", "doc_id",
+      sampleN = 24, perplexity = 5.0, iterations = 50)
+    assert(out.orderBy(col("doc_id")).collect().map(_.getLong(0)).toSeq ==
+      (10L until 34L))
+    // fewer valid rows than sampleN: returns all of them, terminates
+    val tiny = Embedding.tsneProject(df.filter(col("doc_id") < 14),
+      "embedding", "doc_id", sampleN = 24, perplexity = 5.0, iterations = 50)
+    assert(tiny.orderBy(col("doc_id")).collect().map(_.getLong(0)).toSeq ==
+      (10L until 14L))
+  }
 }
