@@ -45,10 +45,12 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // 44.4->46.4 GB) and 0.16-0.22 s for the same collections once the
   // heap stops growing. Pre-touch moves that cost to startup (untimed,
   // parallel), which is the right trade for a bench/latency JVM.
-  // SPARK_GRAFT_NO_PRETOUCH=1 restores the lazy-commit behavior for A/Bs.
-  s"-Xms${sys.env.getOrElse("SPARK_DRIVER_MEM", "48g")}",
+  // SPARK_GRAFT_NO_PRETOUCH=1 restores the FULL lazy-commit behavior for
+  // A/Bs: it must drop BOTH flags — with Xms still pinned at Xmx the heap
+  // never expands and the commit-bump pause mechanism cannot reproduce.
 ) ++ (if (sys.env.contains("SPARK_GRAFT_NO_PRETOUCH")) Seq()
-      else Seq("-XX:+AlwaysPreTouch")) ++ Seq(
+      else Seq(s"-Xms${sys.env.getOrElse("SPARK_DRIVER_MEM", "48g")}",
+        "-XX:+AlwaysPreTouch")) ++ Seq(
   // G1 left to its default 200 ms target grows the young gen to many GB
   // under the commit path's allocation churn, then pays ~1 s evacuation
   // pauses — measured as 1-2.6 s commit stalls (and backlog spirals) in

@@ -106,6 +106,14 @@ object ScalePoint {
     }
     if (pivf != null) {
       results("ivf_num_clusters_value") = pivf.centroids.length.toDouble
+      // r9: ENGAGE the two-level router on this real index — the derived
+      // 1000 cells sit below the 4096 default, so without this the sf1
+      // point never exercises routeTwoLevel end-to-end. Every routing
+      // call below (filtered evals in full-ranking mode, the unfiltered
+      // nprobe-32 probe with genuine early termination) then goes
+      // through the router; the telemetry keys in the artifact are the
+      // proof it served real queries.
+      pivf.twoLevelMinCells = 2
       // Recall methodology at this scale: recall(np) depends only on which
       // clusters hold each query's exact top-100, so the FULL
       // recall-vs-nprobe curve per tier comes from one bounded scan (the
@@ -226,6 +234,50 @@ object ScalePoint {
           results(s"ann_nprobe_${tier}_value") = np.toDouble
         }
       }
+      // Two-level router end-to-end (r9). The filtered evals above route
+      // through routeTwoLevel in FULL-ranking mode (the filter-aware
+      // plan ranks every cell; full ranking expands every group and
+      // provably returns the flat order). The UNFILTERED nprobe-32 probe
+      // is where the walk terminates early — its per-query expanded-cell
+      // count being well under numClusters is the sub-linear-routing
+      // proof, and the flat A/B right after pins the candidate cap's
+      // end-to-end recall cost (expected 0.000).
+      var exactNF: Map[Int, Set[String]] = Map.empty
+      timed("ann_unfiltered_exact_sf1") {
+        exactNF = idSets(VectorSearch.topKMulti(
+          products, "embedding", queryVecs, 100, "parent_asin"))
+      }
+      def recallVsExactNF(approx: Map[Int, Set[String]]): Double =
+        queryVecs.indices.map { i =>
+          val e = exactNF.getOrElse(i, Set.empty)
+          if (e.isEmpty) 1.0
+          else e.intersect(approx.getOrElse(i, Set.empty))
+            .size.toDouble / e.size
+        }.sum / queryVecs.length
+      val telBefore = pivf.routerTelemetry
+      timed("ann_unfiltered_routed_np32_sf1") {
+        results("ann_recall_unfiltered_routed_np32_value") =
+          recallVsExactNF(idSets(pivf.searchMulti(
+            spark, queryVecs, 100, nprobe = 32, "parent_asin")))
+      }
+      val telAfter = pivf.routerTelemetry
+      results("two_level_routed_queries_value") = telAfter._1.toDouble
+      results("two_level_early_stops_value") = telAfter._3.toDouble
+      results("two_level_unfiltered_avg_expanded_cells_value") =
+        if (telAfter._1 > telBefore._1)
+          (telAfter._2 - telBefore._2).toDouble / (telAfter._1 - telBefore._1)
+        else -1.0
+      // flat A/B at the same operating point: recall delta of the
+      // router's cap truncation, measured end-to-end
+      pivf.twoLevelMinCells = Int.MaxValue
+      pivf.invalidateRouter()
+      timed("ann_unfiltered_flat_np32_sf1") {
+        results("ann_recall_unfiltered_flat_np32_value") =
+          recallVsExactNF(idSets(pivf.searchMulti(
+            spark, queryVecs, 100, nprobe = 32, "parent_asin")))
+      }
+      pivf.twoLevelMinCells = 2
+      pivf.invalidateRouter()
       // Macro-granularity comparison WITHOUT a second 11 GB index write:
       // the per-round bench pins 16 clusters at sf0.1; fit the same
       // granularity here (KMeans on a bounded sample, same seed family)

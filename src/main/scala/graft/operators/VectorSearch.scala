@@ -113,13 +113,17 @@ object VectorSearch {
       * predate its batches (the data files land durably on every append;
       * only the stats evolve in memory — stale stats degrade recall
       * quietly at small nprobe, which is exactly the failure a durable
-      * artifact must not have). Default 1 = checkpoint every append; the
-      * manifest is ≪ any real batch (centroids + counts, ~10 MB at 1000
-      * cells), so the write rides in the append's shadow. Raise it for
-      * high-frequency small appends at very large cell counts, or set
-      * ≤ 0 to manage [[saveManifest]] manually (the pre-r8 contract).
+      * artifact must not have). The default SCALES with the manifest's
+      * own size: every append up to 8192 cells (manifest ≤ ~90 MB,
+      * ≪ any real batch, rides in the append's shadow), then one
+      * checkpoint per ⌈cells/8192⌉ appends — a cap-sized 65536-cell
+      * manifest (~700 MB of centroid floats) checkpoints every 8th
+      * append instead of paying its own weight on each one. Set to 1
+      * for checkpoint-every-append regardless of size, or ≤ 0 to manage
+      * [[saveManifest]] manually (the pre-r8 contract).
       */
-    @volatile var manifestCheckpointEvery: Int = 1
+    @volatile var manifestCheckpointEvery: Int =
+      math.max(1, centroids.length / 8192)
     @transient private var appendsSinceCheckpoint: Int = 0
 
     /** Current per-(cluster, value) occupancy per registered column —
@@ -292,6 +296,9 @@ object VectorSearch {
             (suffix(w) < candScores(heap.peek()) || cnt >= cap))
           done = true
       }
+      twoLevelQueries.incrementAndGet()
+      twoLevelExpanded.addAndGet(cnt.toLong)
+      if (done) twoLevelEarlyStops.incrementAndGet()
       val out = new Array[Int](heap.size)
       var p = heap.size - 1
       while (p >= 0) { out(p) = candIds(heap.poll()); p -= 1 }
@@ -342,10 +349,47 @@ object VectorSearch {
       */
     @volatile private[graft] var twoLevelMinCells: Int = 4096
 
-    @transient private lazy val coarseRouter: Option[CoarseRouter] =
-      if (centroids.length >= math.max(twoLevelMinCells, 2))
-        Some(CoarseRouter.build(centroids, routingRadii))
-      else None
+    // Built on the first routed query, INVALIDATED by [[append]]: the
+    // group bounds bake in the fine radii at build time, and append
+    // mutates `radii`/`rmsRadii` in place — a stale router's suffix-max
+    // certificate would no longer be admissible (early termination could
+    // silently omit cells the flat ranking selects, a quiet recall leak
+    // at ≥ twoLevelMinCells cells). `null` = not yet built for the
+    // current radii generation. Not a lazy val precisely so appends can
+    // reset it.
+    @transient @volatile private var coarseRouterCache: Option[CoarseRouter] = _
+    private def coarseRouter: Option[CoarseRouter] = {
+      var cr = coarseRouterCache
+      if (cr == null) {
+        cr =
+          if (centroids.length >= math.max(twoLevelMinCells, 2))
+            Some(CoarseRouter.build(centroids, routingRadii))
+          else None
+        coarseRouterCache = cr
+      }
+      cr
+    }
+
+    // Driver-side routing telemetry: how many queries took the two-level
+    // path, how many fine cells those walks actually expanded, and how
+    // many terminated early (before visiting every group). Exposed so a
+    // scale artifact can PROVE the router served real queries (a routed
+    // query with expanded < numClusters is a true sub-linear walk;
+    // full-ranking requests expand everything by design).
+    @transient private val twoLevelQueries =
+      new java.util.concurrent.atomic.AtomicLong()
+    @transient private val twoLevelExpanded =
+      new java.util.concurrent.atomic.AtomicLong()
+    @transient private val twoLevelEarlyStops =
+      new java.util.concurrent.atomic.AtomicLong()
+    private[graft] def routerTelemetry: (Long, Long, Long) =
+      (twoLevelQueries.get(), twoLevelExpanded.get(), twoLevelEarlyStops.get())
+
+    /** Drop the built coarse router so the next routed query rebuilds it
+      * — required after changing [[twoLevelMinCells]] on a handle that
+      * has already served a search (A/B harnesses, specs).
+      */
+    private[graft] def invalidateRouter(): Unit = { coarseRouterCache = null }
 
     // One relation per session, reused across searches: a fresh
     // `spark.read.parquet` re-lists the whole index directory tree
@@ -665,6 +709,10 @@ object VectorSearch {
       } finally assigned.unpersist(blocking = false)
       dfCache.clear() // cached relations pin the old file list
       countCache.clear() // memoized counts predate the appended rows
+      // the coarse router's group bounds were computed from the
+      // pre-append radii, which the stats fold above just mutated — a
+      // stale router's termination certificate is no longer admissible
+      coarseRouterCache = null
       // durable-by-default: checkpoint the folded stats on cadence so a
       // crashed appender can't strand load() behind its batches
       appendsSinceCheckpoint += 1
@@ -692,11 +740,35 @@ object VectorSearch {
       * the index a durable artifact rather than one session's object.
       * Size: (numClusters × dims) floats — ~10 MB at the sf1 1000-cell
       * index, ~700 MB at the 65536 cap, always ≪ the data files.
+      *
+      * Durability shape (r9): each checkpoint writes a FRESH
+      * `v\########` directory and marks it complete with a
+      * `_graft_commit` file written LAST — never an in-place overwrite.
+      * A crash mid-checkpoint leaves an uncommitted dir that [[load]]
+      * ignores (the previous committed version keeps serving), and a
+      * concurrent reader can never observe a half-replaced manifest —
+      * the failure modes of the pre-r9 delete-then-rewrite layout. The
+      * two newest committed versions are kept (a grace window for
+      * in-flight readers); older versions and sub-floor crashed dirs
+      * are vacuumed on the next checkpoint. Single writer per index,
+      * as with [[append]] itself.
+      *
+      * Driver footprint: cell rows are built and written in 4096-cell
+      * slices, so the transient boxed-Row footprint stays ~45 MB of
+      * centroid floats regardless of cell count — a cap-sized manifest
+      * no longer materializes ~700 MB of payload (plus Row boxing) in
+      * one driver Seq per checkpoint.
       */
     def saveManifest(spark: SparkSession): Unit = {
+      import org.apache.hadoop.fs.Path
       import org.apache.spark.sql.Row
       import org.apache.spark.sql.types._
       val dir = s"$path/_graft_manifest"
+      val root = new Path(dir)
+      val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val versions = IvfIndex.manifestVersions(fs, root)
+      val next = (versions.map(_._1) :+ 0L).max + 1
+      val vdir = f"$dir/v$next%08d"
       val cellSchema = StructType(Seq(
         StructField("cluster", IntegerType, nullable = false),
         StructField("centroid", ArrayType(FloatType, containsNull = false),
@@ -704,16 +776,21 @@ object VectorSearch {
         StructField("radius", DoubleType, nullable = false),
         StructField("rms", DoubleType, nullable = false),
         StructField("n", LongType, nullable = false)))
-      val cellRows = centroids.indices.map { c =>
-        Row(c, centroids(c).toIndexedSeq,
-          if (c < radii.length) radii(c) else 0.0,
-          if (c < rmsRadii.length) rmsRadii(c) else 0.0,
-          if (c < cellCounts.length) cellCounts(c) else 0L)
+      val slice = 4096
+      var lo = 0
+      while (lo < centroids.length) {
+        val hi = math.min(lo + slice, centroids.length)
+        val rows = (lo until hi).map { c =>
+          Row(c, centroids(c).toIndexedSeq,
+            if (c < radii.length) radii(c) else 0.0,
+            if (c < rmsRadii.length) rmsRadii(c) else 0.0,
+            if (c < cellCounts.length) cellCounts(c) else 0L)
+        }
+        spark.createDataFrame(spark.sparkContext.parallelize(rows, 1),
+            cellSchema)
+          .write.mode("append").parquet(s"$vdir/cells")
+        lo = hi
       }
-      spark.createDataFrame(
-          spark.sparkContext.parallelize(cellRows,
-            math.max(1, centroids.length / 4096)), cellSchema)
-        .write.mode("overwrite").parquet(s"$dir/cells")
       val occSchema = StructType(Seq(
         StructField("col", StringType, nullable = false),
         StructField("cluster", IntegerType, nullable = false),
@@ -722,20 +799,43 @@ object VectorSearch {
         // the registered column's Spark type rides on every row (tiny
         // table): load() needs it to re-arm the literal-type gate
         StructField("coltype", StringType, nullable = false)))
-      val occRows = occupancyNow.toSeq.flatMap { case (oc, t) =>
+      // occupancy rows are narrow (strings + longs) but their count is
+      // cells × distinct values — slice on the same principle as cells
+      occupancyNow.toSeq.flatMap { case (oc, t) =>
         val ct = occupancyTypes.getOrElse(oc, "string")
-        t.toSeq.map { case ((c, v), n) => Row(oc, c, v, n, ct) }
+        t.iterator.map { case ((c, v), n) => Row(oc, c, v, n, ct) }
+      }.grouped(262144).foreach { rows =>
+        spark.createDataFrame(spark.sparkContext.parallelize(rows, 1),
+            occSchema)
+          .write.mode("append").parquet(s"$vdir/occupancy")
       }
-      spark.createDataFrame(
-          spark.sparkContext.parallelize(occRows, 1), occSchema)
-        .write.mode("overwrite").parquet(s"$dir/occupancy")
+      if (occupancyNow.isEmpty)
+        spark.createDataFrame(
+            spark.sparkContext.emptyRDD[Row], occSchema)
+          .write.mode("append").parquet(s"$vdir/occupancy")
       val metaSchema = StructType(Seq(
         StructField("baselineDist", DoubleType, nullable = true)))
       spark.createDataFrame(
           spark.sparkContext.parallelize(Seq(Row(
             if (baselineDist.isNaN) null else java.lang.Double.valueOf(baselineDist))), 1),
           metaSchema)
-        .write.mode("overwrite").parquet(s"$dir/meta")
+        .write.mode("append").parquet(s"$vdir/meta")
+      // commit marker LAST — the version is invisible to load() until
+      // this file exists, which is the whole atomicity argument
+      fs.create(new Path(vdir, "_graft_commit")).close()
+      // vacuum: keep the two newest committed versions; everything
+      // below that floor (older committed + crashed uncommitted) goes
+      val committed = (versions.filter(_._2).map(_._1) :+ next).sorted
+      val keepFrom = committed.takeRight(2).head
+      versions.foreach { case (v, _) =>
+        if (v < keepFrom) { fs.delete(new Path(f"$dir/v$v%08d"), true); () }
+      }
+      // pre-r9 flat-layout files are superseded by the first committed
+      // versioned write (one-time upgrade cleanup)
+      Seq("cells", "occupancy", "meta").foreach { s =>
+        val p = new Path(root, s)
+        if (fs.exists(p)) { fs.delete(p, true); () }
+      }
     }
 
     /** Centroid-drift probe — the maintenance hook behind [[append]]'s
@@ -889,6 +989,25 @@ object VectorSearch {
   }
 
   object IvfIndex {
+    private val VersionRe = "^v(\\d{8})$".r
+
+    /** (version, committed) for every `v########` directory under the
+      * manifest root — committed = its `_graft_commit` marker exists.
+      * Empty when the root is absent or holds only the pre-r9 flat
+      * layout.
+      */
+    private[graft] def manifestVersions(fs: org.apache.hadoop.fs.FileSystem,
+        root: org.apache.hadoop.fs.Path): Seq[(Long, Boolean)] =
+      if (!fs.exists(root)) Seq.empty
+      else fs.listStatus(root).toSeq.flatMap { st =>
+        st.getPath.getName match {
+          case VersionRe(n) if st.isDirectory =>
+            Seq(n.toLong -> fs.exists(
+              new org.apache.hadoop.fs.Path(st.getPath, "_graft_commit")))
+          case _ => Seq.empty
+        }
+      }
+
     /** Reopen a built index from its on-disk manifest
       * ([[IvfIndex.saveManifest]]) — centroids, both radius families,
       * per-cell counts, occupancy and the drift baseline come back
@@ -896,9 +1015,19 @@ object VectorSearch {
       * continues [[IvfIndex.append]]ing) without retraining or scanning
       * the data files. The driver cost is the manifest itself
       * (numClusters × dims floats — the same state a build ends with).
+      *
+      * Reads the newest COMMITTED `v########` version (an uncommitted
+      * dir — a checkpoint that crashed mid-write — is invisible);
+      * manifests written before the versioned layout load from the flat
+      * root files directly.
       */
     def load(spark: SparkSession, path: String): IvfIndex = {
-      val dir = s"$path/_graft_manifest"
+      val mroot = s"$path/_graft_manifest"
+      val rootPath = new org.apache.hadoop.fs.Path(mroot)
+      val mfs = rootPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val committed = manifestVersions(mfs, rootPath).filter(_._2).map(_._1)
+      val dir =
+        if (committed.nonEmpty) f"$mroot/v${committed.max}%08d" else mroot
       val cells = spark.read.parquet(s"$dir/cells").collect()
       require(cells.nonEmpty, s"empty IVF manifest at $dir")
       val k = cells.length

@@ -3,7 +3,10 @@ package graft.sources
 /** A REAL [[FieldEmbedder]] adapter: posts field texts to an
   * OpenAI-compatible `/v1/embeddings` HTTP endpoint (the wire shape
   * llama.cpp, vLLM, Ollama, text-embeddings-inference and the hosted
-  * APIs all speak) and reshapes the response into the engine's segment
+  * APIs all speak — authenticated endpoints additionally need
+  * `GRAFT_EMBED_API_KEY`, sent as `Authorization: Bearer` when set;
+  * without it the adapter only works against unauthenticated local
+  * servers) and reshapes the response into the engine's segment
   * contract — one `segDim`-wide UNIT-NORM segment per field, empty
   * fields embedding to the zero segment, concatenated in field order.
   * This is the executable example behind the adapter seam: point
@@ -65,11 +68,15 @@ final case class HttpFieldEmbedder(endpoint: String, model: String,
     payload.put("model", model)
     val arr = payload.putArray("input")
     texts.foreach(arr.add)
-    val req = java.net.http.HttpRequest.newBuilder(java.net.URI.create(endpoint))
+    val builder = java.net.http.HttpRequest.newBuilder(java.net.URI.create(endpoint))
       .timeout(java.time.Duration.ofSeconds(timeoutSeconds.toLong))
       .header("Content-Type", "application/json")
       .POST(java.net.http.HttpRequest.BodyPublishers.ofString(
         mapper.writeValueAsString(payload)))
+    // bearer auth for hosted OpenAI-compatible endpoints; env-sourced so
+    // the key never rides in a serialized task closure
+    val req = sys.env.get("GRAFT_EMBED_API_KEY").filter(_.nonEmpty)
+      .fold(builder)(k => builder.header("Authorization", s"Bearer $k"))
       .build()
     val resp = client.send(req,
       java.net.http.HttpResponse.BodyHandlers.ofString())

@@ -571,4 +571,81 @@ class VectorSearchSpec extends SparkSpec {
       .head().getDouble(0)
     assert(recall >= 0.9, s"recall $recall at derived count with nprobe $np")
   }
+
+  test("append invalidates the coarse router: routed ranking tracks post-append radii") {
+    // Adversarial geometry for a STALE router: 8 tight hubs at hypercube
+    // corners × 8 cells each; all build radii are jitter-sized, so every
+    // rebuilt group bound is small. An appended far outlier then inflates
+    // ONE cell's routing radius to ~hundreds — under the flat ranking
+    // that cell leads any query's probe list (score q·c + r·|q|), but its
+    // GROUP's centroid-dot for a query at a different corner is ~0, so
+    // the walk reaches it last. A router built before the append carries
+    // the old (tiny) group bound: the suffix-max certificate then says
+    // "nothing further can win" and terminates before that group is
+    // expanded — silently dropping the flat ranking's #1 cell. The fix
+    // rebuilds the router on append, making the inflated bound visible.
+    val rnd = new scala.util.Random(31)
+    val corners = Array.tabulate(8) { h =>
+      Array.tabulate(8)(d => if (((h >> (d % 3)) & 1) == 0) 10.0f else -10.0f)
+    }
+    val corpus = (0 until 1000).map { i =>
+      val h = corners(i % 8)
+      (i.toLong, h.map(v => v + rnd.nextFloat() - 0.5f))
+    }.toDF("vec_id", "embedding")
+    val dir = java.nio.file.Files.createTempDirectory("ivf_inval").toString
+    val idx = VectorSearch.buildIvf(corpus, "embedding", 64, dir,
+      sampleFraction = 1.0)
+    idx.twoLevelMinCells = 0
+    // query at a corner whose dot with the outlier hub (all +10) is ~0
+    val q = Array.tabulate(8)(d => if (d < 4) 10.0f else -10.0f)
+    idx.nearestClusters(q, 4) // builds the router from PRE-APPEND radii
+    // outliers along the all-positive corner's direction, far out: they
+    // assign to an all-positive-hub cell and blow up its radius
+    val outliers = (5000L until 5020L).map { i =>
+      (i, Array.fill(8)(200.0f + rnd.nextFloat()))
+    }.toDF("vec_id", "embedding")
+    idx.append(outliers, "embedding")
+    val hot = idx.rmsRadii.indices.maxBy(idx.rmsRadii)
+    assert(idx.rmsRadii(hot) > 50.0, s"outlier cell rms ${idx.rmsRadii(hot)}")
+    val flat = VectorSearch.IvfIndex(dir, idx.centroids, idx.baselineDist,
+      idx.radii, idx.rmsRadii, idx.cellCounts)
+    flat.twoLevelMinCells = Int.MaxValue
+    val routed = idx.nearestClusters(q, 4)
+    assert(routed.head == hot,
+      s"routed head ${routed.head} != inflated cell $hot (stale router?)")
+    assert(routed == flat.nearestClusters(q, 4),
+      "routed probe list diverged from the flat ranking after append")
+  }
+
+  test("manifest checkpoints are versioned and atomic: crashed writes stay invisible") {
+    import org.apache.hadoop.fs.Path
+    val dir = java.nio.file.Files.createTempDirectory("ivf_mversion").toString
+    val idx = VectorSearch.buildIvf(clustered, "embedding", 3, dir,
+      sampleFraction = 1.0, occupancyCols = Seq("true_cluster"))
+    val root = new Path(s"$dir/_graft_manifest")
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def versions(): Seq[String] =
+      fs.listStatus(root).map(_.getPath.getName).filter(_.startsWith("v"))
+        .sorted.toSeq
+    assert(versions() == Seq("v00000001"))
+    // a crashed checkpoint = a version dir WITHOUT the commit marker;
+    // load must keep serving the last committed version
+    fs.mkdirs(new Path(root, "v00000099/cells"))
+    fs.create(new Path(root, "v00000099/cells/garbage.parquet")).close()
+    val loaded = VectorSearch.IvfIndex.load(spark, dir)
+    assert(loaded.centroids.length == 3)
+    assert(loaded.occupancyTable == idx.occupancyTable)
+    // the next checkpoint lands ABOVE every existing dir (no collision
+    // with the crashed writer's number) and vacuums below the keep floor
+    idx.saveManifest(spark)
+    idx.saveManifest(spark)
+    val vs = versions()
+    assert(vs.contains("v00000101") && vs.contains("v00000100"),
+      s"expected versions past the crashed dir, got $vs")
+    assert(!vs.contains("v00000001"), s"old version not vacuumed: $vs")
+    assert(VectorSearch.IvfIndex.load(spark, dir)
+      .occupancyTable == idx.occupancyTable)
+    // the manifest tree stays invisible to the index's own data scans
+    assert(spark.read.parquet(dir).count() == 120L)
+  }
 }
