@@ -25,6 +25,18 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
   */
 object VectorSearch {
 
+  /** Largest searchMulti probe-set union served by a MapType-literal
+    * mask; bigger unions switch to a broadcast (cluster → bitmap) join.
+    * The literal's `element_at` is a linear key scan — O(|union|)
+    * comparisons per scanned row — so its cost crosses the broadcast
+    * join's fixed overhead as the union grows toward cap-scale cell
+    * counts (MaskCompileBench prints both mechanisms across union
+    * sizes; SCALE.md carries the measured crossover behind this
+    * default). Var, not val, so the bench and specs can force either
+    * path on one dataset.
+    */
+  @volatile private[graft] var maskLiteralMaxCells: Int = 2048
+
   /** Exact filtered top-k by dot product. Returns `projection` columns plus
     * `score`, highest first.
     */
@@ -446,7 +458,28 @@ object VectorSearch {
         val cached = countCache.get(key)
         if (cached != null) cached
         else {
-          val counts = indexDf(spark).filter(f)
+          // conjunction fast path (r9): when one conjunct of an AND is a
+          // registered categorical equality/IN, its occupancy candidate
+          // cells BOUND the whole conjunction's support — a cell with
+          // zero rows matching the categorical term has zero matching
+          // the conjunction. Restricting the count scan to those cells
+          // partition-prunes it (the reference's selectivity tiers are
+          // exactly `category === v && numeric-range` shapes, where the
+          // category touches a fraction of the cells). Counts stay
+          // EXACT: pruned-away cells contribute no rows either way.
+          val candidateCells: Option[Seq[Int]] = {
+            val cs = org.apache.spark.sql.graft.Bridge.conjuncts(f)
+            if (cs.length < 2) None
+            else cs.iterator.map(occupancyCounts).collectFirst {
+              case Some(m) if m.valuesIterator.sum > 0L => m.keys.toSeq
+            }
+          }
+          val scanDf = candidateCells match {
+            case Some(cells) if cells.length < centroids.length =>
+              indexDf(spark).filter(col("__cluster").isin(cells: _*))
+            case _ => indexDf(spark)
+          }
+          val counts = scanDf.filter(f)
             .groupBy(col("__cluster")).agg(count(lit(1)).as("__n"))
             .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
           countCache.put(key, counts)
@@ -615,9 +648,21 @@ object VectorSearch {
       // the map lookup is MATERIALIZED once per row (Spark's MapType
       // literal lookup is a linear key scan — leaving it inside every
       // query branch re-scans the map Q times per row, measured 2×
-      // slower than the isin masks it replaces)
-      val withMask = filtered.withColumn("__mask",
-        element_at(typedLit(maskMap), col("__cluster")))
+      // slower than the isin masks it replaces). The literal scan is
+      // O(|union|) per row, so past maskLiteralMaxCells probed cells the
+      // mask arrives via a broadcast (cluster → bitmap) hash join
+      // instead — O(1) per row, |union| rows broadcast (inner join:
+      // `filtered` is already restricted to the union's cells, which
+      // are exactly the map's keys)
+      val withMask =
+        if (maskMap.size <= maskLiteralMaxCells) filtered.withColumn("__mask",
+          element_at(typedLit(maskMap), col("__cluster")))
+        else {
+          import spark.implicits._
+          filtered.join(
+            broadcast(maskMap.toSeq.toDF("__cluster", "__mask")),
+            Seq("__cluster"))
+        }
       val scores = array(queries.zip(effective).zipWithIndex.map {
         case ((q, s), qi) =>
           if (s.size == centroids.length) vec_dot(col("__vec"), typedLit(q))
@@ -1028,20 +1073,27 @@ object VectorSearch {
       val committed = manifestVersions(mfs, rootPath).filter(_._2).map(_._1)
       val dir =
         if (committed.nonEmpty) f"$mroot/v${committed.max}%08d" else mroot
-      val cells = spark.read.parquet(s"$dir/cells").collect()
+      // typed collect, not Row collect: the Row form boxes every float
+      // (~4× the payload — a cap-sized 65536×2688 manifest OOMed a 4 GB
+      // driver heap through it; ManifestBench pins the envelope), while
+      // the tuple encoder hands back primitive float arrays
+      import spark.implicits._
+      val cells = spark.read.parquet(s"$dir/cells")
+        .select(col("cluster"), col("centroid").cast("array<float>"),
+          col("radius"), col("rms"), col("n"))
+        .as[(Int, Array[Float], Double, Double, Long)].collect()
       require(cells.nonEmpty, s"empty IVF manifest at $dir")
       val k = cells.length
       val cents = new Array[Array[Float]](k)
       val radii = new Array[Double](k)
       val rms = new Array[Double](k)
       val ns = new Array[Long](k)
-      cells.foreach { r =>
-        val c = r.getAs[Int]("cluster")
+      cells.foreach { case (c, cent, rad, rm, n) =>
         require(c >= 0 && c < k, s"manifest cluster id $c out of [0, $k)")
-        cents(c) = r.getSeq[Float](r.fieldIndex("centroid")).toArray
-        radii(c) = r.getAs[Double]("radius")
-        rms(c) = r.getAs[Double]("rms")
-        ns(c) = r.getAs[Long]("n")
+        cents(c) = cent
+        radii(c) = rad
+        rms(c) = rm
+        ns(c) = n
       }
       val occDf = spark.read.parquet(s"$dir/occupancy")
       val hasTypes = occDf.columns.contains("coltype")

@@ -82,6 +82,23 @@ object Bridge {
     }
   }
 
+  /** Flatten a top-level conjunction (`a && b && ...`) into its
+    * conjuncts; a non-AND predicate comes back as `Seq(c)`. Matched on
+    * the backend-agnostic node tree without forcing analysis (the `and`
+    * function node `Column.&&` builds). Used by the IVF probe planner to
+    * find a registered-categorical conjunct whose occupancy candidate
+    * cells can partition-prune the residual count scan.
+    */
+  def conjuncts(c: Column): Seq[Column] = {
+    import org.apache.spark.sql.internal.UnresolvedFunction
+    c.node match {
+      case fn: UnresolvedFunction
+          if fn.functionName == "and" && fn.arguments.length == 2 =>
+        fn.arguments.flatMap(a => conjuncts(Column(a)))
+      case _ => Seq(c)
+    }
+  }
+
   /** Register a builder under `name` so the expression is usable from SQL. */
   def registerFunction(
       spark: SparkSession,

@@ -67,6 +67,16 @@ class PlansSpec extends SparkSpec {
     assert(a != Bridge.stableKey(col("x") === "1"))
     assert(Bridge.stableKey(col("x") === 1.5f) !=
       Bridge.stableKey(col("x") === 1.5d))
+    // conjunct flattening (the conjunction fast path's decomposer):
+    // nested ANDs flatten, OR stays atomic, and each conjunct decodes
+    // independently
+    val cj = Bridge.conjuncts(
+      col("a") === "x" && col("b") < 2 && col("c").isin("p", "q"))
+    assert(cj.length == 3)
+    assert(Bridge.equalityOrIn(cj.head) == Some(("a", Seq("x"))))
+    assert(Bridge.equalityOrIn(cj(2)) == Some(("c", Seq("p", "q"))))
+    assert(Bridge.conjuncts(col("a") === 1).length == 1)
+    assert(Bridge.conjuncts(col("a") === 1 || col("b") === 2).length == 1)
     // typed variant keeps the JVM types the occupancy gate needs
     assert(Bridge.equalityOrInTyped(col("c") === 7) == Some(("c", Seq(7))))
     assert(Bridge.equalityOrInTyped(col("c") === 7.0) ==

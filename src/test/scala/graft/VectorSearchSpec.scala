@@ -572,6 +572,59 @@ class VectorSearchSpec extends SparkSpec {
     assert(recall >= 0.9, s"recall $recall at derived count with nprobe $np")
   }
 
+  test("searchMulti mask via broadcast join matches the literal-map path") {
+    val dir = java.nio.file.Files.createTempDirectory("ivf_maskbc").toString
+    val idx = VectorSearch.buildIvf(clustered, "embedding", 3, dir,
+      sampleFraction = 1.0)
+    val rnd = new scala.util.Random(13)
+    val qs = (0 until 5).map(_ => Array.fill(8)(rnd.nextFloat() * 10f - 5f))
+    def rows(df: org.apache.spark.sql.DataFrame): Seq[(Int, Int, String)] =
+      df.collect()
+        .map(r => (r.getInt(0), r.getAs[Number](1).intValue, r.getString(3)))
+        .toSeq.sorted
+    val viaLiteral = rows(idx.searchMulti(spark, qs, 10, 2, "vec_id"))
+    val saved = VectorSearch.maskLiteralMaxCells
+    VectorSearch.maskLiteralMaxCells = 0 // any union takes the join path
+    try {
+      val viaJoin = rows(idx.searchMulti(spark, qs, 10, 2, "vec_id"))
+      assert(viaJoin == viaLiteral)
+      // and with a filter (filter-aware plan + mask join compose)
+      val pred = col("true_cluster") =!= 2
+      val lit2 = {
+        VectorSearch.maskLiteralMaxCells = saved
+        rows(idx.searchMulti(spark, qs, 10, 2, "vec_id", Some(pred)))
+      }
+      VectorSearch.maskLiteralMaxCells = 0
+      assert(rows(idx.searchMulti(spark, qs, 10, 2, "vec_id", Some(pred)))
+        == lit2)
+    } finally VectorSearch.maskLiteralMaxCells = saved
+  }
+
+  test("conjunction filters: occupancy candidates prune the count scan, counts stay exact") {
+    val dir = java.nio.file.Files.createTempDirectory("ivf_conj").toString
+    val idx = VectorSearch.buildIvf(clustered, "embedding", 3, dir,
+      sampleFraction = 1.0, occupancyCols = Seq("true_cluster"))
+    // bare handle: same routing state, NO occupancy — its count scans are
+    // the unpruned ground truth the fast path must reproduce exactly
+    val bare = VectorSearch.IvfIndex(dir, idx.centroids, idx.baselineDist,
+      idx.radii, idx.rmsRadii, idx.cellCounts)
+    val f = col("true_cluster") === 1 && col("vec_id") % 2 === 0
+    val q = Array.fill(8)(-5.0f)
+    assert(idx.probePlan(spark, Seq(q), 5, 1, Some(f), exactFallback = true)
+      == bare.probePlan(spark, Seq(q), 5, 1, Some(f), exactFallback = true))
+    // end-to-end: filtered search through the pruned-count plan matches
+    // the exact answer
+    val got = idx.search(spark, q, 5, nprobe = 1, Some(f))
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    val want = VectorSearch.topK(clustered, "embedding", q, 5, Some(f),
+      projection = Seq("vec_id")).collect().map(_.getLong(0)).toSet
+    assert(got == want)
+    // a conjunction whose categorical term matches nothing falls through
+    // to the full scan (zero-trust backstop) and returns empty, not junk
+    val none = col("true_cluster") === 77 && col("vec_id") >= 0
+    assert(idx.search(spark, q, 5, 1, Some(none)).count() == 0L)
+  }
+
   test("append invalidates the coarse router: routed ranking tracks post-append radii") {
     // Adversarial geometry for a STALE router: 8 tight hubs at hypercube
     // corners × 8 cells each; all build radii are jitter-sized, so every
