@@ -20,4 +20,19 @@ object FsUtil {
       } finally stream.close()
     }
   }
+
+  /** Total bytes under a path (0 if absent), closing the walk stream. */
+  def sizeBytes(root: Path): Long = {
+    if (!Files.exists(root)) 0L
+    else {
+      val stream = Files.walk(root)
+      try {
+        import scala.jdk.CollectionConverters._
+        stream.iterator().asScala
+          .filter(Files.isRegularFile(_))
+          .map(p => try Files.size(p) catch { case _: Throwable => 0L })
+          .sum
+      } finally stream.close()
+    }
+  }
 }
