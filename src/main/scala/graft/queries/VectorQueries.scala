@@ -701,6 +701,47 @@ object VectorQueries {
               ORDER BY score DESC, vec_id) AS rank
           FROM scored)
         SELECT query_id, rank, score, vec_id FROM ranked
-        WHERE rank <= 5 ORDER BY query_id, rank"""))
+        WHERE rank <= 5 ORDER BY query_id, rank""")),
+
+    // ---- HTTPS dataset source (reference README.md:37-43 publishes its
+    //      parquet variants behind plain HTTPS + wget): fetch the nation
+    //      table from an in-process loopback server through
+    //      HttpDatasetSource (resumable, verified, atomic-rename fetch)
+    //      and emit the fetched rows — matching the oracle's direct read
+    //      iff the transferred bytes are the table, intact ----
+    QueryDef(
+      "q116_http_source",
+      (s, d) => {
+        val bytes = java.nio.file.Files.readAllBytes(
+          java.nio.file.Paths.get(s"$d/nation.parquet"))
+        val server = com.sun.net.httpserver.HttpServer.create(
+          new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+        server.createContext("/nation.parquet",
+          (ex: com.sun.net.httpserver.HttpExchange) => {
+            try {
+              ex.sendResponseHeaders(200, bytes.length.toLong)
+              ex.getResponseBody.write(bytes)
+            } finally ex.close()
+          })
+        server.start()
+        val root = java.nio.file.Files.createTempDirectory("q116_http")
+        try {
+          val url = s"http://127.0.0.1:${server.getAddress.getPort}/nation.parquet"
+          val f = graft.sources.HttpDatasetSource.fetch(url, root)
+          val rows = s.read.parquet(f.path)
+            .select(col("n_nationkey").cast("long").as("n_nationkey"),
+              col("n_name"), col("n_regionkey").cast("long").as("n_regionkey"))
+            .orderBy(col("n_nationkey")).collect()
+          import s.implicits._
+          rows.map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+            .toDF("n_nationkey", "n_name", "n_regionkey")
+        } finally {
+          server.stop(0)
+          graft.FsUtil.deleteRecursively(root)
+        }
+      },
+      Some("""SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey, n_name,
+          CAST(n_regionkey AS BIGINT) AS n_regionkey
+        FROM nation ORDER BY n_nationkey"""))
   )
 }

@@ -1,0 +1,223 @@
+package graft.sources
+
+import java.io.{FileOutputStream, IOException, InputStream}
+import java.net.URI
+import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+import java.security.MessageDigest
+import java.time.Duration
+import java.util.zip.GZIPInputStream
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** The reference's dataset-access path: its four parquet size variants are
+  * published behind plain HTTPS URLs and fetched with `wget` before any
+  * analysis runs (reference `README.md:37-43`). This source makes that
+  * fetch a first-class, resumable, verified operation instead of an
+  * out-of-band shell step:
+  *
+  *   - `fetch` streams one URL to disk with retry + exponential backoff,
+  *     byte-`Range` resume of a partial download, optional transparent
+  *     gzip decoding, optional SHA-256 verification, and an atomic
+  *     rename so readers never observe a torn file. Re-fetching an
+  *     already-complete file is a no-op (idempotent bootstrap).
+  *   - `fetchAll` pulls a URL list on the driver — the right shape for
+  *     the reference's 4 variants.
+  *   - `fetchDistributed` maps URLs to TASKS (one fetch per task) for
+  *     many-shard datasets: at 100 TB a dataset is thousands of shard
+  *     URLs, the driver's NIC is the bottleneck, and the cluster-correct
+  *     plan is each executor pulling its own shards onto shared storage.
+  *     Each task runs the same resumable `fetch`, so a re-run after a
+  *     lost executor re-pulls only incomplete shards.
+  *
+  * Scale note: the fetch is a bootstrap/ingest-edge operation. Once data
+  * lives on the cluster's store, the engine reads parquet in place — no
+  * per-query HTTP path exists, by design.
+  */
+object HttpDatasetSource {
+
+  /** Outcome of one fetch: where the bytes landed and how many. */
+  final case class Fetched(url: String, path: String, bytes: Long,
+      resumed: Boolean, attempts: Int)
+
+  private def client(): HttpClient = HttpClient.newBuilder()
+    .followRedirects(HttpClient.Redirect.NORMAL)
+    .connectTimeout(Duration.ofSeconds(30))
+    .build()
+
+  private def fileNameFor(url: String): String = {
+    val raw = URI.create(url).getPath.split('/').lastOption
+      .filter(_.nonEmpty).getOrElse("download")
+    java.net.URLDecoder.decode(raw, "UTF-8")
+  }
+
+  private def sha256Of(p: Path): String = {
+    val md = MessageDigest.getInstance("SHA-256")
+    val in = Files.newInputStream(p)
+    try {
+      val buf = new Array[Byte](1 << 16)
+      var n = in.read(buf)
+      while (n >= 0) { if (n > 0) md.update(buf, 0, n); n = in.read(buf) }
+    } finally in.close()
+    md.digest().map("%02x".format(_)).mkString
+  }
+
+  /** Stream `in` to `out` (append), returning bytes copied. */
+  private def drain(in: InputStream, out: FileOutputStream): Long = {
+    val buf = new Array[Byte](1 << 16)
+    var total = 0L
+    var n = in.read(buf)
+    while (n >= 0) {
+      if (n > 0) { out.write(buf, 0, n); total += n }
+      n = in.read(buf)
+    }
+    total
+  }
+
+  /** Fetch one URL to `destDir/fileName` (name defaulting to the URL's
+    * last path segment, minus `.gz` when `stripGz` decodes it).
+    *
+    * Retries transient failures (IO errors, 5xx, 429) `maxRetries` times
+    * with exponential backoff. A leftover `<name>.part` from a previous
+    * crash resumes via `Range: bytes=N-` when the server honors it (206)
+    * and restarts cleanly when it doesn't (200). The completed file is
+    * verified against `expectedSha256` when given, then atomically moved
+    * into place; an existing complete destination short-circuits the
+    * whole fetch (after hash verification when one is expected).
+    *
+    * `stripGz` additionally gunzips `*.gz` URLs on the fly (responses
+    * with `Content-Encoding: gzip` are always decoded — resume is
+    * disabled for those, since a byte offset into an encoded stream is
+    * meaningless).
+    */
+  def fetch(url: String, destDir: Path, fileName: Option[String] = None,
+      maxRetries: Int = 3, expectedSha256: Option[String] = None,
+      stripGz: Boolean = true, backoffMs: Long = 500L): Fetched = {
+    val gzByName = url.toLowerCase.endsWith(".gz") && stripGz
+    val name = fileName.getOrElse {
+      val n = fileNameFor(url)
+      if (gzByName) n.stripSuffix(".gz").stripSuffix(".GZ") else n
+    }
+    Files.createDirectories(destDir)
+    val dest = destDir.resolve(name)
+    val part = destDir.resolve(name + ".part")
+
+    if (Files.exists(dest)) {
+      expectedSha256.filter(_ != sha256Of(dest)).foreach { _ =>
+        Files.delete(dest) // stale/corrupt prior download: re-fetch
+      }
+      if (Files.exists(dest))
+        return Fetched(url, dest.toString, Files.size(dest),
+          resumed = false, attempts = 0)
+    }
+
+    val http = client()
+    var attempt = 0
+    var resumedAny = false
+    var lastErr: Throwable = null
+    while (attempt < math.max(1, maxRetries)) {
+      attempt += 1
+      try {
+        // gz-decoded streams can't resume at a byte offset — start clean
+        val offset =
+          if (!gzByName && Files.exists(part)) Files.size(part) else 0L
+        if (gzByName && Files.exists(part)) Files.delete(part)
+        val reqB = HttpRequest.newBuilder(URI.create(url))
+          .timeout(Duration.ofMinutes(30)).GET()
+        if (offset > 0L) reqB.header("Range", s"bytes=$offset-")
+        val resp = http.send(reqB.build(),
+          HttpResponse.BodyHandlers.ofInputStream())
+        val code = resp.statusCode()
+        val gzByHeader = resp.headers()
+          .firstValue("Content-Encoding").orElse("").equalsIgnoreCase("gzip")
+        code match {
+          case 200 | 206 =>
+            val append = code == 206 && offset > 0L
+            if (!append && Files.exists(part)) Files.delete(part)
+            if (append) resumedAny = true
+            val out = new FileOutputStream(part.toFile, append)
+            val body =
+              if (gzByHeader || gzByName) new GZIPInputStream(resp.body())
+              else resp.body()
+            try drain(body, out)
+            finally { try body.close() catch { case _: Throwable => () }; out.close() }
+            // size check only when the wire length equals the file length
+            if (!gzByHeader && !gzByName) {
+              val want = resp.headers().firstValueAsLong("Content-Length")
+              if (want.isPresent) {
+                // a 200 after a Range request means the offset was discarded
+                val expect = (if (append) offset else 0L) + want.getAsLong
+                val got = Files.size(part)
+                if (got != expect) throw new IOException(
+                  s"short read: $got of $expect bytes from $url")
+              }
+            }
+            expectedSha256.foreach { h =>
+              val got = sha256Of(part)
+              if (got != h) {
+                Files.delete(part) // poisoned bytes must not resume
+                throw new IOException(
+                  s"sha256 mismatch for $url: got $got, want $h")
+              }
+            }
+            Files.move(part, dest, StandardCopyOption.ATOMIC_MOVE,
+              StandardCopyOption.REPLACE_EXISTING)
+            return Fetched(url, dest.toString, Files.size(dest),
+              resumedAny, attempt)
+          case 416 =>
+            // our .part is at/after EOF — likely already complete; verify
+            // by restarting clean (cheap for the sizes this serves)
+            Files.delete(part)
+            throw new IOException(s"range not satisfiable at $offset for $url")
+          case c if c >= 500 || c == 429 =>
+            throw new IOException(s"retryable HTTP $c from $url")
+          case c =>
+            throw new IllegalArgumentException(s"HTTP $c from $url")
+        }
+      } catch {
+        case e: IllegalArgumentException => throw e // 4xx: retry won't help
+        case e: Throwable =>
+          lastErr = e
+          if (attempt < maxRetries)
+            Thread.sleep(backoffMs * (1L << math.min(attempt - 1, 6)))
+      }
+    }
+    throw new IOException(s"fetch failed after $attempt attempts: $url", lastErr)
+  }
+
+  /** Driver-side fetch of a URL list (the reference's four size variants,
+    * `README.md:37-43`). Sequential by default — a handful of bulk files
+    * saturate one link; see `fetchDistributed` for many-shard pulls.
+    */
+  def fetchAll(urls: Seq[String], destDir: Path, maxRetries: Int = 3,
+      shaByUrl: Map[String, String] = Map.empty): Seq[Fetched] =
+    urls.map(u => fetch(u, destDir, maxRetries = maxRetries,
+      expectedSha256 = shaByUrl.get(u)))
+
+  /** Cluster-wide fetch: one task per URL, each executor pulling its own
+    * shards to `destDir` (a SHARED filesystem on a real cluster; any
+    * local dir under local[*]). Returns one row per shard with the
+    * landed path/size for downstream audit. Idempotent across re-runs —
+    * complete shards short-circuit, partial ones resume.
+    */
+  def fetchDistributed(spark: SparkSession, urls: Seq[String],
+      destDir: String, maxRetries: Int = 3): DataFrame = {
+    import spark.implicits._
+    val n = math.max(1, urls.size)
+    spark.createDataset(urls).repartition(n)
+      .mapPartitions { it =>
+        val dir = Paths.get(destDir)
+        it.map(u => fetch(u, dir, maxRetries = maxRetries))
+      }
+      .toDF()
+  }
+
+  /** Fetch-then-read convenience: pull every URL into `cacheDir` (skipping
+    * complete ones) and open the result as one parquet DataFrame.
+    */
+  def readParquet(spark: SparkSession, urls: Seq[String],
+      cacheDir: Path): DataFrame = {
+    val fetched = fetchAll(urls, cacheDir)
+    spark.read.parquet(fetched.map(_.path): _*)
+  }
+}
