@@ -490,3 +490,190 @@ case class NearestCentroidDist(child: Expression, centroids: Array[Array[Float]]
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
 }
+
+/** `nearest_centroid_grouped(v)` — the two-level IVF assignment kernel for
+  * LARGE centroid tables: rank the ~√k coarse group centroids by
+  * squared-L2 (phase 1), then scan only the top-`probes` groups' member
+  * centroids exactly (phase 2; ties → lower fine index, matching
+  * [[NearestCentroid]]). With `probes ≥ groups` the result equals the
+  * flat kernel EXACTLY — ties included — which is the spec-pinned parity
+  * contract; with small `probes` it is a (1+probes)·√k·d approximation
+  * of the flat k·d pass, the standard hierarchical-quantizer trade
+  * (assignment moves a ~1e-3 fraction of rows to a near-equidistant
+  * neighbor cell, measured in VectorKernelsSpec/AssignBench).
+  *
+  * This is what keeps the IVF BUILD sub-quadratic at corpus scale: with
+  * k = √n cells the flat assignment is n·√n·d mul-adds (the one
+  * super-linear cost in the index path — ~7 h single-node at the
+  * reference's 10M tier); two-phase assignment cuts the per-row factor
+  * from k to (1+probes)·√k, restoring ~n^1.25·d.
+  *
+  * `emitDist = true` returns the true squared-L2 distance to the CHOSEN
+  * centroid instead of its index (the stats/radii variant — radii must
+  * describe the cells rows actually land in, so the stats pass uses the
+  * same selection rule as the assignment pass).
+  */
+case class NearestCentroidGrouped(child: Expression,
+    centroids: Array[Array[Float]], coarse: Array[Array[Float]],
+    members: Array[Array[Int]], probes: Int, emitDist: Boolean)
+    extends UnaryExpression with VectorKernelSupport {
+
+  require(centroids.nonEmpty && coarse.nonEmpty &&
+    members.length == coarse.length && probes > 0)
+
+  override def dataType: DataType = if (emitDist) DoubleType else IntegerType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String =
+    if (emitDist) "nearest_centroid_grouped_dist" else "nearest_centroid_grouped"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    checkVectorInput(Seq(child))
+
+  @transient private lazy val c2fine: Array[Double] =
+    centroids.map(_.foldLeft(0.0)((acc, v) => acc + v.toDouble * v))
+  @transient private lazy val c2coarse: Array[Double] =
+    coarse.map(_.foldLeft(0.0)((acc, v) => acc + v.toDouble * v))
+
+  override def nullSafeEval(a: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val t = elementTypeOf(child)
+    val n = x.numElements()
+    val p = math.min(probes, coarse.length)
+    // phase 1: top-p coarse groups by |cg|²−2x·cg (insertion, p is tiny)
+    val topG = Array.fill(p)(-1)
+    val topD = Array.fill(p)(Double.MaxValue)
+    var g = 0
+    while (g < coarse.length) {
+      if (members(g).nonEmpty) {
+        val cg = coarse(g)
+        val m = math.min(n, cg.length)
+        var acc = 0.0
+        var i = 0
+        while (i < m) { acc += elemAt(x, t, i) * cg(i); i += 1 }
+        val d = c2coarse(g) - 2.0 * acc
+        var s = p - 1
+        if (d < topD(s)) {
+          while (s > 0 && d < topD(s - 1)) {
+            topD(s) = topD(s - 1); topG(s) = topG(s - 1); s -= 1
+          }
+          topD(s) = d; topG(s) = g
+        }
+      }
+      g += 1
+    }
+    // phase 2: exact scan of the selected groups' members
+    var best = Double.MaxValue
+    var bi = Int.MaxValue
+    var s = 0
+    while (s < p) {
+      val gs = topG(s)
+      if (gs >= 0) {
+        val ms = members(gs)
+        var j = 0
+        while (j < ms.length) {
+          val f = ms(j)
+          val cf = centroids(f)
+          val m = math.min(n, cf.length)
+          var acc = 0.0
+          var i = 0
+          while (i < m) { acc += elemAt(x, t, i) * cf(i); i += 1 }
+          val d = c2fine(f) - 2.0 * acc
+          if (d < best || (d == best && f < bi)) { best = d; bi = f }
+          j += 1
+        }
+      }
+      s += 1
+    }
+    if (!emitDist) bi
+    else {
+      var x2 = 0.0
+      var i = 0
+      while (i < n) { val e = elemAt(x, t, i); x2 += e * e; i += 1 }
+      math.max(0.0, best + x2)
+    }
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val t = elementTypeOf(child)
+    val csRef = ctx.addReferenceObj("centroids", centroids, "float[][]")
+    val c2fRef = ctx.addReferenceObj("c2fine", c2fine, "double[]")
+    val coRef = ctx.addReferenceObj("coarse", coarse, "float[][]")
+    val c2cRef = ctx.addReferenceObj("c2coarse", c2coarse, "double[]")
+    val memRef = ctx.addReferenceObj("members", members, "int[][]")
+    val p = math.min(probes, coarse.length)
+    nullSafeCodeGen(ctx, ev, a => {
+      val v = ctx.freshName("v")
+      val topG = ctx.freshName("topG"); val topD = ctx.freshName("topD")
+      val g = ctx.freshName("g"); val cg = ctx.freshName("cg")
+      val m = ctx.freshName("m"); val acc = ctx.freshName("acc")
+      val i = ctx.freshName("i"); val d = ctx.freshName("d")
+      val s = ctx.freshName("s"); val best = ctx.freshName("best")
+      val bi = ctx.freshName("bi"); val gs = ctx.freshName("gs")
+      val ms = ctx.freshName("ms"); val j = ctx.freshName("j")
+      val f = ctx.freshName("f"); val cf = ctx.freshName("cf")
+      val x2 = ctx.freshName("x2")
+      val toPrim = t match {
+        case DoubleType => s"final double[] $v = $a.toDoubleArray();"
+        case ByteType   => s"final byte[] $v = $a.toByteArray();"
+        case _          => s"final float[] $v = $a.toFloatArray();"
+      }
+      val emit =
+        if (!emitDist) s"${ev.value} = $bi;"
+        else
+          s"""
+             |double $x2 = 0.0;
+             |for (int $i = 0; $i < $v.length; $i++) {
+             |  $x2 += (double)$v[$i] * (double)$v[$i];
+             |}
+             |${ev.value} = java.lang.Math.max(0.0, $best + $x2);
+           """.stripMargin
+      s"""
+         |$toPrim
+         |final int[] $topG = new int[$p];
+         |final double[] $topD = new double[$p];
+         |for (int $s = 0; $s < $p; $s++) {
+         |  $topG[$s] = -1; $topD[$s] = Double.MAX_VALUE;
+         |}
+         |for (int $g = 0; $g < $coRef.length; $g++) {
+         |  if ($memRef[$g].length == 0) continue;
+         |  final float[] $cg = $coRef[$g];
+         |  final int $m = java.lang.Math.min($v.length, $cg.length);
+         |  double $acc = 0.0;
+         |  for (int $i = 0; $i < $m; $i++) {
+         |    $acc += (double)$v[$i] * (double)$cg[$i];
+         |  }
+         |  final double $d = $c2cRef[$g] - 2.0 * $acc;
+         |  int $s = $p - 1;
+         |  if ($d < $topD[$s]) {
+         |    while ($s > 0 && $d < $topD[$s - 1]) {
+         |      $topD[$s] = $topD[$s - 1]; $topG[$s] = $topG[$s - 1]; $s--;
+         |    }
+         |    $topD[$s] = $d; $topG[$s] = $g;
+         |  }
+         |}
+         |double $best = Double.MAX_VALUE;
+         |int $bi = Integer.MAX_VALUE;
+         |for (int $s = 0; $s < $p; $s++) {
+         |  final int $gs = $topG[$s];
+         |  if ($gs < 0) continue;
+         |  final int[] $ms = $memRef[$gs];
+         |  for (int $j = 0; $j < $ms.length; $j++) {
+         |    final int $f = $ms[$j];
+         |    final float[] $cf = $csRef[$f];
+         |    final int $m = java.lang.Math.min($v.length, $cf.length);
+         |    double $acc = 0.0;
+         |    for (int $i = 0; $i < $m; $i++) {
+         |      $acc += (double)$v[$i] * (double)$cf[$i];
+         |    }
+         |    final double $d = $c2fRef[$f] - 2.0 * $acc;
+         |    if ($d < $best || ($d == $best && $f < $bi)) { $best = $d; $bi = $f; }
+         |  }
+         |}
+         |$emit
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}

@@ -33,6 +33,27 @@ package object functions {
   def nearest_centroid_dist(v: Column, centroids: Array[Array[Float]]): Column =
     Bridge.column(NearestCentroidDist(Bridge.expression(v), centroids))
 
+  /** Two-level nearest-centroid index: rank `coarse` group centroids,
+    * exact-scan the top-`probes` groups' `members` — the large-k IVF
+    * assignment kernel (see
+    * [[graft.functions.NearestCentroidGrouped]]).
+    */
+  def nearest_centroid_grouped(v: Column, centroids: Array[Array[Float]],
+      coarse: Array[Array[Float]], members: Array[Array[Int]],
+      probes: Int): Column =
+    Bridge.column(NearestCentroidGrouped(Bridge.expression(v), centroids,
+      coarse, members, probes, emitDist = false))
+
+  /** True squared-L2 distance to the centroid
+    * [[nearest_centroid_grouped]] selects (the grouped stats/radii
+    * variant — same selection rule as the assignment pass).
+    */
+  def nearest_centroid_grouped_dist(v: Column, centroids: Array[Array[Float]],
+      coarse: Array[Array[Float]], members: Array[Array[Int]],
+      probes: Int): Column =
+    Bridge.column(NearestCentroidGrouped(Bridge.expression(v), centroids,
+      coarse, members, probes, emitDist = true))
+
   /** Packed sign signature (`array<long>`) of an `array<float|double>`
     * column — binary quantization, 32× smaller than float32.
     */

@@ -703,10 +703,17 @@ object VectorSearch {
       * already-assigned rows — O(batch), on the same persisted frame the
       * write consumed.
       */
+    // Same kernel-selection rule as buildIvf (flat below
+    // twoLevelAssignMinCells, two-level at/above): appended rows must
+    // land by the same assignment function as the build's, or a re-run
+    // of the same row could move cells. Centroids are frozen for the
+    // handle's lifetime, so the grouping never invalidates (unlike the
+    // radii-bearing coarseRouter).
+    @transient private lazy val appendKernels = assignKernels(centroids)
+
     def append(updates: DataFrame, vecCol: String): Unit = {
       val assigned = updates
-        .withColumn("__cluster",
-          graft.functions.nearest_centroid(col(vecCol), centroids))
+        .withColumn("__cluster", appendKernels._1(col(vecCol)))
         .withColumnRenamed(vecCol, "__vec")
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       try {
@@ -719,8 +726,7 @@ object VectorSearch {
           .partitionBy("__cluster").parquet(path)
         if (radii.nonEmpty || rmsRadii.nonEmpty) {
           val stats = assigned.select(col("__cluster").as("__c"),
-              graft.functions.nearest_centroid_dist(col("__vec"), centroids)
-                .as("__d"))
+              appendKernels._2(col("__vec")).as("__d"))
             .groupBy(col("__c"))
             .agg(count(lit(1)).as("__n"), sum(col("__d")).as("__s"),
               max(col("__d")).as("__m"))
@@ -905,9 +911,11 @@ object VectorSearch {
       val sampled =
         if (sampleFraction >= 1.0) indexDf(spark)
         else indexDf(spark).sample(withReplacement = false, sampleFraction, seed)
+      // same kernel rule as the build's baseline stats pass — a flat
+      // current against a grouped baseline would read as spurious
+      // (negative) drift at large k
       val cur = sampled
-        .select(avg(graft.functions.nearest_centroid_dist(col("__vec"),
-          centroids)).as("d"))
+        .select(avg(appendKernels._2(col("__vec"))).as("d"))
         .head().getDouble(0)
       // an all-identical degenerate build can have baseline 0; any real
       // spread after appends then reads as infinite drift, which is the
@@ -1032,6 +1040,66 @@ object VectorSearch {
       new CoarseRouter(refined, members, bounds)
     }
   }
+
+  /** Cell counts at/above this threshold ASSIGN through the two-level
+    * kernel ([[graft.functions.NearestCentroidGrouped]]): the flat
+    * assignment pass is n·k·d mul-adds, and with the √n cell-sizing rule
+    * that is the index path's one super-linear cost — at the reference's
+    * 10M tier (k = 3162, d = 2688) ~8.5·10¹³ mul-adds, ~7 h single-node,
+    * vs ~(1+probes)·√k per row two-level (~28× less). Below the
+    * threshold the flat kernel is already a small share of the build
+    * (write-bound, measured through sf1's k = 1000) and exactness is
+    * free. 4096 matches the query-routing threshold: one definition of
+    * "large" for the index. Assignment above it is approximate in the
+    * standard hierarchical-quantizer sense — a ~1e-3 fraction of rows
+    * lands in a near-equidistant neighbor cell (AssignBench measures
+    * the rate; VectorKernelsSpec pins exact parity when every group is
+    * probed and near-equality of the chosen distance otherwise). The
+    * stats/radii pass uses the SAME selection rule, so radii always
+    * describe the cells rows actually land in.
+    */
+  private[graft] val twoLevelAssignMinCells: Int = 4096
+  private[graft] val twoLevelAssignProbes: Int = 4
+
+  /** (assignment column, true-squared-distance column) builders for a
+    * centroid table — flat kernels below [[twoLevelAssignMinCells]],
+    * two-level at/above it (grouping = the deterministic
+    * [[CoarseRouter.build]] clustering of the centroids; radii play no
+    * part in assignment, so the router's bounds are ignored).
+    */
+  private[graft] def assignKernels(centroids: Array[Array[Float]])
+      : (Column => Column, Column => Column) =
+    if (centroids.length >= twoLevelAssignMinCells) {
+      val cr = CoarseRouter.build(centroids, Array.emptyDoubleArray)
+      (v => graft.functions.nearest_centroid_grouped(
+          v, centroids, cr.cents, cr.members, twoLevelAssignProbes),
+        v => graft.functions.nearest_centroid_grouped_dist(
+          v, centroids, cr.cents, cr.members, twoLevelAssignProbes))
+    } else
+      (v => graft.functions.nearest_centroid(v, centroids),
+        v => graft.functions.nearest_centroid_dist(v, centroids))
+
+  /** Two-level kernels regardless of the threshold — measurement harness
+    * hook (AssignBench's sub-threshold rows); production call sites go
+    * through [[assignKernels]].
+    */
+  private[graft] def forcedGroupedKernels(centroids: Array[Array[Float]])
+      : (Column => Column, Column => Column) = {
+    val cr = CoarseRouter.build(centroids, Array.emptyDoubleArray)
+    (v => graft.functions.nearest_centroid_grouped(
+        v, centroids, cr.cents, cr.members, twoLevelAssignProbes),
+      v => graft.functions.nearest_centroid_grouped_dist(
+        v, centroids, cr.cents, cr.members, twoLevelAssignProbes))
+  }
+
+  /** Group sizes of the grouping [[assignKernels]] would use —
+    * balance diagnostic for AssignBench (phase-2 cost is the sum of the
+    * probed groups' sizes, so a lumpy grouping erases the two-level
+    * win).
+    */
+  private[graft] def assignGroupingSizes(
+      centroids: Array[Array[Float]]): Array[Int] =
+    CoarseRouter.build(centroids, Array.emptyDoubleArray).members.map(_.length)
 
   object IvfIndex {
     private val VersionRe = "^v(\\d{8})$".r
@@ -1222,10 +1290,12 @@ object VectorSearch {
     // kernel (one primitive copy of the row vector, tight loops over all
     // centroids; ties to the lower cluster id like KMeans.transform's
     // scan order) — k separate vec_dot calls would re-walk the ArrayData
-    // accessor k times.
+    // accessor k times. At >= twoLevelAssignMinCells cells the kernel is
+    // the two-level variant (top-probes coarse groups, exact within) —
+    // see assignKernels for the cost/exactness contract.
+    val (asgCol, asgDistCol) = assignKernels(centroids)
     val assigned = df
-      .withColumn("__cluster",
-        graft.functions.nearest_centroid(col(vecCol), centroids))
+      .withColumn("__cluster", asgCol(col(vecCol)))
       .withColumnRenamed(vecCol, "__vec")
     // Cluster-sort within each task instead of shuffling by cluster: the
     // partitioned write then emits one SEQUENTIAL file per cluster per task
@@ -1251,8 +1321,8 @@ object VectorSearch {
     // can merge batches into the RMS exactly.
     val stats = sampled
       .select(
-        graft.functions.nearest_centroid(col(vecCol), centroids).as("__c"),
-        graft.functions.nearest_centroid_dist(col(vecCol), centroids).as("__d"))
+        asgCol(col(vecCol)).as("__c"),
+        asgDistCol(col(vecCol)).as("__d"))
       .groupBy(col("__c"))
       .agg(count(lit(1)).as("__n"), sum(col("__d")).as("__s"),
         max(col("__d")).as("__m"))

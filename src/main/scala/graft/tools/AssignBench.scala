@@ -1,0 +1,101 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Measures the r9 two-level IVF ASSIGNMENT kernel against the flat one
+  * at the cell counts where it engages (k ≥
+  * `VectorSearch.twoLevelAssignMinCells`): per-row cost drops from k·d
+  * to ~(1+probes)·√k·d mul-adds — the factor that keeps the index build
+  * sub-quadratic under the √n cell-sizing rule (flat assignment at the
+  * reference's 10M tier is ~8.5e13 mul-adds, the one super-linear cost
+  * in the whole index path).
+  *
+  * Fixture: hub-structured vectors (large real centroid tables are
+  * hub-structured by construction — they come from KMeans over
+  * clustered data). Reports, per k: steady-state wall time of a full
+  * assignment pass through each kernel (same cached input, warm-up pass
+  * first), the disagreement fraction, and the mean/max inflation of the
+  * chosen-cell distance over the true nearest distance — the
+  * recall-relevant quality number (a mis-assigned row sits in a cell
+  * whose centroid is nearly as close, so probe rankings still reach
+  * it). All in-memory; no index writes; CPU-bound.
+  */
+object AssignBench {
+
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", 32)
+      .appName("assign-bench").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    graft.GraftSession.prepare(spark)
+    import spark.implicits._
+
+    val dims = 384
+    val n = 200000
+    val rnd = new scala.util.Random(42)
+
+    // ONE hub set shared by data and centroids: in a real build the
+    // centroids are KMeans-fit to the data, so rows sit close to their
+    // centroid and assignment boundaries are meaningful. Centroids
+    // jitter the hubs (k/256 fine cells per hub), data jitters the same
+    // hubs — the geometry a trained large-k table actually has. (An
+    // earlier fixture drew data hubs independently of centroid hubs;
+    // every row then saw hundreds of near-equidistant cells and the
+    // "miss" rate measured tie-breaking noise, not assignment quality —
+    // meanDistInfl stayed ≈1.02 precisely because the ties were real.)
+    val nHubs = 256
+    val hubs = Array.fill(nHubs)(Array.fill(dims)(rnd.nextFloat() * 20 - 10))
+    def mkCentroids(k: Int): Array[Array[Float]] = {
+      val r = new scala.util.Random(1000 + k)
+      Array.tabulate(k)(f => hubs(f % nHubs).map(v => v + r.nextFloat() * 2 - 1))
+    }
+
+    val hubsB = spark.sparkContext.broadcast(hubs)
+    val df = spark.range(0, n, 1, 32).mapPartitions { it =>
+      val hs = hubsB.value
+      it.map { i =>
+        val r = new scala.util.Random(i)
+        hs(r.nextInt(hs.length)).map(v => v + r.nextFloat() * 2 - 1)
+      }
+    }.toDF("v").persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
+    df.count()
+
+    def timePass(c: org.apache.spark.sql.Column): Double = {
+      df.select(sum(c.cast("long"))).collect() // warm-up (codegen + JIT)
+      val reps = 3
+      (0 until reps).map { _ =>
+        val t0 = System.nanoTime()
+        df.select(sum(c.cast("long"))).collect()
+        (System.nanoTime() - t0) / 1e9
+      }.min
+    }
+
+    Seq(1024, 4096, 8192).foreach { k =>
+      val cents = mkCentroids(k)
+      val flatCol = graft.functions.nearest_centroid($"v", cents)
+      // build the grouping the engine would use (assignKernels' rule,
+      // forced two-level regardless of k so the 1024 row is measurable)
+      val grouped = graft.operators.VectorSearch.forcedGroupedKernels(cents)
+      val tFlat = timePass(flatCol)
+      val tGrp = timePass(grouped._1($"v"))
+      val q = df.select(
+          flatCol.as("f"), grouped._1($"v").as("g"),
+          graft.functions.nearest_centroid_dist($"v", cents).as("fd"),
+          grouped._2($"v").as("gd"))
+        .agg(
+          sum(when($"f" =!= $"g", 1L).otherwise(0L)).as("miss"),
+          avg(when($"fd" > 0, $"gd" / $"fd").otherwise(1.0)).as("meanInfl"),
+          max(when($"fd" > 0, $"gd" / $"fd").otherwise(1.0)).as("maxInfl"))
+        .head()
+      val sizes = graft.operators.VectorSearch.assignGroupingSizes(cents)
+        .sorted.reverse
+      println(f"[assign] k=$k%5d flat=${tFlat}%6.2f s grouped=${tGrp}%6.2f s " +
+        f"speedup=${tFlat / tGrp}%5.2f× miss=${q.getLong(0).toDouble / n}%8.6f " +
+        f"meanDistInfl=${q.getDouble(1)}%8.6f maxDistInfl=${q.getDouble(2)}%6.3f " +
+        f"groups=${sizes.length} maxGrp=${sizes.head} top4=${sizes.take(4).sum}")
+    }
+    spark.stop()
+  }
+}

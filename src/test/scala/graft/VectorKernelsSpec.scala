@@ -185,4 +185,125 @@ class VectorKernelsSpec extends SparkSpec {
     }
     assert(viaSql == 0L)
   }
+
+  test("nearest_centroid_grouped with all groups probed EQUALS flat — any grouping") {
+    val rnd = new scala.util.Random(17)
+    val k = 32
+    val centroids = Array.fill(k)(Array.fill(16)(rnd.nextFloat() * 4 - 2))
+    // adversarial grouping: arbitrary partition (round-robin), nothing
+    // geometric — full-probe parity must hold for ANY grouping
+    val nGroups = 6
+    val members = Array.tabulate(nGroups)(g =>
+      (0 until k).filter(_ % nGroups == g).toArray)
+    val coarse = members.map { ms =>
+      val s = new Array[Double](16)
+      ms.foreach(f => (0 until 16).foreach(i => s(i) += centroids(f)(i)))
+      s.map(v => (v / ms.length).toFloat)
+    }
+    val vecs = (0 until 300).map(_ => Array.fill(16)(rnd.nextFloat() * 4 - 2))
+    val rows = vecs.toDF("v").select(
+        graft.functions.nearest_centroid($"v", centroids).as("flat"),
+        graft.functions.nearest_centroid_grouped(
+          $"v", centroids, coarse, members, probes = nGroups).as("grp"),
+        graft.functions.nearest_centroid_dist($"v", centroids).as("fd"),
+        graft.functions.nearest_centroid_grouped_dist(
+          $"v", centroids, coarse, members, probes = nGroups).as("gd"))
+      .collect()
+    rows.foreach { r =>
+      assert(r.getInt(0) == r.getInt(1))
+      assert(math.abs(r.getDouble(2) - r.getDouble(3)) < 1e-9)
+    }
+    // exact tie across different groups resolves to the lower fine index,
+    // like the flat kernel: duplicate centroid 3 into group of 4
+    val dup = centroids.updated(4, centroids(3)) // 3 ∈ group 3, 4 ∈ group 4
+    val tied = Seq(centroids(3)).toDF("v").select(
+        graft.functions.nearest_centroid_grouped(
+          $"v", dup, coarse, members, probes = nGroups)).head().getInt(0)
+    assert(tied == 3)
+  }
+
+  test("grouped kernel with small probes: near-equidistant misses only, empty groups skipped") {
+    val rnd = new scala.util.Random(23)
+    val dims = 16
+    val nHubs = 16
+    val perHub = 8
+    // hub-structured centroids (the geometry large-k IVF tables have):
+    // grouping = the hubs, plus one EMPTY group that must be skipped
+    val hubs = Array.fill(nHubs)(Array.fill(dims)(rnd.nextFloat() * 20 - 10))
+    val centroids = Array.tabulate(nHubs * perHub) { f =>
+      val h = f / perHub
+      hubs(h).map(v => v + rnd.nextFloat() - 0.5f)
+    }
+    val members = Array.tabulate(nHubs + 1)(g =>
+      if (g == nHubs) Array.empty[Int]
+      else (g * perHub until (g + 1) * perHub).toArray)
+    val coarse = (hubs :+ Array.fill(dims)(999f)).toArray
+    val vecs = (0 until 400).map { i =>
+      centroids(i % centroids.length).map(v => v + rnd.nextFloat() * 0.4f - 0.2f)
+    }
+    val rows = vecs.toDF("v").select(
+        graft.functions.nearest_centroid($"v", centroids).as("flat"),
+        graft.functions.nearest_centroid_grouped(
+          $"v", centroids, coarse, members, probes = 2).as("grp"),
+        graft.functions.nearest_centroid_dist($"v", centroids).as("fd"),
+        graft.functions.nearest_centroid_grouped_dist(
+          $"v", centroids, coarse, members, probes = 2).as("gd"))
+      .collect()
+    val agree = rows.count(r => r.getInt(0) == r.getInt(1))
+    assert(agree >= (rows.length * 0.9).toInt, s"agreement $agree/${rows.length}")
+    rows.foreach { r =>
+      // the approximation contract: when the grouped kernel differs, it
+      // picked a near-equidistant neighbor — never a far cell
+      assert(r.getDouble(3) >= r.getDouble(2) - 1e-9)
+      assert(r.getDouble(3) <= r.getDouble(2) * 1.5 + 1e-6,
+        s"gd=${r.getDouble(3)} fd=${r.getDouble(2)}")
+    }
+    // interpreted eval agrees with the codegen path
+    val interp = graft.functions.NearestCentroidGrouped(
+      org.apache.spark.sql.catalyst.expressions.Literal.create(vecs.head,
+        org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.FloatType, false)),
+      centroids, coarse, members, 2, emitDist = false)
+      .eval(null).asInstanceOf[Int]
+    assert(interp == rows.head.getInt(1))
+  }
+
+  test("assignKernels engages the two-level kernel at the cell threshold, stays faithful") {
+    val rnd = new scala.util.Random(31)
+    val dims = 8
+    val nHubs = 64
+    val k = graft.operators.VectorSearch.twoLevelAssignMinCells // 4096
+    val hubs = Array.fill(nHubs)(Array.fill(dims)(rnd.nextFloat() * 40 - 20))
+    val centroids = Array.tabulate(k) { f =>
+      hubs(f % nHubs).map(v => v + rnd.nextFloat() * 2 - 1)
+    }
+    val (asg, asgDist) = graft.operators.VectorSearch.assignKernels(centroids)
+    val vecs = (0 until 300).map(i =>
+      centroids(rnd.nextInt(k)).map(v => v + rnd.nextFloat() * 0.5f - 0.25f))
+    val rows = vecs.toDF("v").select(
+        asg($"v").as("grp"),
+        graft.functions.nearest_centroid($"v", centroids).as("flat"),
+        asgDist($"v").as("gd"),
+        graft.functions.nearest_centroid_dist($"v", centroids).as("fd"))
+      .collect()
+    // the kernel actually selected must be the grouped one: below the
+    // threshold assignKernels returns the flat pair, and this fixture
+    // sits exactly AT it
+    val planned = vecs.take(1).toDF("v").select(asg($"v"))
+      .queryExecution.analyzed.toString
+    assert(planned.contains("nearest_centroid_grouped"), planned)
+    val agree = rows.count(r => r.getInt(0) == r.getInt(1))
+    assert(agree >= (rows.length * 0.95).toInt, s"agreement $agree/${rows.length}")
+    rows.foreach { r =>
+      assert(r.getDouble(2) >= r.getDouble(3) - 1e-9)
+      assert(r.getDouble(2) <= r.getDouble(3) * 1.5 + 1e-6)
+    }
+    // and one below the threshold stays flat (exactness is free there)
+    val (asgSmall, _) = graft.operators.VectorSearch.assignKernels(
+      centroids.take(16))
+    val small = vecs.take(1).toDF("v").select(asgSmall($"v"))
+      .queryExecution.analyzed.toString
+    assert(small.contains("nearest_centroid") &&
+      !small.contains("nearest_centroid_grouped"), small)
+  }
 }
