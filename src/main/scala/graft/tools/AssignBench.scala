@@ -96,6 +96,62 @@ object AssignBench {
         f"meanDistInfl=${q.getDouble(1)}%8.6f maxDistInfl=${q.getDouble(2)}%6.3f " +
         f"groups=${sizes.length} maxGrp=${sizes.head} top4=${sizes.take(4).sum}")
     }
+
+    // ---- end-to-end: a REAL buildIvf at the engagement threshold ----
+    // 4096 explicit cells over the same 200k rows: assignment, the
+    // stats/radii pass, and (via one append) the fold-in all run the
+    // grouped kernel — then searches on the grouped-assigned index are
+    // recall-checked against exact brute force. This is the engagement
+    // proof the kernel specs can't give (they pin the kernel, not the
+    // built artifact).
+    val dfId = df.withColumn("id", monotonically_increasing_id().cast("string"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
+    dfId.count()
+    val dir = java.nio.file.Files.createTempDirectory("assign_e2e").toString
+    val t0 = System.nanoTime()
+    val idx = graft.operators.VectorSearch.buildIvf(
+      dfId.select($"id", $"v"), "v", 4096, s"$dir/ivf")
+    val tBuild = (System.nanoTime() - t0) / 1e9
+    val queryVecs = dfId.orderBy("id").select($"v").head(3)
+      .map(_.getSeq[Float](0).toArray).toSeq
+    def sets(rows: Array[org.apache.spark.sql.Row]): Map[Int, Set[String]] =
+      rows.groupBy(_.getInt(0)).map { case (qi, rs) =>
+        qi -> rs.map(_.getString(3)).toSet
+      }
+    val exact = sets(graft.operators.VectorSearch.topKMulti(
+      dfId, "v", queryVecs, 100, "id").collect())
+    Seq(32, 64).foreach { np =>
+      val approx = sets(idx.searchMulti(spark, queryVecs, 100, nprobe = np,
+        "id").collect())
+      val rec = queryVecs.indices.map { i =>
+        val e = exact.getOrElse(i, Set.empty)
+        if (e.isEmpty) 1.0
+        else e.intersect(approx.getOrElse(i, Set.empty)).size.toDouble / e.size
+      }.sum / queryVecs.length
+      println(f"[assign-e2e] k=4096 build=${tBuild}%6.1f s nprobe=$np%3d " +
+        f"recall@100=${rec}%5.3f")
+    }
+    // append through the same grouped rule, then recall against a fresh
+    // exact ground truth over the grown corpus: the appended rows (data-
+    // shaped jitters of existing vectors) must land in servable cells
+    // and the folded radii/counts must keep routing truthful
+    val batch = dfId.limit(2000)
+      .select(concat(lit("app_"), $"id").as("id"),
+        transform($"v", x => x + lit(0.05f)).as("v"))
+    idx.append(batch, "v")
+    val grown = dfId.select($"id", $"v").union(batch)
+    val exactA = sets(graft.operators.VectorSearch.topKMulti(
+      grown, "v", queryVecs, 100, "id").collect())
+    val afterAppend = sets(idx.searchMulti(spark, queryVecs, 100,
+      nprobe = 64, "id").collect())
+    val recA = queryVecs.indices.map { i =>
+      val e = exactA.getOrElse(i, Set.empty)
+      if (e.isEmpty) 1.0
+      else e.intersect(afterAppend.getOrElse(i, Set.empty))
+        .size.toDouble / e.size
+    }.sum / queryVecs.length
+    println(f"[assign-e2e] post-append nprobe=64 recall@100=${recA}%5.3f")
+    graft.FsUtil.deleteRecursively(java.nio.file.Paths.get(dir))
     spark.stop()
   }
 }
