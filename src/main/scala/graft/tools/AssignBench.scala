@@ -62,17 +62,29 @@ object AssignBench {
     }.toDF("v").persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
     df.count()
 
-    def timePass(c: org.apache.spark.sql.Column): Double = {
-      df.select(sum(c.cast("long"))).collect() // warm-up (codegen + JIT)
+    // cap-scale rows (k = 65536) measure on a 20k-row slice: the flat
+    // side alone is 5·10¹¹ mul-adds per pass there — the point being
+    // demonstrated — and per-row cost is what the table reports
+    val dfSmall = df.limit(20000).repartition(32)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
+    dfSmall.count()
+
+    def timePassOn(in: org.apache.spark.sql.DataFrame,
+        c: org.apache.spark.sql.Column): Double = {
+      in.select(sum(c.cast("long"))).collect() // warm-up (codegen + JIT)
       val reps = 3
       (0 until reps).map { _ =>
         val t0 = System.nanoTime()
-        df.select(sum(c.cast("long"))).collect()
+        in.select(sum(c.cast("long"))).collect()
         (System.nanoTime() - t0) / 1e9
       }.min
     }
 
-    Seq(1024, 4096, 8192).foreach { k =>
+    Seq(1024, 4096, 8192, 65536).foreach { k =>
+      val rows = if (k >= 65536) dfSmall else df
+      val nRows = if (k >= 65536) 20000 else n
+      def timePass(c: org.apache.spark.sql.Column): Double =
+        timePassOn(rows, c)
       val cents = mkCentroids(k)
       val flatCol = graft.functions.nearest_centroid($"v", cents)
       // build the grouping the engine would use (assignKernels' rule,
@@ -80,7 +92,7 @@ object AssignBench {
       val grouped = graft.operators.VectorSearch.forcedGroupedKernels(cents)
       val tFlat = timePass(flatCol)
       val tGrp = timePass(grouped._1($"v"))
-      val q = df.select(
+      val q = rows.select(
           flatCol.as("f"), grouped._1($"v").as("g"),
           graft.functions.nearest_centroid_dist($"v", cents).as("fd"),
           grouped._2($"v").as("gd"))
@@ -91,12 +103,16 @@ object AssignBench {
         .head()
       val sizes = graft.operators.VectorSearch.assignGroupingSizes(cents)
         .sorted.reverse
-      println(f"[assign] k=$k%5d flat=${tFlat}%6.2f s grouped=${tGrp}%6.2f s " +
-        f"speedup=${tFlat / tGrp}%5.2f× miss=${q.getLong(0).toDouble / n}%8.6f " +
+      println(f"[assign] k=$k%5d rows=$nRows%6d flat=${tFlat}%6.2f s " +
+        f"grouped=${tGrp}%6.2f s " +
+        f"speedup=${tFlat / tGrp}%5.2f× miss=${q.getLong(0).toDouble / nRows}%8.6f " +
         f"meanDistInfl=${q.getDouble(1)}%8.6f maxDistInfl=${q.getDouble(2)}%6.3f " +
         f"groups=${sizes.length} maxGrp=${sizes.head} top4=${sizes.take(4).sum}")
     }
 
+    // SPARK_GRAFT_ASSIGN_SECTIONS=kernels skips the e2e build (its
+    // KMeans fit is ~4 min — the kernel table re-measures in ~2)
+    if (sys.env.getOrElse("SPARK_GRAFT_ASSIGN_SECTIONS", "all") != "kernels") {
     // ---- end-to-end: a REAL buildIvf at the engagement threshold ----
     // 4096 explicit cells over the same 200k rows: assignment, the
     // stats/radii pass, and (via one append) the fold-in all run the
@@ -152,6 +168,7 @@ object AssignBench {
     }.sum / queryVecs.length
     println(f"[assign-e2e] post-append nprobe=64 recall@100=${recA}%5.3f")
     graft.FsUtil.deleteRecursively(java.nio.file.Paths.get(dir))
+    } // sections != kernels
     spark.stop()
   }
 }
