@@ -135,7 +135,7 @@ object VectorSearch {
       * [[saveManifest]] manually (the pre-r8 contract).
       */
     @volatile var manifestCheckpointEvery: Int =
-      math.max(1, centroids.length / 8192)
+      math.max(1, (centroids.length + 8191) / 8192)
     @transient private var appendsSinceCheckpoint: Int = 0
 
     /** Current per-(cluster, value) occupancy per registered column —
@@ -424,7 +424,24 @@ object VectorSearch {
       * search re-lists the index — call after another handle/process
       * appended to the same path.
       */
-    def refresh(): Unit = { dfCache.clear(); countCache.clear() }
+    def refresh(): Unit = {
+      dfCache.clear(); countCache.clear()
+      // occupancy cannot be rebuilt here (it only folds this handle's
+      // own appends), so any external rows refresh() just made visible
+      // are absent from it — the occupancy-pruned count scan would no
+      // longer be exact. One-way: reload the index to re-arm pruning.
+      prunedCountScanDisabled = true
+    }
+
+    /** Set by [[refresh]]: once external appends may be visible in the
+      * scan but not in occupancy, the conjunction count-scan pruning
+      * (which trusts occupancy to bound a conjunction's support) must
+      * stand down so counts stay exact. Direct single-column occupancy
+      * lookups keep their documented handle-freshness contract — this
+      * flag guards only the pruning that would corrupt the otherwise
+      * ground-truth scan path.
+      */
+    @transient @volatile private var prunedCountScanDisabled: Boolean = false
 
     // Memoized per-cluster match counts, keyed by the filter expression's
     // string form: each DISTINCT filter pays its pushed count scan once
@@ -467,15 +484,34 @@ object VectorSearch {
           // exactly `category === v && numeric-range` shapes, where the
           // category touches a fraction of the cells). Counts stay
           // EXACT: pruned-away cells contribute no rows either way.
+          // Two gates on the pruning (r10):
+          // - freshness: occupancy only ever folds THIS handle's
+          //   appends, so after refresh() picked up another handle's
+          //   rows the table can miss a cell's first occurrence of a
+          //   value — pruning would then silently exclude that cell
+          //   from an otherwise-exact count scan. The count scan must
+          //   stay ground truth, so a refreshed handle stops pruning
+          //   for its lifetime (external rows never enter occupancy;
+          //   reload the index to re-arm).
+          // - literal budget: isin(cells) is compiled into the plan, and
+          //   a broadly-distributed value at cap scale would emit tens
+          //   of thousands of literals — the exact plan-growth shape
+          //   BASELINE r7 measured at 13.7 s of analysis/codegen for
+          //   500 literals. Past the maskLiteralMaxCells crossover the
+          //   unpruned scan is cheaper than compiling the prune.
           val candidateCells: Option[Seq[Int]] = {
-            val cs = org.apache.spark.sql.graft.Bridge.conjuncts(f)
-            if (cs.length < 2) None
-            else cs.iterator.map(occupancyCounts).collectFirst {
-              case Some(m) if m.valuesIterator.sum > 0L => m.keys.toSeq
+            if (prunedCountScanDisabled) None
+            else {
+              val cs = org.apache.spark.sql.graft.Bridge.conjuncts(f)
+              if (cs.length < 2) None
+              else cs.iterator.map(occupancyCounts).collectFirst {
+                case Some(m) if m.valuesIterator.sum > 0L => m.keys.toSeq
+              }
             }
           }
           val scanDf = candidateCells match {
-            case Some(cells) if cells.length < centroids.length =>
+            case Some(cells) if cells.length < centroids.length &&
+                cells.length <= VectorSearch.maskLiteralMaxCells =>
               indexDf(spark).filter(col("__cluster").isin(cells: _*))
             case _ => indexDf(spark)
           }
@@ -852,15 +888,21 @@ object VectorSearch {
         StructField("coltype", StringType, nullable = false)))
       // occupancy rows are narrow (strings + longs) but their count is
       // cells × distinct values — slice on the same principle as cells
+      var occRowsWritten = 0L
       occupancyNow.toSeq.flatMap { case (oc, t) =>
         val ct = occupancyTypes.getOrElse(oc, "string")
         t.iterator.map { case ((c, v), n) => Row(oc, c, v, n, ct) }
       }.grouped(262144).foreach { rows =>
+        occRowsWritten += rows.length
         spark.createDataFrame(spark.sparkContext.parallelize(rows, 1),
             occSchema)
           .write.mode("append").parquet(s"$vdir/occupancy")
       }
-      if (occupancyNow.isEmpty)
+      // gate on rows actually WRITTEN, not on occupancyNow.isEmpty: a
+      // registered column whose inner tables are all empty (every value
+      // null at build) yields zero rows above, and a version missing
+      // $vdir/occupancy entirely would make load() throw forever
+      if (occRowsWritten == 0L)
         spark.createDataFrame(
             spark.sparkContext.emptyRDD[Row], occSchema)
           .write.mode("append").parquet(s"$vdir/occupancy")

@@ -45,10 +45,22 @@ object HttpDatasetSource {
     .connectTimeout(Duration.ofSeconds(30))
     .build()
 
-  private def fileNameFor(url: String): String = {
+  /** Destination file name for a URL: the last path segment, exactly as
+    * `URI.getPath` percent-decodes it — NO second decode. A second
+    * `URLDecoder.decode` pass would turn a double-encoded segment like
+    * `..%252F..%252Fetc%252Fcrontab` into `../../etc/crontab` (so a
+    * malicious shard-URL list fed to [[fetchDistributed]] could write
+    * attacker-named files outside the destination directory on every
+    * executor) and would mangle legitimate names containing `+`.
+    * Separator characters and dot-only names that survive the single
+    * decode are neutralized here; [[fetch]] additionally verifies the
+    * resolved destination stays inside `destDir`.
+    */
+  private[graft] def fileNameFor(url: String): String = {
     val raw = URI.create(url).getPath.split('/').lastOption
       .filter(_.nonEmpty).getOrElse("download")
-    java.net.URLDecoder.decode(raw, "UTF-8")
+    val cleaned = raw.replace('/', '_').replace('\\', '_')
+    if (cleaned.isEmpty || cleaned.forall(_ == '.')) "download" else cleaned
   }
 
   private def sha256Of(p: Path): String = {
@@ -99,8 +111,15 @@ object HttpDatasetSource {
       if (gzByName) n.stripSuffix(".gz").stripSuffix(".GZ") else n
     }
     Files.createDirectories(destDir)
-    val dest = destDir.resolve(name)
-    val part = destDir.resolve(name + ".part")
+    val dest = destDir.resolve(name).normalize()
+    // containment check — covers caller-supplied fileName too: a name
+    // that resolves outside destDir (`../x`, an absolute path) is a
+    // hostile or buggy input either way, never a file to create
+    if (!dest.startsWith(destDir.toAbsolutePath.normalize()) &&
+        !dest.startsWith(destDir.normalize()))
+      throw new IOException(
+        s"refusing to write outside $destDir: resolved '$name' -> $dest")
+    val part = dest.resolveSibling(dest.getFileName.toString + ".part")
 
     if (Files.exists(dest)) {
       expectedSha256.filter(_ != sha256Of(dest)).foreach { _ =>

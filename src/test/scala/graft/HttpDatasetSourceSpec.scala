@@ -198,4 +198,36 @@ class HttpDatasetSourceSpec extends SparkSpec {
       assert(df.count() == 100)
     }
   }
+
+  test("fileNameFor decodes exactly once and never yields a traversal name") {
+    // double-encoded traversal: one decode leaves literal "%2F" text, a
+    // second would have produced "../../etc/crontab"
+    val doubled = HttpDatasetSource.fileNameFor(
+      "http://host/d/..%252F..%252Fetc%252Fcrontab")
+    assert(doubled == "..%2F..%2Fetc%2Fcrontab")
+    assert(!doubled.contains("/"))
+    // '+' is NOT application/x-www-form-urlencoded space in a URL path
+    assert(HttpDatasetSource.fileNameFor("http://host/a+b.parquet")
+      == "a+b.parquet")
+    // single-encoded slash decodes inside getPath; the separator is
+    // neutralized rather than resolved
+    val single = HttpDatasetSource.fileNameFor("http://host/a%2Fb.parquet")
+    assert(!single.contains("/") && single.endsWith("b.parquet"))
+    // a segment that decodes to dots-only cannot name a directory
+    assert(HttpDatasetSource.fileNameFor("http://host/%2E%2E") == "download")
+  }
+
+  test("fetch refuses a fileName that resolves outside destDir") {
+    val bytes = parquetBytes()
+    withServer(bytes) { (url, hits, _) =>
+      val dest = tmpDir()
+      val ex = intercept[java.io.IOException] {
+        HttpDatasetSource.fetch(url, dest,
+          fileName = Some("../escaped.parquet"))
+      }
+      assert(ex.getMessage.contains("refusing to write outside"))
+      assert(hits.get() == 0) // rejected before any request
+      assert(!Files.exists(dest.getParent.resolve("escaped.parquet")))
+    }
+  }
 }

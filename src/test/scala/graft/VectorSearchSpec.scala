@@ -701,4 +701,45 @@ class VectorSearchSpec extends SparkSpec {
     // the manifest tree stays invisible to the index's own data scans
     assert(spark.read.parquet(dir).count() == 120L)
   }
+
+  test("manifest with a registered but all-null occupancy column stays loadable") {
+    // all values null at build => the column's occupancy table exists but
+    // is EMPTY; the version must still write an occupancy dataset or
+    // every later load of the committed artifact throws
+    val dir = java.nio.file.Files.createTempDirectory("ivf_nullocc").toString
+    val withNull = clustered
+      .withColumn("all_null", lit(null).cast("string"))
+    val idx = VectorSearch.buildIvf(withNull, "embedding", 3, dir,
+      sampleFraction = 1.0, occupancyCols = Seq("all_null"))
+    assert(idx.occupancyTable.get("all_null").exists(_.isEmpty))
+    val loaded = VectorSearch.IvfIndex.load(spark, dir)
+    assert(loaded.centroids.length == 3)
+    val q = Array.fill(8)(5.0f)
+    assert(loaded.search(spark, q, 5, nprobe = 3).count() == 5L)
+  }
+
+  test("refresh() stands down occupancy pruning so conjunction counts stay exact") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("ivf_refresh").toString
+    val idx = VectorSearch.buildIvf(clustered, "embedding", 3, dir,
+      sampleFraction = 1.0, occupancyCols = Seq("true_cluster"))
+    // another HANDLE appends: vectors land durably, but THIS handle's
+    // occupancy never sees them
+    val other = VectorSearch.IvfIndex.load(spark, dir)
+    // a cluster-0-aligned vector labeled true_cluster=2: its cell gains
+    // its FIRST occurrence of value 2, which stale occupancy would prune
+    val q = Array.fill(8)(5.0f)
+    val alien = Seq((777L, 2, Array.fill(8)(9.0f)))
+      .toDF("vec_id", "true_cluster", "embedding")
+    other.append(alien, "embedding")
+    idx.refresh()
+    // conjunction filter: categorical equality (the pruning trigger) AND
+    // a range term. Post-refresh the count scan must include the alien
+    // row's cell, so the filtered search can find it.
+    val hits = idx.search(spark, q, 1, nprobe = 3,
+        filter = Some(col("true_cluster") === 2 && col("vec_id") > 500L))
+      .select("vec_id").as[Long].collect()
+    assert(hits.toSeq == Seq(777L),
+      s"stale-occupancy pruning lost the appended row: ${hits.toSeq}")
+  }
 }
