@@ -37,6 +37,29 @@ object VectorSearch {
     */
   @volatile private[graft] var maskLiteralMaxCells: Int = 2048
 
+  /** Cost-based exact-vs-probe switch (r10): when a filtered probe plan
+    * would visit cells holding at least this fraction of the index's
+    * rows, [[IvfIndex.search]]/[[IvfIndex.searchMulti]] run the exact
+    * pre-filtered scan instead — recall 1.0 by construction, one clean
+    * `TakeOrderedAndProject` over a single pushed scan, none of the
+    * probe path's per-cell reads, masks, or widening. The sf1
+    * measurement behind the default: the 10%-selectivity tier needs
+    * nprobe 128 of 1000 cells (≈12.8% of rows probed) to reach 0.977,
+    * while the exact tier scan answers in comparable wall at recall
+    * 1.0 — an eighth of the index is where probing stops paying. The
+    * decision is pure driver arithmetic over the plan's cell counts
+    * (zero Spark jobs). ≤ 0 disables the switch.
+    */
+  @volatile private[graft] var exactScanSwitchFraction: Double = 0.125
+
+  /** The switch only engages at/above this many cells: tiny indexes
+    * (spec fixtures, toy corpora) probe 1-of-3 cells at 33% of rows by
+    * DESIGN, and flipping those to full scans would silently bypass the
+    * probe machinery the small-fixture specs exist to exercise. Real
+    * indexes sit well above it (sf0.1 derives 316 cells, sf1 1000).
+    */
+  @volatile private[graft] var exactScanSwitchMinCells: Int = 256
+
   /** Exact filtered top-k by dot product. Returns `projection` columns plus
     * `score`, highest first.
     */
@@ -397,6 +420,38 @@ object VectorSearch {
     private[graft] def routerTelemetry: (Long, Long, Long) =
       (twoLevelQueries.get(), twoLevelExpanded.get(), twoLevelEarlyStops.get())
 
+    // Cost-based switch telemetry: search/searchMulti calls that ran the
+    // exact pre-filtered scan because the planned probe volume crossed
+    // VectorSearch.exactScanSwitchFraction — eval artifacts record the
+    // chosen path per tier from this counter's deltas.
+    @transient private val exactSwitches =
+      new java.util.concurrent.atomic.AtomicLong()
+    private[graft] def exactSwitchCount: Long = exactSwitches.get()
+
+    /** True when the planned probe sets' union holds at least
+      * [[VectorSearch.exactScanSwitchFraction]] of the index's rows
+      * (driver arithmetic over `cellCounts` — zero jobs), the index is
+      * at/above [[VectorSearch.exactScanSwitchMinCells]], and the switch
+      * is enabled. At that volume the exact scan's clean single pass
+      * beats per-cell probe reads AND returns recall 1.0.
+      */
+    private[graft] def exactScanWins(effective: Seq[Iterable[Int]]): Boolean = {
+      val frac = VectorSearch.exactScanSwitchFraction
+      if (frac <= 0 || cellCounts.isEmpty ||
+          centroids.length < VectorSearch.exactScanSwitchMinCells) false
+      else {
+        val total = cellCounts.sum
+        if (total <= 0L) false
+        else {
+          val union = scala.collection.mutable.BitSet.empty
+          effective.foreach(_.iterator.foreach(union += _))
+          val planned = union.iterator
+            .map(c => if (c < cellCounts.length) cellCounts(c) else 0L).sum
+          planned.toDouble >= frac * total
+        }
+      }
+    }
+
     /** Drop the built coarse router so the next routed query rebuilds it
       * — required after changing [[twoLevelMinCells]] on a handle that
       * has already served a search (A/B harnesses, specs).
@@ -625,8 +680,15 @@ object VectorSearch {
         filter: Option[Column] = None, exactFallback: Boolean = true): DataFrame = {
       val clusters = probePlan(spark, Seq(query), k, nprobe, filter,
         exactFallback).head
+      // cost-based switch: a probe plan touching ≥ exactScanSwitchFraction
+      // of the rows runs the exact scan instead (recall 1.0, one clean
+      // pushed pass — see the var's scaladoc for the sf1 measurement)
+      val exact = clusters.length == centroids.length ||
+        exactScanWins(Seq(clusters))
+      if (exact && clusters.length != centroids.length)
+        exactSwitches.incrementAndGet()
       val probeDf =
-        if (clusters.length == centroids.length) indexDf(spark)
+        if (exact) indexDf(spark)
         else indexDf(spark).filter(col("__cluster").isin(clusters: _*))
       topK(probeDf, "__vec", query, k, filter).drop("__cluster", "__vec")
     }
@@ -653,6 +715,15 @@ object VectorSearch {
         probePlan(spark, queries, k, nprobe, filter, exactFallback)
           .map(_.toSet)
       val unionAll = effective.reduce(_ ++ _)
+      // cost-based switch (whole call — the union IS the scan either
+      // way): when the union holds ≥ exactScanSwitchFraction of the
+      // rows, one exact multi-query scan beats probing it cell by cell,
+      // returns recall 1.0 for every query, and skips the mask
+      // machinery entirely
+      if (unionAll.size < centroids.length && exactScanWins(effective)) {
+        exactSwitches.incrementAndGet()
+        return topKMulti(indexDf(spark), "__vec", queries, k, idCol, filter)
+      }
       val base =
         if (unionAll.size == centroids.length) indexDf(spark)
         else indexDf(spark).filter(col("__cluster").isin(unionAll.toSeq: _*))
@@ -1264,6 +1335,301 @@ object VectorSearch {
   def defaultNumClusters(n: Long): Int =
     math.max(4L, math.min(65536L, math.round(math.sqrt(n.toDouble)))).toInt
 
+  /** Cell count at/above which [[buildIvf]] trains centroids with the
+    * two-level fit instead of one flat MLlib k-means. Flat Lloyd costs
+    * k·|train|·d per iteration; the hierarchy fits m ≈ √k coarse groups
+    * on a driver-side subsample, partitions the training sample by
+    * nearest coarse group with the codegen assignment kernel, and
+    * refines each group's mass-proportional share of the k centroids in
+    * an independent task — total multiplier ~(m + k/m) ≈ 2√k, a 16×
+    * flop cut at k = 1000 and 128× at the 65536-cell cap. Quality holds
+    * because the final index assigns EVERY row against all k centroids
+    * flat ([[assignKernels]]): the hierarchy only decides where
+    * centroids sit, and each group's refinement sees exactly the sample
+    * mass its centroids must cover. FitBench measures the wall/quality
+    * envelope; the sf1 recall gates stay ≥ 0.9 under it. Var so specs
+    * and benches can force either path on one dataset.
+    */
+  @volatile private[graft] var hierarchicalFitMinK: Int = 512
+
+  /** Coarse-group count for the two-level fit; 0 derives ~2√k. The
+    * refinement's cost is Σ_g rows_g·k_g ∝ Σ_g rows_g² — QUADRATIC in
+    * group mass — so more, smaller groups beat the flop-optimal √k
+    * split as soon as the coarse partition is at all skewed (FitBench
+    * at the sf1 workload: m = 32 left one task refining a double-mass
+    * group serially while 31 threads idled). 2√k halves the worst
+    * group at ~m·|train|·d extra coarse-assignment flops — cheap
+    * against the refine it re-balances.
+    */
+  @volatile private[graft] var hierarchicalFitGroups: Int = 0
+
+  /** Largest-remainder allocation of `k` centroids over coarse groups,
+    * proportional to each group's training mass, capped by group size
+    * (a group cannot host more distinct centroids than it has points).
+    * Sums to min(k, total mass); a group whose quota rounds to zero
+    * gets zero — its rows are covered by neighboring groups' centroids
+    * at (global) assignment time.
+    */
+  private[graft] def allocateCentroids(cnt: Map[Int, Long], k: Int): Map[Int, Int] = {
+    val gs = cnt.toSeq.filter(_._2 > 0L).sortBy(_._1)
+    if (gs.isEmpty) return Map.empty
+    val total = gs.iterator.map(_._2).sum
+    val budget = math.min(k.toLong, total).toInt
+    val quota = gs.map { case (g, ng) => (g, ng, budget.toDouble * ng / total) }
+    val alloc = scala.collection.mutable.LinkedHashMap[Int, Int]()
+    quota.foreach { case (g, ng, q) =>
+      alloc(g) = math.min(ng, q.toLong).toInt
+    }
+    var leftover = budget - alloc.valuesIterator.sum
+    // grant the remainder one at a time to the group with the largest
+    // unmet quota that still has headroom
+    while (leftover > 0) {
+      val cand = quota.filter { case (g, ng, _) => alloc(g) < ng }
+      if (cand.isEmpty) leftover = 0
+      else {
+        val (g, _, _) = cand.maxBy { case (g, _, q) => q - alloc(g) }
+        alloc(g) += 1
+        leftover -= 1
+      }
+    }
+    alloc.filter(_._2 > 0).toMap
+  }
+
+  /** In-memory Lloyd's k-means over float vectors — the refinement
+    * kernel of the two-level fit (one call per coarse group inside a
+    * task; also the driver-side coarse fit with `parallel = true`).
+    *
+    * Deterministic under shuffled input: initial centroids are the `k`
+    * points with the smallest seed-mixed content hash (row ORDER never
+    * matters, so mapGroups' nondeterministic iteration order cannot
+    * change the result beyond float-summation jitter). Clusters that go
+    * empty reseed to the farthest currently-assigned point. Stops early
+    * when no assignment changes.
+    */
+  private[graft] def localLloyd(points: Array[Array[Float]], k: Int,
+      seed: Long, maxIter: Int, parallel: Boolean = false): Array[Array[Float]] = {
+    if (k <= 0 || points.isEmpty) return Array.empty
+    val n = points.length
+    if (k >= n) return points.map(_.clone())
+    val d = points(0).length
+    def contentHash(p: Array[Float]): Long = {
+      var h = seed ^ 0x9E3779B97F4A7C15L
+      var j = 0
+      while (j < p.length) {
+        h = (h ^ java.lang.Float.floatToIntBits(p(j))) * 0x100000001B3L
+        j += 1
+      }
+      h
+    }
+    val init = Array.tabulate(n)(i => (contentHash(points(i)), i))
+      .sortBy(_._1).take(k).map(_._2)
+    val cents = Array.tabulate(k)(j => points(init(j)).map(_.toDouble))
+    val cn = new Array[Double](k) // ||c||²
+    val pn = Array.tabulate(n) { i => // ||p||², for the reseed compare
+      val p = points(i); var s = 0.0; var j = 0
+      while (j < d) { s += p(j).toDouble * p(j); j += 1 }; s
+    }
+    val assign = new Array[Int](n)
+    java.util.Arrays.fill(assign, -1)
+    val bestRel = new Array[Double](n) // ||c||² − 2·p·c of the chosen cell
+    var iter = 0
+    var changed = n
+    while (iter < maxIter && changed > 0) {
+      var j = 0
+      while (j < k) {
+        val c = cents(j); var s = 0.0; var t = 0
+        while (t < d) { s += c(t) * c(t); t += 1 }
+        cn(j) = s; j += 1
+      }
+      val changes = new java.util.concurrent.atomic.LongAdder
+      def assignRange(lo: Int, hi: Int): Unit = {
+        var i = lo
+        while (i < hi) {
+          val p = points(i)
+          var best = -1; var bestScore = Double.MaxValue
+          var jj = 0
+          while (jj < k) {
+            val c = cents(jj)
+            var dot = 0.0; var t = 0
+            while (t < d) { dot += p(t) * c(t); t += 1 }
+            val sc = cn(jj) - 2.0 * dot
+            if (sc < bestScore) { bestScore = sc; best = jj }
+            jj += 1
+          }
+          if (best != assign(i)) { changes.increment(); assign(i) = best }
+          bestRel(i) = bestScore
+          i += 1
+        }
+      }
+      if (parallel && n >= 4096) {
+        val chunk = math.max(256, n / (Runtime.getRuntime.availableProcessors * 4))
+        java.util.stream.IntStream
+          .rangeClosed(0, (n - 1) / chunk).parallel()
+          .forEach(b => assignRange(b * chunk, math.min(n, (b + 1) * chunk)))
+      } else assignRange(0, n)
+      changed = changes.sum().toInt
+      val sums = Array.ofDim[Double](k, d)
+      val cnts = new Array[Int](k)
+      var i = 0
+      while (i < n) {
+        val p = points(i); val a = assign(i); cnts(a) += 1
+        val s = sums(a); var t = 0
+        while (t < d) { s(t) += p(t); t += 1 }
+        i += 1
+      }
+      val reseeded = scala.collection.mutable.HashSet.empty[Int]
+      var e = 0
+      while (e < k) {
+        if (cnts(e) == 0) {
+          // farthest assigned point by TRUE squared distance (the
+          // per-point ||p||² restores comparability across points)
+          var far = -1; var fd = Double.MinValue
+          var i2 = 0
+          while (i2 < n) {
+            val dtrue = pn(i2) + bestRel(i2)
+            if (dtrue > fd && !reseeded.contains(i2)) { fd = dtrue; far = i2 }
+            i2 += 1
+          }
+          if (far >= 0) {
+            reseeded += far
+            val p = points(far); val c = cents(e); var t = 0
+            while (t < d) { c(t) = p(t).toDouble; t += 1 }
+            changed = n // force another assignment pass
+          }
+        } else {
+          val s = sums(e); val c = cents(e); var t = 0
+          while (t < d) { c(t) = s(t) / cnts(e); t += 1 }
+        }
+        e += 1
+      }
+      iter += 1
+    }
+    cents.map(_.map(_.toFloat))
+  }
+
+  /** The two-level centroid fit (see [[hierarchicalFitMinK]]): coarse
+    * m ≈ √k centroids from a bounded driver-side subsample, exact group
+    * partition of the full training sample via the codegen
+    * nearest-centroid kernel, largest-remainder budget split, and one
+    * independent [[localLloyd]] refinement task per group. Returns the
+    * concatenated centroids ordered by group id (deterministic).
+    */
+  private[graft] def hierarchicalFit(spark: SparkSession, trainF: DataFrame,
+      k: Int, seed: Long, dbg: Boolean = false): Array[Array[Float]] = {
+    import spark.implicits._
+    def timed[T](name: String)(body: => T): T = {
+      val t0 = System.nanoTime()
+      val r = body
+      if (dbg)
+        println(f"[ivf] $name%-16s ${(System.nanoTime() - t0) / 1e9}%8.2f s")
+      r
+    }
+    // materialize the cache once; every later pass reads memory
+    val trainN = timed("fit_cache")(trainF.count())
+    require(trainN > 0, "buildIvf: empty training sample")
+    val m = math.max(2, math.min(
+      if (hierarchicalFitGroups > 0) hierarchicalFitGroups
+      else 2 * math.round(math.sqrt(k.toDouble)).toInt, k))
+    val coarse = timed("fit_coarse") {
+      // 256 rows per coarse group, capped: the coarse fit runs on the
+      // driver (parallel localLloyd) and only shapes the partition —
+      // refinement supplies the quality
+      val want = math.min(math.min(256L * m, 131072L), trainN)
+      val frac = math.min(1.0, want.toDouble * 1.2 / trainN)
+      val sub = (if (frac >= 1.0) trainF else
+          trainF.sample(withReplacement = false, frac, seed))
+        .limit(want.toInt)
+        .as[Array[Float]].collect()
+      balancedCoarse(sub, m, seed)
+    }
+    val gCol = graft.functions.nearest_centroid(col("__v"), coarse)
+    val cnt = timed("fit_groupcount") {
+      trainF.select(gCol.as("__g")).groupBy(col("__g")).count()
+        .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    }
+    val alloc = allocateCentroids(cnt, k)
+    val bAlloc = spark.sparkContext.broadcast(alloc)
+    val refined = timed("fit_refine") {
+      trainF.select(gCol.as("__g"), col("__v"))
+        .as[(Int, Array[Float])]
+        .groupByKey(_._1)
+        .mapGroups { (g, it) =>
+          val kg = bAlloc.value.getOrElse(g, 0)
+          if (kg == 0) (g, 0, 0.0, Array.empty[Array[Float]])
+          else {
+            val pts = it.map(_._2).toArray
+            val t0 = System.nanoTime()
+            val cs = localLloyd(pts, kg, seed ^ (g * 0x9E3779B97F4A7C15L), 10)
+            (g, pts.length, (System.nanoTime() - t0) / 1e9, cs)
+          }
+        }
+        .collect()
+    }
+    if (dbg) {
+      val worst = refined.sortBy(-_._3).take(3)
+      println(s"[ivf] fit_refine_groups m=${coarse.length} worst=" +
+        worst.map(w => f"g=${w._1}:n=${w._2}:${w._3}%.1fs").mkString(","))
+    }
+    refined.sortBy(_._1).flatMap(_._4)
+  }
+
+  /** Coarse codebook for the two-level fit, BALANCED by construction:
+    * fit `m` centroids on the driver subsample, then repeatedly split
+    * any coarse cell holding > 2× the mean mass into its own
+    * sub-centroids (a local Lloyd over just that cell's subsample
+    * members — a SPATIAL split, so the resulting groups partition the
+    * region instead of re-tiling it the way a random row split would;
+    * FitBench measured the random variant costing 12% quantization
+    * quality). Balance matters because refine cost per group is
+    * rows_g·k_g ∝ rows_g²: one double-mass cell serializes 4× the work
+    * on one thread. Returns ≥ m centroids; callers treat the returned
+    * length as the group count.
+    */
+  private[graft] def balancedCoarse(sub: Array[Array[Float]], m: Int,
+      seed: Long): Array[Array[Float]] = {
+    var cents = localLloyd(sub, m, seed, maxIter = 8, parallel = true)
+    var pass = 0
+    while (pass < 3 && cents.length > 1) {
+      // local assignment of the subsample to the current codebook
+      val assign = new Array[Int](sub.length)
+      val cn = cents.map { c =>
+        var s = 0.0; var t = 0
+        while (t < c.length) { s += c(t).toDouble * c(t); t += 1 }; s
+      }
+      java.util.stream.IntStream.range(0, sub.length).parallel().forEach { i =>
+        val p = sub(i)
+        var best = 0; var bs = Double.MaxValue; var j = 0
+        while (j < cents.length) {
+          val c = cents(j); var dot = 0.0; var t = 0
+          while (t < p.length) { dot += p(t) * c(t); t += 1 }
+          val sc = cn(j) - 2.0 * dot
+          if (sc < bs) { bs = sc; best = j }
+          j += 1
+        }
+        assign(i) = best
+      }
+      val sizes = new Array[Int](cents.length)
+      assign.foreach(sizes(_) += 1)
+      val target = math.max(1.0, 2.0 * sub.length / cents.length)
+      val heavy = sizes.zipWithIndex.filter(_._1 > target).map(_._2).toSet
+      if (heavy.isEmpty) pass = 3
+      else {
+        val kept = cents.indices.filterNot(heavy).map(cents)
+        val splits = heavy.toSeq.sorted.flatMap { c =>
+          val members = assign.zipWithIndex.collect {
+            case (a, i) if a == c => sub(i)
+          }
+          val s = math.max(2, math.ceil(sizes(c) / target).toInt)
+          localLloyd(members, s, seed ^ (c * 0x9E3779B97F4A7C15L),
+            maxIter = 5, parallel = true)
+        }
+        cents = (kept ++ splits).toArray
+        pass += 1
+      }
+    }
+    cents
+  }
+
   /** Build an IVF index: KMeans over a bounded sample of the vectors, assign
     * every row to its centroid, write partitioned by cluster id.
     *
@@ -1306,28 +1672,58 @@ object VectorSearch {
     // costs more than the clustering itself at index-build scale.
     val sampled =
       if (fraction >= 1.0) df else df.sample(withReplacement = false, fraction, seed)
-    // Pin the training sample: k-means|| init plus every Lloyd iteration
-    // is a separate job, and without an explicit persist each one re-reads
-    // and re-decodes the FULL source parquet just to re-draw the sample.
-    // The sample is bounded (fraction / maxTrainVectors), so this is the
-    // one copy that belongs in memory.
-    val trainDf = sampled.select(
-        array_to_vector(col(vecCol).cast("array<double>")).as("__mlvec"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // 10 Lloyd iterations: a coarse quantizer's recall is governed by the
-    // probe count, not centroid convergence past the first few rounds. Same
-    // reasoning for random init over k-means||: the parallel init runs
-    // several extra distributed passes to seed marginally better centroids,
-    // which Lloyd + nprobe sweeping makes irrelevant here — measured 2× of
-    // the whole fit.
-    val model =
-      try new KMeans()
-        .setK(k).setSeed(seed).setFeaturesCol("__mlvec")
-        .setPredictionCol("__cluster").setMaxIter(10)
-        .setInitMode("random")
-        .fit(trainDf)
-      finally trainDf.unpersist(blocking = false)
-    val centroids = model.clusterCenters.map(_.toArray.map(_.toFloat))
+    // SPARK_GRAFT_IVF_DEBUG=1: per-step [ivf] timings — the attribution
+    // tool for ivf_products_build (same contract as PROFILE_DEBUG)
+    val ivfDbg = sys.env.get("SPARK_GRAFT_IVF_DEBUG").contains("1")
+    def ivfStep[T](name: String)(body: => T): T = {
+      val t0 = System.nanoTime()
+      val r = body
+      if (ivfDbg)
+        println(f"[ivf] $name%-16s ${(System.nanoTime() - t0) / 1e9}%8.2f s")
+      r
+    }
+    // Two fit paths by cell count. Above hierarchicalFitMinK the flat
+    // Lloyd multiplier k is the build's dominant n-independent cost
+    // (k·|train|·d·iters — at sf1's k = 1000 over the 256k sample it was
+    // ~80% of the 837 s build), so the fit goes two-level: m ≈ √k coarse
+    // groups, then each group refines its mass-proportional share of the
+    // k centroids independently, one task per group — multiplier drops
+    // to ~(m + k/m) ≈ 2√k. The hierarchical path also keeps the sample
+    // as FLOAT ARRAYS end to end (no MLlib vector conversion) and holds
+    // the cache through the stats pass below, saving the second
+    // full-table sample scan the flat path pays.
+    var trainCache: DataFrame = null
+    val centroids: Array[Array[Float]] =
+      if (k >= hierarchicalFitMinK) {
+        val tf = sampled.select(col(vecCol).cast("array<float>").as("__v"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        trainCache = tf
+        hierarchicalFit(df.sparkSession, tf, k, seed, ivfDbg)
+      } else ivfStep("fit_flat") {
+        // Pin the training sample: k-means|| init plus every Lloyd
+        // iteration is a separate job, and without an explicit persist
+        // each one re-reads and re-decodes the FULL source parquet just
+        // to re-draw the sample. The sample is bounded (fraction /
+        // maxTrainVectors), so this is the one copy that belongs in
+        // memory.
+        val trainDf = sampled.select(
+            array_to_vector(col(vecCol).cast("array<double>")).as("__mlvec"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        // 10 Lloyd iterations: a coarse quantizer's recall is governed
+        // by the probe count, not centroid convergence past the first
+        // few rounds. Same reasoning for random init over k-means||: the
+        // parallel init runs several extra distributed passes to seed
+        // marginally better centroids, which Lloyd + nprobe sweeping
+        // makes irrelevant here — measured 2× of the whole fit.
+        val model =
+          try new KMeans()
+            .setK(k).setSeed(seed).setFeaturesCol("__mlvec")
+            .setPredictionCol("__cluster").setMaxIter(10)
+            .setInitMode("random")
+            .fit(trainDf)
+          finally trainDf.unpersist(blocking = false)
+        model.clusterCenters.map(_.toArray.map(_.toFloat))
+      }
     // Assignment stays in whole-stage codegen: the fused nearest_centroid
     // kernel (one primitive copy of the row vector, tight loops over all
     // centroids; ties to the lower cluster id like KMeans.transform's
@@ -1350,9 +1746,11 @@ object VectorSearch {
     // decode (measured round 3 on the 1.1 GB bucketed store: init 4.2 s
     // snappy vs 16.6 s zstd, selective read 0.9 s vs 2.6 s) — the hot-path
     // codec is snappy; reserve zstd for cold archival tiers.
-    assigned.sortWithinPartitions(col("__cluster"))
-      .write.mode("overwrite").option("compression", "snappy")
-      .partitionBy("__cluster").parquet(path)
+    ivfStep("assign_write") {
+      assigned.sortWithinPartitions(col("__cluster"))
+        .write.mode("overwrite").option("compression", "snappy")
+        .partitionBy("__cluster").parquet(path)
+    }
     // Build-time drift baseline (mean assigned-centroid distance) AND
     // per-cluster radii — max (√ of the max assigned squared distance,
     // the admissible MIPS bound) and RMS (√ of the mean, the robust
@@ -1361,14 +1759,22 @@ object VectorSearch {
     // pass: the drift probe and the router get their yardsticks without
     // a full-corpus scan. Per-cell sample counts ride along so append()
     // can merge batches into the RMS exactly.
-    val stats = sampled
-      .select(
-        asgCol(col(vecCol)).as("__c"),
-        asgDistCol(col(vecCol)).as("__d"))
-      .groupBy(col("__c"))
-      .agg(count(lit(1)).as("__n"), sum(col("__d")).as("__s"),
-        max(col("__d")).as("__m"))
-      .collect()
+    // hierarchical path: the float-array sample is still cached — the
+    // stats pass reads it instead of re-scanning the source parquet for
+    // a second sample draw (same rows by the deterministic sample seed)
+    val (statsSrc, statsVec) =
+      if (trainCache != null) (trainCache, "__v") else (sampled, vecCol)
+    val stats = ivfStep("stats") {
+      statsSrc
+        .select(
+          asgCol(col(statsVec)).as("__c"),
+          asgDistCol(col(statsVec)).as("__d"))
+        .groupBy(col("__c"))
+        .agg(count(lit(1)).as("__n"), sum(col("__d")).as("__s"),
+          max(col("__d")).as("__m"))
+        .collect()
+    }
+    if (trainCache != null) trainCache.unpersist(blocking = false)
     val totalN = stats.map(_.getLong(1)).sum
     val baseline =
       if (totalN == 0) Double.NaN else stats.map(_.getDouble(2)).sum / totalN
@@ -1401,15 +1807,17 @@ object VectorSearch {
     val written =
       if (occupancyCols.isEmpty) None
       else Some(df.sparkSession.read.parquet(path))
-    val occ = occupancyCols.flatMap { oc =>
-      written.filter(_.columns.contains(oc)).map { w =>
-        oc -> w.filter(col(oc).isNotNull)
-          .groupBy(col("__cluster"), col(oc).cast("string").as("__v"))
-          .agg(count(lit(1)).as("__n"))
-          .collect().map(r => (r.getInt(0), r.getString(1)) -> r.getLong(2))
-          .toMap
-      }
-    }.toMap
+    val occ = ivfStep("occupancy") {
+      occupancyCols.flatMap { oc =>
+        written.filter(_.columns.contains(oc)).map { w =>
+          oc -> w.filter(col(oc).isNotNull)
+            .groupBy(col("__cluster"), col(oc).cast("string").as("__v"))
+            .agg(count(lit(1)).as("__n"))
+            .collect().map(r => (r.getInt(0), r.getString(1)) -> r.getLong(2))
+            .toMap
+        }
+      }.toMap
+    }
     // record each registered column's Spark type so the occupancy lookup
     // can gate on literal-type faithfulness (see occupancyCounts)
     val occTypes = occupancyCols.flatMap { oc =>

@@ -73,9 +73,12 @@ final case class HttpFieldEmbedder(endpoint: String, model: String,
       .header("Content-Type", "application/json")
       .POST(java.net.http.HttpRequest.BodyPublishers.ofString(
         mapper.writeValueAsString(payload)))
-    // bearer auth for hosted OpenAI-compatible endpoints; env-sourced so
-    // the key never rides in a serialized task closure
-    val req = sys.env.get("GRAFT_EMBED_API_KEY").filter(_.nonEmpty)
+    // bearer auth for hosted OpenAI-compatible endpoints; env-sourced
+    // (JVM system property accepted as a fallback — the common conf
+    // override shape, and the only way an in-process spec can exercise
+    // this path) so the key never rides in a serialized task closure
+    val req = sys.env.get("GRAFT_EMBED_API_KEY")
+      .orElse(sys.props.get("GRAFT_EMBED_API_KEY")).filter(_.nonEmpty)
       .fold(builder)(k => builder.header("Authorization", s"Bearer $k"))
       .build()
     val resp = client.send(req,

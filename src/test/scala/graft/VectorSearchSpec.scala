@@ -742,4 +742,135 @@ class VectorSearchSpec extends SparkSpec {
     assert(hits.toSeq == Seq(777L),
       s"stale-occupancy pruning lost the appended row: ${hits.toSeq}")
   }
+
+  test("cost-based switch: wide probe plans run the exact scan, equal-or-better recall") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(23)
+    val hubs = Array.fill(8)(Array.fill(8)(rnd.nextFloat() * 10 - 5))
+    // `cat = wide` on half the rows, spread over every cell — the shape
+    // whose probe plan must visit most of the index to find k matches
+    val corpus = (0 until 1000).map { i =>
+      val h = hubs(i % 8)
+      (i.toLong, if (i % 2 == 0) "wide" else "narrow",
+        h.map(v => v + rnd.nextFloat() - 0.5f))
+    }.toDF("vec_id", "cat", "embedding")
+    val dir = java.nio.file.Files.createTempDirectory("ivf_switch").toString
+    val idx = VectorSearch.buildIvf(corpus, "embedding", 64, dir,
+      sampleFraction = 1.0, occupancyCols = Seq("cat"))
+    val savedMin = VectorSearch.exactScanSwitchMinCells
+    val savedFrac = VectorSearch.exactScanSwitchFraction
+    try {
+      val qvecs = (0 until 4).map(h => hubs(h).clone()).toSeq
+      val filter = col("cat") === "wide"
+      val exact = VectorSearch.topKMulti(corpus, "embedding", qvecs, 50,
+          "vec_id", Some(filter)).collect().groupBy(_.getInt(0))
+        .view.mapValues(_.map(_.getString(3)).toSet).toMap
+      def recallOf(df: org.apache.spark.sql.DataFrame): Double = {
+        val got = df.collect().groupBy(_.getInt(0))
+          .view.mapValues(_.map(_.getString(3)).toSet).toMap
+        qvecs.indices.map { i =>
+          exact(i).intersect(got.getOrElse(i, Set.empty)).size.toDouble /
+            exact(i).size
+        }.sum / qvecs.length
+      }
+      // switch disabled: the plain probe path at nprobe 16 of 64
+      VectorSearch.exactScanSwitchFraction = -1.0
+      val probed = recallOf(
+        idx.searchMulti(spark, qvecs, 50, 16, "vec_id", Some(filter)))
+      assert(idx.exactSwitchCount == 0L)
+      // switch armed (fixture is only 64 cells, so lower the gate): the
+      // wide filter's plan crosses the fraction and runs exact
+      VectorSearch.exactScanSwitchFraction = 0.125
+      VectorSearch.exactScanSwitchMinCells = 2
+      val switched = recallOf(
+        idx.searchMulti(spark, qvecs, 50, 16, "vec_id", Some(filter)))
+      assert(idx.exactSwitchCount == 1L,
+        s"switch did not fire (count ${idx.exactSwitchCount})")
+      assert(switched == 1.0, s"exact path recall $switched")
+      assert(switched >= probed, s"switched $switched < probed $probed")
+      // single-query search() takes the same decision
+      val one = idx.search(spark, qvecs.head, 50, 16, Some(filter))
+      assert(one.count() == 50L)
+      assert(idx.exactSwitchCount == 2L)
+      // a narrow filter's plan stays on the probe path
+      val narrowHits = idx.search(spark, qvecs.head, 5, 2,
+        Some(col("vec_id") < 16L))
+      assert(narrowHits.count() <= 5L)
+      // nprobe-2-of-64 cells hold < 12.5% of rows: no new switch
+      assert(idx.exactSwitchCount == 2L)
+    } finally {
+      VectorSearch.exactScanSwitchMinCells = savedMin
+      VectorSearch.exactScanSwitchFraction = savedFrac
+    }
+  }
+
+  test("hierarchical fit: same recall contract as the flat fit") {
+    val old = VectorSearch.hierarchicalFitMinK
+    VectorSearch.hierarchicalFitMinK = 2 // force the two-level path
+    try {
+      val dir = java.nio.file.Files.createTempDirectory("ivf_hier").toString
+      val idx = VectorSearch.buildIvf(clustered, "embedding", 3, dir,
+        sampleFraction = 1.0, occupancyCols = Seq("true_cluster"))
+      assert(idx.centroids.length == 3, s"got ${idx.centroids.length} centroids")
+      assert(idx.cellCounts.sum == 120L)
+      val q = Array.fill(8)(5.0f)
+      val approx = idx.search(spark, q, 10, nprobe = 1)
+        .select(lit(0L).as("qid"), col("vec_id"))
+      val exact = VectorSearch.topK(clustered, "embedding", q, 10,
+        projection = Seq("vec_id")).select(lit(0L).as("qid"), col("vec_id"))
+      val recall = VectorSearch.recallAtK(exact, approx, "qid", "vec_id", 10)
+        .head().getDouble(0)
+      assert(recall == 1.0, s"hierarchical-fit recall $recall")
+      // manifest round trip unaffected by the fit path
+      val loaded = VectorSearch.IvfIndex.load(spark, dir)
+      assert(loaded.centroids.length == 3)
+    } finally VectorSearch.hierarchicalFitMinK = old
+  }
+
+  test("allocateCentroids: proportional, capped by group size, sums to budget") {
+    val even = VectorSearch.allocateCentroids(
+      Map(0 -> 100L, 1 -> 100L, 2 -> 100L, 3 -> 100L), 8)
+    assert(even.values.sum == 8 && even.values.forall(_ == 2), s"$even")
+    val skewed = VectorSearch.allocateCentroids(
+      Map(0 -> 900L, 1 -> 50L, 2 -> 50L), 10)
+    assert(skewed.values.sum == 10 && skewed(0) >= 8, s"$skewed")
+    // cap: a group cannot host more centroids than points
+    val capped = VectorSearch.allocateCentroids(Map(0 -> 2L, 1 -> 100L), 10)
+    assert(capped.values.sum == 10 && capped.getOrElse(0, 0) <= 2, s"$capped")
+    // budget larger than total mass degrades to one centroid per point
+    val tiny = VectorSearch.allocateCentroids(Map(0 -> 3L, 1 -> 2L), 100)
+    assert(tiny.values.sum == 5, s"$tiny")
+    assert(VectorSearch.allocateCentroids(Map.empty, 5).isEmpty)
+  }
+
+  test("localLloyd: row-order-independent, converges, survives duplicate-point reseed") {
+    val rnd = new scala.util.Random(11)
+    val pts = Array.tabulate(300) { i =>
+      val c = i % 3
+      Array.tabulate(4)(_ => c * 10f + rnd.nextFloat() * 0.5f)
+    }
+    val a = VectorSearch.localLloyd(pts, 3, 7L, 10)
+    val shuffled = rnd.shuffle(pts.toIndexedSeq).toArray
+    val b = VectorSearch.localLloyd(shuffled, 3, 7L, 10)
+    def canon(cs: Array[Array[Float]]) = cs.sortBy(_.head)
+    canon(a).zip(canon(b)).foreach { case (ca, cb) =>
+      ca.zip(cb).foreach { case (x, y) =>
+        assert(math.abs(x - y) < 1e-3, s"order-dependent centroid: $x vs $y")
+      }
+    }
+    // centroids sit near the 3 true cluster centers
+    assert(canon(a).map(_.head.round).toSeq == Seq(0, 10, 20))
+    // exact duplicates force identical init centroids; the loser cell
+    // goes empty and must reseed rather than divide by zero
+    val dupPts = Array.fill(10)(Array(0.0f, 0.0f)) ++
+      Array.tabulate(10)(i => Array(10.0f + i * 0.01f, 10.0f))
+    val c = VectorSearch.localLloyd(dupPts, 3, 5L, 10)
+    assert(c.length == 3)
+    assert(c.forall(_.forall(v => !v.isNaN)), "NaN centroid after empty cell")
+    // parallel and serial paths agree
+    val d = VectorSearch.localLloyd(pts, 3, 7L, 10, parallel = true)
+    canon(a).zip(canon(d)).foreach { case (ca, cd) =>
+      ca.zip(cd).foreach { case (x, y) => assert(math.abs(x - y) < 1e-3) }
+    }
+  }
 }
