@@ -217,21 +217,45 @@ object ScalePoint {
         if (pivf.rmsRadii.nonEmpty) pivf.rmsRadii else pivf.radii
       val opPoints = curve(pivf.centroids, routing, assignDerived,
         "derived", derivedCounts)
-      // physical confirmation at each tier's analytic operating point
+      // physical confirmation at each tier's analytic operating point,
+      // r10: per-tier the ENGINE's path choice (cost-based exact-scan
+      // switch) is recorded alongside a forced-probe A/B — alternated
+      // E,P,E,P on the same cache state, min per mechanism — so the
+      // artifact carries chosen path + wall + recall for both sides
       timed("ann_recall_filtered_eval_sf1") {
         ProductWorkload.selPreds.foreach { case (selName, pred) =>
           val tier = selName.stripPrefix("read_")
           val np = opPoints(selName)
-          val approxSets = idSets(pivf.searchMulti(
-            spark, queryVecs, 100, nprobe = np, "parent_asin", Some(pred)))
-          val rec = queryVecs.indices.map { i =>
-            val exact = exactTops(selName).getOrElse(i, Set.empty)
-            if (exact.isEmpty) 1.0
-            else exact.intersect(approxSets.getOrElse(i, Set.empty))
-              .size.toDouble / exact.size
-          }.sum / queryVecs.length
-          results(s"ann_recall_${tier}_value") = rec
+          def recallOf(sets: Map[Int, Set[String]]): Double =
+            queryVecs.indices.map { i =>
+              val exact = exactTops(selName).getOrElse(i, Set.empty)
+              if (exact.isEmpty) 1.0
+              else exact.intersect(sets.getOrElse(i, Set.empty))
+                .size.toDouble / exact.size
+            }.sum / queryVecs.length
+          def runOnce(): (Map[Int, Set[String]], Double, Boolean) = {
+            val sw0 = pivf.exactSwitchCount
+            val t0 = System.nanoTime()
+            val sets = idSets(pivf.searchMulti(
+              spark, queryVecs, 100, nprobe = np, "parent_asin", Some(pred)))
+            (sets, (System.nanoTime() - t0) / 1e9,
+              pivf.exactSwitchCount > sw0)
+          }
+          def forcedProbe[T](body: => T): T = {
+            val saved = VectorSearch.exactScanSwitchFraction
+            VectorSearch.exactScanSwitchFraction = -1.0
+            try body finally VectorSearch.exactScanSwitchFraction = saved
+          }
+          val e1 = runOnce()
+          val p1 = forcedProbe(runOnce())
+          val e2 = runOnce()
+          val p2 = forcedProbe(runOnce())
+          results(s"ann_recall_${tier}_value") = recallOf(e1._1)
           results(s"ann_nprobe_${tier}_value") = np.toDouble
+          results(s"ann_path_exact_${tier}_value") = if (e1._3) 1.0 else 0.0
+          results(s"ann_wall_engine_${tier}_value") = math.min(e1._2, e2._2)
+          results(s"ann_wall_probe_${tier}_value") = math.min(p1._2, p2._2)
+          results(s"ann_recall_probe_${tier}_value") = recallOf(p1._1)
         }
       }
       // Two-level router end-to-end (r9). The filtered evals above route
@@ -254,11 +278,20 @@ object ScalePoint {
           else e.intersect(approx.getOrElse(i, Set.empty))
             .size.toDouble / e.size
         }.sum / queryVecs.length
+      def unfilteredOnce(): (Map[Int, Set[String]], Double) = {
+        val t0 = System.nanoTime()
+        val s = idSets(pivf.searchMulti(
+          spark, queryVecs, 100, nprobe = 32, "parent_asin"))
+        (s, (System.nanoTime() - t0) / 1e9)
+      }
+      def setRouted(on: Boolean): Unit = {
+        pivf.twoLevelMinCells = if (on) 2 else Int.MaxValue
+        pivf.invalidateRouter()
+      }
       val telBefore = pivf.routerTelemetry
       timed("ann_unfiltered_routed_np32_sf1") {
         results("ann_recall_unfiltered_routed_np32_value") =
-          recallVsExactNF(idSets(pivf.searchMulti(
-            spark, queryVecs, 100, nprobe = 32, "parent_asin")))
+          recallVsExactNF(unfilteredOnce()._1)
       }
       val telAfter = pivf.routerTelemetry
       results("two_level_routed_queries_value") = telAfter._1.toDouble
@@ -269,15 +302,25 @@ object ScalePoint {
         else -1.0
       // flat A/B at the same operating point: recall delta of the
       // router's cap truncation, measured end-to-end
-      pivf.twoLevelMinCells = Int.MaxValue
-      pivf.invalidateRouter()
+      setRouted(false)
       timed("ann_unfiltered_flat_np32_sf1") {
         results("ann_recall_unfiltered_flat_np32_value") =
-          recallVsExactNF(idSets(pivf.searchMulti(
-            spark, queryVecs, 100, nprobe = 32, "parent_asin")))
+          recallVsExactNF(unfilteredOnce()._1)
       }
-      pivf.twoLevelMinCells = 2
-      pivf.invalidateRouter()
+      // r10: ORDER-CONTROLLED wall A/B — the r9 numbers (routed 1.68 s
+      // vs flat 1.07 s) were confounded by scan temperature (routed ran
+      // first, cold). Both mechanisms above have now each touched the
+      // scan once; alternate R,F,R,F and take min per mechanism so both
+      // see the same cache state. Router rebuild cost (invalidate +
+      // first route) is inside the routed reps — the honest end-to-end
+      // price at this cell count.
+      setRouted(true); val rw1 = unfilteredOnce()._2
+      setRouted(false); val fw1 = unfilteredOnce()._2
+      setRouted(true); val rw2 = unfilteredOnce()._2
+      setRouted(false); val fw2 = unfilteredOnce()._2
+      results("ann_unfiltered_routed_np32_wall_value") = math.min(rw1, rw2)
+      results("ann_unfiltered_flat_np32_wall_value") = math.min(fw1, fw2)
+      setRouted(true)
       // Macro-granularity comparison WITHOUT a second 11 GB index write:
       // the per-round bench pins 16 clusters at sf0.1; fit the same
       // granularity here (KMeans on a bounded sample, same seed family)
