@@ -42,15 +42,22 @@ object VectorSearch {
     * rows, [[IvfIndex.search]]/[[IvfIndex.searchMulti]] run the exact
     * pre-filtered scan instead — recall 1.0 by construction, one clean
     * `TakeOrderedAndProject` over a single pushed scan, none of the
-    * probe path's per-cell reads, masks, or widening. The sf1
-    * measurement behind the default: the 10%-selectivity tier needs
-    * nprobe 128 of 1000 cells (≈12.8% of rows probed) to reach 0.977,
-    * while the exact tier scan answers in comparable wall at recall
-    * 1.0 — an eighth of the index is where probing stops paying. The
-    * decision is pure driver arithmetic over the plan's cell counts
-    * (zero Spark jobs). ≤ 0 disables the switch.
+    * probe path's per-cell reads, masks, or widening. The decision is
+    * pure driver arithmetic over the plan's cell counts (zero jobs).
+    *
+    * Default 0.8, from the sf1 order-controlled A/B
+    * (BENCH_scale_sf1_r10: `ann_wall_{engine,probe}_sel_10`): probed
+    * wall is ~LINEAR in probed rows with negligible per-cell constant —
+    * 0.97 s at 12.8% of a 1M×2688 index vs 8.9 s for the exact scan —
+    * so the exact path only wins when the plan approaches the whole
+    * index (where the probe's isin/mask machinery is pure overhead on
+    * top of an equivalent full scan). The r9 hypothesis that an eighth
+    * of the index was the crossover is REFUTED by that measurement;
+    * probing an eighth is ~8× cheaper. Callers who want recall 1.0 at
+    * wide filters regardless of wall can lower this per session.
+    * ≤ 0 disables the switch.
     */
-  @volatile private[graft] var exactScanSwitchFraction: Double = 0.125
+  @volatile private[graft] var exactScanSwitchFraction: Double = 0.8
 
   /** The switch only engages at/above this many cells: tiny indexes
     * (spec fixtures, toy corpora) probe 1-of-3 cells at 33% of rows by

@@ -742,6 +742,53 @@ object VectorQueries {
       },
       Some("""SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey, n_name,
           CAST(n_regionkey AS BIGINT) AS n_regionkey
-        FROM nation ORDER BY n_nationkey"""))
+        FROM nation ORDER BY n_nationkey""")),
+
+    // ---- cost-based exact-scan switch (r10): a filtered probe whose
+    //      planned cells hold ≥ exactScanSwitchFraction of the index's
+    //      rows runs the exact pre-filtered scan — so its top-k IS the
+    //      SQL answer, hash-checkable by the oracle with NO dependence
+    //      on centroid positions, and the in-query require() pins that
+    //      the switch (not a lucky probe) produced it. The fixture
+    //      forces the min-cells gate down (the 8-cell test index sits
+    //      below the production 256-cell floor) and restores it ----
+    QueryDef(
+      "q117_exact_switch",
+      (s, d) => {
+        val e = Tables.embeddings(s, d)
+        val root = java.nio.file.Files.createTempDirectory("q117_switch")
+        val savedFrac = VectorSearch.exactScanSwitchFraction
+        val savedMin = VectorSearch.exactScanSwitchMinCells
+        try {
+          val ivf = VectorSearch.buildIvf(e, "embedding", 8,
+            s"$root/ivf", sampleFraction = 1.0)
+          VectorSearch.exactScanSwitchFraction = 0.125
+          VectorSearch.exactScanSwitchMinCells = 2
+          val qv = e.filter(col("vec_id") === 1).select(col("embedding"))
+            .head().getSeq[Float](0).toArray
+          // even vec_ids live in every cell, so the ≥ k widening plans a
+          // cell set holding ~all rows — far past the ⅛ switch point
+          val hits = ivf.search(s, qv, 30, nprobe = 2,
+              filter = Some(col("vec_id") % 2 === 0))
+            .select(col("vec_id"), col("score")).collect()
+          require(ivf.exactSwitchCount == 1L,
+            s"exact-scan switch did not engage (${ivf.exactSwitchCount})")
+          import s.implicits._
+          hits.map(r => (r.getLong(0), r.getDouble(1)))
+            .sortBy(t => (-t._2, t._1)).take(20).toSeq
+            .toDF("vec_id", "score_raw")
+            .select(col("vec_id"),
+              (round(col("score_raw"), 4) + 0.0).as("score"))
+        } finally {
+          VectorSearch.exactScanSwitchFraction = savedFrac
+          VectorSearch.exactScanSwitchMinCells = savedMin
+          graft.FsUtil.deleteRecursively(root)
+        }
+      },
+      Some(s"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 1)
+        SELECT vec_id, round(${sqlDot("e.embedding", "q.qv")}, 4) + 0 AS score
+        FROM embeddings e CROSS JOIN q
+        WHERE vec_id % 2 = 0
+        ORDER BY ${sqlDot("e.embedding", "q.qv")} DESC, vec_id LIMIT 20"""))
   )
 }
