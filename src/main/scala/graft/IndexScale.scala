@@ -50,23 +50,36 @@ object IndexScale {
     GraftSession.prepare(spark)
     spark.range(1000).select(sum(col("id"))).collect()
 
-    def timed(name: String)(f: => Unit): Unit = {
+    // returns success so downstream steps can gate on this step's outcome
+    // instead of dereferencing state the failed body never produced
+    def timed(name: String)(f: => Unit): Boolean = {
       val t0 = System.nanoTime()
       try {
         f
         results(name) = (System.nanoTime() - t0) / 1e9
+        true
       } catch {
         case e: Throwable =>
           System.err.println(s"[indexscale] $name FAILED: ${e.getMessage}")
           results(name) = -1.0
+          false
       }
+    }
+    def emit(nRows: Long, dims: Int): Unit = {
+      val qs = results.map { case (k2, v) => "\"" + k2 + "\":" + f"$v%.3f" }
+        .mkString("{", ",", "}")
+      println(s"""{"metric":"index_scale_10m","rows":$nRows,"dims":$dims,"queries":$qs}""")
     }
 
     val nRows = sys.env.getOrElse("SPARK_GRAFT_INDEX_ROWS", "10000000").toLong
     val dims = sys.env.getOrElse("SPARK_GRAFT_INDEX_DIMS", "384").toInt
-    // production default at full scale; ~√n when smoke-shrunk
-    val k =
-      if (nRows >= 4000000L) 4096 else VectorSearch.defaultNumClusters(nRows)
+    // production default at full scale; ~√n when smoke-shrunk.
+    // SPARK_GRAFT_INDEX_CELLS pins the count explicitly — the r11
+    // full-dim point (2M × 2688) wants 4096 so both two-level paths stay
+    // at their production defaults even though the row count alone would
+    // derive ~1414.
+    val k = sys.env.get("SPARK_GRAFT_INDEX_CELLS").map(_.toInt).getOrElse(
+      if (nRows >= 4000000L) 4096 else VectorSearch.defaultNumClusters(nRows))
     val ivfPath = s"$base/ivf_10m"
     println(s"[indexscale] rows=$nRows dims=$dims k=$k")
 
@@ -88,6 +101,16 @@ object IndexScale {
     timed("ivf_build_10m") {
       ivf = VectorSearch.buildIvf(source, "embedding", k, ivfPath,
         sampleFraction = fraction, occupancyCols = Seq("main_category"))
+    }
+    // a failed build leaves `ivf` null — emit the partial artifact (the
+    // -1 build wall is the failure record) instead of falling through to
+    // a null dereference that would lose even that
+    if (ivf == null) {
+      spark.stop()
+      emit(nRows, dims)
+      if (sys.env.get("SPARK_GRAFT_WORK_DIR").isEmpty)
+        FsUtil.deleteRecursively(java.nio.file.Paths.get(base))
+      return
     }
     results("ivf_num_clusters_value") = ivf.centroids.length.toDouble
     results("index_size_gb_value") =
@@ -118,14 +141,18 @@ object IndexScale {
     ProductWorkload.selPreds.foreach { case (selName, pred) =>
       val tier = selName.stripPrefix("read_")
       var exact: Map[Int, Set[String]] = Map.empty
-      timed(s"exact_${tier}_10m") {
+      // gate recall on the BASELINE step's success: recallVs treats an
+      // empty exact set as 1.0 (the right convention for a genuinely
+      // zero-match query), so a failed baseline would otherwise fabricate
+      // perfect recall — emit -1 instead and skip the ladder
+      val exactOk = timed(s"exact_${tier}_10m") {
         exact = idSets(VectorSearch.topKMulti(
           idxDf, "__vec", queryVecs, 100, "parent_asin", Some(pred)))
       }
       val ladder = Seq(64, 128, 256)
       var chosen = ladder.last
-      var rec = 0.0
-      var done = false
+      var rec = if (exactOk) 0.0 else -1.0
+      var done = !exactOk
       ladder.foreach { np =>
         if (!done) {
           val sw0 = ivf.exactSwitchCount
@@ -150,15 +177,17 @@ object IndexScale {
     // production default engages on its own at this cell count) +
     // telemetry proving sub-linear expansion
     var exactNF: Map[Int, Set[String]] = Map.empty
-    timed("exact_unfiltered_10m") {
+    val exactNFOk = timed("exact_unfiltered_10m") {
       exactNF = idSets(VectorSearch.topKMulti(
         idxDf, "__vec", queryVecs, 100, "parent_asin"))
     }
     val telBefore = ivf.routerTelemetry
     timed("ann10m_unfiltered_routed_np128") {
-      results("ann10m_recall_unfiltered_np128_value") = recallVs(exactNF,
-        idSets(ivf.searchMulti(
-          spark, queryVecs, 100, nprobe = 128, "parent_asin")))
+      results("ann10m_recall_unfiltered_np128_value") =
+        if (exactNFOk) recallVs(exactNF,
+          idSets(ivf.searchMulti(
+            spark, queryVecs, 100, nprobe = 128, "parent_asin")))
+        else -1.0
     }
     val telAfter = ivf.routerTelemetry
     results("two_level_routed_queries_value") =
@@ -170,10 +199,36 @@ object IndexScale {
         (telAfter._2 - telBefore._2).toDouble / (telAfter._1 - telBefore._1)
       else -1.0
 
-    val qs = results.map { case (k2, v) => "\"" + k2 + "\":" + f"$v%.3f" }
-      .mkString("{", ",", "}")
+    // routed-vs-flat order-controlled wall A/B at the PRODUCTION cell
+    // count (r10 verdict task: the 1000-cell A/B measured the router as
+    // a −220 ms COST; this pair quantifies what it buys at the ≥4096-cell
+    // default where it actually ships). Both mechanisms have touched the
+    // scan above; alternate R,F,R,F, min per mechanism, router rebuild
+    // cost inside the routed reps — same protocol as BENCH_scale_sf1_r10.
+    if (exactNFOk && k >= 4096) {
+      def unfilteredOnce(): (Double, Double) = {
+        val t0 = System.nanoTime()
+        val sets = idSets(ivf.searchMulti(
+          spark, queryVecs, 100, nprobe = 128, "parent_asin"))
+        ((System.nanoTime() - t0) / 1e9, recallVs(exactNF, sets))
+      }
+      def setRouted(on: Boolean): Unit = {
+        ivf.twoLevelMinCells = if (on) 2 else Int.MaxValue
+        ivf.invalidateRouter()
+      }
+      setRouted(true); val r1 = unfilteredOnce()
+      setRouted(false); val f1 = unfilteredOnce()
+      setRouted(true); val r2 = unfilteredOnce()
+      setRouted(false); val f2 = unfilteredOnce()
+      setRouted(true)
+      results("ab_routed_np128_wall_value") = math.min(r1._1, r2._1)
+      results("ab_flat_np128_wall_value") = math.min(f1._1, f2._1)
+      results("ab_routed_np128_recall_value") = r1._2
+      results("ab_flat_np128_recall_value") = f1._2
+    }
+
     spark.stop()
-    println(s"""{"metric":"index_scale_10m","rows":$nRows,"dims":$dims,"queries":$qs}""")
+    emit(nRows, dims)
     if (sys.env.get("SPARK_GRAFT_WORK_DIR").isEmpty)
       FsUtil.deleteRecursively(java.nio.file.Paths.get(base))
   }

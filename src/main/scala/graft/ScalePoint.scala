@@ -55,18 +55,31 @@ object ScalePoint {
     val dims = 2688
     val productsPath = s"$base/products_sf1"
 
-    // SPARK_GRAFT_SCALE_SECTIONS=docs skips the product-table sections
-    // (the ~25 GB of writes) and runs only the documents-scale dedup
-    // entries — the cheap re-measurable slice on this VM's IO budget
+    // SPARK_GRAFT_SCALE_SECTIONS picks the slice, sized to this VM's
+    // write-IO budget:
+    //   all  — the full point (~25 GB of writes)
+    //   docs — only the documents-scale dedup entries (~1 GB)
+    //   ivf  — only the IVF build + ANN eval over an EXISTING products
+    //          table at productsPath (requires SPARK_GRAFT_WORK_DIR from
+    //          a prior run or a fresh generation below; ~11 GB — the
+    //          index write only). The r11 assign_write verification runs
+    //          this slice so the products table is generated once per
+    //          session, not once per build measurement.
     val sections = sys.env.getOrElse("SPARK_GRAFT_SCALE_SECTIONS", "all")
     if (sections != "docs") {
 
-    // identical layout rules to Bench.index_build — by construction: both
-    // call ProductWorkload.writeIndexed, so the ratio isolates data
-    // volume, not plan shape
-    timed("index_build") {
-      ProductWorkload.writeIndexed(spark, nProducts, dims, cpus.toInt,
-        productsPath)
+    val productsReady = sections == "ivf" &&
+      new java.io.File(s"$productsPath/_SUCCESS").exists()
+    if (productsReady) {
+      results("index_build_reused_value") = 1.0
+    } else {
+      // identical layout rules to Bench.index_build — by construction:
+      // both call ProductWorkload.writeIndexed, so the ratio isolates
+      // data volume, not plan shape
+      timed("index_build") {
+        ProductWorkload.writeIndexed(spark, nProducts, dims, cpus.toInt,
+          productsPath)
+      }
     }
 
     val products = spark.read.parquet(productsPath)
@@ -74,6 +87,7 @@ object ScalePoint {
     catch { case _: Throwable => () }
     Thread.sleep(15000) // drain the 14 GB writeback before the read tiers
 
+    if (sections == "all") {
     val queryVec = products.select(col("embedding")).head().getSeq[Float](0).toArray
     def topk(filter: Column): DataFrame =
       VectorSearch.topK(products, "embedding", queryVec, 100,
@@ -88,6 +102,7 @@ object ScalePoint {
         embeddingCol = Some("embedding"), idCol = Some("parent_asin"),
         normCol = Some("emb_norm"))
     }
+    } // sections == all (read tiers + profile)
 
     // ANN at scale: IVF over the 1M-row table with the DERIVED cluster
     // count (defaultNumClusters(1M) = 1000) — the ~√n sizing rule's first
@@ -242,14 +257,22 @@ object ScalePoint {
               pivf.exactSwitchCount > sw0)
           }
           def forcedProbe[T](body: => T): T = {
-            val saved = VectorSearch.exactScanSwitchFraction
-            VectorSearch.exactScanSwitchFraction = -1.0
-            try body finally VectorSearch.exactScanSwitchFraction = saved
+            // handle-level override (r11): the process-global default is
+            // never touched — see IvfIndex.exactScanFraction
+            pivf.exactScanFraction = -1.0
+            try body finally pivf.exactScanFraction = Double.NaN
           }
           val e1 = runOnce()
           val p1 = forcedProbe(runOnce())
           val e2 = runOnce()
           val p2 = forcedProbe(runOnce())
+          // NOTE (cross-round comparisons): from r10 on,
+          // ann_recall_{tier}_value is PATH-DEPENDENT — it records the
+          // engine's chosen path, which is trivially 1.0 whenever the
+          // exact-scan switch fires (ann_path_exact_* = 1). The
+          // nprobe-meaningful number is ann_recall_probe_* (the forced
+          // probe) — gate the ≥0.9 recall claim on THAT key, and do not
+          // read an engine-path 1.0 as a probe-recall improvement.
           results(s"ann_recall_${tier}_value") = recallOf(e1._1)
           results(s"ann_nprobe_${tier}_value") = np.toDouble
           results(s"ann_path_exact_${tier}_value") = if (e1._3) 1.0 else 0.0
@@ -389,6 +412,7 @@ object ScalePoint {
 
     } // sections != "docs"
 
+    if (sections != "ivf") {
     // documents at 10× sf0.1 with fresh ids, ON DISK, so the near-dup
     // pipeline reads real parquet at the scaled size
     val docsPath = s"$base/documents_10x"
@@ -434,6 +458,7 @@ object ScalePoint {
       results("near_dup_index_est_band_rows_value") =
         idx.bands.count().toDouble
     }
+    } // sections != "ivf"
 
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")

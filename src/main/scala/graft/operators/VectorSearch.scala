@@ -391,6 +391,19 @@ object VectorSearch {
       */
     @volatile private[graft] var twoLevelMinCells: Int = 4096
 
+    /** Per-HANDLE overrides of the cost-based switch knobs — NaN / < 0
+      * defer to the companion defaults
+      * ([[VectorSearch.exactScanSwitchFraction]] /
+      * [[VectorSearch.exactScanSwitchMinCells]]). Harnesses, specs and
+      * fixture queries that need a forced or disabled switch set THESE,
+      * not the process-global @volatile vars: the globals stay at the
+      * production default for every other handle in the process, so a
+      * forced-switch query cannot race a concurrently-planned probe if
+      * query execution ever goes parallel.
+      */
+    @volatile private[graft] var exactScanFraction: Double = Double.NaN
+    @volatile private[graft] var exactScanMinCells: Int = -1
+
     // Built on the first routed query, INVALIDATED by [[append]]: the
     // group bounds bake in the fine radii at build time, and append
     // mutates `radii`/`rmsRadii` in place — a stale router's suffix-max
@@ -439,13 +452,19 @@ object VectorSearch {
       * [[VectorSearch.exactScanSwitchFraction]] of the index's rows
       * (driver arithmetic over `cellCounts` — zero jobs), the index is
       * at/above [[VectorSearch.exactScanSwitchMinCells]], and the switch
-      * is enabled. At that volume the exact scan's clean single pass
+      * is enabled — both knobs overridable per handle via
+      * [[exactScanFraction]] / [[exactScanMinCells]]. At that volume the exact scan's clean single pass
       * beats per-cell probe reads AND returns recall 1.0.
       */
     private[graft] def exactScanWins(effective: Seq[Iterable[Int]]): Boolean = {
-      val frac = VectorSearch.exactScanSwitchFraction
+      val frac =
+        if (exactScanFraction.isNaN) VectorSearch.exactScanSwitchFraction
+        else exactScanFraction
+      val minCells =
+        if (exactScanMinCells < 0) VectorSearch.exactScanSwitchMinCells
+        else exactScanMinCells
       if (frac <= 0 || cellCounts.isEmpty ||
-          centroids.length < VectorSearch.exactScanSwitchMinCells) false
+          centroids.length < minCells) false
       else {
         val total = cellCounts.sum
         if (total <= 0L) false

@@ -751,19 +751,19 @@ object VectorQueries {
     //      on centroid positions, and the in-query require() pins that
     //      the switch (not a lucky probe) produced it. The fixture
     //      forces the min-cells gate down (the 8-cell test index sits
-    //      below the production 256-cell floor) and restores it ----
+    //      below the production 256-cell floor) via the HANDLE-level
+    //      overrides (r11) — the process-global defaults are never
+    //      touched, so this query cannot race another's probe plan ----
     QueryDef(
       "q117_exact_switch",
       (s, d) => {
         val e = Tables.embeddings(s, d)
         val root = java.nio.file.Files.createTempDirectory("q117_switch")
-        val savedFrac = VectorSearch.exactScanSwitchFraction
-        val savedMin = VectorSearch.exactScanSwitchMinCells
         try {
           val ivf = VectorSearch.buildIvf(e, "embedding", 8,
             s"$root/ivf", sampleFraction = 1.0)
-          VectorSearch.exactScanSwitchFraction = 0.125
-          VectorSearch.exactScanSwitchMinCells = 2
+          ivf.exactScanFraction = 0.125
+          ivf.exactScanMinCells = 2
           val qv = e.filter(col("vec_id") === 1).select(col("embedding"))
             .head().getSeq[Float](0).toArray
           // even vec_ids live in every cell, so the ≥ k widening plans a
@@ -780,8 +780,6 @@ object VectorQueries {
             .select(col("vec_id"),
               (round(col("score_raw"), 4) + 0.0).as("score"))
         } finally {
-          VectorSearch.exactScanSwitchFraction = savedFrac
-          VectorSearch.exactScanSwitchMinCells = savedMin
           graft.FsUtil.deleteRecursively(root)
         }
       },

@@ -1,0 +1,124 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Attribution bench for the IVF build's `assign_write` step — r10's
+  * dominant build cost at BOTH measured tiers (355 s of sf1's 511 s;
+  * 438 s of the 10M point's 529 s). SCALE.md r10 describes the step as
+  * "11 GB read + flat kernel + 11 GB partitioned write" without a
+  * measured split; this tool separates the read/decode, kernel, and
+  * (by subtraction against a real build) write terms with READ-ONLY
+  * passes over an existing products table — zero index writes, so it is
+  * cheap on this VM's write-IO budget and re-runnable.
+  *
+  * Passes (order-controlled, alternating, min-of-reps after a cold
+  * first touch):
+  *   - decode_cold  — first scan+decode of the vector column (disk read
+  *                    + parquet decode; recorded once, before the page
+  *                    cache holds the table)
+  *   - decode       — warm scan+decode, no kernel
+  *   - assign_flat  — warm scan + flat nearest_centroid (k·d per row)
+  *   - assign_grouped — warm scan + two-level kernel
+  *                    ([[graft.operators.VectorSearch.forcedGroupedKernels]],
+  *                    ~(m + probes·k/m)·d per row)
+  *
+  * kernel_flat  = assign_flat − decode; kernel_grouped = assign_grouped
+  * − decode; the write term = a real build's assign_write − assign_flat
+  * (same session, same cache state — BENCH_scale_sf1's IVF section is
+  * the paired measurement). A parity pass reports the two kernels'
+  * disagreement fraction on the REAL table (AssignBench pins it on the
+  * hub fixture; this is the production-geometry check).
+  *
+  * Env: SPARK_GRAFT_ASSIGN_SRC (required — products parquet path),
+  * SPARK_GRAFT_ASSIGN_K (default 1000, sf1's derived cell count),
+  * SPARK_GRAFT_ASSIGN_REPS (default 2), SPARK_GRAFT_ASSIGN_VECCOL
+  * (default "embedding").
+  */
+object AssignWriteBench {
+
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", 32)
+      .appName("assign-write-bench").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    graft.GraftSession.prepare(spark)
+
+    val src = sys.env.getOrElse("SPARK_GRAFT_ASSIGN_SRC",
+      sys.error("SPARK_GRAFT_ASSIGN_SRC required (products parquet path)"))
+    val k = sys.env.getOrElse("SPARK_GRAFT_ASSIGN_K", "1000").toInt
+    val reps = sys.env.getOrElse("SPARK_GRAFT_ASSIGN_REPS", "2").toInt
+    val vecCol = sys.env.getOrElse("SPARK_GRAFT_ASSIGN_VECCOL", "embedding")
+    val results = scala.collection.mutable.LinkedHashMap[String, Double]()
+
+    val df = spark.read.parquet(src).select(col(vecCol))
+    val n = df.count()
+    results("rows_value") = n.toDouble
+
+    // centroids exactly as buildIvf derives them at this k (two-level fit
+    // over the 256/cell bounded sample) — the fit cost is NOT part of the
+    // attribution, it just reproduces the kernel's real operand
+    val trainTarget = math.min(1000000L, math.max(10000L, 256L * k))
+    val fraction = math.min(1.0, trainTarget.toDouble / n)
+    val tf = df.sample(withReplacement = false, fraction, 42L)
+      .select(col(vecCol).cast("array<float>").as("__v"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val tFit0 = System.nanoTime()
+    val cents = graft.operators.VectorSearch.hierarchicalFit(
+      spark, tf, k, 42L, dbg = true)
+    results("fit_wall_value") = (System.nanoTime() - tFit0) / 1e9
+    tf.unpersist(blocking = false)
+
+    val flatCol = graft.functions.nearest_centroid(col(vecCol), cents)
+    val grouped = graft.operators.VectorSearch.forcedGroupedKernels(cents)
+    val groupedCol = grouped._1(col(vecCol))
+
+    def decodePass(): Double = {
+      val t0 = System.nanoTime()
+      df.agg(sum(size(col(vecCol)))).collect()
+      (System.nanoTime() - t0) / 1e9
+    }
+    def kernelPass(c: org.apache.spark.sql.Column): Double = {
+      val t0 = System.nanoTime()
+      df.select(c.as("__c")).agg(sum(col("__c").cast("long"))).collect()
+      (System.nanoTime() - t0) / 1e9
+    }
+
+    // cold first touch: disk read + decode before the page cache warms
+    results("decode_cold_value") = decodePass()
+    // alternate D,F,G per rep so every pass sees the same cache state
+    val walls = (0 until reps).map { _ =>
+      (decodePass(), kernelPass(flatCol), kernelPass(groupedCol))
+    }
+    results("decode_value") = walls.map(_._1).min
+    results("assign_flat_value") = walls.map(_._2).min
+    results("assign_grouped_value") = walls.map(_._3).min
+    results("kernel_flat_value") =
+      results("assign_flat_value") - results("decode_value")
+    results("kernel_grouped_value") =
+      results("assign_grouped_value") - results("decode_value")
+
+    // parity on production geometry: disagreement fraction + distance
+    // inflation of the grouped choice over the true nearest
+    val q = df.select(flatCol.as("f"), groupedCol.as("g"),
+        graft.functions.nearest_centroid_dist(col(vecCol), cents).as("fd"),
+        grouped._2(col(vecCol)).as("gd"))
+      .agg(
+        sum(when(col("f") =!= col("g"), 1L).otherwise(0L)).as("miss"),
+        avg(when(col("fd") > 0, col("gd") / col("fd")).otherwise(1.0)),
+        max(when(col("fd") > 0, col("gd") / col("fd")).otherwise(1.0)))
+      .head()
+    results("miss_fraction_value") = q.getLong(0).toDouble / n
+    results("mean_dist_infl_value") = q.getDouble(1)
+    results("max_dist_infl_value") = q.getDouble(2)
+    val sizes = graft.operators.VectorSearch.assignGroupingSizes(cents)
+    results("groups_value") = sizes.length.toDouble
+    results("max_group_value") = sizes.max.toDouble
+
+    val qs = results.map { case (k2, v) => "\"" + k2 + "\":" + f"$v%.3f" }
+      .mkString("{", ",", "}")
+    spark.stop()
+    println(s"""{"metric":"assign_write_attribution","k":$k,"queries":$qs}""")
+  }
+}

@@ -32,10 +32,12 @@ import org.apache.spark.sql.functions._
 object FitBench {
 
   def main(args: Array[String]): Unit = {
+    // heap comes from the forked JVM's -Xmx (build.sbt / SPARK_DRIVER_MEM)
+    // — spark.driver.memory set via the builder is a no-op in local mode
+    // (the JVM is already running), so no config line pretends otherwise
     val spark = SparkSession.builder()
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", 32)
-      .config("spark.driver.memory", "32g")
       .appName("fit-bench").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     graft.GraftSession.prepare(spark)

@@ -757,9 +757,7 @@ class VectorSearchSpec extends SparkSpec {
     val dir = java.nio.file.Files.createTempDirectory("ivf_switch").toString
     val idx = VectorSearch.buildIvf(corpus, "embedding", 64, dir,
       sampleFraction = 1.0, occupancyCols = Seq("cat"))
-    val savedMin = VectorSearch.exactScanSwitchMinCells
-    val savedFrac = VectorSearch.exactScanSwitchFraction
-    try {
+    locally {
       val qvecs = (0 until 4).map(h => hubs(h).clone()).toSeq
       val filter = col("cat") === "wide"
       val exact = VectorSearch.topKMulti(corpus, "embedding", qvecs, 50,
@@ -773,15 +771,16 @@ class VectorSearchSpec extends SparkSpec {
             exact(i).size
         }.sum / qvecs.length
       }
-      // switch disabled: the plain probe path at nprobe 16 of 64
-      VectorSearch.exactScanSwitchFraction = -1.0
+      // switch disabled via the HANDLE-level override (the process-global
+      // default is never mutated): the plain probe path at nprobe 16 of 64
+      idx.exactScanFraction = -1.0
       val probed = recallOf(
         idx.searchMulti(spark, qvecs, 50, 16, "vec_id", Some(filter)))
       assert(idx.exactSwitchCount == 0L)
       // switch armed (fixture is only 64 cells, so lower the gate): the
       // wide filter's plan crosses the fraction and runs exact
-      VectorSearch.exactScanSwitchFraction = 0.125
-      VectorSearch.exactScanSwitchMinCells = 2
+      idx.exactScanFraction = 0.125
+      idx.exactScanMinCells = 2
       val switched = recallOf(
         idx.searchMulti(spark, qvecs, 50, 16, "vec_id", Some(filter)))
       assert(idx.exactSwitchCount == 1L,
@@ -798,9 +797,6 @@ class VectorSearchSpec extends SparkSpec {
       assert(narrowHits.count() <= 5L)
       // nprobe-2-of-64 cells hold < 12.5% of rows: no new switch
       assert(idx.exactSwitchCount == 2L)
-    } finally {
-      VectorSearch.exactScanSwitchMinCells = savedMin
-      VectorSearch.exactScanSwitchFraction = savedFrac
     }
   }
 
