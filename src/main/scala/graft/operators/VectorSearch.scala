@@ -1185,19 +1185,29 @@ object VectorSearch {
     * assignment pass is n·k·d mul-adds, and with the √n cell-sizing rule
     * that is the index path's one super-linear cost — at the reference's
     * 10M tier (k = 3162, d = 2688) ~8.5·10¹³ mul-adds, ~7 h single-node,
-    * vs ~(1+probes)·√k per row two-level (~28× less). Below the
-    * threshold the flat kernel is already a small share of the build
-    * (write-bound, measured through sf1's k = 1000) and exactness is
-    * free. 4096 matches the query-routing threshold: one definition of
-    * "large" for the index. Assignment above it is approximate in the
-    * standard hierarchical-quantizer sense — a ~1e-3 fraction of rows
-    * lands in a near-equidistant neighbor cell (AssignBench measures
-    * the rate; VectorKernelsSpec pins exact parity when every group is
-    * probed and near-equality of the chosen distance otherwise). The
-    * stats/radii pass uses the SAME selection rule, so radii always
-    * describe the cells rows actually land in.
+    * vs ~(1+probes)·√k per row two-level (~28× less).
+    *
+    * 512 (r11; was 4096): AssignWriteBench measured the flat kernel as
+    * the dominant CPU term of sf1's `assign_write` (90.9 s of the step
+    * on the real 1M × 2688 table at k = 1000, vs 3.3 s decode and a
+    * ~free sort) with the grouped kernel 4.1× faster at equal mean
+    * chosen-cell distance; AssignBench's grid extends the win down to
+    * k = 512 (1.82×, zero disagreements) and it grows monotonically
+    * above (3.1–10.3× at 1024–65536). Below 512 the flat pass is a
+    * trivial share of its build (sf0.1's 316-cell build is ~7 s total)
+    * and exactness is free — 512 also matches hierarchicalFitMinK, one
+    * definition of "large" for the index. Assignment at/above the
+    * threshold is approximate in the standard hierarchical-quantizer
+    * sense — a small fraction of rows (1.7% on the sf1 table, mean
+    * distance inflation 1.000: near-exact ties) lands in a
+    * near-equidistant neighbor cell (AssignBench measures the rate;
+    * VectorKernelsSpec pins exact parity when every group is probed and
+    * near-equality of the chosen distance otherwise; the sf1 operating
+    * points keep recall ≥ 0.9 — BENCH_scale_sf1_r11). The stats/radii
+    * pass uses the SAME selection rule, so radii always describe the
+    * cells rows actually land in.
     */
-  private[graft] val twoLevelAssignMinCells: Int = 4096
+  private[graft] val twoLevelAssignMinCells: Int = 512
   private[graft] val twoLevelAssignProbes: Int = 4
 
   /** (assignment column, true-squared-distance column) builders for a

@@ -80,7 +80,7 @@ object AssignBench {
       }.min
     }
 
-    Seq(1024, 4096, 8192, 65536).foreach { k =>
+    Seq(512, 1024, 4096, 8192, 65536).foreach { k =>
       val rows = if (k >= 65536) dfSmall else df
       val nRows = if (k >= 65536) 20000 else n
       def timePass(c: org.apache.spark.sql.Column): Double =

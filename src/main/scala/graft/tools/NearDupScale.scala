@@ -1,0 +1,137 @@
+package graft.tools
+
+import graft.operators.Dedup
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Near-dup index growth point (r10 verdict task 5): the
+  * signature-sized-index claim's largest prior measurement is the 500k-doc
+  * `documents_10x` table (SCALE.md r7); this probe pins TWO claims an
+  * order of magnitude up, at 5M documents in estimated mode:
+  *
+  *   1. the index stays SIGNATURE-SIZED — stored rows ∝ exact-group
+  *      representatives × (numHashes + bands), independent of corpus
+  *      token count;
+  *   2. [[Dedup.NearDupIndex.dedupBatch]] is O(batch) new work — the
+  *      same fixed batch classifies against a 0.5M-doc and a 5M-doc
+  *      index at comparable wall (candidate fan-in is bounded by true
+  *      band-key multiplicity, not corpus size).
+  *
+  * Corpus: the sf0.1 documents table replicated with PER-REPLICA TOKEN
+  * RENAMING (every word suffixed `_k`), so replicas share no 3-shingles
+  * — a distinct-document corpus, not a 100×-dense near-dup ball. A
+  * plain replication (ScalePoint's `documents_10x`) collapses to the
+  * ORIGINAL corpus's ~5k exact-group reps and the index provably does
+  * not grow at all; the renamed corpus is the adversarial case where
+  * every doc is its own rep and the index must hold 5M signature sets.
+  *
+  * Batch (fixed, 20k docs): half near-duplicates of corpus docs (one
+  * appended token — J ≈ n/(n+2) over 3-shingles, above the 0.7
+  * threshold for the table's longer docs), half novel (batch-token
+  * renaming) — so the classification exercises real candidate
+  * verification and real survival, at both corpus sizes.
+  *
+  * Writes are small (the sf0.1 documents table is <1 MB parquet; the
+  * renamed 5M-doc corpus lands ~1 GB) — per bench discipline this runs
+  * mid-session without denting the write budget. The stored index
+  * frames are localCheckpoints (executor memory), not disk.
+  *
+  * Env: SPARK_GRAFT_NEARDUP_REPLICAS (default 100 → 5M docs; smoke with
+  * 4), SPARK_GRAFT_WORK_DIR.
+  */
+object NearDupScale {
+
+  def main(args: Array[String]): Unit = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val base = sys.env.get("SPARK_GRAFT_WORK_DIR").getOrElse(
+      java.nio.file.Files.createTempDirectory("graft_neardup").toString)
+    val results = scala.collection.mutable.LinkedHashMap[String, Double]()
+    val builder = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.local.dir", s"$base/spark-local")
+    graft.GraftSession.defaults.foreach { case (k, v) => builder.config(k, v) }
+    val spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    graft.GraftSession.prepare(spark)
+    spark.range(1000).select(sum(col("id"))).collect()
+
+    def timed(name: String)(f: => Unit): Unit = {
+      val t0 = System.nanoTime()
+      try {
+        f
+        results(name) = (System.nanoTime() - t0) / 1e9
+      } catch {
+        case e: Throwable =>
+          System.err.println(s"[neardupscale] $name FAILED: ${e.getMessage}")
+          results(name) = -1.0
+      }
+    }
+
+    val replicas = sys.env.getOrElse("SPARK_GRAFT_NEARDUP_REPLICAS", "100").toInt
+    val docs = graft.Tables.documents(spark, "/root/testdata/sf0.1")
+
+    // replica 0 keeps the original text; replica k > 0 renames every
+    // token with a `_k` suffix — zero shared shingles across replicas
+    def corpusAt(m: Int, path: String): Unit =
+      docs.select(explode(sequence(lit(0L), lit(m - 1L))).as("__k"),
+          col("doc_id"), col("text"), col("lang"))
+        .select((col("doc_id") + col("__k") * 100000000L).as("doc_id"),
+          when(col("__k") === 0, col("text")).otherwise(
+            concat_ws(" ", transform(split(col("text"), " "),
+              w => concat(w, lit("_"), col("__k"))))).as("text"),
+          col("lang"))
+        .repartition(cpus.toInt)
+        .write.mode("overwrite").parquet(path)
+
+    // fixed batch, independent of corpus size: 10k near-dups of replica-0
+    // docs (one appended token) + 10k novel (batch-renamed tokens)
+    val batch: DataFrame = {
+      val b = docs.orderBy(col("doc_id")).limit(10000)
+      val nd = b.select((col("doc_id") + 900000000000L).as("doc_id"),
+        concat(col("text"), lit(" zzbatchtail")).as("text"))
+      val novel = b.select((col("doc_id") + 910000000000L).as("doc_id"),
+        concat_ws(" ", transform(split(col("text"), " "),
+          w => concat(w, lit("_zb")))).as("text"))
+      nd.union(novel).cache()
+    }
+    results("batch_rows_value") = batch.count().toDouble
+
+    Seq(("05", math.max(1, replicas / 10)), ("50", replicas)).foreach {
+      case (tag, m) =>
+        val path = s"$base/docs_${tag}x"
+        timed(s"corpus_write_$tag") { corpusAt(m, path) }
+        val corpus = spark.read.parquet(path)
+        results(s"corpus_rows_${tag}_value") = corpus.count().toDouble
+        var idx: Dedup.NearDupIndex = null
+        timed(s"index_build_$tag") {
+          idx = Dedup.NearDupIndex.build(corpus, "text", "doc_id",
+            estimatedJaccard = true)
+        }
+        if (idx != null) {
+          results(s"sig_rows_${tag}_value") = idx.signatures.get.count().toDouble
+          results(s"band_rows_${tag}_value") = idx.bands.count().toDouble
+          results(s"fp_rows_${tag}_value") = idx.fingerprints.count().toDouble
+          var surv: DataFrame = null
+          timed(s"dedup_batch_$tag") {
+            surv = idx.dedupBatch(batch, "text", threshold = 0.7)
+              .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+            results(s"survivors_${tag}_value") = surv.count().toDouble
+          }
+          // the streaming-crawl loop's other half: fold the survivors in
+          timed(s"append_survivors_$tag") {
+            idx = idx.appended(surv, "text")
+            results(s"sig_rows_after_append_${tag}_value") =
+              idx.signatures.get.count().toDouble
+          }
+        }
+    }
+
+    val qs = results.map { case (k2, v) => "\"" + k2 + "\":" + f"$v%.3f" }
+      .mkString("{", ",", "}")
+    spark.stop()
+    println(s"""{"metric":"neardup_scale","replicas":$replicas,"queries":$qs}""")
+    if (sys.env.get("SPARK_GRAFT_WORK_DIR").isEmpty)
+      graft.FsUtil.deleteRecursively(java.nio.file.Paths.get(base))
+  }
+}

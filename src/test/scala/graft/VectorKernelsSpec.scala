@@ -272,7 +272,7 @@ class VectorKernelsSpec extends SparkSpec {
     val rnd = new scala.util.Random(31)
     val dims = 8
     val nHubs = 64
-    val k = graft.operators.VectorSearch.twoLevelAssignMinCells // 4096
+    val k = graft.operators.VectorSearch.twoLevelAssignMinCells // 512 (r11)
     val hubs = Array.fill(nHubs)(Array.fill(dims)(rnd.nextFloat() * 40 - 20))
     val centroids = Array.tabulate(k) { f =>
       hubs(f % nHubs).map(v => v + rnd.nextFloat() * 2 - 1)
