@@ -36,8 +36,9 @@ import org.apache.spark.sql.functions._
   * mid-session without denting the write budget. The stored index
   * frames are localCheckpoints (executor memory), not disk.
   *
-  * Env: SPARK_GRAFT_NEARDUP_REPLICAS (default 100 → 5M docs; smoke with
-  * 4), SPARK_GRAFT_WORK_DIR.
+  * Env: SPARK_GRAFT_NEARDUP_REPLICAS (default 1000 — the sf0.1 table is
+  * 5,000 docs, so 1000 replicas = 5M docs, with the paired lower point
+  * at replicas/10 = 500k; smoke with 4), SPARK_GRAFT_WORK_DIR.
   */
 object NearDupScale {
 
@@ -68,7 +69,7 @@ object NearDupScale {
       }
     }
 
-    val replicas = sys.env.getOrElse("SPARK_GRAFT_NEARDUP_REPLICAS", "100").toInt
+    val replicas = sys.env.getOrElse("SPARK_GRAFT_NEARDUP_REPLICAS", "1000").toInt
     val docs = graft.Tables.documents(spark, "/root/testdata/sf0.1")
 
     // replica 0 keeps the original text; replica k > 0 renames every
@@ -97,9 +98,9 @@ object NearDupScale {
     }
     results("batch_rows_value") = batch.count().toDouble
 
-    Seq(("05", math.max(1, replicas / 10)), ("50", replicas)).foreach {
+    Seq(math.max(1, replicas / 10), replicas).map(m => (s"${m}x", m)).foreach {
       case (tag, m) =>
-        val path = s"$base/docs_${tag}x"
+        val path = s"$base/docs_$tag"
         timed(s"corpus_write_$tag") { corpusAt(m, path) }
         val corpus = spark.read.parquet(path)
         results(s"corpus_rows_${tag}_value") = corpus.count().toDouble
