@@ -355,6 +355,37 @@ object Dedup {
         .cast("double") / numHashes).as("jaccard"))
   }
 
+  /** [[estSignaturesFromShingles]] output regrouped to ONE row per doc
+    * carrying the seed-ordered signature array — the STORED form of the
+    * estimated-mode [[NearDupIndex]] (r11). The seed-row form stays the
+    * right shape for banding and for the SQL-replayable oracles; the
+    * array form is the right shape for an index a BATCH joins against:
+    * the per-batch verify join streams |corpus reps| rows instead of
+    * |corpus reps| × numHashes (at the 5M-doc growth point that scan was
+    * 160M rows and the dominant dedupBatch cost — NearDupScale r11).
+    */
+  private def sigsToArray(sigs: DataFrame, idCol: String): DataFrame =
+    sigs.groupBy(col(idCol)).agg(
+      expr("transform(array_sort(collect_list(struct(seed, minhash))), x -> x.minhash)")
+        .as("__sigs"))
+
+  /** [[estimatedJaccardOn]] over array-form signatures: per-pair seed
+    * agreement via one zip_with fold instead of a numHashes-row join
+    * group — same unbiased estimator, same 1/numHashes result grid.
+    */
+  private def estimatedJaccardOnArr(arr1: DataFrame, arr2: DataFrame,
+      idCol: String, numHashes: Int, cands: DataFrame): DataFrame = {
+    val a = arr1.select(col(idCol).as("id1"), col("__sigs").as("__a1"))
+    val b = arr2.select(col(idCol).as("__bid2"), col("__sigs").as("__a2"))
+    cands.select(col("id1"), col("id2")).distinct()
+      .join(a, Seq("id1"))
+      .join(b, col("id2") === col("__bid2"))
+      .select(col("id1"), col("id2"),
+        (expr("aggregate(zip_with(__a1, __a2, (x, y) -> IF(x = y, 1, 0)), " +
+          "0, (acc, v) -> acc + v)").cast("double") / numHashes)
+          .as("jaccard"))
+  }
+
   /** Shared core of the near-dup family: collapse exact-duplicate texts to
     * their min-id representative FIRST, then run MinHash → LSH → Jaccard
     * over representatives only.
@@ -1007,9 +1038,13 @@ object Dedup {
     * rows per doc), text fingerprints, and — mode-dependent — either the
     * exact-verify frames (distinct shingles + shingle counts) or the
     * MinHash signatures; all id-keyed, all localCheckpointed. Batch joins
-    * key on (band, bkey) and (doc id, shingle/seed), never a bare hot
-    * shingle, so the per-batch cost is |batch| × shingles-per-doc
-    * regardless of index size.
+    * key on (band, bkey) and (doc id, shingle/array), never a bare hot
+    * shingle, so per-batch NEW WORK (shingling, signatures, banding) is
+    * |batch| × shingles-per-doc regardless of index size; the candidate
+    * and verify joins additionally STREAM the stored index frames once
+    * per batch — memory-speed, horizontally scalable, and the reason the
+    * stored layout is row-minimal (NearDupScale measures the wall at
+    * 500k and 5M docs).
     *
     * The two verify modes are the index's 100 TB dial:
     *   - EXACT (`signatures = None`): candidates are verified by exact
@@ -1017,11 +1052,14 @@ object Dedup {
     *     100 TB that store is itself TBs, inherent to exact verification.
     *   - ESTIMATED (`signatures = Some(...)`, built with
     *     `estimatedJaccard = true`): candidates are scored by MinHash
-    *     agreement ([[estimatedJaccardOn]]); the index stores `numHashes`
-    *     longs + band keys per representative — tens of BYTES per doc, the
-    *     shape that keeps an incremental dedup index deployable against an
-    *     unbounded crawl. The estimate is within √(J(1−J)/numHashes) of
-    *     exact in expectation; raise `numHashes` to tighten it.
+    *     agreement ([[estimatedJaccardOnArr]]); the index stores ONE
+    *     seed-ordered `numHashes`-long array row (r11; was `numHashes`
+    *     seed rows — the 32× row-count cut is what the per-batch verify
+    *     scan streams) + band keys per representative — tens of BYTES
+    *     per doc, the shape that keeps an incremental dedup index
+    *     deployable against an unbounded crawl. The estimate is within
+    *     √(J(1−J)/numHashes) of exact in expectation; raise `numHashes`
+    *     to tighten it.
     */
   final case class NearDupIndex(
       idCol: String, k: Int, numHashes: Int, rowsPerBand: Int,
@@ -1084,7 +1122,10 @@ object Dedup {
           .join(bands.select(col(idCol).as("id2"), col("band"), col("bkey")),
             Seq("band", "bkey"))
           .select(col("id1"), col("id2")).distinct()
-        estimatedJaccardOn(c.sigs, signatures.get, idCol, numHashes, cands)
+        // batch side regrouped to arrays at verify time (bounded by the
+        // batch); the corpus side is already stored in array form
+        estimatedJaccardOnArr(sigsToArray(c.sigs, idCol), signatures.get,
+            idCol, numHashes, cands)
           .filter(col("jaccard") >= threshold)
           .select(col("id1").as("__rep")).distinct()
       } else {
@@ -1134,15 +1175,16 @@ object Dedup {
       val fp = extra.select(md5(col(textCol)).as("__fp")).distinct()
         .localCheckpoint(true)
       if (estimated) {
-        // signature mode grows by numHashes longs + band keys per doc —
-        // the shingle-sized frames are never derived at all; same
-        // estimation-grade family as the stored corpus signatures
-        val sigs = estSignaturesFromShingles(
+        // signature mode grows by one numHashes-long array + band keys
+        // per doc — the shingle-sized frames are never derived at all;
+        // same estimation-grade family as the stored corpus signatures
+        val sigRows = estSignaturesFromShingles(
           TextAnalysis.shingles(eligible, textCol, k, idCol), idCol, numHashes)
           .localCheckpoint(true)
-        val bnd = lshBandKeys(sigs, idCol, rowsPerBand).localCheckpoint(true)
+        val bnd = lshBandKeys(sigRows, idCol, rowsPerBand).localCheckpoint(true)
+        val arr = sigsToArray(sigRows, idCol).localCheckpoint(true)
         copy(bands = bands.union(bnd), fingerprints = fingerprints.union(fp),
-          signatures = Some(signatures.get.union(sigs)))
+          signatures = Some(signatures.get.union(arr)))
       } else {
         val sh = TextAnalysis.shingles(eligible, textCol, k, idCol)
           .distinct().localCheckpoint(true)
@@ -1207,8 +1249,12 @@ object Dedup {
         }
         if (estimatedJaccard) {
           val c = estSigCore(corpus, textCol, idCol, k, nh, rowsPerBand)
+          // stored signatures are ARRAY-per-doc (r11): one row per rep,
+          // seed-ordered — see sigsToArray for the scan-size reasoning
+          val arr = sigsToArray(c.sigs, idCol)
           NearDupIndex(idCol, k, nh, rowsPerBand, c.bands,
-            Await.result(fpF, Duration.Inf), None, None, Some(c.sigs))
+            Await.result(fpF, Duration.Inf), None, None,
+            Some(if (inline) arr else arr.localCheckpoint(true)))
         } else {
           val c = sigCore(corpus, textCol, idCol, k, nh, rowsPerBand)
           NearDupIndex(idCol, k, nh, rowsPerBand, c.bands,

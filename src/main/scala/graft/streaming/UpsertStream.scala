@@ -1170,8 +1170,11 @@ object EventPipeline {
     *
     * The index ([[graft.operators.Dedup.NearDupIndex]]) never re-derives
     * the corpus side: per batch, only the BATCH's shingles and signatures
-    * are computed, and the joins are id-anchored — per-batch cost is
-    * O(batch), independent of how much has been accepted. Index lineage is
+    * are computed (O(batch) new work), and the joins are id-anchored so a
+    * hot shingle never fans out. The candidate/verify joins stream the
+    * stored signature-sized frames once per batch — memory-speed and
+    * row-minimal (one array row per rep, r11), measured at 500k and 5M
+    * docs by NearDupScale. Index lineage is
     * re-checkpointed every `compactEvery` batches to keep the union plan
     * shallow on long streams. Exactly-once: survivors are decided per
     * micro-batch; a replayed batch re-dedups against an index that may now

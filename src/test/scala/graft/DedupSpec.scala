@@ -453,9 +453,12 @@ class DedupSpec extends SparkSpec {
     val idx = Dedup.NearDupIndex.build(corpus, "text", "doc_id",
       estimatedJaccard = true)
     // the 100 TB contract: no shingle/count frames exist in this mode —
-    // stored state is numHashes (32 in estimated mode) signature rows + band keys per rep
+    // stored state is ONE seed-ordered numHashes-long array row (r11) +
+    // band keys per rep
     assert(idx.estimated && idx.shingles.isEmpty && idx.counts.isEmpty)
-    assert(idx.signatures.get.count() == 2L * 32)
+    assert(idx.signatures.get.count() == 2L)
+    assert(idx.signatures.get.select(size(col("__sigs")))
+      .as[Int].collect().forall(_ == 32))
     val b1 = Seq(
       (10L, "the quick brown fox jumps over the lazy dog today"),
       (11L, "a genuinely new document discussing spark physical plans"),
@@ -466,7 +469,7 @@ class DedupSpec extends SparkSpec {
     assert(s1 == Seq(11L))
     // appended growth stays signature-sized and catches cross-batch dups
     val idx2 = idx.appended(b1.filter(col("doc_id") === 11L), "text")
-    assert(idx2.shingles.isEmpty && idx2.signatures.get.count() == 3L * 32)
+    assert(idx2.shingles.isEmpty && idx2.signatures.get.count() == 3L)
     val b2 = Seq(
       (20L, "a genuinely new document discussing spark physical things"),
       (21L, "an entirely different text about parquet row group pruning"))
