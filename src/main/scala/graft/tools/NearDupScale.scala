@@ -85,17 +85,23 @@ object NearDupScale {
         .repartition(cpus.toInt)
         .write.mode("overwrite").parquet(path)
 
-    // fixed batch, independent of corpus size: 10k near-dups of replica-0
-    // docs (one appended token) + 10k novel (batch-renamed tokens)
-    val batch: DataFrame = {
+    // fixed batch, independent of corpus size: near-dups of replica-0
+    // docs (one appended token) + novel docs (batch-renamed tokens)
+    def mkBatch(idBase: Long, tailTok: String, novelTok: String): DataFrame = {
       val b = docs.orderBy(col("doc_id")).limit(10000)
-      val nd = b.select((col("doc_id") + 900000000000L).as("doc_id"),
-        concat(col("text"), lit(" zzbatchtail")).as("text"))
-      val novel = b.select((col("doc_id") + 910000000000L).as("doc_id"),
+      val nd = b.select((col("doc_id") + idBase).as("doc_id"),
+        concat(col("text"), lit(s" $tailTok")).as("text"))
+      val novel = b.select((col("doc_id") + idBase + 10000000000L).as("doc_id"),
         concat_ws(" ", transform(split(col("text"), " "),
-          w => concat(w, lit("_zb")))).as("text"))
+          w => concat(w, lit(s"_$novelTok")))).as("text"))
       nd.union(novel).cache()
     }
+    val batch = mkBatch(900000000000L, "zzbatchtail", "zb")
+    // a DIFFERENT batch (distinct plan, so the dedup memo cannot serve
+    // the timed one) warms codegen/JIT before each tier's timed call —
+    // without it the first tier's wall reads ~+12 s of first-call
+    // compilation and the growth comparison carries an ordering bias
+    val warmBatch = mkBatch(920000000000L, "zzwarmtail", "zw")
     results("batch_rows_value") = batch.count().toDouble
 
     Seq(math.max(1, replicas / 10), replicas).map(m => (s"${m}x", m)).foreach {
@@ -114,6 +120,9 @@ object NearDupScale {
           results(s"band_rows_${tag}_value") = idx.bands.count().toDouble
           results(s"fp_rows_${tag}_value") = idx.fingerprints.count().toDouble
           var surv: DataFrame = null
+          timed(s"dedup_batch_warm_$tag") {
+            idx.dedupBatch(warmBatch, "text", threshold = 0.7).count()
+          }
           timed(s"dedup_batch_$tag") {
             surv = idx.dedupBatch(batch, "text", threshold = 0.7)
               .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
