@@ -484,6 +484,41 @@ class DedupSpec extends SparkSpec {
     assert(viaFacade == Seq(11L))
   }
 
+  test("index array-form estimator decides identically to the seed-row path at the threshold") {
+    // dedupBatch verifies candidates with the ARRAY-form estimator (r11:
+    // one zip_with fold over the stored per-rep signature array), while
+    // dropDuplicatesAgainst estimates over seed rows. Both compute the
+    // same agreement count, so their verdicts must be identical even on
+    // threshold-STRADDLING pairs (batch docs sharing 55..80 of 100
+    // tokens with a corpus doc, true J around the 0.7/0.5 thresholds) —
+    // the regime where a single divergent seed would flip a decision.
+    val corpus = (0 until 12).map { i =>
+      (100L + i, (0 until 100).map(j => s"c${i}_$j").mkString(" "))
+    }.toDF("doc_id", "text")
+    val batch = (0 until 12).map { i =>
+      val ov = 55 + 2 * i // 55..77 of 100 tokens shared with corpus doc i
+      (500L + i, ((0 until ov).map(j => s"c${i}_$j") ++
+        (ov until 100).map(j => s"b${i}_$j")).mkString(" "))
+    }.toDF("doc_id", "text")
+    Seq(0.5, 0.7).foreach { th =>
+      Dedup.clearMemo(spark)
+      val idx = Dedup.NearDupIndex.build(corpus, "text", "doc_id",
+        estimatedJaccard = true)
+      val viaIndex = idx.dedupBatch(batch, "text", threshold = th)
+        .select("doc_id").as[Long].collect().sorted.toSeq
+      Dedup.clearMemo(spark)
+      val viaFacade = Dedup.dropDuplicatesAgainst(batch, corpus, "text",
+          "doc_id", threshold = th, estimatedJaccard = true)
+        .select("doc_id").as[Long].collect().sorted.toSeq
+      assert(viaIndex == viaFacade,
+        s"threshold $th: index=$viaIndex facade=$viaFacade")
+      // the straddle is real: some batch docs survive and some don't
+      assert(viaIndex.nonEmpty && viaIndex.length < 12,
+        s"threshold $th not straddling: $viaIndex")
+    }
+    Dedup.clearMemo(spark)
+  }
+
   test("nearDedupStream drops cross-batch near-dups through the growing index") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx = spark.sqlContext

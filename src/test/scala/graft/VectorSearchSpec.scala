@@ -800,6 +800,40 @@ class VectorSearchSpec extends SparkSpec {
     }
   }
 
+  test("exact-switch overrides are per-handle: a forced handle leaves siblings and globals alone") {
+    // r11: harnesses force the switch through IvfIndex.exactScanFraction /
+    // exactScanMinCells instead of the process globals — two handles over
+    // different indexes must not see each other's overrides, and the
+    // companion defaults must stay at production values throughout.
+    val rnd = new scala.util.Random(7)
+    val hubs = Array.fill(4)(Array.fill(8)(rnd.nextFloat() * 20 - 10))
+    val corpus = (0 until 200).map { i =>
+      (i.toLong, hubs(i % 4).map(v => v + rnd.nextFloat() - 0.5f))
+    }.toDF("vec_id", "embedding")
+    val d1 = java.nio.file.Files.createTempDirectory("sw_h1").toString
+    val d2 = java.nio.file.Files.createTempDirectory("sw_h2").toString
+    val idx1 = VectorSearch.buildIvf(corpus, "embedding", 8, d1,
+      sampleFraction = 1.0)
+    val idx2 = VectorSearch.buildIvf(corpus, "embedding", 8, d2,
+      sampleFraction = 1.0)
+    idx1.exactScanFraction = 0.01
+    idx1.exactScanMinCells = 2
+    val q = hubs(0)
+    // every cell holds ≥ 1/8 of rows, far past idx1's 1% forced fraction
+    idx1.search(spark, q, 10, nprobe = 2,
+      Some(col("vec_id") >= 0L)).collect()
+    idx2.search(spark, q, 10, nprobe = 2,
+      Some(col("vec_id") >= 0L)).collect()
+    assert(idx1.exactSwitchCount == 1L, s"forced handle: ${idx1.exactSwitchCount}")
+    // sibling handle stays on the production gate (8 cells < 256 floor)
+    assert(idx2.exactSwitchCount == 0L, s"sibling handle: ${idx2.exactSwitchCount}")
+    assert(VectorSearch.exactScanSwitchFraction == 0.8 &&
+      VectorSearch.exactScanSwitchMinCells == 256,
+      "process globals mutated by a per-handle override")
+    graft.FsUtil.deleteRecursively(java.nio.file.Paths.get(d1))
+    graft.FsUtil.deleteRecursively(java.nio.file.Paths.get(d2))
+  }
+
   test("hierarchical fit: same recall contract as the flat fit") {
     val old = VectorSearch.hierarchicalFitMinK
     VectorSearch.hierarchicalFitMinK = 2 // force the two-level path
