@@ -1399,6 +1399,15 @@ object VectorSearch {
     */
   @volatile private[graft] var hierarchicalFitGroups: Int = 0
 
+  /** Mass multiple (× mean) above which [[balancedCoarse]] splits a
+    * coarse cell. Refine COST per group is rows_g·k_g ∝ rows_g², so a
+    * cell at f× mean mass runs at f²× mean cost on one thread — at the
+    * r11 2M × 2688 point the worst group sat at 1.65× mass = 2.7× cost
+    * (59 s of the 142 s refine) UNDER this 2.0 threshold.
+    * SPARK_GRAFT_FIT_SPLIT sweeps it through FitBench.
+    */
+  @volatile private[graft] var balancedCoarseSplitFactor: Double = 2.0
+
   /** Largest-remainder allocation of `k` centroids over coarse groups,
     * proportional to each group's training mass, capped by group size
     * (a group cannot host more distinct centroids than it has points).
@@ -1646,7 +1655,8 @@ object VectorSearch {
       }
       val sizes = new Array[Int](cents.length)
       assign.foreach(sizes(_) += 1)
-      val target = math.max(1.0, 2.0 * sub.length / cents.length)
+      val target = math.max(1.0,
+        balancedCoarseSplitFactor * sub.length / cents.length)
       val heavy = sizes.zipWithIndex.filter(_._1 > target).map(_._2).toSet
       if (heavy.isEmpty) pass = 3
       else {

@@ -47,11 +47,16 @@ object FitBench {
     val dims = sys.env.getOrElse("SPARK_GRAFT_FIT_DIMS", "2688").toInt
     val k = sys.env.getOrElse("SPARK_GRAFT_FIT_K", "1000").toInt
     val sections = sys.env.getOrElse("SPARK_GRAFT_FIT_SECTIONS", "all")
-    // SPARK_GRAFT_FIT_M sweeps the coarse-group count (0 = the auto rule)
+    // SPARK_GRAFT_FIT_M sweeps the coarse-group count (0 = the auto rule);
+    // SPARK_GRAFT_FIT_SPLIT sweeps balancedCoarse's heavy-cell split
+    // threshold (× mean mass — refine cost per group is quadratic in it)
     sys.env.get("SPARK_GRAFT_FIT_M").map(_.toInt)
       .foreach(graft.operators.VectorSearch.hierarchicalFitGroups = _)
+    sys.env.get("SPARK_GRAFT_FIT_SPLIT").map(_.toDouble)
+      .foreach(graft.operators.VectorSearch.balancedCoarseSplitFactor = _)
     println(s"[fit] rows=$n dims=$dims k=$k sections=$sections " +
-      s"m=${graft.operators.VectorSearch.hierarchicalFitGroups}")
+      s"m=${graft.operators.VectorSearch.hierarchicalFitGroups} " +
+      s"split=${graft.operators.VectorSearch.balancedCoarseSplitFactor}")
 
     // k hubs → the sample has k natural clusters, like a real product
     // table the fit must tile with k cells
