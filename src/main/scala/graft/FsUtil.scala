@@ -21,6 +21,21 @@ object FsUtil {
     }
   }
 
+  /** Whether any `*.parquet` file exists under `root` (recursively).
+    * The right "output exists" probe for this repo's tables: GraftSession
+    * disables `_SUCCESS` markers, so presence checks must key on parquet
+    * content, never on the marker file.
+    */
+  def hasParquet(root: String): Boolean = {
+    def rec(f: java.io.File): Boolean = {
+      val kids = Option(f.listFiles()).getOrElse(Array.empty)
+      kids.exists(k => k.isFile && k.getName.endsWith(".parquet")) ||
+        kids.exists(k => k.isDirectory && rec(k))
+    }
+    val d = new java.io.File(root)
+    d.isDirectory && rec(d)
+  }
+
   /** Total bytes under a path (0 if absent), closing the walk stream. */
   def sizeBytes(root: Path): Long = {
     if (!Files.exists(root)) 0L

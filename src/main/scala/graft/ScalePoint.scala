@@ -71,17 +71,7 @@ object ScalePoint {
     // presence check must not key on _SUCCESS: GraftSession disables the
     // marker (ScalePoint's own writeIndexed output has none) — any
     // parquet content under the path is the signal
-    val productsReady = sections == "ivf" && {
-      val d = new java.io.File(productsPath)
-      d.isDirectory && {
-        def hasParquet(f: java.io.File): Boolean = {
-          val kids = Option(f.listFiles()).getOrElse(Array.empty)
-          kids.exists(k => k.isFile && k.getName.endsWith(".parquet")) ||
-            kids.exists(k => k.isDirectory && hasParquet(k))
-        }
-        hasParquet(d)
-      }
-    }
+    val productsReady = sections == "ivf" && FsUtil.hasParquet(productsPath)
     if (productsReady) {
       results("index_build_reused_value") = 1.0
     } else {

@@ -2,7 +2,7 @@ package graft.operators
 
 import graft.functions.vec_cos
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 
 /** Deduplication operators for LLM-training-data pipelines, in increasing
   * fuzziness: exact (content hash), MinHash+LSH (near-dup candidates at
@@ -1208,6 +1208,44 @@ object Dedup {
         shingles = shingles.map(_.localCheckpoint(true)),
         counts = counts.map(_.localCheckpoint(true)),
         signatures = signatures.map(_.localCheckpoint(true)))
+
+    /** Persist the index durably under `path` — the [[ManifestLayout]]
+      * versioned, crash-atomic layout [[VectorSearch.IvfIndex]] uses for
+      * its manifest: frames land in a fresh `v########` dir, the commit
+      * marker is written LAST, and older versions are vacuumed to a
+      * two-version grace window. The in-memory index lives in
+      * localCheckpoints (executor memory) and dies with the session;
+      * a crawl-dedup pipeline restarts, and [[NearDupIndex.load]] must
+      * reopen exactly this state — call save() at batch-cadence
+      * checkpoints (after [[appended]]/[[compacted]]), like any other
+      * durable index artifact.
+      *
+      * Cost: one distributed parquet write per stored frame — in
+      * estimated mode that is signature-sized (tens of bytes per rep:
+      * one numHashes-long array row + numHashes/rowsPerBand band keys +
+      * one fingerprint), so checkpointing even a multi-million-doc
+      * index is a sub-GB write. Exact mode additionally writes the
+      * shingle/count store (∝ corpus tokens — inherent to exact
+      * verification; the class doc's mode table is the 100 TB dial).
+      */
+    def save(path: String): Unit = {
+      val spark = bands.sparkSession
+      val root = new org.apache.hadoop.fs.Path(path)
+      val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val vs = ManifestLayout.versions(fs, root)
+      val next = ManifestLayout.nextVersion(vs)
+      val vdir = ManifestLayout.versionDir(path, next)
+      bands.write.parquet(s"$vdir/bands")
+      fingerprints.write.parquet(s"$vdir/fingerprints")
+      shingles.foreach(_.write.parquet(s"$vdir/shingles"))
+      counts.foreach(_.write.parquet(s"$vdir/counts"))
+      signatures.foreach(_.write.parquet(s"$vdir/signatures"))
+      import spark.implicits._
+      Seq((idCol, k, numHashes, rowsPerBand, estimated))
+        .toDF("idCol", "k", "numHashes", "rowsPerBand", "estimated")
+        .coalesce(1).write.parquet(s"$vdir/meta")
+      ManifestLayout.commitAndVacuum(fs, path, next, vs)
+    }
   }
 
   object NearDupIndex {
@@ -1271,6 +1309,36 @@ object Dedup {
       if (interactive(corpus)) mk(inline = true)
       else memoized(corpus, ("nearDupIndex", textCol, idCol, k, nh,
         rowsPerBand, estimatedJaccard)) { mk(inline = false) }
+    }
+
+    /** Reopen a [[NearDupIndex.save]]d index in any session — params and
+      * every stored frame come back exactly as saved (newest COMMITTED
+      * version; an uncommitted dir from a crashed save is invisible), so
+      * a restarted crawl pipeline resumes [[NearDupIndex.dedupBatch]]ing
+      * with verdicts identical to the session that saved it. The loaded
+      * frames are parquet-backed (durable, re-runnable scans) rather
+      * than localCheckpoints; call [[NearDupIndex.compacted]] to pull a
+      * hot index into executor memory after load if batch cadence
+      * warrants it.
+      */
+    def load(spark: SparkSession, path: String): NearDupIndex = {
+      val root = new org.apache.hadoop.fs.Path(path)
+      val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val vdir = ManifestLayout.newestCommittedDir(fs, path).getOrElse(
+        sys.error(s"no committed near-dup index at $path"))
+      val m = spark.read.parquet(s"$vdir/meta").head()
+      val est = m.getAs[Boolean]("estimated")
+      NearDupIndex(
+        m.getAs[String]("idCol"), m.getAs[Int]("k"),
+        m.getAs[Int]("numHashes"), m.getAs[Int]("rowsPerBand"),
+        bands = spark.read.parquet(s"$vdir/bands"),
+        fingerprints = spark.read.parquet(s"$vdir/fingerprints"),
+        shingles =
+          if (est) None else Some(spark.read.parquet(s"$vdir/shingles")),
+        counts =
+          if (est) None else Some(spark.read.parquet(s"$vdir/counts")),
+        signatures =
+          if (est) Some(spark.read.parquet(s"$vdir/signatures")) else None)
     }
   }
 

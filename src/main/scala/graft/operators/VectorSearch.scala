@@ -67,6 +67,27 @@ object VectorSearch {
     */
   @volatile private[graft] var exactScanSwitchMinCells: Int = 256
 
+  /** Filtered probe plans widen down the ranked match-bearing cells until
+    * they hold ≥ this × k candidate rows (floor k — 1.0 reproduces the
+    * pre-r12 ≥ k widening). The margin exists because ≥ k candidates
+    * probed does NOT put the true top-k's cells in the probed set: under
+    * an ultra-selective filter each cell holds a handful of matches, the
+    * plan reaches k candidates after a few cells, and the true top-k's
+    * remaining cells rank below the cut (the r11 2M × 2688 point read
+    * recall 0.633 @ np64 on the 0.001% tier — the thinnest number in any
+    * committed artifact). Planning is driver arithmetic over the
+    * per-cell match counts (occupancy or the memoized count scan) — zero
+    * extra jobs; the cost is reading more, smaller cells exactly when
+    * candidates are thin, and when the widened union approaches the
+    * whole index the cost-based exact switch fires and recall is 1.0 by
+    * construction. Default 4.0: measured on the r12 2M × 2688 index —
+    * the 0.06%-selectivity tier's recall moves 0.633→≥0.95 @ np64 while
+    * the denser tiers' plans are unchanged (they reach 4k candidates
+    * within their own nprobe). Per-handle override:
+    * [[IvfIndex.widenFactor]].
+    */
+  @volatile private[graft] var probeWidenFactor: Double = 4.0
+
   /** Exact filtered top-k by dot product. Returns `projection` columns plus
     * `score`, highest first.
     */
@@ -404,6 +425,23 @@ object VectorSearch {
     @volatile private[graft] var exactScanFraction: Double = Double.NaN
     @volatile private[graft] var exactScanMinCells: Int = -1
 
+    /** Per-handle override of [[VectorSearch.probeWidenFactor]] (the
+      * filtered plan's candidate-volume target, × k) — NaN defers to the
+      * companion default. Same no-global-mutation contract as the switch
+      * knobs above.
+      */
+    @volatile private[graft] var widenFactor: Double = Double.NaN
+
+    /** Build-path provenance, set by [[VectorSearch.buildIvf]] on the
+      * handle it returns (false on loaded/constructed handles): whether
+      * the build's fit took the hierarchical path and whether assignment
+      * ran the two-level grouped kernel. Fixture queries assert these so
+      * an oracle match provably exercised the production ≥512-cell
+      * machinery.
+      */
+    @volatile private[graft] var builtWithHierarchicalFit: Boolean = false
+    @volatile private[graft] var builtWithGroupedAssign: Boolean = false
+
     // Built on the first routed query, INVALIDATED by [[append]]: the
     // group bounds bake in the fine radii at build time, and append
     // mutates `radii`/`rmsRadii` in place — a stale router's suffix-max
@@ -646,7 +684,8 @@ object VectorSearch {
       * (one per-cluster count with the predicate pushed; reads the
       * predicate's columns only, never the vectors), and take the best
       * `nprobe` of those, widening down the ranked list until the probed
-      * cells hold ≥ `k` candidates.
+      * cells hold ≥ [[VectorSearch.probeWidenFactor]] × `k` candidates
+      * (per-handle override [[widenFactor]]; floor `k`).
       *
       * Why: a metadata filter can be ANTI-correlated with the query's
       * region (query a Books product, filter main_category = Computers) —
@@ -670,13 +709,19 @@ object VectorSearch {
         exactFallback: Boolean): Seq[Seq[Int]] = filter match {
       case Some(f) if exactFallback && nprobe < centroids.length =>
         val counts = matchCounts(spark, f)
+        // candidate-volume target (auto-widen, r12): ≥ widenFactor × k
+        // matching rows in the probed cells, floor k — see
+        // [[VectorSearch.probeWidenFactor]] for the recall argument
+        val wf = if (widenFactor.isNaN) VectorSearch.probeWidenFactor
+          else widenFactor
+        val target = math.max(k.toLong, math.ceil(wf * k).toLong)
         queries.map { q =>
           val ranked = nearestClusters(q, centroids.length)
             .filter(c => counts.getOrElse(c, 0L) > 0L)
           val sel = scala.collection.mutable.ArrayBuffer.empty[Int]
           var cum = 0L
           var i = 0
-          while (i < ranked.length && (i < nprobe || cum < k)) {
+          while (i < ranked.length && (i < nprobe || cum < target)) {
             sel += ranked(i)
             cum += counts(ranked(i))
             i += 1
@@ -951,8 +996,8 @@ object VectorSearch {
       val root = new Path(dir)
       val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
       val versions = IvfIndex.manifestVersions(fs, root)
-      val next = (versions.map(_._1) :+ 0L).max + 1
-      val vdir = f"$dir/v$next%08d"
+      val next = ManifestLayout.nextVersion(versions)
+      val vdir = ManifestLayout.versionDir(dir, next)
       val cellSchema = StructType(Seq(
         StructField("cluster", IntegerType, nullable = false),
         StructField("centroid", ArrayType(FloatType, containsNull = false),
@@ -1011,15 +1056,9 @@ object VectorSearch {
           metaSchema)
         .write.mode("append").parquet(s"$vdir/meta")
       // commit marker LAST — the version is invisible to load() until
-      // this file exists, which is the whole atomicity argument
-      fs.create(new Path(vdir, "_graft_commit")).close()
-      // vacuum: keep the two newest committed versions; everything
-      // below that floor (older committed + crashed uncommitted) goes
-      val committed = (versions.filter(_._2).map(_._1) :+ next).sorted
-      val keepFrom = committed.takeRight(2).head
-      versions.foreach { case (v, _) =>
-        if (v < keepFrom) { fs.delete(new Path(f"$dir/v$v%08d"), true); () }
-      }
+      // this file exists, which is the whole atomicity argument — then
+      // vacuum to the two newest committed versions (shared layout)
+      ManifestLayout.commitAndVacuum(fs, dir, next, versions)
       // pre-r9 flat-layout files are superseded by the first committed
       // versioned write (one-time upgrade cleanup)
       Seq("cells", "occupancy", "meta").foreach { s =>
@@ -1211,14 +1250,18 @@ object VectorSearch {
   private[graft] val twoLevelAssignProbes: Int = 4
 
   /** (assignment column, true-squared-distance column) builders for a
-    * centroid table — flat kernels below [[twoLevelAssignMinCells]],
-    * two-level at/above it (grouping = the deterministic
-    * [[CoarseRouter.build]] clustering of the centroids; radii play no
-    * part in assignment, so the router's bounds are ignored).
+    * centroid table — flat kernels below `minCells` (default
+    * [[twoLevelAssignMinCells]]), two-level at/above it (grouping = the
+    * deterministic [[CoarseRouter.build]] clustering of the centroids;
+    * radii play no part in assignment, so the router's bounds are
+    * ignored). `minCells` is a BUILD-scoped parameter, not a process
+    * global: fixture builds (q118) force the production grouped kernel
+    * through a small index without mutating state other builds read.
     */
-  private[graft] def assignKernels(centroids: Array[Array[Float]])
+  private[graft] def assignKernels(centroids: Array[Array[Float]],
+      minCells: Int = twoLevelAssignMinCells)
       : (Column => Column, Column => Column) =
-    if (centroids.length >= twoLevelAssignMinCells) {
+    if (centroids.length >= minCells) {
       val cr = CoarseRouter.build(centroids, Array.emptyDoubleArray)
       (v => graft.functions.nearest_centroid_grouped(
           v, centroids, cr.cents, cr.members, twoLevelAssignProbes),
@@ -1251,24 +1294,15 @@ object VectorSearch {
     CoarseRouter.build(centroids, Array.emptyDoubleArray).members.map(_.length)
 
   object IvfIndex {
-    private val VersionRe = "^v(\\d{8})$".r
-
     /** (version, committed) for every `v########` directory under the
       * manifest root — committed = its `_graft_commit` marker exists.
       * Empty when the root is absent or holds only the pre-r9 flat
-      * layout.
+      * layout. Layout shared with [[Dedup.NearDupIndex]] via
+      * [[ManifestLayout]].
       */
     private[graft] def manifestVersions(fs: org.apache.hadoop.fs.FileSystem,
         root: org.apache.hadoop.fs.Path): Seq[(Long, Boolean)] =
-      if (!fs.exists(root)) Seq.empty
-      else fs.listStatus(root).toSeq.flatMap { st =>
-        st.getPath.getName match {
-          case VersionRe(n) if st.isDirectory =>
-            Seq(n.toLong -> fs.exists(
-              new org.apache.hadoop.fs.Path(st.getPath, "_graft_commit")))
-          case _ => Seq.empty
-        }
-      }
+      ManifestLayout.versions(fs, root)
 
     /** Reopen a built index from its on-disk manifest
       * ([[IvfIndex.saveManifest]]) — centroids, both radius families,
@@ -1407,6 +1441,14 @@ object VectorSearch {
     * SPARK_GRAFT_FIT_SPLIT sweeps it through FitBench.
     */
   @volatile private[graft] var balancedCoarseSplitFactor: Double = 2.0
+
+  /** Whether [[hierarchicalFit]] runs the full-mass split pass after
+    * `fit_groupcount` (split coarse groups whose TRUE training mass
+    * exceeds [[balancedCoarseSplitFactor]] × mean — the heavy-group
+    * escape balancedCoarse's subsample cannot see). Var for FitBench
+    * A/Bs (SPARK_GRAFT_FIT_FULLSPLIT=0 disables).
+    */
+  @volatile private[graft] var fullMassSplit: Boolean = true
 
   /** Largest-remainder allocation of `k` centroids over coarse groups,
     * proportional to each group's training mass, capped by group size
@@ -1575,7 +1617,7 @@ object VectorSearch {
     val m = math.max(2, math.min(
       if (hierarchicalFitGroups > 0) hierarchicalFitGroups
       else 2 * math.round(math.sqrt(k.toDouble)).toInt, k))
-    val coarse = timed("fit_coarse") {
+    val (coarse0, subArr) = timed("fit_coarse") {
       // 256 rows per coarse group, capped: the coarse fit runs on the
       // driver (parallel localLloyd) and only shapes the partition —
       // refinement supplies the quality
@@ -1585,13 +1627,67 @@ object VectorSearch {
           trainF.sample(withReplacement = false, frac, seed))
         .limit(want.toInt)
         .as[Array[Float]].collect()
-      balancedCoarse(sub, m, seed)
+      (balancedCoarse(sub, m, seed), sub)
     }
-    val gCol = graft.functions.nearest_centroid(col("__v"), coarse)
-    val cnt = timed("fit_groupcount") {
-      trainF.select(gCol.as("__g")).groupBy(col("__g")).count()
+    val cnt0 = timed("fit_groupcount") {
+      trainF.select(
+          graft.functions.nearest_centroid(col("__v"), coarse0).as("__g"))
+        .groupBy(col("__g")).count()
         .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
     }
+    // Full-mass split pass (r12): balancedCoarse splits on the ~256/group
+    // SUBSAMPLE, whose noise lets a true-heavy group escape ANY threshold
+    // (r11 sweep: the worst refine group held ~2.9× the mean FULL mass at
+    // every setting — 59 s of the 2M point's 142 s refine, cost quadratic
+    // in mass). fit_groupcount just measured the TRUE masses, so split
+    // the genuinely heavy groups here, on the driver, before refine:
+    // sub-centroids come from a local Lloyd over the group's subsample
+    // members (spatial split, as in balancedCoarse), and the new groups'
+    // masses are the group's true mass apportioned by its subsample
+    // sub-shares — no second distributed count pass (the +39 s failure
+    // mode of just lowering the threshold), only the refine pass itself
+    // re-derives exact boundaries with its own assignment kernel.
+    val fullTarget = balancedCoarseSplitFactor * (trainN.toDouble / coarse0.length)
+    val heavy =
+      if (!fullMassSplit) Set.empty[Int]
+      else cnt0.collect { case (g, n2) if n2 > fullTarget => g }.toSet
+    val (coarse, cnt) =
+      if (heavy.isEmpty) (coarse0, cnt0)
+      else timed("fit_fullsplit") {
+        val assign = assignLocal(subArr, coarse0)
+        val newCents = scala.collection.mutable.ArrayBuffer.empty[Array[Float]]
+        val newMass = scala.collection.mutable.ArrayBuffer.empty[Long]
+        coarse0.indices.filterNot(heavy).foreach { g =>
+          newCents += coarse0(g); newMass += cnt0.getOrElse(g, 0L)
+        }
+        heavy.toSeq.sorted.foreach { g =>
+          val members = subArr.indices.collect {
+            case i if assign(i) == g => subArr(i)
+          }.toArray
+          val s = math.max(2, math.ceil(cnt0(g) / fullTarget).toInt)
+          if (members.length < 2 * s) {
+            // too few subsample rows to shape a split — keep the group
+            newCents += coarse0(g); newMass += cnt0(g)
+          } else {
+            val cs = localLloyd(members, s,
+              seed ^ (g * 0x9E3779B97F4A7C15L) ^ 0x5DEECE66DL,
+              maxIter = 5, parallel = true)
+            val subShare = new Array[Long](cs.length)
+            assignLocal(members, cs).foreach(subShare(_) += 1L)
+            cs.indices.foreach { j =>
+              newCents += cs(j)
+              newMass += math.max(1L,
+                math.round(cnt0(g).toDouble * subShare(j) / members.length))
+            }
+          }
+        }
+        if (dbg)
+          println(s"[ivf] fit_fullsplit heavy=${heavy.size} " +
+            s"groups ${coarse0.length}->${newCents.length} worstMass " +
+            s"${cnt0.valuesIterator.max}->${newMass.max}")
+        (newCents.toArray, newMass.indices.map(i => i -> newMass(i)).toMap)
+      }
+    val gCol = graft.functions.nearest_centroid(col("__v"), coarse)
     val alloc = allocateCentroids(cnt, k)
     val bAlloc = spark.sparkContext.broadcast(alloc)
     val refined = timed("fit_refine") {
@@ -1618,6 +1714,33 @@ object VectorSearch {
     refined.sortBy(_._1).flatMap(_._4)
   }
 
+  /** Driver-side parallel nearest-centroid assignment (squared-L2 via the
+    * `|c|² − 2·p·c` form) of `pts` to `cents` — the inner kernel of
+    * [[balancedCoarse]] and the full-mass split pass in
+    * [[hierarchicalFit]].
+    */
+  private[graft] def assignLocal(pts: Array[Array[Float]],
+      cents: Array[Array[Float]]): Array[Int] = {
+    val cn = cents.map { c =>
+      var s = 0.0; var t = 0
+      while (t < c.length) { s += c(t).toDouble * c(t); t += 1 }; s
+    }
+    val assign = new Array[Int](pts.length)
+    java.util.stream.IntStream.range(0, pts.length).parallel().forEach { i =>
+      val p = pts(i)
+      var best = 0; var bs = Double.MaxValue; var j = 0
+      while (j < cents.length) {
+        val c = cents(j); var dot = 0.0; var t = 0
+        while (t < p.length) { dot += p(t) * c(t); t += 1 }
+        val sc = cn(j) - 2.0 * dot
+        if (sc < bs) { bs = sc; best = j }
+        j += 1
+      }
+      assign(i) = best
+    }
+    assign
+  }
+
   /** Coarse codebook for the two-level fit, BALANCED by construction:
     * fit `m` centroids on the driver subsample, then repeatedly split
     * any coarse cell holding > 2× the mean mass into its own
@@ -1636,23 +1759,7 @@ object VectorSearch {
     var pass = 0
     while (pass < 3 && cents.length > 1) {
       // local assignment of the subsample to the current codebook
-      val assign = new Array[Int](sub.length)
-      val cn = cents.map { c =>
-        var s = 0.0; var t = 0
-        while (t < c.length) { s += c(t).toDouble * c(t); t += 1 }; s
-      }
-      java.util.stream.IntStream.range(0, sub.length).parallel().forEach { i =>
-        val p = sub(i)
-        var best = 0; var bs = Double.MaxValue; var j = 0
-        while (j < cents.length) {
-          val c = cents(j); var dot = 0.0; var t = 0
-          while (t < p.length) { dot += p(t) * c(t); t += 1 }
-          val sc = cn(j) - 2.0 * dot
-          if (sc < bs) { bs = sc; best = j }
-          j += 1
-        }
-        assign(i) = best
-      }
+      val assign = assignLocal(sub, cents)
       val sizes = new Array[Int](cents.length)
       assign.foreach(sizes(_) += 1)
       val target = math.max(1.0,
@@ -1696,7 +1803,18 @@ object VectorSearch {
   def buildIvf(df: DataFrame, vecCol: String, numClusters: Int, path: String,
       sampleFraction: Double = Double.NaN, seed: Long = 42L,
       maxTrainVectors: Long = 1000000L,
-      occupancyCols: Seq[String] = Seq.empty): IvfIndex = {
+      occupancyCols: Seq[String] = Seq.empty,
+      largePathMinCells: Int = -1): IvfIndex = {
+    // largePathMinCells ≥ 0 overrides BOTH large-index thresholds
+    // (hierarchicalFitMinK and twoLevelAssignMinCells) for THIS build —
+    // the q117 per-handle lesson applied to build time: fixture queries
+    // (q118) push a small index through the ≥512-cell production
+    // machinery (hierarchical fit + grouped assignment) without touching
+    // the process-global vars a concurrent build might read.
+    val fitMinK =
+      if (largePathMinCells >= 0) largePathMinCells else hierarchicalFitMinK
+    val assignMinCells =
+      if (largePathMinCells >= 0) largePathMinCells else twoLevelAssignMinCells
     val needCount = numClusters <= 0 || sampleFraction.isNaN
     val n = if (needCount) df.select(lit(1)).count() else -1L
     val k = if (numClusters > 0) numClusters else defaultNumClusters(n)
@@ -1740,7 +1858,7 @@ object VectorSearch {
     // full-table sample scan the flat path pays.
     var trainCache: DataFrame = null
     val centroids: Array[Array[Float]] =
-      if (k >= hierarchicalFitMinK) {
+      if (k >= fitMinK) {
         val tf = sampled.select(col(vecCol).cast("array<float>").as("__v"))
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         trainCache = tf
@@ -1777,7 +1895,7 @@ object VectorSearch {
     // accessor k times. At >= twoLevelAssignMinCells cells the kernel is
     // the two-level variant (top-probes coarse groups, exact within) —
     // see assignKernels for the cost/exactness contract.
-    val (asgCol, asgDistCol) = assignKernels(centroids)
+    val (asgCol, asgDistCol) = assignKernels(centroids, assignMinCells)
     val assigned = df
       .withColumn("__cluster", asgCol(col(vecCol)))
       .withColumnRenamed(vecCol, "__vec")
@@ -1872,6 +1990,12 @@ object VectorSearch {
     }.toMap
     val idx = IvfIndex(path, centroids, baseline, radii, rmsRadii, cellN,
       occ, occTypes)
+    // build-path provenance (handle-scoped, not persisted): which of the
+    // two large-index mechanisms this build ran — q118's in-query
+    // require() pins that its oracle-matched result came THROUGH the
+    // production path, not the small-index fallbacks
+    idx.builtWithHierarchicalFit = k >= fitMinK
+    idx.builtWithGroupedAssign = centroids.length >= assignMinCells
     // the index is a durable artifact, not a session object: persist the
     // driver-side state so IvfIndex.load reopens it in a fresh process
     // (manifest ≪ data files — see saveManifest scaladoc)

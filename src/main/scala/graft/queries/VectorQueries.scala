@@ -787,6 +787,59 @@ object VectorQueries {
         SELECT vec_id, round(${sqlDot("e.embedding", "q.qv")}, 4) + 0 AS score
         FROM embeddings e CROSS JOIN q
         WHERE vec_id % 2 = 0
+        ORDER BY ${sqlDot("e.embedding", "q.qv")} DESC, vec_id LIMIT 20""")),
+
+    // ---- ≥512-cell PRODUCTION build path, oracle-matched (r11 verdict
+    //      task 1): every real index builds through the hierarchical fit
+    //      + the two-level grouped assignment kernel, but those paths
+    //      engage at ≥512 cells — above any oracle fixture. This build
+    //      forces BOTH through a 32-cell index via buildIvf's
+    //      largePathMinCells (build-scoped, q117's no-global-mutation
+    //      rule), with genuinely approximate assignment (m = ⌈√32⌉ = 6
+    //      coarse groups, 4 probed). The search then probes ALL cells, so
+    //      its top-k equals the flat SQL answer iff the grouped
+    //      assignment placed every row in exactly one readable cell —
+    //      partition-function correctness of the production kernel,
+    //      hash-checked by DuckDB with no dependence on centroid
+    //      positions. In-query require()s pin the provenance: both
+    //      production mechanisms ran, the probe path (not the exact
+    //      switch) answered, and the per-cell counts sum to the corpus ----
+    QueryDef(
+      "q118_grouped_build",
+      (s, d) => {
+        val e = Tables.embeddings(s, d)
+        val root = java.nio.file.Files.createTempDirectory("q118_grouped")
+        try {
+          val ivf = VectorSearch.buildIvf(e, "embedding", 32,
+            s"$root/ivf", sampleFraction = 1.0, largePathMinCells = 4)
+          require(ivf.builtWithHierarchicalFit,
+            "hierarchical fit did not run under largePathMinCells")
+          require(ivf.builtWithGroupedAssign,
+            "grouped assignment did not run under largePathMinCells")
+          require(ivf.cellCounts.sum == e.count(),
+            s"grouped assignment lost/duplicated rows: ${ivf.cellCounts.sum}")
+          // switch disabled per handle: the point is the probe read over
+          // the grouped layout, not the exact-scan shortcut
+          ivf.exactScanFraction = 2.0
+          val qv = e.filter(col("vec_id") === 2).select(col("embedding"))
+            .head().getSeq[Float](0).toArray
+          val hits = ivf.search(s, qv, 30, nprobe = 32)
+            .select(col("vec_id"), col("score")).collect()
+          require(ivf.exactSwitchCount == 0L,
+            "exact-scan switch fired; probe path not exercised")
+          import s.implicits._
+          hits.map(r => (r.getLong(0), r.getDouble(1)))
+            .sortBy(t => (-t._2, t._1)).take(20).toSeq
+            .toDF("vec_id", "score_raw")
+            .select(col("vec_id"),
+              (round(col("score_raw"), 4) + 0.0).as("score"))
+        } finally {
+          graft.FsUtil.deleteRecursively(root)
+        }
+      },
+      Some(s"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 2)
+        SELECT vec_id, round(${sqlDot("e.embedding", "q.qv")}, 4) + 0 AS score
+        FROM embeddings e CROSS JOIN q
         ORDER BY ${sqlDot("e.embedding", "q.qv")} DESC, vec_id LIMIT 20"""))
   )
 }

@@ -59,8 +59,10 @@ object AssignWriteBench {
     val results = scala.collection.mutable.LinkedHashMap[String, Double]()
 
     // one-shot generation so a session pays the table write ONCE and
-    // every subsequent attribution / build run reuses it
-    if (!new java.io.File(s"$src/_SUCCESS").exists())
+    // every subsequent attribution / build run reuses it. Presence keys
+    // on parquet content, not _SUCCESS — GraftSession disables the
+    // marker, so a _SUCCESS test would regenerate an existing table
+    if (!graft.FsUtil.hasParquet(src))
       sys.env.get("SPARK_GRAFT_ASSIGN_GEN_ROWS").map(_.toLong).foreach { rows =>
         val t0 = System.nanoTime()
         graft.ProductWorkload.writeIndexed(spark, rows, 2688, 32, src)

@@ -54,9 +54,14 @@ object FitBench {
       .foreach(graft.operators.VectorSearch.hierarchicalFitGroups = _)
     sys.env.get("SPARK_GRAFT_FIT_SPLIT").map(_.toDouble)
       .foreach(graft.operators.VectorSearch.balancedCoarseSplitFactor = _)
+    // SPARK_GRAFT_FIT_FULLSPLIT=0 disables the r12 full-mass split pass
+    // (the A/B for "does splitting TRUE-heavy groups cut the worst task")
+    sys.env.get("SPARK_GRAFT_FIT_FULLSPLIT")
+      .foreach(v => graft.operators.VectorSearch.fullMassSplit = v != "0")
     println(s"[fit] rows=$n dims=$dims k=$k sections=$sections " +
       s"m=${graft.operators.VectorSearch.hierarchicalFitGroups} " +
-      s"split=${graft.operators.VectorSearch.balancedCoarseSplitFactor}")
+      s"split=${graft.operators.VectorSearch.balancedCoarseSplitFactor} " +
+      s"fullsplit=${graft.operators.VectorSearch.fullMassSplit}")
 
     // k hubs → the sample has k natural clusters, like a real product
     // table the fit must tile with k cells

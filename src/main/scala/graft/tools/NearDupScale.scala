@@ -25,16 +25,24 @@ import org.apache.spark.sql.functions._
   * not grow at all; the renamed corpus is the adversarial case where
   * every doc is its own rep and the index must hold 5M signature sets.
   *
-  * Batch (fixed, 20k docs): half near-duplicates of corpus docs (one
+  * Batch (10k docs — the sf0.1 table holds 5,000 docs, and the batch
+  * takes each one twice): half near-duplicates of corpus docs (one
   * appended token — J ≈ n/(n+2) over 3-shingles, above the 0.7
   * threshold for the table's longer docs), half novel (batch-token
   * renaming) — so the classification exercises real candidate
-  * verification and real survival, at both corpus sizes.
+  * verification and real survival, at both corpus sizes. Each tier
+  * gets a FRESH batch of identical shape but distinct ids/tokens, so
+  * the session-level plan memo cannot serve the larger tier's timed
+  * call with frames derived during the smaller tier — both timed
+  * dedupBatch walls pay identical batch-side work.
   *
   * Writes are small (the sf0.1 documents table is <1 MB parquet; the
-  * renamed 5M-doc corpus lands ~1 GB) — per bench discipline this runs
-  * mid-session without denting the write budget. The stored index
-  * frames are localCheckpoints (executor memory), not disk.
+  * renamed 5M-doc corpus lands ~1 GB; the r12 durability point adds the
+  * saved index, a few GB of signature-sized frames at 5M docs) — per
+  * bench discipline this runs mid-session without denting the write
+  * budget. The working index frames are localCheckpoints (executor
+  * memory); the largest tier additionally measures
+  * [[Dedup.NearDupIndex.save]]/`load` and reload-verdict parity.
   *
   * Env: SPARK_GRAFT_NEARDUP_REPLICAS (default 1000 — the sf0.1 table is
   * 5,000 docs, so 1000 replicas = 5M docs, with the paired lower point
@@ -85,8 +93,9 @@ object NearDupScale {
         .repartition(cpus.toInt)
         .write.mode("overwrite").parquet(path)
 
-    // fixed batch, independent of corpus size: near-dups of replica-0
-    // docs (one appended token) + novel docs (batch-renamed tokens)
+    // batch of fixed SHAPE (same size/doc lengths at every tier):
+    // near-dups of replica-0 docs (one appended token) + novel docs
+    // (batch-renamed tokens); ids/tokens vary per call site
     def mkBatch(idBase: Long, tailTok: String, novelTok: String): DataFrame = {
       val b = docs.orderBy(col("doc_id")).limit(10000)
       val nd = b.select((col("doc_id") + idBase).as("doc_id"),
@@ -96,16 +105,18 @@ object NearDupScale {
           w => concat(w, lit(s"_$novelTok")))).as("text"))
       nd.union(novel).cache()
     }
-    val batch = mkBatch(900000000000L, "zzbatchtail", "zb")
-    // a DIFFERENT batch (distinct plan, so the dedup memo cannot serve
-    // the timed one) warms codegen/JIT before each tier's timed call —
-    // without it the first tier's wall reads ~+12 s of first-call
-    // compilation and the growth comparison carries an ordering bias
-    val warmBatch = mkBatch(920000000000L, "zzwarmtail", "zw")
-    results("batch_rows_value") = batch.count().toDouble
-
-    Seq(math.max(1, replicas / 10), replicas).map(m => (s"${m}x", m)).foreach {
-      case (tag, m) =>
+    Seq(math.max(1, replicas / 10), replicas).map(m => (s"${m}x", m))
+      .zipWithIndex.foreach { case ((tag, m), ti) =>
+        // fresh batch + warm batch PER TIER (tier-specific ids and
+        // tokens → distinct plans): the warm batch pays first-call
+        // codegen (~+12 s otherwise carried by the first tier), and a
+        // fresh timed batch means the memo cannot serve this tier with
+        // batch-side frames derived during the previous tier
+        val batch = mkBatch(900000000000L + ti * 40000000000L,
+          s"zzbatchtail$ti", s"zb$ti")
+        val warmBatch = mkBatch(920000000000L + ti * 40000000000L,
+          s"zzwarmtail$ti", s"zw$ti")
+        results(s"batch_rows_${tag}_value") = batch.count().toDouble
         val path = s"$base/docs_$tag"
         timed(s"corpus_write_$tag") { corpusAt(m, path) }
         val corpus = spark.read.parquet(path)
@@ -134,7 +145,36 @@ object NearDupScale {
             results(s"sig_rows_after_append_${tag}_value") =
               idx.signatures.get.count().toDouble
           }
+          // durability point (r12, largest tier only — bounds the write
+          // cost): save the grown index, reload it, and classify a fresh
+          // same-shape batch through BOTH handles — the reloaded verdicts
+          // must match the in-memory ones exactly, at a measured
+          // save/load wall and on-disk size
+          if (m == replicas) {
+            val ipath = s"$base/ndidx_$tag"
+            timed(s"index_save_$tag") { idx.save(ipath) }
+            results(s"index_save_gb_${tag}_value") =
+              graft.FsUtil.sizeBytes(java.nio.file.Paths.get(ipath)) / 1e9
+            var re: Dedup.NearDupIndex = null
+            timed(s"index_load_$tag") {
+              re = Dedup.NearDupIndex.load(spark, ipath)
+            }
+            if (re != null) {
+              val pb = mkBatch(940000000000L + ti * 40000000000L,
+                s"zzreloadtail$ti", s"zr$ti")
+              timed(s"dedup_batch_reloaded_$tag") {
+                results(s"survivors_reloaded_${tag}_value") =
+                  re.dedupBatch(pb, "text", threshold = 0.7).count().toDouble
+              }
+              // parity: the in-memory handle on the same fresh batch
+              results(s"survivors_mem_${tag}_value") =
+                idx.dedupBatch(pb, "text", threshold = 0.7).count().toDouble
+              pb.unpersist(blocking = false)
+            }
+          }
         }
+        batch.unpersist(blocking = false)
+        warmBatch.unpersist(blocking = false)
     }
 
     val qs = results.map { case (k2, v) => "\"" + k2 + "\":" + f"$v%.3f" }

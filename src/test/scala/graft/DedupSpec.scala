@@ -614,4 +614,84 @@ class DedupSpec extends SparkSpec {
       .agg(sum(col("covered_tokens"))).head().getLong(0)
     assert(st == 300L * 5)
   }
+
+  test("NearDupIndex save/load: reload parity in a fresh session, both modes") {
+    // The crawl-dedup index must survive a pipeline restart: save() writes
+    // the versioned ManifestLayout artifact, load() reopens it, and a
+    // fresh session's dedupBatch verdicts must be IDENTICAL to the
+    // session that built it — in both verify modes, and after appended()
+    // growth has been folded in and re-saved.
+    val corpus = Seq(
+      (0L, "the quick brown fox jumps over the lazy dog tonight"),
+      (1L, "completely unrelated reference document about databases"))
+      .toDF("doc_id", "text")
+    val batchRows = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog today"),
+      (11L, "a genuinely new document discussing spark physical plans"),
+      (12L, "a genuinely new document discussing spark physical plans"))
+    val b2Rows = Seq(
+      (20L, "a genuinely new document discussing spark physical things"),
+      (21L, "an entirely different text about parquet row group pruning"))
+    // batches are created in the INDEX's own session (cross-session plan
+    // mixing is not part of the contract being tested)
+    def df(ss: org.apache.spark.sql.SparkSession, rows: Seq[(Long, String)]) = {
+      import ss.implicits._
+      rows.toDF("doc_id", "text")
+    }
+    def survivors(ix: Dedup.NearDupIndex, rows: Seq[(Long, String)]) = {
+      val ss = ix.bands.sparkSession
+      ix.dedupBatch(df(ss, rows), "text", threshold = 0.5)
+        .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    }
+    Seq(false, true).foreach { est =>
+      val root = java.nio.file.Files.createTempDirectory(s"ndidx_$est")
+      try {
+        val path = s"$root/ndidx"
+        val idx = Dedup.NearDupIndex.build(corpus, "text", "doc_id",
+          estimatedJaccard = est)
+        idx.save(path)
+        // fresh-session reopen: a different SQLContext, frames read from
+        // parquet — nothing served from this session's checkpoint memo
+        val s2 = spark.newSession()
+        val re = Dedup.NearDupIndex.load(s2, path)
+        assert(re.estimated == est)
+        assert(re.k == idx.k && re.numHashes == idx.numHashes &&
+          re.rowsPerBand == idx.rowsPerBand && re.idCol == "doc_id")
+        assert(survivors(re, batchRows) == survivors(idx, batchRows))
+        assert(survivors(re, batchRows) == Seq(11L))
+        // grow + re-save → newest committed version carries the growth
+        val grown = re.appended(df(s2, batchRows.filter(_._1 == 11L)), "text")
+        grown.save(path)
+        val re2 = Dedup.NearDupIndex.load(spark, path)
+        assert(survivors(re2, b2Rows) == Seq(21L)) // near-dup of 11 now drops
+        // pre-growth reload (stale copy) would have kept it — proves the
+        // re-saved version, not the memo, answered
+        assert(survivors(re, b2Rows) == Seq(20L, 21L))
+      } finally FsUtil.deleteRecursively(root)
+    }
+  }
+
+  test("NearDupIndex load ignores uncommitted (crashed) save versions") {
+    val corpus = Seq(
+      (0L, "alpha bravo charlie delta echo foxtrot golf hotel india"),
+      (1L, "november oscar papa quebec romeo sierra tango uniform victor"))
+      .toDF("doc_id", "text")
+    val root = java.nio.file.Files.createTempDirectory("ndidx_crash")
+    try {
+      val path = s"$root/ndidx"
+      val idx = Dedup.NearDupIndex.build(corpus, "text", "doc_id",
+        estimatedJaccard = true)
+      idx.save(path)
+      // simulate a crash mid-save: a newer version dir WITHOUT the commit
+      // marker (half-written frames) must be invisible to load()
+      java.nio.file.Files.createDirectories(
+        java.nio.file.Paths.get(s"$path/v00000099/bands"))
+      val re = Dedup.NearDupIndex.load(spark, path)
+      val surv = re.dedupBatch(
+          Seq((5L, "alpha bravo charlie delta echo foxtrot golf hotel india"))
+            .toDF("doc_id", "text"), "text")
+        .count()
+      assert(surv == 0L) // exact dup of corpus doc 0 — classified, not lost
+    } finally FsUtil.deleteRecursively(root)
+  }
 }

@@ -355,6 +355,99 @@ class VectorSearchSpec extends SparkSpec {
       .isEmpty)
   }
 
+  test("auto-widen: thin filters plan to widenFactor×k candidates, per handle") {
+    // Hand-constructed offline handle (zero jobs — the occupancy table
+    // answers every per-cell match count): 8 one-hot centroids, no radii,
+    // so the probe order under q = [8,7,...,1] is exactly cell 0,1,...,7;
+    // the registered filter leaves 2 matching rows in EVERY cell. The
+    // ultra-selective failure this knob closes (r11 2M point: recall
+    // 0.633 @ np64 on the 0.001% tier) is exactly "cum reached k after a
+    // few cells and the true top-k's cells ranked below the cut".
+    val cents = Array.tabulate(8)(i =>
+      Array.tabulate(8)(j => if (i == j) 1.0f else 0.0f))
+    val occ = Map("flag" -> (0 until 8).map(c => (c, "1") -> 2L).toMap)
+    val idx = VectorSearch.IvfIndex("/no/such/ivf/path", cents,
+      Double.NaN, Array.empty, Array.empty,
+      cellCounts = Array.fill(8)(100L),
+      occupancy = occ, occupancyTypes = Map("flag" -> "string"))
+    val q = Array.tabulate(8)(i => (8 - i).toFloat)
+    val pred = col("flag") === "1"
+    def planAt(wf: Double): Seq[Int] = {
+      idx.widenFactor = wf
+      idx.probePlan(spark, Seq(q), k = 3, nprobe = 1, Some(pred),
+        exactFallback = true).head
+    }
+    // pre-r12 behavior (factor 1): stop at cum ≥ k → cells 0,1 (cum 4 ≥ 3)
+    assert(planAt(1.0) == Seq(0, 1))
+    // default 4.0: target 12 candidates → cells 0..5 (cum 12 at 6 cells)
+    idx.widenFactor = Double.NaN // defer to the companion default
+    assert(idx.probePlan(spark, Seq(q), 3, 1, Some(pred), true).head
+      == (0 to 5))
+    // a target past the total match count degenerates to ALL match-bearing
+    // cells — the exact answer's support, recall 1.0 by construction
+    assert(planAt(100.0) == (0 to 7))
+    // nprobe still floors the plan when it exceeds the candidate target
+    idx.widenFactor = 1.0
+    assert(idx.probePlan(spark, Seq(q), 3, 7, Some(pred), true).head
+      == (0 to 6))
+    // the override is handle-scoped: a sibling handle at the same state
+    // plans with the companion default, untouched by this handle's dial
+    val sibling = VectorSearch.IvfIndex("/no/such/ivf/path", cents,
+      Double.NaN, Array.empty, Array.empty, Array.fill(8)(100L),
+      occ, Map("flag" -> "string"))
+    assert(sibling.probePlan(spark, Seq(q), 3, 1, Some(pred), true).head
+      == (0 to 5))
+  }
+
+  test("auto-widen end-to-end: built index plans wider and stays exact at the default") {
+    // Real build, real search: 8 hubs × 15 rows in 8 dims, the filter
+    // keeping 2 rows per hub — thin matches everywhere, the shape the
+    // knob exists for. The default plan must strictly contain the
+    // factor-1 plan (the machinery engages end-to-end, through occupancy
+    // counts and a real cell layout) and the widened search must return
+    // the exact filtered top-k. The under-probe RESCUE itself is pinned
+    // deterministically in the planning case above (the factor-1 plan
+    // stops at cells {0,1} while matches sit in every cell) and measured
+    // at scale in BENCH_scale_idx2m (the 0.06% tier).
+    val rnd = new scala.util.Random(11)
+    val hubRows = (0 until 8).flatMap { h =>
+      (0 until 15).map { r =>
+        val v = Array.tabulate(8)(j =>
+          (if (j == h) 10.0f else 0.0f) + rnd.nextFloat() - 0.5f)
+        (h * 100L + r, if (r < 2) 1 else 0, v)
+      }
+    }.toDF("vec_id", "flag", "embedding")
+    val dir = java.nio.file.Files.createTempDirectory("ivf_widen").toString
+    val idx = VectorSearch.buildIvf(hubRows, "embedding", 8, dir,
+      sampleFraction = 1.0, occupancyCols = Seq("flag"))
+    val q = Array.tabulate(8)(i => (8 - i).toFloat)
+    val pred = col("flag") === 1
+    def planAt(wf: Double): Set[Int] = {
+      idx.widenFactor = wf
+      idx.probePlan(spark, Seq(q), k = 3, nprobe = 1, Some(pred),
+        exactFallback = true).head.toSet
+    }
+    val narrow = planAt(1.0)
+    val wide = planAt(Double.NaN) // companion default 4.0
+    // layout-independent check (KMeans may merge hubs, so per-cell match
+    // counts vary): the factor-1 plan stops once it holds ≥ k = 3
+    // candidates, the default keeps widening to ≥ 12 — strictly more
+    // cells, and candidate volumes at/above each target
+    val matchPerCell = spark.read.parquet(dir).filter(pred)
+      .groupBy(col("__cluster")).count()
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    def cum(cells: Set[Int]): Long = cells.toSeq.map(matchPerCell(_)).sum
+    assert(narrow.subsetOf(wide) && narrow != wide, s"$narrow vs $wide")
+    assert(cum(narrow) >= 3)
+    assert(cum(wide) >= 12 || wide == matchPerCell.keySet,
+      s"wide plan holds ${cum(wide)} candidates")
+    val exact = VectorSearch.topK(hubRows, "embedding", q, 3, Some(pred),
+      projection = Seq("vec_id")).collect().map(_.getLong(0)).toSet
+    val got = idx.search(spark, q, 3, nprobe = 1, Some(pred))
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(got == exact)
+  }
+
   test("two-level router: parity with flat ranking, exact at full ranking") {
     // structured centroid table (32 hubs × 64 fine cells in 16 dims) —
     // the geometry a KMeans fit yields; a coarse router exists to exploit
@@ -791,12 +884,18 @@ class VectorSearchSpec extends SparkSpec {
       val one = idx.search(spark, qvecs.head, 50, 16, Some(filter))
       assert(one.count() == 50L)
       assert(idx.exactSwitchCount == 2L)
-      // a narrow filter's plan stays on the probe path
+      // a narrow filter's plan stays on the probe path — at widen factor
+      // 1 (the r12 auto-widen would grow this 16-match plan to ALL its
+      // match-bearing cells, which can legitimately cross the forced
+      // 12.5% gate; this sub-check pins the switch decision, not the
+      // widening, so it runs at the pre-r12 plan shape)
+      idx.widenFactor = 1.0
       val narrowHits = idx.search(spark, qvecs.head, 5, 2,
         Some(col("vec_id") < 16L))
       assert(narrowHits.count() <= 5L)
       // nprobe-2-of-64 cells hold < 12.5% of rows: no new switch
       assert(idx.exactSwitchCount == 2L)
+      idx.widenFactor = Double.NaN
     }
   }
 
