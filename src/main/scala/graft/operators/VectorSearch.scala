@@ -68,25 +68,40 @@ object VectorSearch {
   @volatile private[graft] var exactScanSwitchMinCells: Int = 256
 
   /** Filtered probe plans widen down the ranked match-bearing cells until
-    * they hold ≥ this × k candidate rows (floor k — 1.0 reproduces the
-    * pre-r12 ≥ k widening). The margin exists because ≥ k candidates
-    * probed does NOT put the true top-k's cells in the probed set: under
-    * an ultra-selective filter each cell holds a handful of matches, the
-    * plan reaches k candidates after a few cells, and the true top-k's
-    * remaining cells rank below the cut (the r11 2M × 2688 point read
-    * recall 0.633 @ np64 on the 0.001% tier — the thinnest number in any
-    * committed artifact). Planning is driver arithmetic over the
-    * per-cell match counts (occupancy or the memoized count scan) — zero
-    * extra jobs; the cost is reading more, smaller cells exactly when
-    * candidates are thin, and when the widened union approaches the
-    * whole index the cost-based exact switch fires and recall is 1.0 by
-    * construction. Default 4.0: measured on the r12 2M × 2688 index —
-    * the 0.06%-selectivity tier's recall moves 0.633→≥0.95 @ np64 while
-    * the denser tiers' plans are unchanged (they reach 4k candidates
-    * within their own nprobe). Per-handle override:
-    * [[IvfIndex.widenFactor]].
+    * they hold ≥ this × k candidate rows (floor k — 1.0 IS the pre-r12
+    * ≥ k widening and the default). The hypothesis behind a larger
+    * factor — that the under-probed ultra-selective tier (r11 2M × 2688:
+    * recall 0.633 @ np64 on the 0.06% tier) stopped short of candidates
+    * — was MEASURED AND REFUTED on that index (WidenEval r12, factor 1
+    * vs 4: every tier's plan bit-identical at np64/np128, recalls
+    * identical), because the reference-shaped filters leave plenty of
+    * matches inside the first nprobe ranked cells; what under-probes is
+    * the ORDER (the true top-k's cells rank below the cut), which more
+    * candidates at the same ranking cannot fix. The mechanism that does
+    * fix that tier is [[thinSupportFactor]] below. The knob stays for
+    * workloads whose plans genuinely stop under-provisioned between k
+    * and nprobe coverage; per-handle override [[IvfIndex.widenFactor]].
     */
-  @volatile private[graft] var probeWidenFactor: Double = 4.0
+  @volatile private[graft] var probeWidenFactor: Double = 1.0
+
+  /** Ultra-selective SUPPORT-SCAN rule (the r12 fix for the thin-tier
+    * recall margin): when a filter's ENTIRE match count is at most
+    * this × k rows AND reading every match-bearing cell is affordable
+    * ([[thinSupportMaxReadFraction]] of the index's rows, exact driver
+    * arithmetic over `cellCounts` — zero jobs), the plan becomes ALL
+    * match-bearing cells: the probed set IS the exact answer's support,
+    * so recall is 1.0 by construction at ANY nprobe. 16.0 default: the
+    * 2M × 2688 point's 0.06% tier (1200 matches ≤ 16 × k=100) engages
+    * and moves 0.683 → 1.0 @ np64 (WidenEval r12), the 0.6% tier
+    * (11.3k matches) stays out, and the sf0.1 read tiers are unchanged
+    * (their thin tier already exhausted its support under the ≥ k
+    * widening; the denser ones fail the cost gate). The cost gate is
+    * what keeps this from degenerating on small indexes, where a thin
+    * support can still touch most cells. Per-handle override:
+    * [[IvfIndex.thinFactor]] (≤ 0 disables).
+    */
+  @volatile private[graft] var thinSupportFactor: Double = 16.0
+  @volatile private[graft] var thinSupportMaxReadFraction: Double = 0.35
 
   /** Exact filtered top-k by dot product. Returns `projection` columns plus
     * `score`, highest first.
@@ -425,12 +440,14 @@ object VectorSearch {
     @volatile private[graft] var exactScanFraction: Double = Double.NaN
     @volatile private[graft] var exactScanMinCells: Int = -1
 
-    /** Per-handle override of [[VectorSearch.probeWidenFactor]] (the
-      * filtered plan's candidate-volume target, × k) — NaN defers to the
-      * companion default. Same no-global-mutation contract as the switch
-      * knobs above.
+    /** Per-handle overrides of [[VectorSearch.probeWidenFactor]] (the
+      * filtered plan's candidate-volume target, × k; NaN defers) and
+      * [[VectorSearch.thinSupportFactor]] (the support-scan cutoff, × k;
+      * NaN defers, ≤ 0 disables). Same no-global-mutation contract as
+      * the switch knobs above.
       */
     @volatile private[graft] var widenFactor: Double = Double.NaN
+    @volatile private[graft] var thinFactor: Double = Double.NaN
 
     /** Build-path provenance, set by [[VectorSearch.buildIvf]] on the
       * handle it returns (false on loaded/constructed handles): whether
@@ -579,7 +596,7 @@ object VectorSearch {
       * (c) the pushed, column-pruned count scan itself (reads the
       *     predicate's columns only, never the vectors).
       */
-    private def matchCounts(spark: SparkSession, f: Column): Map[Int, Long] =
+    private[graft] def matchCounts(spark: SparkSession, f: Column): Map[Int, Long] =
       // zero-total backstop: a lookup that finds NO matching rows falls
       // through to the count scan rather than being trusted — if the
       // table and the filter genuinely disagree (a literal rendering the
@@ -685,7 +702,11 @@ object VectorSearch {
       * predicate's columns only, never the vectors), and take the best
       * `nprobe` of those, widening down the ranked list until the probed
       * cells hold ≥ [[VectorSearch.probeWidenFactor]] × `k` candidates
-      * (per-handle override [[widenFactor]]; floor `k`).
+      * (per-handle override [[widenFactor]]; floor `k`). A filter whose
+      * ENTIRE support is thin (≤ [[VectorSearch.thinSupportFactor]] × k
+      * matching rows) and affordable to read plans ALL its match-bearing
+      * cells instead — the exact answer's support, recall 1.0 at any
+      * nprobe (per-handle override [[thinFactor]]).
       *
       * Why: a metadata filter can be ANTI-correlated with the query's
       * region (query a Books product, filter main_category = Computers) —
@@ -709,24 +730,47 @@ object VectorSearch {
         exactFallback: Boolean): Seq[Seq[Int]] = filter match {
       case Some(f) if exactFallback && nprobe < centroids.length =>
         val counts = matchCounts(spark, f)
-        // candidate-volume target (auto-widen, r12): ≥ widenFactor × k
-        // matching rows in the probed cells, floor k — see
-        // [[VectorSearch.probeWidenFactor]] for the recall argument
+        // candidate-volume target: ≥ widenFactor × k matching rows in
+        // the probed cells, floor k — see VectorSearch.probeWidenFactor
+        // (default 1.0 = the classic ≥ k widening; the larger-factor
+        // hypothesis was measured and refuted, scaladoc there)
         val wf = if (widenFactor.isNaN) VectorSearch.probeWidenFactor
           else widenFactor
         val target = math.max(k.toLong, math.ceil(wf * k).toLong)
+        // thin-support scan (r12): a filter whose ENTIRE support is
+        // ≤ thinFactor × k rows, and whose match-bearing cells are
+        // affordable to read, plans ALL of them — the probed set is the
+        // exact answer's support, recall 1.0 at any nprobe. Exact driver
+        // arithmetic over counts + cellCounts; zero jobs.
+        val tf = if (thinFactor.isNaN) VectorSearch.thinSupportFactor
+          else thinFactor
+        val totalMatches = counts.valuesIterator.sum
+        val thinAll = tf > 0 && totalMatches > 0 &&
+          totalMatches <= tf * k && cellCounts.nonEmpty && {
+            val totalRows = cellCounts.sum
+            totalRows > 0L && {
+              val vol = counts.keysIterator
+                .map(c => if (c < cellCounts.length) cellCounts(c) else 0L)
+                .sum
+              vol.toDouble <=
+                VectorSearch.thinSupportMaxReadFraction * totalRows
+            }
+          }
         queries.map { q =>
           val ranked = nearestClusters(q, centroids.length)
             .filter(c => counts.getOrElse(c, 0L) > 0L)
-          val sel = scala.collection.mutable.ArrayBuffer.empty[Int]
-          var cum = 0L
-          var i = 0
-          while (i < ranked.length && (i < nprobe || cum < target)) {
-            sel += ranked(i)
-            cum += counts(ranked(i))
-            i += 1
+          if (thinAll) ranked
+          else {
+            val sel = scala.collection.mutable.ArrayBuffer.empty[Int]
+            var cum = 0L
+            var i = 0
+            while (i < ranked.length && (i < nprobe || cum < target)) {
+              sel += ranked(i)
+              cum += counts(ranked(i))
+              i += 1
+            }
+            sel.toSeq
           }
-          sel.toSeq
         }
       case _ => queries.map(q => nearestClusters(q, nprobe))
     }

@@ -10,16 +10,22 @@ import org.apache.spark.sql.functions._
   * without paying its 22 GB build again (zero writes; safe at any point
   * of the IO budget).
   *
-  * For each ProductWorkload selectivity tier it computes the exact
+  * For each ProductWorkload selectivity tier it records the filter's
+  * support shape (total matches, match-bearing cells, their read-volume
+  * fraction — the thin-support rule's exact inputs), computes the exact
   * filtered top-100 baseline over the index files, then measures
   * recall/wall of `searchMulti` at nprobe 64 and 128 under
-  *   - widenFactor 1.0 — the pre-r12 ≥ k widening, and
-  *   - the companion default ([[VectorSearch.probeWidenFactor]]),
-  * plus the planned probe-set size and planned candidate volume for
-  * each setting (driver arithmetic — the plan itself never runs a job
-  * beyond the once-per-filter memoized count scan). The r11 2M point's
-  * thinnest number — 0.633 recall @ np64 on the 0.06% tier — is the
-  * row this knob exists to move.
+  *   - "wf1": the classic plan (candidate target k, support scan off) —
+  *     the pre-r12 behavior, and
+  *   - "wfdef": the shipped defaults ([[VectorSearch.probeWidenFactor]]
+  *     + the [[VectorSearch.thinSupportFactor]] support scan),
+  * plus each setting's planned probe-set size (driver arithmetic — the
+  * plan itself never runs a job beyond the once-per-filter memoized
+  * count scan). The r11 2M point's thinnest number — 0.633 recall @
+  * np64 on the 0.06% tier — is the row this mechanism exists to move.
+  * (The first r12 run of this tool REFUTED the candidate-volume
+  * hypothesis: factor 4 left every tier's plan bit-identical; the
+  * support scan is the fix that shipped.)
   *
   * Env: SPARK_GRAFT_WIDEN_IVF (index path, required),
   * SPARK_GRAFT_CPUS (default 32).
@@ -72,8 +78,21 @@ object WidenEval {
             results(s"exact_${tier}_value") = -1.0
             false
         }
+      // support shape per tier (driver arithmetic off the memoized count
+      // scan): total matching rows, match-bearing cells, and their read
+      // volume as a fraction of the index — the thin-support rule's
+      // exact inputs
+      val mc = ivf.matchCounts(spark, pred)
+      results(s"match_rows_${tier}_value") = mc.valuesIterator.sum.toDouble
+      results(s"match_cells_${tier}_value") = mc.size.toDouble
+      results(s"match_vol_frac_${tier}_value") =
+        mc.keysIterator.map(c => ivf.cellCounts(c)).sum.toDouble /
+          ivf.cellCounts.sum
+      // "wf1" = the classic plan (candidate target k, support scan off);
+      // "wfdef" = the shipped defaults (thin-support scan active)
       Seq("wf1" -> 1.0, "wfdef" -> Double.NaN).foreach { case (wtag, wf) =>
         ivf.widenFactor = wf
+        ivf.thinFactor = if (wf.isNaN) Double.NaN else 0.0
         // plan telemetry: probed cells + planned candidate rows per query
         // (first query's numbers are representative; all three recorded
         // as the mean)
@@ -98,6 +117,7 @@ object WidenEval {
         }
       }
       ivf.widenFactor = Double.NaN
+      ivf.thinFactor = Double.NaN
     }
 
     val qs = results.map { case (k2, v) => "\"" + k2 + "\":" + f"$v%.3f" }

@@ -372,17 +372,22 @@ class VectorSearchSpec extends SparkSpec {
       occupancy = occ, occupancyTypes = Map("flag" -> "string"))
     val q = Array.tabulate(8)(i => (8 - i).toFloat)
     val pred = col("flag") === "1"
+    // matches in EVERY cell → the support's read volume is the whole
+    // index, so the thin-support rule's cost gate stands down and the
+    // candidate-volume widening governs (this handle pins ITS arithmetic)
     def planAt(wf: Double): Seq[Int] = {
       idx.widenFactor = wf
       idx.probePlan(spark, Seq(q), k = 3, nprobe = 1, Some(pred),
         exactFallback = true).head
     }
-    // pre-r12 behavior (factor 1): stop at cum ≥ k → cells 0,1 (cum 4 ≥ 3)
-    assert(planAt(1.0) == Seq(0, 1))
-    // default 4.0: target 12 candidates → cells 0..5 (cum 12 at 6 cells)
-    idx.widenFactor = Double.NaN // defer to the companion default
+    // the default (companion probeWidenFactor 1.0 — the larger-factor
+    // hypothesis was measured and refuted, WidenEval r12): stop at
+    // cum ≥ k → cells 0,1 (cum 4 ≥ 3)
+    idx.widenFactor = Double.NaN
     assert(idx.probePlan(spark, Seq(q), 3, 1, Some(pred), true).head
-      == (0 to 5))
+      == Seq(0, 1))
+    // factor 4: target 12 candidates → cells 0..5 (cum 12 at 6 cells)
+    assert(planAt(4.0) == (0 to 5))
     // a target past the total match count degenerates to ALL match-bearing
     // cells — the exact answer's support, recall 1.0 by construction
     assert(planAt(100.0) == (0 to 7))
@@ -396,19 +401,50 @@ class VectorSearchSpec extends SparkSpec {
       Double.NaN, Array.empty, Array.empty, Array.fill(8)(100L),
       occ, Map("flag" -> "string"))
     assert(sibling.probePlan(spark, Seq(q), 3, 1, Some(pred), true).head
-      == (0 to 5))
+      == Seq(0, 1))
   }
 
-  test("auto-widen end-to-end: built index plans wider and stays exact at the default") {
+  test("thin-support scan: an affordable thin filter plans its whole support") {
+    // The r12 fix for the 2M point's 0.06%-tier margin: matches confined
+    // to 4 small cells (200 of 2200 rows = 9% — under the 35% cost gate)
+    // with 2 matches each (8 total ≤ 16 × k=3). The plan must be ALL
+    // four match-bearing cells at ANY nprobe — the exact answer's
+    // support — regardless of where they rank.
+    val cents = Array.tabulate(8)(i =>
+      Array.tabulate(8)(j => if (i == j) 1.0f else 0.0f))
+    val occ = Map("flag" -> (0 until 4).map(c => (c, "1") -> 2L).toMap)
+    val idx = VectorSearch.IvfIndex("/no/such/ivf/path", cents,
+      Double.NaN, Array.empty, Array.empty,
+      cellCounts = Array.tabulate(8)(i => if (i < 4) 50L else 500L),
+      occupancy = occ, occupancyTypes = Map("flag" -> "string"))
+    // query ranks the match-bearing cells LAST (mass on dims 4..7) — the
+    // exact shape where ranked-order widening under-probes
+    val q = Array.tabulate(8)(i => if (i >= 4) (i + 1).toFloat else 0.1f)
+    val pred = col("flag") === "1"
+    val plan = idx.probePlan(spark, Seq(q), k = 3, nprobe = 1, Some(pred),
+      exactFallback = true).head.toSet
+    assert(plan == Set(0, 1, 2, 3), s"thin-support plan $plan")
+    // disabled per handle → the classic cum ≥ k walk down the ranked
+    // match-bearing list (2 cells)
+    idx.thinFactor = 0.0
+    val off = idx.probePlan(spark, Seq(q), 3, 1, Some(pred), true).head
+    assert(off.length == 2, s"classic plan $off")
+    // cost gate: the same support spread over cells holding most of the
+    // index's rows must NOT trigger the support scan
+    idx.thinFactor = Double.NaN
+    val fat = idx.copy(cellCounts = Array.fill(8)(500L))
+    val fatPlan = fat.probePlan(spark, Seq(q), 3, 1, Some(pred), true).head
+    assert(fatPlan.length == 2, s"cost gate failed: $fatPlan")
+  }
+
+  test("auto-widen end-to-end: built index plans wider at factor 4 and stays exact") {
     // Real build, real search: 8 hubs × 15 rows in 8 dims, the filter
-    // keeping 2 rows per hub — thin matches everywhere, the shape the
-    // knob exists for. The default plan must strictly contain the
-    // factor-1 plan (the machinery engages end-to-end, through occupancy
-    // counts and a real cell layout) and the widened search must return
-    // the exact filtered top-k. The under-probe RESCUE itself is pinned
-    // deterministically in the planning case above (the factor-1 plan
-    // stops at cells {0,1} while matches sit in every cell) and measured
-    // at scale in BENCH_scale_idx2m (the 0.06% tier).
+    // keeping 2 rows per hub — matches everywhere, so the thin-support
+    // cost gate stands down and the candidate-volume knob governs. The
+    // factor-4 plan must strictly contain the factor-1 (default) plan
+    // (the machinery engages end-to-end, through occupancy counts and a
+    // real cell layout) and the widened search must return the exact
+    // filtered top-k.
     val rnd = new scala.util.Random(11)
     val hubRows = (0 until 8).flatMap { h =>
       (0 until 15).map { r =>
@@ -427,11 +463,11 @@ class VectorSearchSpec extends SparkSpec {
       idx.probePlan(spark, Seq(q), k = 3, nprobe = 1, Some(pred),
         exactFallback = true).head.toSet
     }
-    val narrow = planAt(1.0)
-    val wide = planAt(Double.NaN) // companion default 4.0
+    val narrow = planAt(Double.NaN) // companion default = factor 1
+    val wide = planAt(4.0)
     // layout-independent check (KMeans may merge hubs, so per-cell match
     // counts vary): the factor-1 plan stops once it holds ≥ k = 3
-    // candidates, the default keeps widening to ≥ 12 — strictly more
+    // candidates, factor 4 keeps widening to ≥ 12 — strictly more
     // cells, and candidate volumes at/above each target
     val matchPerCell = spark.read.parquet(dir).filter(pred)
       .groupBy(col("__cluster")).count()
@@ -884,18 +920,19 @@ class VectorSearchSpec extends SparkSpec {
       val one = idx.search(spark, qvecs.head, 50, 16, Some(filter))
       assert(one.count() == 50L)
       assert(idx.exactSwitchCount == 2L)
-      // a narrow filter's plan stays on the probe path — at widen factor
-      // 1 (the r12 auto-widen would grow this 16-match plan to ALL its
-      // match-bearing cells, which can legitimately cross the forced
-      // 12.5% gate; this sub-check pins the switch decision, not the
-      // widening, so it runs at the pre-r12 plan shape)
-      idx.widenFactor = 1.0
+      // a narrow filter's plan stays on the probe path — with the r12
+      // thin-support scan disabled per handle (it would legitimately
+      // grow this 16-match plan to ALL its match-bearing cells, which
+      // can cross the forced 12.5% gate; this sub-check pins the switch
+      // decision, not the support scan, so it runs at the classic plan
+      // shape)
+      idx.thinFactor = 0.0
       val narrowHits = idx.search(spark, qvecs.head, 5, 2,
         Some(col("vec_id") < 16L))
       assert(narrowHits.count() <= 5L)
       // nprobe-2-of-64 cells hold < 12.5% of rows: no new switch
       assert(idx.exactSwitchCount == 2L)
-      idx.widenFactor = Double.NaN
+      idx.thinFactor = Double.NaN
     }
   }
 
