@@ -100,6 +100,25 @@ object FitBench {
       (mean, sizes.last, p99)
     }
 
+    // SPARK_GRAFT_FIT_FULLSPLIT_AB=1: paired same-session A/B of the r12
+    // full-mass split pass (OFF first so the split arm cannot ride the
+    // other's page/JIT warmth; the shared df cache serves both equally).
+    // The [ivf] fit_refine_groups lines carry each arm's worst task.
+    if (sys.env.get("SPARK_GRAFT_FIT_FULLSPLIT_AB").contains("1")) {
+      Seq(false, true).foreach { fs =>
+        graft.operators.VectorSearch.fullMassSplit = fs
+        val (cs, t) = wall {
+          graft.operators.VectorSearch.hierarchicalFit(spark, df, k, 42L,
+            dbg = true)
+        }
+        val (q2, mx, p99) = quality(cs)
+        println(f"[fit] hier-fullsplit=$fs wall=$t%8.2f s cells=${cs.length} " +
+          f"meanQdist=$q2%10.4f maxCell=$mx p99Cell=$p99")
+      }
+      spark.stop()
+      return
+    }
+
     val (hier, tHier) = wall {
       graft.operators.VectorSearch.hierarchicalFit(spark, df, k, 42L, dbg = true)
     }
