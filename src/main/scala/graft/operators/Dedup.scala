@@ -1055,8 +1055,10 @@ object Dedup {
     *     agreement ([[estimatedJaccardOnArr]]); the index stores ONE
     *     seed-ordered `numHashes`-long array row (r11; was `numHashes`
     *     seed rows — the 32× row-count cut is what the per-batch verify
-    *     scan streams) + band keys per representative — tens of BYTES
-    *     per doc, the shape that keeps an incremental dedup index
+    *     scan streams) + band keys per representative — ~0.8 KB per doc
+    *     parquet-encoded at the 32-seed default (measured at 5M docs:
+    *     4.06 GB saved, BENCH_neardup5m_r12), token-count-independent —
+    *     the shape that keeps an incremental dedup index
     *     deployable against an unbounded crawl. The estimate is within
     *     √(J(1−J)/numHashes) of exact in expectation; raise `numHashes`
     *     to tighten it.
@@ -1221,10 +1223,12 @@ object Dedup {
       * durable index artifact.
       *
       * Cost: one distributed parquet write per stored frame — in
-      * estimated mode that is signature-sized (tens of bytes per rep:
-      * one numHashes-long array row + numHashes/rowsPerBand band keys +
-      * one fingerprint), so checkpointing even a multi-million-doc
-      * index is a sub-GB write. Exact mode additionally writes the
+      * estimated mode that is signature-sized: one numHashes-long array
+      * row + numHashes/rowsPerBand band keys + one fingerprint per rep,
+      * ≈ 0.8 KB/doc parquet-encoded at the 32-seed default (measured:
+      * a 5M-doc index saves 4.06 GB in 8.7 s, BENCH_neardup5m_r12) —
+      * token-count-independent, a checkpoint a crawl pipeline affords
+      * at batch cadence. Exact mode additionally writes the
       * shingle/count store (∝ corpus tokens — inherent to exact
       * verification; the class doc's mode table is the 100 TB dial).
       */

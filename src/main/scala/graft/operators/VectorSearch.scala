@@ -1661,17 +1661,22 @@ object VectorSearch {
     val m = math.max(2, math.min(
       if (hierarchicalFitGroups > 0) hierarchicalFitGroups
       else 2 * math.round(math.sqrt(k.toDouble)).toInt, k))
-    val (coarse0, subArr) = timed("fit_coarse") {
+    // subArr outlives fit_coarse only as far as the full-mass split pass
+    // below, then is released — at the 131072-row cap × 2688 dims it is
+    // ~1.4 GB of driver heap that must not sit reachable through the
+    // multi-minute refine stage
+    var subArr: Array[Array[Float]] = null
+    val coarse0 = timed("fit_coarse") {
       // 256 rows per coarse group, capped: the coarse fit runs on the
       // driver (parallel localLloyd) and only shapes the partition —
       // refinement supplies the quality
       val want = math.min(math.min(256L * m, 131072L), trainN)
       val frac = math.min(1.0, want.toDouble * 1.2 / trainN)
-      val sub = (if (frac >= 1.0) trainF else
+      subArr = (if (frac >= 1.0) trainF else
           trainF.sample(withReplacement = false, frac, seed))
         .limit(want.toInt)
         .as[Array[Float]].collect()
-      (balancedCoarse(sub, m, seed), sub)
+      balancedCoarse(subArr, m, seed)
     }
     val cnt0 = timed("fit_groupcount") {
       trainF.select(
@@ -1718,10 +1723,20 @@ object VectorSearch {
               maxIter = 5, parallel = true)
             val subShare = new Array[Long](cs.length)
             assignLocal(members, cs).foreach(subShare(_) += 1L)
+            // only sub-centroids that WIN subsample rows carry mass: a
+            // zero-share sub-centroid would still be granted part of the
+            // k budget by a max(1, ...) floor, then win zero full-train
+            // rows under the global assignment and silently drop its
+            // centroids from the refine output (an index with < k
+            // cells). A sub-centroid with members is its own nearest
+            // centroid for those members up to group-boundary ties, so
+            // its estimated mass is backed by real rows.
             cs.indices.foreach { j =>
-              newCents += cs(j)
-              newMass += math.max(1L,
-                math.round(cnt0(g).toDouble * subShare(j) / members.length))
+              if (subShare(j) > 0L) {
+                newCents += cs(j)
+                newMass += math.max(1L,
+                  math.round(cnt0(g).toDouble * subShare(j) / members.length))
+              }
             }
           }
         }
@@ -1731,6 +1746,7 @@ object VectorSearch {
             s"${cnt0.valuesIterator.max}->${newMass.max}")
         (newCents.toArray, newMass.indices.map(i => i -> newMass(i)).toMap)
       }
+    subArr = null // release the subsample before the refine stage
     val gCol = graft.functions.nearest_centroid(col("__v"), coarse)
     val alloc = allocateCentroids(cnt, k)
     val bAlloc = spark.sparkContext.broadcast(alloc)

@@ -61,13 +61,20 @@ object AssignWriteBench {
     // one-shot generation so a session pays the table write ONCE and
     // every subsequent attribution / build run reuses it. Presence keys
     // on parquet content, not _SUCCESS — GraftSession disables the
-    // marker, so a _SUCCESS test would regenerate an existing table
-    if (!graft.FsUtil.hasParquet(src))
-      sys.env.get("SPARK_GRAFT_ASSIGN_GEN_ROWS").map(_.toLong).foreach { rows =>
+    // marker, so a _SUCCESS test would regenerate an existing table.
+    // Presence alone is not completeness (a killed prior run leaves
+    // part files that would silently shrink every measurement), so a
+    // found table is also ROW-COUNTED against the requested size — a
+    // footer-metadata count, no data read
+    sys.env.get("SPARK_GRAFT_ASSIGN_GEN_ROWS").map(_.toLong).foreach { rows =>
+      val complete = graft.FsUtil.hasParquet(src) &&
+        spark.read.parquet(src).count() == rows
+      if (!complete) {
         val t0 = System.nanoTime()
         graft.ProductWorkload.writeIndexed(spark, rows, 2688, 32, src)
         results("gen_wall_value") = (System.nanoTime() - t0) / 1e9
       }
+    }
 
     val dfFull = spark.read.parquet(src).select(col("parent_asin"),
       col("average_rating"), col("rating_number"), col("main_category"),

@@ -100,12 +100,17 @@ object FitBench {
       (mean, sizes.last, p99)
     }
 
-    // SPARK_GRAFT_FIT_FULLSPLIT_AB=1: paired same-session A/B of the r12
-    // full-mass split pass (OFF first so the split arm cannot ride the
-    // other's page/JIT warmth; the shared df cache serves both equally).
-    // The [ivf] fit_refine_groups lines carry each arm's worst task.
-    if (sys.env.get("SPARK_GRAFT_FIT_FULLSPLIT_AB").contains("1")) {
-      Seq(false, true).foreach { fs =>
+    // SPARK_GRAFT_FIT_FULLSPLIT_AB: paired same-session A/B of the r12
+    // full-mass split pass. The FIRST arm pays the session's first-call
+    // codegen/JIT, which favors whichever arm runs second — so the A/B
+    // must be run in BOTH orders ("1" = off-first, "rev" = on-first)
+    // and read as an order-controlled pair, same protocol as the
+    // routed-vs-flat walls. The [ivf] fit_refine_groups lines carry
+    // each arm's worst task.
+    val abMode = sys.env.getOrElse("SPARK_GRAFT_FIT_FULLSPLIT_AB", "")
+    if (abMode == "1" || abMode == "rev") {
+      val arms = if (abMode == "rev") Seq(true, false) else Seq(false, true)
+      arms.foreach { fs =>
         graft.operators.VectorSearch.fullMassSplit = fs
         val (cs, t) = wall {
           graft.operators.VectorSearch.hierarchicalFit(spark, df, k, 42L,
