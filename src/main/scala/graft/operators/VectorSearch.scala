@@ -97,8 +97,13 @@ object VectorSearch {
     * (their thin tier already exhausted its support under the ≥ k
     * widening; the denser ones fail the cost gate). The cost gate is
     * what keeps this from degenerating on small indexes, where a thin
-    * support can still touch most cells. Per-handle override:
-    * [[IvfIndex.thinFactor]] (≤ 0 disables).
+    * support can still touch most cells; 0.35 is derived from the
+    * exact-switch calibration (r10 sf1 A/B: probe cost grows ~linearly
+    * with planned row fraction and probing 12.8% costs ~1/8 of the
+    * exact scan), so a gated support scan always costs ≤ ~0.4× the
+    * exact scan it guarantees the recall of — conservative against the
+    * 0.8 crossover where the exact switch takes over anyway.
+    * Per-handle override: [[IvfIndex.thinFactor]] (≤ 0 disables).
     */
   @volatile private[graft] var thinSupportFactor: Double = 16.0
   @volatile private[graft] var thinSupportMaxReadFraction: Double = 0.35
