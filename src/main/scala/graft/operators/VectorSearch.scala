@@ -108,6 +108,34 @@ object VectorSearch {
   @volatile private[graft] var thinSupportFactor: Double = 16.0
   @volatile private[graft] var thinSupportMaxReadFraction: Double = 0.35
 
+  /** Estimated output-file count above which [[buildIvf]]'s partitioned
+    * write EXCHANGES on the cluster id first (r13). The no-shuffle
+    * layout (per-task sort → partitionBy) emits up to tasks × cells
+    * files; below ~32k files it writes at device bandwidth (sf1:
+    * 134 MB/s), but at 131k files (4096 cells × 32 tasks) the per-file
+    * create/fsync overhead governs — 31 MB/s on two independent
+    * same-shape r12 builds, the entire pessimistic half of the 10M
+    * projection. One hash exchange on `__cluster` caps the count at
+    * ~cells files (each cluster wholly inside one task) at the cost of
+    * shuffling the payload once — the r2 measurement that rejected the
+    * exchange was at 1 GB/1000 cells (= 32k files), where the direct
+    * path is bandwidth-bound anyway and the shuffle is pure overhead;
+    * this gate keeps exactly that regime on the direct path. Calibrated
+    * by the r13 order-controlled write A/B (tools/AssignWriteBench,
+    * SPARK_GRAFT_ASSIGN_WRITE=1; BENCH_assign_write_r13.json): same
+    * 200k × 2688 table, k = 4096 — direct 108.7/105.5 s at 45,751
+    * actual files vs exchange 50.3 s at 4,091 files (2.1×, identical
+    * bytes). Actual files run ~⅓ of the tasks × cells estimate in both
+    * measured shapes (46k/139k here, 32k/88k at sf1), so the gate is
+    * expressed on the estimate: the exchange provably wins at ≥ 139k
+    * estimated and the direct path is bandwidth-bound (exchange = pure
+    * overhead) at ≤ 88k estimated (sf1, 134 MB/s) — 98304 sits between
+    * the two measured regimes, keeping every committed sf1-and-below
+    * artifact on the direct path and routing the 4096-cell builds
+    * through the exchange.
+    */
+  @volatile private[graft] var writeExchangeMinFiles: Long = 98304L
+
   /** Exact filtered top-k by dot product. Returns `projection` columns plus
     * `score`, highest first.
     */
@@ -454,6 +482,14 @@ object VectorSearch {
     @volatile private[graft] var widenFactor: Double = Double.NaN
     @volatile private[graft] var thinFactor: Double = Double.NaN
 
+    /** Per-handle override of
+      * [[VectorSearch.thinSupportMaxReadFraction]] (the support-scan
+      * cost gate, fraction of index rows; NaN defers) — q119's fixture
+      * needs the gate provably open on an 8-cell index whose thin
+      * support can span most cells. Same no-global-mutation contract.
+      */
+    @volatile private[graft] var thinReadFraction: Double = Double.NaN
+
     /** Build-path provenance, set by [[VectorSearch.buildIvf]] on the
       * handle it returns (false on loaded/constructed handles): whether
       * the build's fit took the hierarchical path and whether assignment
@@ -507,6 +543,14 @@ object VectorSearch {
     @transient private val exactSwitches =
       new java.util.concurrent.atomic.AtomicLong()
     private[graft] def exactSwitchCount: Long = exactSwitches.get()
+
+    // Thin-support telemetry: probePlan calls whose filter engaged the
+    // support scan (ALL match-bearing cells planned — recall 1.0 by
+    // construction). q119 and eval artifacts pin plan provenance on
+    // this counter's deltas, mirroring exactSwitchCount.
+    @transient private val thinSupportPlans =
+      new java.util.concurrent.atomic.AtomicLong()
+    private[graft] def thinSupportPlanCount: Long = thinSupportPlans.get()
 
     /** True when the planned probe sets' union holds at least
       * [[VectorSearch.exactScanSwitchFraction]] of the index's rows
@@ -749,6 +793,8 @@ object VectorSearch {
         // arithmetic over counts + cellCounts; zero jobs.
         val tf = if (thinFactor.isNaN) VectorSearch.thinSupportFactor
           else thinFactor
+        val trf = if (thinReadFraction.isNaN)
+          VectorSearch.thinSupportMaxReadFraction else thinReadFraction
         val totalMatches = counts.valuesIterator.sum
         val thinAll = tf > 0 && totalMatches > 0 &&
           totalMatches <= tf * k && cellCounts.nonEmpty && {
@@ -757,10 +803,10 @@ object VectorSearch {
               val vol = counts.keysIterator
                 .map(c => if (c < cellCounts.length) cellCounts(c) else 0L)
                 .sum
-              vol.toDouble <=
-                VectorSearch.thinSupportMaxReadFraction * totalRows
+              vol.toDouble <= trf * totalRows
             }
           }
+        if (thinAll) thinSupportPlans.incrementAndGet()
         queries.map { q =>
           val ranked = nearestClusters(q, centroids.length)
             .filter(c => counts.getOrElse(c, 0L) > 0L)
@@ -1776,6 +1822,21 @@ object VectorSearch {
       println(s"[ivf] fit_refine_groups m=${coarse.length} worst=" +
         worst.map(w => f"g=${w._1}:n=${w._2}:${w._3}%.1fs").mkString(","))
     }
+    // Centroid-count audit (r13, always-on): the full-mass split hands
+    // allocateCentroids ESTIMATED masses (subsample-apportioned), so its
+    // "centroids ≤ points" cap is no longer exact — a sub-group whose
+    // true winner count under the global assignment falls below its
+    // allocation emits fewer centroids (localLloyd returns min(kg, n)),
+    // and an unwatched build would silently ship an index with < k
+    // cells. Recall stays correct (every row still assigns to SOME
+    // cell); the budget is just partially unused — surfaced here so
+    // scale artifacts catch it rather than a cell-count diff downstream.
+    val expected = alloc.valuesIterator.sum
+    val emitted = refined.iterator.map(_._4.length).sum
+    if (emitted < expected)
+      println(s"[ivf] WARN fit_refine emitted $emitted of $expected " +
+        s"allocated centroids (fullMassSplit active: ${heavy.nonEmpty}; " +
+        "estimated sub-group masses exceeded true winner counts)")
     refined.sortBy(_._1).flatMap(_._4)
   }
 
@@ -1860,7 +1921,12 @@ object VectorSearch {
     * full scan of its training set, so an unbounded fit would dominate the
     * build); assignment is one narrow pass (model broadcast). The write
     * sorts each task by cluster id so `partitionBy` streams one sequential
-    * file per cluster per task — the vectors never shuffle. (Spark's
+    * file per cluster per task — the vectors never shuffle below
+    * [[writeExchangeMinFiles]] estimated files; above it (high cell
+    * counts) one hash exchange on the cluster id caps the output at
+    * ~cells files, because past ~65k files per-file create overhead —
+    * not bandwidth — governs the write wall (r12/r13 measurements at
+    * the var's scaladoc). (Spark's
     * planned-write rule would inject an equivalent per-task sort for any
     * dynamic-partition write; sorting explicitly makes the layout a
     * contract of the operator rather than an optimizer default.)
@@ -1964,20 +2030,35 @@ object VectorSearch {
     val assigned = df
       .withColumn("__cluster", asgCol(col(vecCol)))
       .withColumnRenamed(vecCol, "__vec")
-    // Cluster-sort within each task instead of shuffling by cluster: the
-    // partitioned write then emits one SEQUENTIAL file per cluster per task
-    // (≤ tasks × clusters files, one open writer at a time) without moving
-    // the vectors through a shuffle at all — measured 3.5× faster than
-    // `repartition(__cluster)` at 1 GB index scale, and the shuffle it
-    // avoids is exactly the kind that dies first at 100 TB. snappy on the
-    // index: near-unit-norm float vectors barely compress, so zstd's extra
-    // CPU buys ~20% size but costs 4× on the write AND slows every probe's
-    // decode (measured round 3 on the 1.1 GB bucketed store: init 4.2 s
-    // snappy vs 16.6 s zstd, selective read 0.9 s vs 2.6 s) — the hot-path
-    // codec is snappy; reserve zstd for cold archival tiers.
+    // Two write layouts by ESTIMATED FILE COUNT (see
+    // [[writeExchangeMinFiles]] for the calibration):
+    //   - direct (small builds): cluster-sort within each task, no
+    //     shuffle — the partitioned write emits one SEQUENTIAL file per
+    //     cluster per task (≤ tasks × clusters, one open writer at a
+    //     time) without moving the vectors at all; measured 3.5× faster
+    //     than an exchange at 1 GB/1000-cell scale, where the write is
+    //     bandwidth-bound and the shuffle is pure overhead.
+    //   - exchange (high cell counts): ONE hash exchange on __cluster
+    //     (same partition count as the input) caps the output at ~cells
+    //     files — above ~65k files the direct path's per-file
+    //     create/fsync overhead governs the wall (31 vs 134 MB/s
+    //     effective, r12), and on a real cluster a tasks × cells file
+    //     explosion also crushes the downstream reader's split planning.
+    // snappy on the index: near-unit-norm float vectors barely compress,
+    // so zstd's extra CPU buys ~20% size but costs 4× on the write AND
+    // slows every probe's decode (measured round 3 on the 1.1 GB
+    // bucketed store: init 4.2 s snappy vs 16.6 s zstd, selective read
+    // 0.9 s vs 2.6 s) — the hot-path codec is snappy; reserve zstd for
+    // cold archival tiers.
     ivfStep("assign_write") {
-      assigned.sortWithinPartitions(col("__cluster"))
-        .write.mode("overwrite").option("compression", "snappy")
+      val inParts = assigned.rdd.getNumPartitions
+      val laid =
+        if (inParts.toLong * centroids.length >
+            VectorSearch.writeExchangeMinFiles)
+          assigned.repartition(inParts, col("__cluster"))
+            .sortWithinPartitions(col("__cluster"))
+        else assigned.sortWithinPartitions(col("__cluster"))
+      laid.write.mode("overwrite").option("compression", "snappy")
         .partitionBy("__cluster").parquet(path)
     }
     // Build-time drift baseline (mean assigned-centroid distance) AND

@@ -67,8 +67,12 @@ object AssignWriteBench {
     // found table is also ROW-COUNTED against the requested size — a
     // footer-metadata count, no data read
     sys.env.get("SPARK_GRAFT_ASSIGN_GEN_ROWS").map(_.toLong).foreach { rows =>
+      // a truncated part-file from a killed prior writer makes the count
+      // THROW (corrupt footer) — any read failure means incomplete, which
+      // is exactly the case the overwrite-mode regeneration below handles
       val complete = graft.FsUtil.hasParquet(src) &&
-        spark.read.parquet(src).count() == rows
+        scala.util.Try(spark.read.parquet(src).count() == rows)
+          .getOrElse(false)
       if (!complete) {
         val t0 = System.nanoTime()
         graft.ProductWorkload.writeIndexed(spark, rows, 2688, 32, src)
@@ -157,6 +161,52 @@ object AssignWriteBench {
     val sizes = graft.operators.VectorSearch.assignGroupingSizes(cents)
     results("groups_value") = sizes.length.toDouble
     results("max_group_value") = sizes.max.toDouble
+
+    // ---- REAL write A/B (r13, env-gated: SPARK_GRAFT_ASSIGN_WRITE=1) ----
+    // The r12 finding: at 4096 cells the partitioned write runs at a
+    // 31 MB/s FILE-COUNT-governed floor (up to tasks × cells ≈ 131k
+    // ~170 KB files) vs 134 MB/s at sf1's ~32k files. The floor's
+    // variable is the file count, NOT the byte volume, so the A/B runs
+    // at a reduced row count with the SAME cell count — same ~131k-file
+    // regime at a fraction of the IO-budget bite. Variants, each the
+    // exact buildIvf write shape from the kernel on:
+    //   direct   — sortWithinPartitions(__cluster) → partitionBy write
+    //              (the shipped r12 layout: ≤ tasks × cells files)
+    //   exchange — repartition(parts, __cluster) first: ONE shuffle of
+    //              the full payload buys ≤ cells (+boundary) files,
+    //              each cluster wholly inside one task
+    // Order-controlled D, E, D2: the repeated first variant brackets
+    // device drift around the exchange measurement. Outputs are deleted
+    // after each pass so disk pressure stays flat.
+    if (sys.env.get("SPARK_GRAFT_ASSIGN_WRITE").contains("1")) {
+      val wroot = sys.env.getOrElse("SPARK_GRAFT_ASSIGN_WRITE_DIR",
+        src + "_wtest")
+      val parts = dfFull.rdd.getNumPartitions
+      results("write_input_parts_value") = parts.toDouble
+      def writePass(name: String, exchange: Boolean): Unit = {
+        val out = s"$wroot/$name"
+        val assigned = dfFull.withColumn("__cluster", groupedCol)
+        val laid =
+          if (exchange) assigned.repartition(parts, col("__cluster"))
+            .sortWithinPartitions(col("__cluster"))
+          else assigned.sortWithinPartitions(col("__cluster"))
+        val t0 = System.nanoTime()
+        laid.write.mode("overwrite").option("compression", "snappy")
+          .partitionBy("__cluster").parquet(out)
+        results(s"${name}_value") = (System.nanoTime() - t0) / 1e9
+        val p = java.nio.file.Paths.get(out)
+        results(s"${name}_gb_value") = graft.FsUtil.sizeBytes(p) / 1e9
+        var files = 0L
+        java.nio.file.Files.walk(p).forEach { f =>
+          if (f.toString.endsWith(".parquet")) files += 1
+        }
+        results(s"${name}_files_value") = files.toDouble
+        graft.FsUtil.deleteRecursively(p)
+      }
+      writePass("write_direct", exchange = false)
+      writePass("write_exchange", exchange = true)
+      writePass("write_direct2", exchange = false)
+    }
 
     val qs = results.map { case (k2, v) => "\"" + k2 + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")

@@ -435,6 +435,65 @@ class VectorSearchSpec extends SparkSpec {
     val fat = idx.copy(cellCounts = Array.fill(8)(500L))
     val fatPlan = fat.probePlan(spark, Seq(q), 3, 1, Some(pred), true).head
     assert(fatPlan.length == 2, s"cost gate failed: $fatPlan")
+    // r13: telemetry pins provenance (one thin plan on idx, none on the
+    // gated copy), and the per-handle read-fraction override opens the
+    // gate without touching the process-global default
+    assert(idx.thinSupportPlanCount == 1L && fat.thinSupportPlanCount == 0L)
+    fat.thinReadFraction = 1.0
+    val opened = fat.probePlan(spark, Seq(q), 3, 1, Some(pred), true).head
+    assert(opened.toSet == Set(0, 1, 2, 3) && fat.thinSupportPlanCount == 1L,
+      s"per-handle read-fraction override failed: $opened")
+    fat.thinReadFraction = Double.NaN
+  }
+
+  test("high-cell-count build exchanges before the partitioned write") {
+    // r13 write-floor fix: above writeExchangeMinFiles ESTIMATED files
+    // (input tasks × cells) the build trades one hash exchange on the
+    // cluster id for a ~cells-file layout — each cluster wholly inside
+    // one task — instead of the direct path's tasks × cells files (the
+    // 31 MB/s per-file-overhead floor at 4096 cells, r12). Forced both
+    // ways on one dataset: the layouts must differ exactly as designed
+    // and the INDEX must be identical (same centroids, same cellCounts,
+    // same search answer — only file placement changes).
+    val rnd = new scala.util.Random(7)
+    val rows = (0 until 512).map { i =>
+      (i.toLong, Array.tabulate(8)(j =>
+        (if (j == i % 8) 10.0f else 0.0f) + rnd.nextFloat()))
+    }.toDF("vec_id", "embedding").repartition(8)
+    def files(dir: String): Long = {
+      var n = 0L
+      java.nio.file.Files.walk(java.nio.file.Paths.get(dir)).forEach { f =>
+        // DATA files only — the routed manifest under _graft_manifest is
+        // parquet too and not part of the layout under test
+        if (f.toString.endsWith(".parquet") &&
+          !f.toString.contains("_graft_manifest")) n += 1
+      }
+      n
+    }
+    val o = VectorSearch.writeExchangeMinFiles
+    val root = java.nio.file.Files.createTempDirectory("ivf_exchange")
+    try {
+      VectorSearch.writeExchangeMinFiles = Long.MaxValue
+      val direct = VectorSearch.buildIvf(rows, "embedding", 8,
+        s"$root/direct", sampleFraction = 1.0)
+      VectorSearch.writeExchangeMinFiles = 0L
+      val exch = VectorSearch.buildIvf(rows, "embedding", 8,
+        s"$root/exch", sampleFraction = 1.0)
+      val fDirect = files(s"$root/direct")
+      val fExch = files(s"$root/exch")
+      assert(fExch <= 8L, s"exchange layout wrote $fExch files")
+      assert(fDirect > fExch,
+        s"direct $fDirect vs exchange $fExch — gate did not change layout")
+      assert(direct.cellCounts.sameElements(exch.cellCounts))
+      val q = Array.tabulate(8)(i => (8 - i).toFloat)
+      def ids(ix: VectorSearch.IvfIndex): Seq[Long] =
+        ix.search(spark, q, 5, nprobe = 8)
+          .select("vec_id").collect().map(_.getLong(0)).toSeq
+      assert(ids(direct) == ids(exch))
+    } finally {
+      VectorSearch.writeExchangeMinFiles = o
+      FsUtil.deleteRecursively(root)
+    }
   }
 
   test("auto-widen end-to-end: built index plans wider at factor 4 and stays exact") {
