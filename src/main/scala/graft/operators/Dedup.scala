@@ -145,6 +145,31 @@ object Dedup {
     */
   val AutoNumHashes: Int = 0
 
+  /** [[NearDupIndex.dedupBatch]] broadcast-prune gates (r13). The pruned
+    * plan streams each corpus-side frame once through a broadcast
+    * semi-join instead of shuffling it into the batch joins — engaged
+    * when the corpus band frame's Catalyst-estimated size is at least
+    * `dedupPruneMinCorpusBytes` (driver-side stats, zero jobs; below it
+    * the classic shuffle join is cheaper than the extra broadcast
+    * barriers — and the small correctness fixtures keep bit-identical
+    * plans) AND the batch's band-key count is at most
+    * `dedupPruneMaxBatchKeys` (the broadcast build side is
+    * ~40 B × keys; 2M keys ≈ 80 MB ≈ a 125k-rep batch — far past any
+    * micro-batch, and a driver-safe ceiling on a real cluster). Specs
+    * force either path by setting the byte gate to 0 / Long.MaxValue.
+    */
+  @volatile private[graft] var dedupPruneMinCorpusBytes: Long = 256L << 20
+  @volatile private[graft] var dedupPruneMaxBatchKeys: Long = 2000000L
+
+  /** Fold cadence for [[NearDupIndex.save]]'s incremental checkpoints: a
+    * save writes a DELTA version while the committed chain (full base +
+    * deltas) is shorter than this, and folds back to a full version
+    * otherwise — so checkpoint cost is ∝ batch at crawl cadence while
+    * load-time union width and the vacuum keep-window stay bounded.
+    * 1 disables deltas entirely (every save full — the r12 behavior).
+    */
+  @volatile private[graft] var maxDeltaChain: Int = 8
+
   private def resolveNumHashes(numHashes: Int, estimated: Boolean): Int =
     if (numHashes != AutoNumHashes) numHashes
     else if (estimated) 32
@@ -1042,7 +1067,11 @@ object Dedup {
     * shingle, so per-batch NEW WORK (shingling, signatures, banding) is
     * |batch| × shingles-per-doc regardless of index size; the candidate
     * and verify joins additionally STREAM the stored index frames once
-    * per batch — memory-speed, horizontally scalable, and the reason the
+    * per batch — and on a large corpus that stream is a BROADCAST-PRUNED
+    * columnar pass (r13: the batch's key set broadcasts as the semi-join
+    * build side, so no corpus frame ever shuffles or sorts — see
+    * [[dedupBatch]]) — scan-speed with a small constant, horizontally
+    * scalable, and the reason the
     * stored layout is row-minimal (NearDupScale measures the wall at
     * 500k and 5M docs).
     *
@@ -1063,11 +1092,32 @@ object Dedup {
     *     √(J(1−J)/numHashes) of exact in expectation; raise `numHashes`
     *     to tighten it.
     */
+  /** The frames [[NearDupIndex.appended]] has accumulated since the
+    * index's last [[NearDupIndex.save]]/`load` — what a DELTA checkpoint
+    * writes. Every member is localCheckpoint-backed (appended slices are
+    * checkpointed at append time), so a delta save re-runs no corpus
+    * work.
+    */
+  private[graft] final case class NearDupDelta(
+      bands: DataFrame, fingerprints: DataFrame,
+      shingles: Option[DataFrame], counts: Option[DataFrame],
+      signatures: Option[DataFrame])
+
   final case class NearDupIndex(
       idCol: String, k: Int, numHashes: Int, rowsPerBand: Int,
       bands: DataFrame, fingerprints: DataFrame,
       shingles: Option[DataFrame], counts: Option[DataFrame],
       signatures: Option[DataFrame]) {
+
+    // Incremental-checkpoint tracking (r13), single-writer by the class
+    // contract: where this index's persisted state lives (path + version)
+    // and the appended-since slices a delta save writes. Instance state,
+    // not constructor fields: save() must update the handle in place (its
+    // Unit API runs at batch cadence), and appended()/compacted() hand
+    // the state to the copies they return.
+    private var persistedBase: Option[(String, Long)] = None
+    private var pendingDelta: Option[NearDupDelta] = None
+    private[graft] def persistedVersion: Option[(String, Long)] = persistedBase
 
     /** True when the index verifies candidates by signature-estimated
       * Jaccard (no shingle store).
@@ -1080,6 +1130,22 @@ object Dedup {
       * [[Dedup.dropDuplicatesAgainst]], with the index standing in for the
       * corpus). Internal dedup runs FIRST so index checks touch only
       * internal survivors.
+      *
+      * Corpus-side cost shape (r13): every join against a stored index
+      * frame (band keys, fingerprints, signatures/shingles/counts) is
+      * rewritten as a BROADCAST-PRUNED pass when the corpus side is large
+      * ([[Dedup.dedupPruneMinCorpusBytes]], driver-side plan stats) and
+      * the batch's key set is broadcastable
+      * ([[Dedup.dedupPruneMaxBatchKeys]]): the batch-derived key set
+      * (band keys / fingerprints / candidate ids) broadcasts as the
+      * build side of a semi-join, so each corpus frame streams ONCE
+      * through a codegen hash probe — no shuffle, no sort, no wide rows
+      * moved. The per-batch corpus term drops from a shuffle join over
+      * the full band frame (measured near-linear in corpus: 5.7 → 32.2 s
+      * for 10× corpus at identical batch work, BENCH_neardup5m_r12) to a
+      * pure columnar scan. Verdicts are identical by construction — the
+      * semi-join discards only corpus rows that cannot join (DedupSpec
+      * pins pruned-vs-full survivor equality).
       */
     def dedupBatch(batch: DataFrame, textCol: String,
         threshold: Double = 0.7): DataFrame = {
@@ -1090,12 +1156,36 @@ object Dedup {
       // REPRESENTATIVES; member losers are recovered through the membership
       // frame (identical text ⇒ identical shingles ⇒ identical verdict),
       // so nothing here is quadratic in exact-group size.
+      // Batch band keys from the same memoized core the rep-pair pass
+      // below uses (eagerly checkpointed there in both modes, so the
+      // count is a cache scan): the prune decision needs the corpus-side
+      // size (driver-side plan stats — zero jobs; accurate for both
+      // localCheckpointed and parquet-backed frames) and the batch key
+      // count, paid only when the corpus side is big enough to matter.
+      val coreBands =
+        if (estimated) estSigCore(batch, textCol, idCol, k, numHashes,
+          rowsPerBand).bands
+        else sigCore(batch, textCol, idCol, k, numHashes, rowsPerBand).bands
+      val corpusBig = bands.queryExecution.optimizedPlan.stats.sizeInBytes >=
+        Dedup.dedupPruneMinCorpusBytes
+      val prune = corpusBig &&
+        coreBands.count() <= Dedup.dedupPruneMaxBatchKeys
       val internalFp = batch.select(col(idCol), md5(col(textCol)).as("__fp"))
       val exactInternalLosers = internalFp
         .join(internalFp.groupBy(col("__fp")).agg(min(col(idCol)).as("__keep")),
           "__fp")
         .filter(col(idCol) > col("__keep")).select(col(idCol))
-      val exactVsIndexLosers = internalFp
+      // pruned: stream corpus fingerprints once against the broadcast
+      // batch fp set (a left_semi's build side must be its right side, so
+      // the unpruned shape shuffles/builds the CORPUS frame per batch);
+      // the matched set is batch-bounded and broadcasts back
+      val exactVsIndexLosers = if (prune) {
+        val matched = fingerprints.join(
+          broadcast(internalFp.select(col("__fp")).distinct()),
+          Seq("__fp"), "left_semi")
+        internalFp.join(broadcast(matched), Seq("__fp"), "left_semi")
+          .select(col(idCol))
+      } else internalFp
         .join(fingerprints, Seq("__fp"), "left_semi")
         .select(col(idCol))
       // pair-wise keep-lowest-id INSIDE the batch (same derivation as
@@ -1117,34 +1207,58 @@ object Dedup {
       // verification — exact Jaccard against the stored shingle/count
       // frames, or MinHash agreement against the stored signatures; a rep
       // that near-dups the index drops its whole exact group
+      // Candidate generation against the stored band frame. Pruned: the
+      // batch's distinct (band, bkey) set broadcasts, the corpus band
+      // frame streams once through the semi-join probe, and the (small)
+      // surviving corpus rows are eagerly checkpointed so the verify
+      // stage's broadcast of candidate ids re-executes a bounded frame —
+      // not a second corpus stream.
+      def candidates(batchIdAs: String, corpusIdAs: String): DataFrame = {
+        val batchBands = coreBands
+          .select(col(idCol).as(batchIdAs), col("band"), col("bkey"))
+        val corpusBands = bands
+          .select(col(idCol).as(corpusIdAs), col("band"), col("bkey"))
+        val corpusSide =
+          if (prune)
+            corpusBands.join(
+              broadcast(coreBands.select(col("band"), col("bkey")).distinct()),
+              Seq("band", "bkey"), "left_semi").localCheckpoint(true)
+          else corpusBands
+        batchBands.join(corpusSide, Seq("band", "bkey"))
+          .select(col(batchIdAs), col(corpusIdAs)).distinct()
+      }
+      // pruned verify: restrict a stored per-doc frame to the candidate
+      // corpus ids (batch-bounded) — one broadcast-probed stream instead
+      // of shuffling the corpus-sized frame into the verify join
+      def pruneByIds(frame: DataFrame, candIds: DataFrame): DataFrame =
+        if (prune) frame.join(broadcast(candIds), Seq(idCol), "left_semi")
+        else frame
       val nearRepLosers = if (estimated) {
         val c = estSigCore(batch, textCol, idCol, k, numHashes, rowsPerBand)
-        val cands = c.bands
-          .select(col(idCol).as("id1"), col("band"), col("bkey"))
-          .join(bands.select(col(idCol).as("id2"), col("band"), col("bkey")),
-            Seq("band", "bkey"))
-          .select(col("id1"), col("id2")).distinct()
+        val cands = candidates("id1", "id2")
+        val sigsSrc = pruneByIds(signatures.get,
+          cands.select(col("id2").as(idCol)).distinct())
         // batch side regrouped to arrays at verify time (bounded by the
         // batch); the corpus side is already stored in array form
-        estimatedJaccardOnArr(sigsToArray(c.sigs, idCol), signatures.get,
+        estimatedJaccardOnArr(sigsToArray(c.sigs, idCol), sigsSrc,
             idCol, numHashes, cands)
           .filter(col("jaccard") >= threshold)
           .select(col("id1").as("__rep")).distinct()
       } else {
         val c = sigCore(batch, textCol, idCol, k, numHashes, rowsPerBand)
-        val cands = c.bands.select(col(idCol).as("__bid"), col("band"), col("bkey"))
-          .join(bands.select(col(idCol).as("__cid"), col("band"), col("bkey")),
-            Seq("band", "bkey"))
-          .select(col("__bid"), col("__cid")).distinct()
+        val cands = candidates("__bid", "__cid")
+        val candIds = cands.select(col("__cid").as(idCol)).distinct()
         val inter = cands
           .join(c.shingles.select(col(idCol).as("__bid"), col("s")), Seq("__bid"))
-          .join(shingles.get.select(col(idCol).as("__cid2"), col("s").as("__s2")),
+          .join(pruneByIds(shingles.get, candIds)
+              .select(col(idCol).as("__cid2"), col("s").as("__s2")),
             col("__cid") === col("__cid2") && col("s") === col("__s2"))
           .groupBy(col("__bid"), col("__cid")).agg(count(lit(1)).as("__c"))
         inter
           .join(c.counts.select(col(idCol).as("__bid"), col("__n").as("__bn")),
             Seq("__bid"))
-          .join(counts.get.select(col(idCol).as("__cid"), col("__n")), Seq("__cid"))
+          .join(pruneByIds(counts.get, candIds)
+            .select(col(idCol).as("__cid"), col("__n")), Seq("__cid"))
           .filter(col("__c").cast("double") /
             (col("__bn") + col("__n") - col("__c")) >= threshold)
           .select(col("__bid").as("__rep")).distinct()
@@ -1176,7 +1290,7 @@ object Dedup {
         .select(col(idCol), col(textCol))
       val fp = extra.select(md5(col(textCol)).as("__fp")).distinct()
         .localCheckpoint(true)
-      if (estimated) {
+      val (ni, slice) = if (estimated) {
         // signature mode grows by one numHashes-long array + band keys
         // per doc — the shingle-sized frames are never derived at all;
         // same estimation-grade family as the stored corpus signatures
@@ -1185,8 +1299,9 @@ object Dedup {
           .localCheckpoint(true)
         val bnd = lshBandKeys(sigRows, idCol, rowsPerBand).localCheckpoint(true)
         val arr = sigsToArray(sigRows, idCol).localCheckpoint(true)
-        copy(bands = bands.union(bnd), fingerprints = fingerprints.union(fp),
-          signatures = Some(signatures.get.union(arr)))
+        (copy(bands = bands.union(bnd), fingerprints = fingerprints.union(fp),
+          signatures = Some(signatures.get.union(arr))),
+          NearDupDelta(bnd, fp, None, None, Some(arr)))
       } else {
         val sh = TextAnalysis.shingles(eligible, textCol, k, idCol)
           .distinct().localCheckpoint(true)
@@ -1195,21 +1310,42 @@ object Dedup {
         val bnd = lshBandKeys(
           minhashSignatures(eligible, textCol, idCol, k, numHashes),
           idCol, rowsPerBand).localCheckpoint(true)
-        copy(bands = bands.union(bnd), fingerprints = fingerprints.union(fp),
+        (copy(bands = bands.union(bnd), fingerprints = fingerprints.union(fp),
           shingles = Some(shingles.get.union(sh)),
-          counts = Some(counts.get.union(cnt)))
+          counts = Some(counts.get.union(cnt))),
+          NearDupDelta(bnd, fp, Some(sh), Some(cnt), None))
       }
+      // the copy keeps its persisted lineage and extends the
+      // appended-since slices — what a delta checkpoint will write
+      ni.persistedBase = persistedBase
+      ni.pendingDelta = Some(pendingDelta match {
+        case None => slice
+        case Some(d) => NearDupDelta(
+          d.bands.union(slice.bands),
+          d.fingerprints.union(slice.fingerprints),
+          d.shingles.map(_.union(slice.shingles.get)),
+          d.counts.map(_.union(slice.counts.get)),
+          d.signatures.map(_.union(slice.signatures.get)))
+      })
+      ni
     }
 
     /** Re-checkpoint every stored frame, truncating the union lineage that
-      * [[appended]] accumulates.
+      * [[appended]] accumulates — and detaching a loaded handle from its
+      * on-disk version (see the [[save]] vacuum grace window).
       */
-    def compacted(): NearDupIndex =
-      copy(bands = bands.localCheckpoint(true),
+    def compacted(): NearDupIndex = {
+      val ni = copy(bands = bands.localCheckpoint(true),
         fingerprints = fingerprints.localCheckpoint(true),
         shingles = shingles.map(_.localCheckpoint(true)),
         counts = counts.map(_.localCheckpoint(true)),
         signatures = signatures.map(_.localCheckpoint(true)))
+      // delta slices are checkpoint-backed already (appended checkpoints
+      // them at append time) — carry them through unchanged
+      ni.persistedBase = persistedBase
+      ni.pendingDelta = pendingDelta
+      ni
+    }
 
     /** Persist the index durably under `path` — the [[ManifestLayout]]
       * versioned, crash-atomic layout [[VectorSearch.IvfIndex]] uses for
@@ -1231,6 +1367,15 @@ object Dedup {
       * at batch cadence. Exact mode additionally writes the
       * shingle/count store (∝ corpus tokens — inherent to exact
       * verification; the class doc's mode table is the 100 TB dial).
+      *
+      * Vacuum grace window: each save keeps only the TWO newest committed
+      * versions (plus any delta chain they need) and deletes older ones.
+      * A [[NearDupIndex.load]]ed handle holds lazy parquet scans of its
+      * version — a handle kept across MORE than two subsequent saves of
+      * the same path gets FileNotFound mid-job. Pipelines that hold a
+      * loaded handle across several batch-cadence saves should pull it
+      * into executor memory first ([[compacted]], which localCheckpoints
+      * every frame and detaches it from the on-disk version).
       */
     def save(path: String): Unit = {
       val spark = bands.sparkSession
@@ -1239,16 +1384,43 @@ object Dedup {
       val vs = ManifestLayout.versions(fs, root)
       val next = ManifestLayout.nextVersion(vs)
       val vdir = ManifestLayout.versionDir(path, next)
-      bands.write.parquet(s"$vdir/bands")
-      fingerprints.write.parquet(s"$vdir/fingerprints")
-      shingles.foreach(_.write.parquet(s"$vdir/shingles"))
-      counts.foreach(_.write.parquet(s"$vdir/counts"))
-      signatures.foreach(_.write.parquet(s"$vdir/signatures"))
+      // DELTA checkpoint (r13) when this handle's persisted base is still
+      // the path's newest committed version (single-writer continuity)
+      // and the chain hasn't hit the fold cadence: write ONLY the
+      // appended-since slices — checkpoint cost ∝ batch survivors, not
+      // corpus (a full 5M-doc save rewrites 4.06 GB in ~9 s; a 10k-batch
+      // delta writes ~8 MB). Every maxDeltaChain-th save folds the chain
+      // back to one full version, bounding load()'s union width and the
+      // vacuum keep-window.
+      val newestCommitted = vs.filter(_._2).map(_._1)
+        .reduceOption(_ max _)
+      val chainLen = ManifestLayout.committedChain(fs, path).length
+      val asDelta = pendingDelta.isDefined &&
+        persistedBase.exists { case (p, v) =>
+          p == path && newestCommitted.contains(v) } &&
+        chainLen > 0 && chainLen < Dedup.maxDeltaChain
+      if (asDelta) {
+        val d = pendingDelta.get
+        d.bands.write.parquet(s"$vdir/bands")
+        d.fingerprints.write.parquet(s"$vdir/fingerprints")
+        d.shingles.foreach(_.write.parquet(s"$vdir/shingles"))
+        d.counts.foreach(_.write.parquet(s"$vdir/counts"))
+        d.signatures.foreach(_.write.parquet(s"$vdir/signatures"))
+      } else {
+        bands.write.parquet(s"$vdir/bands")
+        fingerprints.write.parquet(s"$vdir/fingerprints")
+        shingles.foreach(_.write.parquet(s"$vdir/shingles"))
+        counts.foreach(_.write.parquet(s"$vdir/counts"))
+        signatures.foreach(_.write.parquet(s"$vdir/signatures"))
+      }
       import spark.implicits._
       Seq((idCol, k, numHashes, rowsPerBand, estimated))
         .toDF("idCol", "k", "numHashes", "rowsPerBand", "estimated")
         .coalesce(1).write.parquet(s"$vdir/meta")
-      ManifestLayout.commitAndVacuum(fs, path, next, vs)
+      ManifestLayout.commitAndVacuum(fs, path, next, vs,
+        nextIsDelta = asDelta)
+      persistedBase = Some((path, next))
+      pendingDelta = None
     }
   }
 
@@ -1323,26 +1495,38 @@ object Dedup {
       * frames are parquet-backed (durable, re-runnable scans) rather
       * than localCheckpoints; call [[NearDupIndex.compacted]] to pull a
       * hot index into executor memory after load if batch cadence
-      * warrants it.
+      * warrants it. A loaded handle's scans are pinned to its on-disk
+      * version, which [[save]]'s vacuum keeps for only a two-version
+      * grace window — compact (or re-load) any handle held across more
+      * than two subsequent saves of the same path.
       */
     def load(spark: SparkSession, path: String): NearDupIndex = {
       val root = new org.apache.hadoop.fs.Path(path)
       val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      val vdir = ManifestLayout.newestCommittedDir(fs, path).getOrElse(
-        sys.error(s"no committed near-dup index at $path"))
-      val m = spark.read.parquet(s"$vdir/meta").head()
+      // the newest committed version plus — when it is a delta — the
+      // committed chain down to its full base: each frame is the union
+      // of that chain's slices (one multi-path parquet relation per
+      // frame, not a union tree — partition math and pushdown behave
+      // exactly as a single scan)
+      val chain = ManifestLayout.committedChain(fs, path)
+      require(chain.nonEmpty, s"no committed near-dup index at $path")
+      val newest = chain.last
+      val m = spark.read.parquet(s"$newest/meta").head()
       val est = m.getAs[Boolean]("estimated")
-      NearDupIndex(
+      def frame(name: String): DataFrame =
+        spark.read.parquet(chain.map(d => s"$d/$name"): _*)
+      val idx = NearDupIndex(
         m.getAs[String]("idCol"), m.getAs[Int]("k"),
         m.getAs[Int]("numHashes"), m.getAs[Int]("rowsPerBand"),
-        bands = spark.read.parquet(s"$vdir/bands"),
-        fingerprints = spark.read.parquet(s"$vdir/fingerprints"),
-        shingles =
-          if (est) None else Some(spark.read.parquet(s"$vdir/shingles")),
-        counts =
-          if (est) None else Some(spark.read.parquet(s"$vdir/counts")),
-        signatures =
-          if (est) Some(spark.read.parquet(s"$vdir/signatures")) else None)
+        bands = frame("bands"),
+        fingerprints = frame("fingerprints"),
+        shingles = if (est) None else Some(frame("shingles")),
+        counts = if (est) None else Some(frame("counts")),
+        signatures = if (est) Some(frame("signatures")) else None)
+      // a loaded handle can delta-save on top of the version it read
+      idx.persistedBase = Some((path,
+        ManifestLayout.versions(fs, root).filter(_._2).map(_._1).max))
+      idx
     }
   }
 

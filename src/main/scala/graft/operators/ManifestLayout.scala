@@ -19,6 +19,34 @@ private[graft] object ManifestLayout {
   private val VersionRe = "^v(\\d{8})$".r
   val CommitMarker = "_graft_commit"
 
+  /** Marks a version as a DELTA checkpoint: its frame dirs hold only the
+    * rows appended since the previous committed version, and readers must
+    * union the chain back to the nearest FULL version (r13 — the
+    * NearDupIndex incremental-checkpoint layout; IVF manifests never
+    * write deltas). Written before the commit marker, so a committed
+    * delta can never be misread as a full version.
+    */
+  val DeltaMarker = "_graft_delta"
+
+  def isDelta(fs: FileSystem, root: String, v: Long): Boolean =
+    fs.exists(new Path(versionDir(root, v), DeltaMarker))
+
+  /** Version dirs of the newest committed checkpoint's CHAIN, base-first:
+    * the newest committed FULL version and every committed delta above
+    * it. Single writer + the save-side "delta only on top of the newest
+    * committed version" guard make the chain linear by construction.
+    * Empty when nothing is committed (or — corrupt state — no full
+    * version survives under the newest committed delta).
+    */
+  def committedChain(fs: FileSystem, root: String): Seq[String] = {
+    val committed = versions(fs, new Path(root)).filter(_._2).map(_._1).sorted
+    committed.reverse.find(v => !isDelta(fs, root, v)) match {
+      case None => Seq.empty
+      case Some(base) =>
+        committed.filter(_ >= base).map(versionDir(root, _))
+    }
+  }
+
   /** (version, committed) for every `v########` directory under `root` —
     * committed = its commit marker exists. Empty when the root is absent
     * or holds no versioned dirs.
@@ -46,14 +74,26 @@ private[graft] object ManifestLayout {
   }
 
   /** Write the commit marker for `next` (making it visible to readers),
-    * then vacuum everything older than the two newest committed
-    * versions. Call ONLY after every payload file of `next` is on disk.
+    * then vacuum everything older than the two newest committed versions
+    * — extended down to their chain base when the grace window lands on
+    * deltas, so either grace version stays fully resolvable. Call ONLY
+    * after every payload file of `next` is on disk; `nextIsDelta` stamps
+    * the delta marker first (a committed delta must never read as full).
     */
   def commitAndVacuum(fs: FileSystem, root: String, next: Long,
-      priorVersions: Seq[(Long, Boolean)]): Unit = {
+      priorVersions: Seq[(Long, Boolean)],
+      nextIsDelta: Boolean = false): Unit = {
+    if (nextIsDelta)
+      fs.create(new Path(versionDir(root, next), DeltaMarker)).close()
     fs.create(new Path(versionDir(root, next), CommitMarker)).close()
     val committed = (priorVersions.filter(_._2).map(_._1) :+ next).sorted
-    val keepFrom = committed.takeRight(2).head
+    val graceOldest = committed.takeRight(2).head
+    // deltas need their chain base readable: extend the keep window down
+    // to the newest FULL version at or below the grace window. A
+    // delta-free layout (every IVF manifest) resolves keepFrom to
+    // graceOldest itself — the pre-r13 behavior, unchanged.
+    val keepFrom = committed.filter(_ <= graceOldest).reverse
+      .find(v => !isDelta(fs, root, v)).getOrElse(committed.min)
     priorVersions.foreach { case (v, _) =>
       if (v < keepFrom) { fs.delete(new Path(versionDir(root, v)), true); () }
     }

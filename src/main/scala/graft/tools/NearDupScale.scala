@@ -171,6 +171,43 @@ object NearDupScale {
                 idx.dedupBatch(pb, "text", threshold = 0.7).count().toDouble
               pb.unpersist(blocking = false)
             }
+            // incremental checkpoint (r13): one more batch through the
+            // loop, then save again — the save must be a DELTA (∝ batch
+            // survivors, not corpus: the full save above rewrites the
+            // whole multi-GB index; this one writes the appended slices
+            // only), and a reload of the chained layout must classify a
+            // fresh batch identically to the in-memory handle
+            val db = mkBatch(960000000000L + ti * 40000000000L,
+              s"zzdeltatail$ti", s"zd$ti")
+            var dsurv: DataFrame = null
+            timed(s"dedup_batch_delta_$tag") {
+              dsurv = idx.dedupBatch(db, "text", threshold = 0.7)
+                .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+              results(s"survivors_delta_${tag}_value") = dsurv.count().toDouble
+            }
+            timed(s"append_delta_$tag") { idx = idx.appended(dsurv, "text") }
+            timed(s"index_save_delta_$tag") { idx.save(ipath) }
+            val fs = new org.apache.hadoop.fs.Path(ipath).getFileSystem(
+              spark.sparkContext.hadoopConfiguration)
+            val chain = graft.operators.ManifestLayout.committedChain(fs, ipath)
+            results(s"delta_chain_len_${tag}_value") = chain.length.toDouble
+            // chain dirs are plain local paths here (versionDir output)
+            results(s"index_save_delta_gb_${tag}_value") =
+              graft.FsUtil.sizeBytes(java.nio.file.Paths.get(chain.last)) / 1e9
+            var re2: Dedup.NearDupIndex = null
+            timed(s"index_load_chain_$tag") {
+              re2 = Dedup.NearDupIndex.load(spark, ipath)
+            }
+            if (re2 != null) {
+              val pb2 = mkBatch(980000000000L + ti * 40000000000L,
+                s"zzchaintail$ti", s"zc$ti")
+              results(s"survivors_chain_reloaded_${tag}_value") =
+                re2.dedupBatch(pb2, "text", threshold = 0.7).count().toDouble
+              results(s"survivors_chain_mem_${tag}_value") =
+                idx.dedupBatch(pb2, "text", threshold = 0.7).count().toDouble
+              pb2.unpersist(blocking = false)
+            }
+            db.unpersist(blocking = false)
           }
         }
         batch.unpersist(blocking = false)

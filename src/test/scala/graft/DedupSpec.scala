@@ -671,6 +671,114 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("dedupBatch broadcast-pruned corpus pass: verdicts identical to shuffle plan") {
+    // r13: on a large corpus every corpus-side frame access in dedupBatch
+    // (band keys, fingerprints, signatures/shingles/counts) becomes a
+    // broadcast-semi-join STREAM — no shuffle of any corpus frame. The
+    // gates are forced both ways here and the survivor sets must be
+    // identical in both verify modes: the semi-join only discards corpus
+    // rows that cannot join. The batch exercises all four loser classes
+    // (exact-internal, exact-vs-index, near-dup-vs-index via the pruned
+    // candidate+verify joins, batch-internal near policy) plus genuine
+    // survivors.
+    val corpus = Tables.documents(spark, "/root/testdata/sf0.001")
+    val texts = corpus.orderBy(col("doc_id")).select(col("text"))
+      .limit(2).collect().map(_.getString(0))
+    val batch = Seq(
+      (900001L, texts(0)),                   // exact dup of a corpus doc
+      (900002L, texts(1) + " zzextratoken"), // near-dup of a corpus doc
+      (900003L, "a genuinely new document discussing spark physical plans"),
+      (900004L, "a genuinely new document discussing spark physical plans"),
+      (900005L, "an entirely different text about parquet row group pruning"))
+      .toDF("doc_id", "text")
+    val o = (Dedup.dedupPruneMinCorpusBytes, Dedup.dedupPruneMaxBatchKeys)
+    try {
+      Seq(false, true).foreach { est =>
+        Dedup.clearMemo(spark)
+        val idx = Dedup.NearDupIndex.build(corpus, "text", "doc_id",
+          estimatedJaccard = est)
+        def surv(): Seq[Long] = idx.dedupBatch(batch, "text", threshold = 0.7)
+          .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+        Dedup.dedupPruneMinCorpusBytes = Long.MaxValue // classic shuffle plan
+        val full = surv()
+        Dedup.dedupPruneMinCorpusBytes = 0L            // forced pruned plan
+        val pruned = surv()
+        assert(pruned == full, s"est=$est: pruned $pruned != full $full")
+        assert(full == Seq(900003L, 900005L), s"est=$est: $full")
+      }
+    } finally {
+      Dedup.dedupPruneMinCorpusBytes = o._1
+      Dedup.dedupPruneMaxBatchKeys = o._2
+    }
+  }
+
+  test("NearDupIndex incremental checkpoints: delta saves, fold cadence, chain reload, vacuum") {
+    // r13 crawl-cadence checkpointing: after a full save, subsequent
+    // saves write ONLY the appended-since slices (delta versions), every
+    // maxDeltaChain-th save folds back to a full version, load() unions
+    // the committed chain, and the vacuum keeps each grace version's
+    // chain base readable.
+    val corpus = Seq(
+      (0L, "the quick brown fox jumps over the lazy dog tonight"),
+      (1L, "completely unrelated reference document about databases"))
+      .toDF("doc_id", "text")
+    val root = java.nio.file.Files.createTempDirectory("ndidx_delta")
+    val oldChain = Dedup.maxDeltaChain
+    try {
+      Dedup.maxDeltaChain = 3
+      val path = s"$root/ndidx"
+      var idx = Dedup.NearDupIndex.build(corpus, "text", "doc_id",
+        estimatedJaccard = true)
+      idx.save(path) // v1 FULL
+      val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(
+        spark.sparkContext.hadoopConfiguration)
+      import graft.operators.ManifestLayout
+      def committed: Seq[Long] = ManifestLayout
+        .versions(fs, new org.apache.hadoop.fs.Path(path))
+        .filter(_._2).map(_._1).sorted
+      assert(committed == Seq(1L) && !ManifestLayout.isDelta(fs, path, 1L))
+      val extras = (0 until 4).map { i =>
+        (100L + i,
+          s"novel crawl document number $i covering a distinct topic " +
+          s"with plenty of shingle bearing tokens variant$i")
+      }
+      extras.take(3).foreach { row =>
+        idx = idx.appended(Seq(row).toDF("doc_id", "text"), "text")
+        idx.save(path)
+      }
+      // v2, v3 deltas; the third save hits the fold cadence → v4 FULL
+      assert(committed == Seq(1L, 2L, 3L, 4L))
+      assert(ManifestLayout.isDelta(fs, path, 2L) &&
+        ManifestLayout.isDelta(fs, path, 3L) &&
+        !ManifestLayout.isDelta(fs, path, 4L))
+      // a delta version holds ONLY its appended slice (1 signature row),
+      // not the corpus — checkpoint cost ∝ batch
+      assert(spark.read.parquet(s"$path/v00000002/signatures").count() == 1L)
+      assert(spark.read.parquet(s"$path/v00000004/signatures").count() ==
+        idx.signatures.get.count())
+      // one more append+save → v5 delta on top of the v4 fold; the vacuum
+      // now drops v1–v3 (grace = {v4, v5}, base of both = v4)
+      idx = idx.appended(Seq(extras(3)).toDF("doc_id", "text"), "text")
+      idx.save(path)
+      assert(committed == Seq(4L, 5L) && ManifestLayout.isDelta(fs, path, 5L))
+      // chain reload parity: the loaded (v4 ∪ v5) index classifies like
+      // the in-memory handle — appended docs drop their exact dups
+      val re = Dedup.NearDupIndex.load(spark, path)
+      assert(re.signatures.get.count() == idx.signatures.get.count())
+      val probe = (Seq((500L, extras(3)._2), (501L, extras(0)._2)) :+
+        ((502L, "a wholly fresh document that matches nothing at all here")))
+        .toDF("doc_id", "text")
+      def surv(ix: Dedup.NearDupIndex): Seq[Long] =
+        ix.dedupBatch(probe, "text", threshold = 0.7)
+          .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+      assert(surv(re) == surv(idx))
+      assert(surv(re) == Seq(502L))
+    } finally {
+      Dedup.maxDeltaChain = oldChain
+      FsUtil.deleteRecursively(root)
+    }
+  }
+
   test("NearDupIndex load ignores uncommitted (crashed) save versions") {
     val corpus = Seq(
       (0L, "alpha bravo charlie delta echo foxtrot golf hotel india"),
