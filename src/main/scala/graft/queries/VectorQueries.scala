@@ -840,6 +840,62 @@ object VectorQueries {
       Some(s"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 2)
         SELECT vec_id, round(${sqlDot("e.embedding", "q.qv")}, 4) + 0 AS score
         FROM embeddings e CROSS JOIN q
-        ORDER BY ${sqlDot("e.embedding", "q.qv")} DESC, vec_id LIMIT 20"""))
+        ORDER BY ${sqlDot("e.embedding", "q.qv")} DESC, vec_id LIMIT 20""")),
+
+    // ---- thin-support scan (r12 mechanism, r13 oracle — verdict task 3):
+    //      a filter whose ENTIRE support is ≤ thinFactor·k rows plans ALL
+    //      match-bearing cells, so the probed set IS the exact answer's
+    //      support and the IVF result equals the flat SQL answer at
+    //      nprobe = 1 BY CONSTRUCTION — no dependence on centroid
+    //      positions or probe order. In-query require()s pin provenance:
+    //      the support-scan rule planned (telemetry counter), the planned
+    //      cell set EQUALS the match-bearing set read back from the index
+    //      layout, the support does not cover every cell, and the probe
+    //      read (not the exact-scan switch) answered. The 8-cell fixture
+    //      opens the cost gate per handle (q117's no-global-mutation
+    //      rule) — the gate is a cost guard, not a correctness input ----
+    QueryDef(
+      "q119_thin_support",
+      (s, d) => {
+        val e = Tables.embeddings(s, d)
+        val root = java.nio.file.Files.createTempDirectory("q119_thin")
+        try {
+          val ivf = VectorSearch.buildIvf(e, "embedding", 8,
+            s"$root/ivf", sampleFraction = 1.0)
+          ivf.thinReadFraction = 1.0
+          ivf.exactScanFraction = 2.0
+          val pred = col("vec_id") < 6
+          val qv = e.filter(col("vec_id") === 3).select(col("embedding"))
+            .head().getSeq[Float](0).toArray
+          val plan = ivf.probePlan(s, Seq(qv), 5, 1, Some(pred),
+            exactFallback = true).head.toSet
+          require(ivf.thinSupportPlanCount >= 1L,
+            "thin-support rule did not engage")
+          val bearing = s.read.parquet(s"$root/ivf").filter(pred)
+            .select(col("__cluster")).distinct()
+            .collect().map(_.getInt(0)).toSet
+          require(plan == bearing,
+            s"planned cells $plan != match-bearing cells $bearing")
+          require(plan.size < ivf.centroids.length,
+            "support covers every cell; probe plan indistinguishable")
+          val hits = ivf.search(s, qv, 5, nprobe = 1, filter = Some(pred))
+            .select(col("vec_id"), col("score")).collect()
+          require(ivf.exactSwitchCount == 0L,
+            "exact-scan switch fired; support scan not exercised")
+          import s.implicits._
+          hits.map(r => (r.getLong(0), r.getDouble(1)))
+            .sortBy(t => (-t._2, t._1)).take(5).toSeq
+            .toDF("vec_id", "score_raw")
+            .select(col("vec_id"),
+              (round(col("score_raw"), 4) + 0.0).as("score"))
+        } finally {
+          graft.FsUtil.deleteRecursively(root)
+        }
+      },
+      Some(s"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 3)
+        SELECT vec_id, round(${sqlDot("e.embedding", "q.qv")}, 4) + 0 AS score
+        FROM embeddings e CROSS JOIN q
+        WHERE vec_id < 6
+        ORDER BY ${sqlDot("e.embedding", "q.qv")} DESC, vec_id LIMIT 5"""))
   )
 }

@@ -85,9 +85,12 @@ object WidenEval {
       val mc = ivf.matchCounts(spark, pred)
       results(s"match_rows_${tier}_value") = mc.valuesIterator.sum.toDouble
       results(s"match_cells_${tier}_value") = mc.size.toDouble
+      // mirror probePlan's bounds guard: an out-of-range cell id (stale
+      // occupancy after a retrain) counts 0 rows instead of crashing
       results(s"match_vol_frac_${tier}_value") =
-        mc.keysIterator.map(c => ivf.cellCounts(c)).sum.toDouble /
-          ivf.cellCounts.sum
+        mc.keysIterator
+          .map(c => if (c < ivf.cellCounts.length) ivf.cellCounts(c) else 0L)
+          .sum.toDouble / ivf.cellCounts.sum
       // "wf1" = the classic plan (candidate target k, support scan off);
       // "wfdef" = the shipped defaults (thin-support scan active)
       Seq("wf1" -> 1.0, "wfdef" -> Double.NaN).foreach { case (wtag, wf) =>
