@@ -761,6 +761,10 @@ class DedupSpec extends SparkSpec {
       idx = idx.appended(Seq(extras(3)).toDF("doc_id", "text"), "text")
       idx.save(path)
       assert(committed == Seq(4L, 5L) && ManifestLayout.isDelta(fs, path, 5L))
+      // a crashed (uncommitted) newer delta dir must stay invisible to
+      // the chain walk — same contract as the full-version crash case
+      java.nio.file.Files.createDirectories(
+        java.nio.file.Paths.get(s"$path/v00000099/bands"))
       // chain reload parity: the loaded (v4 ∪ v5) index classifies like
       // the in-memory handle — appended docs drop their exact dups
       val re = Dedup.NearDupIndex.load(spark, path)
