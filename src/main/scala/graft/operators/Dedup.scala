@@ -1117,6 +1117,11 @@ object Dedup {
     // the state to the copies they return.
     private var persistedBase: Option[(String, Long)] = None
     private var pendingDelta: Option[NearDupDelta] = None
+    // true iff this handle's frames include parquet scans of an on-disk
+    // version chain (set by load(); cleared by compacted(), which pulls
+    // everything into executor memory). Governs whether a FOLD save must
+    // hand back a re-pointed handle — see save().
+    private var diskBacked: Boolean = false
     private[graft] def persistedVersion: Option[(String, Long)] = persistedBase
 
     /** True when the index verifies candidates by signature-estimated
@@ -1318,6 +1323,7 @@ object Dedup {
       // the copy keeps its persisted lineage and extends the
       // appended-since slices — what a delta checkpoint will write
       ni.persistedBase = persistedBase
+      ni.diskBacked = diskBacked
       ni.pendingDelta = Some(pendingDelta match {
         case None => slice
         case Some(d) => NearDupDelta(
@@ -1341,9 +1347,12 @@ object Dedup {
         counts = counts.map(_.localCheckpoint(true)),
         signatures = signatures.map(_.localCheckpoint(true)))
       // delta slices are checkpoint-backed already (appended checkpoints
-      // them at append time) — carry them through unchanged
+      // them at append time) — carry them through unchanged. The compact
+      // detaches every frame from disk, so the handle is no longer
+      // exposed to the save-side vacuum.
       ni.persistedBase = persistedBase
       ni.pendingDelta = pendingDelta
+      ni.diskBacked = false
       ni
     }
 
@@ -1368,16 +1377,26 @@ object Dedup {
       * shingle/count store (∝ corpus tokens — inherent to exact
       * verification; the class doc's mode table is the 100 TB dial).
       *
-      * Vacuum grace window: each save keeps only the TWO newest committed
-      * versions (plus any delta chain they need) and deletes older ones.
-      * A [[NearDupIndex.load]]ed handle holds lazy parquet scans of its
-      * version — a handle kept across MORE than two subsequent saves of
-      * the same path gets FileNotFound mid-job. Pipelines that hold a
-      * loaded handle across several batch-cadence saves should pull it
-      * into executor memory first ([[compacted]], which localCheckpoints
-      * every frame and detaches it from the on-disk version).
+      * Returns the handle to keep using in the write loop. For an
+      * in-memory index (built this session, or [[compacted]]) that is
+      * `this`. For a LOADED handle, a FOLD save (full rewrite at the
+      * [[Dedup.maxDeltaChain]] cadence) returns a handle RE-POINTED at
+      * the just-written version: the loaded handle's own frames are lazy
+      * parquet scans of the OLD chain, which becomes vacuum-eligible at
+      * the save after the fold — keep writing through the stale handle
+      * and the next-next save deletes the files under its scans
+      * (FileNotFound mid-job). `idx = idx.save(path)` is the crawl-loop
+      * contract; DedupSpec drives a loaded handle through two full
+      * fold+vacuum cycles to pin it.
+      *
+      * Vacuum grace window for READERS: each save keeps the TWO newest
+      * committed versions plus any delta chain they need, deleting older
+      * ones. A separately-loaded reader handle kept across more than two
+      * subsequent saves of the same path gets FileNotFound mid-job —
+      * pull long-lived readers into executor memory with [[compacted]]
+      * (which also detaches a writer handle from the vacuum entirely).
       */
-    def save(path: String): Unit = {
+    def save(path: String): NearDupIndex = {
       val spark = bands.sparkSession
       val root = new org.apache.hadoop.fs.Path(path)
       val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -1392,9 +1411,9 @@ object Dedup {
       // delta writes ~8 MB). Every maxDeltaChain-th save folds the chain
       // back to one full version, bounding load()'s union width and the
       // vacuum keep-window.
-      val newestCommitted = vs.filter(_._2).map(_._1)
-        .reduceOption(_ max _)
-      val chainLen = ManifestLayout.committedChain(fs, path).length
+      val committedVs = vs.filter(_._2).map(_._1).sorted
+      val newestCommitted = committedVs.lastOption
+      val chainLen = ManifestLayout.chainOf(fs, path, committedVs).length
       val asDelta = pendingDelta.isDefined &&
         persistedBase.exists { case (p, v) =>
           p == path && newestCommitted.contains(v) } &&
@@ -1421,6 +1440,24 @@ object Dedup {
         nextIsDelta = asDelta)
       persistedBase = Some((path, next))
       pendingDelta = None
+      // A disk-backed handle that just FOLDED must not keep serving from
+      // its old chain (vacuum-eligible at the next save): hand back a
+      // handle whose frames scan the fold itself. Delta saves leave the
+      // chain base alive (the vacuum keeps every grace version's base),
+      // so `this` remains valid there.
+      if (asDelta || !diskBacked) this
+      else {
+        val fresh = NearDupIndex(idCol, k, numHashes, rowsPerBand,
+          bands = spark.read.parquet(s"$vdir/bands"),
+          fingerprints = spark.read.parquet(s"$vdir/fingerprints"),
+          shingles = shingles.map(_ => spark.read.parquet(s"$vdir/shingles")),
+          counts = counts.map(_ => spark.read.parquet(s"$vdir/counts")),
+          signatures =
+            signatures.map(_ => spark.read.parquet(s"$vdir/signatures")))
+        fresh.persistedBase = Some((path, next))
+        fresh.diskBacked = true
+        fresh
+      }
     }
   }
 
@@ -1508,7 +1545,12 @@ object Dedup {
       // of that chain's slices (one multi-path parquet relation per
       // frame, not a union tree — partition math and pushdown behave
       // exactly as a single scan)
-      val chain = ManifestLayout.committedChain(fs, path)
+      // one directory listing resolves both the chain and the newest
+      // version number (matters on object-store roots)
+      val committed = ManifestLayout.versions(fs, root)
+        .filter(_._2).map(_._1).sorted
+      val chain = ManifestLayout.chainOf(fs, path, committed)
+        .map(ManifestLayout.versionDir(path, _))
       require(chain.nonEmpty, s"no committed near-dup index at $path")
       val newest = chain.last
       val m = spark.read.parquet(s"$newest/meta").head()
@@ -1523,9 +1565,11 @@ object Dedup {
         shingles = if (est) None else Some(frame("shingles")),
         counts = if (est) None else Some(frame("counts")),
         signatures = if (est) Some(frame("signatures")) else None)
-      // a loaded handle can delta-save on top of the version it read
-      idx.persistedBase = Some((path,
-        ManifestLayout.versions(fs, root).filter(_._2).map(_._1).max))
+      // a loaded handle can delta-save on top of the version it read —
+      // and is DISK-BACKED: its write loop must follow save()'s
+      // returned-handle contract (or compact first)
+      idx.persistedBase = Some((path, committed.max))
+      idx.diskBacked = true
       idx
     }
   }

@@ -38,14 +38,22 @@ private[graft] object ManifestLayout {
     * Empty when nothing is committed (or — corrupt state — no full
     * version survives under the newest committed delta).
     */
-  def committedChain(fs: FileSystem, root: String): Seq[String] = {
-    val committed = versions(fs, new Path(root)).filter(_._2).map(_._1).sorted
+  def committedChain(fs: FileSystem, root: String): Seq[String] =
+    chainOf(fs, root,
+      versions(fs, new Path(root)).filter(_._2).map(_._1).sorted)
+      .map(versionDir(root, _))
+
+  /** [[committedChain]] over an already-listed committed version set
+    * (ascending) — callers that hold a `versions()` result resolve the
+    * chain without a second directory listing (one listing per
+    * checkpoint matters on object-store-backed roots).
+    */
+  def chainOf(fs: FileSystem, root: String,
+      committed: Seq[Long]): Seq[Long] =
     committed.reverse.find(v => !isDelta(fs, root, v)) match {
       case None => Seq.empty
-      case Some(base) =>
-        committed.filter(_ >= base).map(versionDir(root, _))
+      case Some(base) => committed.filter(_ >= base)
     }
-  }
 
   /** (version, committed) for every `v########` directory under `root` —
     * committed = its commit marker exists. Empty when the root is absent

@@ -196,11 +196,8 @@ object AssignWriteBench {
         results(s"${name}_value") = (System.nanoTime() - t0) / 1e9
         val p = java.nio.file.Paths.get(out)
         results(s"${name}_gb_value") = graft.FsUtil.sizeBytes(p) / 1e9
-        var files = 0L
-        java.nio.file.Files.walk(p).forEach { f =>
-          if (f.toString.endsWith(".parquet")) files += 1
-        }
-        results(s"${name}_files_value") = files.toDouble
+        results(s"${name}_files_value") =
+          graft.FsUtil.countFiles(p, ".parquet").toDouble
         graft.FsUtil.deleteRecursively(p)
       }
       writePass("write_direct", exchange = false)

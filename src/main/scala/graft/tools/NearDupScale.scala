@@ -152,7 +152,7 @@ object NearDupScale {
           // save/load wall and on-disk size
           if (m == replicas) {
             val ipath = s"$base/ndidx_$tag"
-            timed(s"index_save_$tag") { idx.save(ipath) }
+            timed(s"index_save_$tag") { idx = idx.save(ipath) }
             results(s"index_save_gb_${tag}_value") =
               graft.FsUtil.sizeBytes(java.nio.file.Paths.get(ipath)) / 1e9
             var re: Dedup.NearDupIndex = null
@@ -186,7 +186,8 @@ object NearDupScale {
               results(s"survivors_delta_${tag}_value") = dsurv.count().toDouble
             }
             timed(s"append_delta_$tag") { idx = idx.appended(dsurv, "text") }
-            timed(s"index_save_delta_$tag") { idx.save(ipath) }
+            dsurv.unpersist(blocking = false)
+            timed(s"index_save_delta_$tag") { idx = idx.save(ipath) }
             val fs = new org.apache.hadoop.fs.Path(ipath).getFileSystem(
               spark.sparkContext.hadoopConfiguration)
             val chain = graft.operators.ManifestLayout.committedChain(fs, ipath)

@@ -744,7 +744,7 @@ class DedupSpec extends SparkSpec {
       }
       extras.take(3).foreach { row =>
         idx = idx.appended(Seq(row).toDF("doc_id", "text"), "text")
-        idx.save(path)
+        idx = idx.save(path)
       }
       // v2, v3 deltas; the third save hits the fold cadence → v4 FULL
       assert(committed == Seq(1L, 2L, 3L, 4L))
@@ -759,7 +759,7 @@ class DedupSpec extends SparkSpec {
       // one more append+save → v5 delta on top of the v4 fold; the vacuum
       // now drops v1–v3 (grace = {v4, v5}, base of both = v4)
       idx = idx.appended(Seq(extras(3)).toDF("doc_id", "text"), "text")
-      idx.save(path)
+      idx = idx.save(path)
       assert(committed == Seq(4L, 5L) && ManifestLayout.isDelta(fs, path, 5L))
       // a crashed (uncommitted) newer delta dir must stay invisible to
       // the chain walk — same contract as the full-version crash case
@@ -777,6 +777,53 @@ class DedupSpec extends SparkSpec {
           .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
       assert(surv(re) == surv(idx))
       assert(surv(re) == Seq(502L))
+    } finally {
+      Dedup.maxDeltaChain = oldChain
+      FsUtil.deleteRecursively(root)
+    }
+  }
+
+  test("loaded writer handle survives fold+vacuum cycles via save's returned handle") {
+    // The crawl-restart loop: load(path), then (dedupBatch → appended →
+    // save) at batch cadence. A loaded handle's frames are lazy parquet
+    // scans of the on-disk chain; a FOLD rewrites the chain and the save
+    // AFTER the fold vacuums the old one — so save() returns a handle
+    // re-pointed at the fold, and `idx = idx.save(path)` must classify
+    // correctly through TWO full fold+vacuum cycles. (The stale-handle
+    // loop reads vacuumed files and dies with FileNotFound on the step
+    // after the first post-fold save.)
+    val corpus = Seq(
+      (0L, "the quick brown fox jumps over the lazy dog tonight"),
+      (1L, "completely unrelated reference document about databases"))
+      .toDF("doc_id", "text")
+    val root = java.nio.file.Files.createTempDirectory("ndidx_writer")
+    val oldChain = Dedup.maxDeltaChain
+    try {
+      Dedup.maxDeltaChain = 2 // fold every other save → 2 cycles in 5 saves
+      val path = s"$root/ndidx"
+      Dedup.NearDupIndex.build(corpus, "text", "doc_id",
+        estimatedJaccard = true).save(path)
+      var idx = Dedup.NearDupIndex.load(spark, path)
+      (0 until 5).foreach { i =>
+        val b = Seq(
+          (1000L + 10 * i,
+            s"fresh crawl page number $i with distinct shingle tokens run$i"),
+          (1001L + 10 * i,
+            "the quick brown fox jumps over the lazy dog tonight"))
+          .toDF("doc_id", "text")
+        val surv = idx.dedupBatch(b, "text", threshold = 0.7)
+        // the exact dup of corpus doc 0 drops at every step — proof the
+        // handle reads a LIVE chain after each fold+vacuum
+        assert(surv.select("doc_id").collect().map(_.getLong(0)).toSeq ==
+          Seq(1000L + 10 * i), s"step $i")
+        idx = idx.appended(surv, "text")
+        idx = idx.save(path)
+      }
+      // v1 full, v2 delta, v3 fold, v4 delta, v5 fold, v6 delta — the
+      // handle's persisted lineage advanced with every save
+      assert(idx.persistedVersion.map(_._2) == Some(6L))
+      val re = Dedup.NearDupIndex.load(spark, path)
+      assert(re.signatures.get.count() == idx.signatures.get.count())
     } finally {
       Dedup.maxDeltaChain = oldChain
       FsUtil.deleteRecursively(root)

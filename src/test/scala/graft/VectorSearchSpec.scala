@@ -460,16 +460,10 @@ class VectorSearchSpec extends SparkSpec {
       (i.toLong, Array.tabulate(8)(j =>
         (if (j == i % 8) 10.0f else 0.0f) + rnd.nextFloat()))
     }.toDF("vec_id", "embedding").repartition(8)
-    def files(dir: String): Long = {
-      var n = 0L
-      java.nio.file.Files.walk(java.nio.file.Paths.get(dir)).forEach { f =>
-        // DATA files only — the routed manifest under _graft_manifest is
-        // parquet too and not part of the layout under test
-        if (f.toString.endsWith(".parquet") &&
-          !f.toString.contains("_graft_manifest")) n += 1
-      }
-      n
-    }
+    // DATA files only — the routed manifest under _graft_manifest is
+    // parquet too and not part of the layout under test
+    def files(dir: String): Long = FsUtil.countFiles(
+      java.nio.file.Paths.get(dir), ".parquet", "_graft_manifest")
     val o = VectorSearch.writeExchangeMinFiles
     val root = java.nio.file.Files.createTempDirectory("ivf_exchange")
     try {
