@@ -1122,6 +1122,11 @@ object Dedup {
     // everything into executor memory). Governs whether a FOLD save must
     // hand back a re-pointed handle — see save().
     private var diskBacked: Boolean = false
+    // set when a fold save re-pointed the write lineage to a NEW handle:
+    // further saves through THIS handle would silently write deltas whose
+    // base chain the next vacuum deletes out from under these frames —
+    // fail fast at the save instead of FileNotFound mid-read later
+    private var superseded: Boolean = false
     private[graft] def persistedVersion: Option[(String, Long)] = persistedBase
 
     /** True when the index verifies candidates by signature-estimated
@@ -1397,6 +1402,12 @@ object Dedup {
       * (which also detaches a writer handle from the vacuum entirely).
       */
     def save(path: String): NearDupIndex = {
+      // a discarded save() result compiles silently (no -Wvalue-discard);
+      // this turns the stale-handle mistake into an immediate, explained
+      // failure instead of a FileNotFound two saves later
+      require(!superseded,
+        "this NearDupIndex handle was superseded by a fold save — " +
+          "keep writing through save()'s returned handle")
       val spark = bands.sparkSession
       val root = new org.apache.hadoop.fs.Path(path)
       val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -1456,6 +1467,7 @@ object Dedup {
             signatures.map(_ => spark.read.parquet(s"$vdir/signatures")))
         fresh.persistedBase = Some((path, next))
         fresh.diskBacked = true
+        superseded = true
         fresh
       }
     }

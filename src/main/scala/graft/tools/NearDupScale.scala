@@ -145,6 +145,7 @@ object NearDupScale {
             results(s"sig_rows_after_append_${tag}_value") =
               idx.signatures.get.count().toDouble
           }
+          surv.unpersist(blocking = false)
           // durability point (r12, largest tier only — bounds the write
           // cost): save the grown index, reload it, and classify a fresh
           // same-shape batch through BOTH handles — the reloaded verdicts

@@ -824,6 +824,16 @@ class DedupSpec extends SparkSpec {
       assert(idx.persistedVersion.map(_._2) == Some(6L))
       val re = Dedup.NearDupIndex.load(spark, path)
       assert(re.signatures.get.count() == idx.signatures.get.count())
+      // a handle superseded by a fold must fail FAST if written through
+      // again (the silent version would FileNotFound two saves later)
+      idx = idx.appended(Seq((9000L,
+        "one more novel page with sufficient distinct tokens overall"))
+        .toDF("doc_id", "text"), "text")
+      val before = idx
+      idx = idx.save(path) // chain [v5, v6] is at the cadence → fold v7
+      assert(!(before eq idx))
+      val ex = intercept[IllegalArgumentException] { before.save(path) }
+      assert(ex.getMessage.contains("superseded"))
     } finally {
       Dedup.maxDeltaChain = oldChain
       FsUtil.deleteRecursively(root)
