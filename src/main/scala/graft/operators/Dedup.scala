@@ -161,6 +161,17 @@ object Dedup {
   @volatile private[graft] var dedupPruneMinCorpusBytes: Long = 256L << 20
   @volatile private[graft] var dedupPruneMaxBatchKeys: Long = 2000000L
 
+  /** Ceiling on the CANDIDATE corpus-id broadcast inside the pruned plan
+    * (r14). Unlike the batch-key gate above, the candidate-id set is
+    * bounded by corpus-side band-key skew — one hot band key (boilerplate
+    * text) can make it orders of magnitude larger than the batch. The
+    * pruned path counts the checkpointed corpus survivors (a cache scan)
+    * and falls back to a non-broadcast semi-join for the verify-stage
+    * pruning when they exceed this — one corpus-frame shuffle instead of
+    * a driver OOM. Same default scale as the batch-key cap.
+    */
+  @volatile private[graft] var dedupPruneMaxCandIds: Long = 2000000L
+
   /** Fold cadence for [[NearDupIndex.save]]'s incremental checkpoints: a
     * save writes a DELTA version while the committed chain (full base +
     * deltas) is shorter than this, and folds back to a full version
@@ -1223,25 +1234,40 @@ object Dedup {
       // surviving corpus rows are eagerly checkpointed so the verify
       // stage's broadcast of candidate ids re-executes a bounded frame —
       // not a second corpus stream.
+      // The verify stage broadcasts the candidate CORPUS ids, whose count
+      // is bounded by corpus-side band-key skew, not by the batch-key gate
+      // (a hot band key — boilerplate/template text — can explode it).
+      // candidates() measures the pruned corpus survivors (a cache scan of
+      // the eager checkpoint) and clears this flag when they exceed
+      // Dedup.dedupPruneMaxCandIds, so pruneByIds falls back to a
+      // non-broadcast semi-join instead of OOMing the driver on a
+      // skew-inflated build side.
+      var candIdsBroadcastable = true
       def candidates(batchIdAs: String, corpusIdAs: String): DataFrame = {
         val batchBands = coreBands
           .select(col(idCol).as(batchIdAs), col("band"), col("bkey"))
         val corpusBands = bands
           .select(col(idCol).as(corpusIdAs), col("band"), col("bkey"))
         val corpusSide =
-          if (prune)
-            corpusBands.join(
+          if (prune) {
+            val cs = corpusBands.join(
               broadcast(coreBands.select(col("band"), col("bkey")).distinct()),
               Seq("band", "bkey"), "left_semi").localCheckpoint(true)
-          else corpusBands
+            candIdsBroadcastable = cs.count() <= Dedup.dedupPruneMaxCandIds
+            cs
+          } else corpusBands
         batchBands.join(corpusSide, Seq("band", "bkey"))
           .select(col(batchIdAs), col(corpusIdAs)).distinct()
       }
       // pruned verify: restrict a stored per-doc frame to the candidate
-      // corpus ids (batch-bounded) — one broadcast-probed stream instead
-      // of shuffling the corpus-sized frame into the verify join
+      // corpus ids — one broadcast-probed stream instead of shuffling the
+      // corpus-sized frame into the verify join; when the candidate set is
+      // skew-inflated past the broadcast cap, keep the semi-join but let
+      // Spark shuffle it (one corpus shuffle beats a driver OOM)
       def pruneByIds(frame: DataFrame, candIds: DataFrame): DataFrame =
-        if (prune) frame.join(broadcast(candIds), Seq(idCol), "left_semi")
+        if (prune && candIdsBroadcastable)
+          frame.join(broadcast(candIds), Seq(idCol), "left_semi")
+        else if (prune) frame.join(candIds, Seq(idCol), "left_semi")
         else frame
       val nearRepLosers = if (estimated) {
         val c = estSigCore(batch, textCol, idCol, k, numHashes, rowsPerBand)
@@ -1326,9 +1352,14 @@ object Dedup {
           NearDupDelta(bnd, fp, Some(sh), Some(cnt), None))
       }
       // the copy keeps its persisted lineage and extends the
-      // appended-since slices — what a delta checkpoint will write
+      // appended-since slices — what a delta checkpoint will write.
+      // superseded propagates too: a copy derived from a fold-superseded
+      // handle still scans the old chain through its base frames, so its
+      // save() must fail just as fast (persistedBase alone can't catch it
+      // — save() advanced it to the fold version before superseding).
       ni.persistedBase = persistedBase
       ni.diskBacked = diskBacked
+      ni.superseded = superseded
       ni.pendingDelta = Some(pendingDelta match {
         case None => slice
         case Some(d) => NearDupDelta(
@@ -1355,9 +1386,14 @@ object Dedup {
       // them at append time) — carry them through unchanged. The compact
       // detaches every frame from disk, so the handle is no longer
       // exposed to the save-side vacuum.
+      // superseded propagates: compacting a fold-superseded handle does
+      // pull its frames into memory (valid only until the old chain is
+      // vacuumed at the next save), but letting the copy WRITE would fork
+      // the single-writer lineage away from the fold — keep it read-only.
       ni.persistedBase = persistedBase
       ni.pendingDelta = pendingDelta
       ni.diskBacked = false
+      ni.superseded = superseded
       ni
     }
 
@@ -1396,8 +1432,10 @@ object Dedup {
       *
       * Vacuum grace window for READERS: each save keeps the TWO newest
       * committed versions plus any delta chain they need, deleting older
-      * ones. A separately-loaded reader handle kept across more than two
-      * subsequent saves of the same path gets FileNotFound mid-job —
+      * ones. A separately-loaded reader handle kept across two or more
+      * subsequent saves of the same path gets FileNotFound mid-job (the
+      * second save after the load is the first that can delete the
+      * loaded version) —
       * pull long-lived readers into executor memory with [[compacted]]
       * (which also detaches a writer handle from the vacuum entirely).
       */

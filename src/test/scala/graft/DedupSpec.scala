@@ -705,10 +705,19 @@ class DedupSpec extends SparkSpec {
         val pruned = surv()
         assert(pruned == full, s"est=$est: pruned $pruned != full $full")
         assert(full == Seq(900003L, 900005L), s"est=$est: $full")
+        // r14 skew guard: pruned plan with the candidate-id broadcast
+        // DISABLED (cap 0 → every candidate set counts as skew-inflated;
+        // verify-stage pruning falls back to a non-broadcast semi-join).
+        // Verdicts must not move.
+        Dedup.dedupPruneMaxCandIds = 0L
+        val fallback = surv()
+        assert(fallback == full, s"est=$est: fallback $fallback != $full")
+        Dedup.dedupPruneMaxCandIds = 2000000L
       }
     } finally {
       Dedup.dedupPruneMinCorpusBytes = o._1
       Dedup.dedupPruneMaxBatchKeys = o._2
+      Dedup.dedupPruneMaxCandIds = 2000000L
     }
   }
 
@@ -834,6 +843,21 @@ class DedupSpec extends SparkSpec {
       assert(!(before eq idx))
       val ex = intercept[IllegalArgumentException] { before.save(path) }
       assert(ex.getMessage.contains("superseded"))
+      // superseded propagates through derived copies (r14): appended()/
+      // compacted() on a superseded handle yield handles whose save also
+      // fails fast — the derived copy's base frames still scan the old
+      // chain, and its persistedBase alone looks current (save advanced
+      // it to the fold version before superseding), so without the
+      // propagated flag it would silently write deltas the next vacuum
+      // orphans.
+      val derived = before.appended(Seq((9100L,
+        "yet another novel page with plenty of distinct tokens inside"))
+        .toDF("doc_id", "text"), "text")
+      val ex2 = intercept[IllegalArgumentException] { derived.save(path) }
+      assert(ex2.getMessage.contains("superseded"))
+      val ex3 = intercept[IllegalArgumentException] {
+        before.compacted().save(path) }
+      assert(ex3.getMessage.contains("superseded"))
     } finally {
       Dedup.maxDeltaChain = oldChain
       FsUtil.deleteRecursively(root)
