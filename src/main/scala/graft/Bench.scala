@@ -309,6 +309,19 @@ object Bench {
           q.run(spark, sfDir).write.mode("overwrite").format("noop").save()
         }
       }
+      // r14 suite profile: the per-query walls live in the FULL json line
+      // only (the compact driver-parsed headline drops q* keys), so a
+      // q-level regression hides inside the suite total. Promote the
+      // total and the three slowest queries to headline keys — the
+      // creeping-regression tripwire the r13 verdict asked for.
+      val suiteQ = results.collect {
+        case (k, v) if k.startsWith("q") && !k.endsWith("_value") && v >= 0 =>
+          (k, v)
+      }.toSeq
+      results("suite_total_value") = suiteQ.map(_._2).sum
+      suiteQ.sortBy(-_._2).take(3).zipWithIndex.foreach { case ((k, v), i) =>
+        results(s"suite_slowest${i + 1}_${k}_value") = v
+      }
       // fresh context for the workload section: the suite leaves shuffle
       // files, broadcast blocks and codegen caches behind that distort the
       // write-heavy workload timings

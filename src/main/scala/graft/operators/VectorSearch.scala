@@ -67,6 +67,37 @@ object VectorSearch {
     */
   @volatile private[graft] var exactScanSwitchMinCells: Int = 256
 
+  /** Wall-aware read-cost term of the exact-vs-probe switch (r14): the
+    * probed path additionally loses when its per-FILE fixed costs
+    * outweigh the extra rows the exact scan streams —
+    *   plannedCells × files/cell × probeCellOverheadRows
+    *     ≥ totalRows − plannedRows
+    * — pricing each planned file at this many row-equivalents. Driver
+    * arithmetic only: cellCounts and the cached relation's file census
+    * are both resident.
+    *
+    * Calibration (BENCH_scale_idx2m_r14, the r13-verdict decomposition):
+    * the r13 "probed 6.5 s vs exact 1.8 s" inversion on the thinnest 2M
+    * tier was the FIRST-CALL cost (5.64 s of directory listing + pushed
+    * count scan, memoized per handle; plan_warm 0.03 s) — at warm state
+    * the probe won every tier (0.35–0.43 s vs exact 1.33–1.55 s, 163
+    * planned cells on the ~1 file/cell exchange layout), and the sf1 r10
+    * A/B bounds per-file overhead at ≲0.2 ms on bandwidth-bound layouts.
+    * So this term exists for the regime BOTH those artifacts avoid: a
+    * plan fanning out across many files each holding few rows (the
+    * pre-exchange tasks×cells layouts — ~32 files/cell, where r12 probes
+    * measured multi-second; or object stores, where a GET per file costs
+    * 10–50 ms). 200 row-equivalents/file fires on a 131k-file 4096-cell
+    * layout at ~1100 planned cells while leaving every measured
+    * probe-wins point (sf1 12.8% tier, 2M thin tiers) on the probe path.
+    * Scope guards: FILTERED plans only (an unfiltered `nprobe` is an
+    * approximation contract, not a cost decision), and only on handles
+    * whose [[IvfIndex.exactScanFraction]] is unset — a harness that
+    * forces the fraction rule gets exactly the classic arbitration
+    * unless it also sets [[IvfIndex.cellOverheadRows]]. ≤ 0 disables.
+    */
+  @volatile private[graft] var probeCellOverheadRows: Double = 200.0
+
   /** Filtered probe plans widen down the ranked match-bearing cells until
     * they hold ≥ this × k candidate rows (floor k — 1.0 IS the pre-r12
     * ≥ k widening and the default). The hypothesis behind a larger
@@ -473,6 +504,14 @@ object VectorSearch {
     @volatile private[graft] var exactScanFraction: Double = Double.NaN
     @volatile private[graft] var exactScanMinCells: Int = -1
 
+    /** Per-handle override of [[VectorSearch.probeCellOverheadRows]] —
+      * the wall-aware switch term's per-planned-cell price in
+      * row-equivalents. NaN defers to the companion default; ≤ 0
+      * disables the term for this handle. Same no-global-mutation
+      * contract as the switch knobs above.
+      */
+    @volatile private[graft] var cellOverheadRows: Double = Double.NaN
+
     /** Per-handle overrides of [[VectorSearch.probeWidenFactor]] (the
       * filtered plan's candidate-volume target, × k; NaN defers) and
       * [[VectorSearch.thinSupportFactor]] (the support-scan cutoff, × k;
@@ -552,15 +591,34 @@ object VectorSearch {
       new java.util.concurrent.atomic.AtomicLong()
     private[graft] def thinSupportPlanCount: Long = thinSupportPlans.get()
 
-    /** True when the planned probe sets' union holds at least
-      * [[VectorSearch.exactScanSwitchFraction]] of the index's rows
-      * (driver arithmetic over `cellCounts` — zero jobs), the index is
-      * at/above [[VectorSearch.exactScanSwitchMinCells]], and the switch
-      * is enabled — both knobs overridable per handle via
-      * [[exactScanFraction]] / [[exactScanMinCells]]. At that volume the exact scan's clean single pass
-      * beats per-cell probe reads AND returns recall 1.0.
+    /** True when the exact pre-filtered scan is the cheaper (and
+      * recall-1.0) path for the planned probe sets. Two terms, both pure
+      * driver arithmetic over `cellCounts` (zero jobs), gated to indexes
+      * at/above [[VectorSearch.exactScanSwitchMinCells]] and disabled
+      * when the fraction knob is ≤ 0 — knobs overridable per handle via
+      * [[exactScanFraction]] / [[exactScanMinCells]] /
+      * [[cellOverheadRows]]:
+      *
+      *   1. ROW-VOLUME (r10): the union holds ≥
+      *      [[VectorSearch.exactScanSwitchFraction]] of the index's rows
+      *      — at that volume the probe is an isin/mask-encumbered
+      *      near-full scan.
+      *   2. WALL-AWARE (r14, `filtered` plans only): the plan's
+      *      per-file fixed costs outweigh the extra rows exact streams —
+      *      plannedCells × files/cell ×
+      *      [[VectorSearch.probeCellOverheadRows]] ≥ totalRows −
+      *      plannedRows. Catches many-files-per-cell layouts where a
+      *      wide fan-out read loses to one clean pushed pass (the knob's
+      *      scaladoc carries the r14 calibration — including why the
+      *      r13 "inversion" this term was commissioned for turned out
+      *      to be first-call listing+count-scan cost, not a probe-read
+      *      defect). Unfiltered probes never take it: an explicit
+      *      `nprobe` is an approximation contract, and flipping it to a
+      *      full scan would silently change the answer the caller asked
+      *      for.
       */
-    private[graft] def exactScanWins(effective: Seq[Iterable[Int]]): Boolean = {
+    private[graft] def exactScanWins(spark: SparkSession,
+        effective: Seq[Iterable[Int]], filtered: Boolean = false): Boolean = {
       val frac =
         if (exactScanFraction.isNaN) VectorSearch.exactScanSwitchFraction
         else exactScanFraction
@@ -577,8 +635,40 @@ object VectorSearch {
           effective.foreach(_.iterator.foreach(union += _))
           val planned = union.iterator
             .map(c => if (c < cellCounts.length) cellCounts(c) else 0L).sum
-          planned.toDouble >= frac * total
+          if (planned.toDouble >= frac * total) true
+          else if (!filtered) false
+          else {
+            // explicit per-handle knob always wins; a handle whose
+            // FRACTION was forced (specs/harnesses pinning the classic
+            // rule) opts out of the wall term unless it opts back in
+            val co =
+              if (!cellOverheadRows.isNaN) cellOverheadRows
+              else if (exactScanFraction.isNaN)
+                VectorSearch.probeCellOverheadRows
+              else 0.0
+            co > 0 && planned < total &&
+              union.size.toDouble * filesPerCell(spark) * co >=
+                (total - planned).toDouble
+          }
         }
+      }
+    }
+
+    // Files-per-cell census for the wall-aware switch term: one listing
+    // via the cached relation (InMemoryFileIndex memoizes it), then a
+    // driver-resident scalar. Exchange-written layouts read ~1;
+    // pre-exchange many-file layouts price their heavier per-cell read
+    // accordingly. Invalidated with dfCache (append/refresh).
+    @transient @volatile private var filesPerCellCache: Double = -1.0
+    private def filesPerCell(spark: SparkSession): Double = {
+      val c = filesPerCellCache
+      if (c > 0) c
+      else {
+        val v = math.max(1.0,
+          indexDf(spark).inputFiles.length.toDouble /
+            math.max(1, centroids.length))
+        filesPerCellCache = v
+        v
       }
     }
 
@@ -611,6 +701,7 @@ object VectorSearch {
       */
     def refresh(): Unit = {
       dfCache.clear(); countCache.clear()
+      filesPerCellCache = -1.0
       // occupancy cannot be rebuilt here (it only folds this handle's
       // own appends), so any external rows refresh() just made visible
       // are absent from it — the occupancy-pruned count scan would no
@@ -850,7 +941,7 @@ object VectorSearch {
       // of the rows runs the exact scan instead (recall 1.0, one clean
       // pushed pass — see the var's scaladoc for the sf1 measurement)
       val exact = clusters.length == centroids.length ||
-        exactScanWins(Seq(clusters))
+        exactScanWins(spark, Seq(clusters), filter.isDefined)
       if (exact && clusters.length != centroids.length)
         exactSwitches.incrementAndGet()
       val probeDf =
@@ -886,7 +977,8 @@ object VectorSearch {
       // rows, one exact multi-query scan beats probing it cell by cell,
       // returns recall 1.0 for every query, and skips the mask
       // machinery entirely
-      if (unionAll.size < centroids.length && exactScanWins(effective)) {
+      if (unionAll.size < centroids.length &&
+          exactScanWins(spark, effective, filter.isDefined)) {
         exactSwitches.incrementAndGet()
         return topKMulti(indexDf(spark), "__vec", queries, k, idCol, filter)
       }
@@ -1033,6 +1125,7 @@ object VectorSearch {
       } finally assigned.unpersist(blocking = false)
       dfCache.clear() // cached relations pin the old file list
       countCache.clear() // memoized counts predate the appended rows
+      filesPerCellCache = -1.0 // appended files change the census
       // the coarse router's group bounds were computed from the
       // pre-append radii, which the stats fold above just mutated — a
       // stale router's termination certificate is no longer admissible

@@ -146,6 +146,36 @@ object NearDupScale {
               idx.signatures.get.count().toDouble
           }
           surv.unpersist(blocking = false)
+          // r14 corpus-term attribution (r13 verdict task 2 prerequisite):
+          // dedupBatch's residual corpus cost is its three corpus-side
+          // streams — band keys, fingerprints, signatures — each probed
+          // once by a broadcast build side. Time each stream STANDALONE at
+          // realistic build sizes (a 20k-doc batch ≈ 320k band keys, 20k
+          // fps, ~30k candidate ids), plus a raw one-column scan baseline
+          // per frame, so the per-batch growth decomposes by frame.
+          val pbBands = idx.bands.select(col("band"), col("bkey"))
+            .limit(320000).distinct().localCheckpoint(true)
+          timed(s"probe_scan_bands_$tag") {
+            idx.bands.join(broadcast(pbBands), Seq("band", "bkey"),
+              "left_semi").count()
+          }
+          val pbFps = idx.fingerprints.limit(20000).localCheckpoint(true)
+          timed(s"probe_scan_fps_$tag") {
+            idx.fingerprints.join(broadcast(pbFps), Seq("__fp"),
+              "left_semi").count()
+          }
+          val pbIds = idx.signatures.get.select(col(idx.idCol))
+            .limit(30000).localCheckpoint(true)
+          timed(s"probe_scan_sigs_$tag") {
+            idx.signatures.get.join(broadcast(pbIds), Seq(idx.idCol),
+              "left_semi").count()
+          }
+          timed(s"scan_bands_raw_$tag") {
+            idx.bands.agg(count(col("bkey"))).collect()
+          }
+          timed(s"scan_sigs_raw_$tag") {
+            idx.signatures.get.agg(count(col("__sigs"))).collect()
+          }
           // durability point (r12, largest tier only — bounds the write
           // cost): save the grown index, reload it, and classify a fresh
           // same-shape batch through BOTH handles — the reloaded verdicts
@@ -210,6 +240,46 @@ object NearDupScale {
               pb2.unpersist(blocking = false)
             }
             db.unpersist(blocking = false)
+            // r14 fold measurement (r13 verdict task 3): drive the delta
+            // chain to the fold cadence with small appends — the
+            // every-maxDeltaChain-th save rewrites the base and is the
+            // amortized checkpoint ceiling at crawl cadence. Per-delta
+            // walls land as fold_delta_save_N; the fold itself as
+            // fold_save (+ size), with chain-reload verdict parity after.
+            var foldWall = -1.0
+            var nsaves = 0
+            while (foldWall < 0 && nsaves < Dedup.maxDeltaChain + 2) {
+              val tb = mkBatch(990000000000L + nsaves * 1000000L,
+                s"zzfoldtail$nsaves", s"zf$nsaves").limit(200)
+              idx = idx.appended(tb, "text")
+              val t0 = System.nanoTime()
+              idx = idx.save(ipath)
+              val w = (System.nanoTime() - t0) / 1e9
+              nsaves += 1
+              val ch = graft.operators.ManifestLayout.committedChain(fs, ipath)
+              if (ch.length == 1) {
+                foldWall = w
+                results(s"fold_save_${tag}_value") = w
+                results(s"fold_gb_${tag}_value") = graft.FsUtil.sizeBytes(
+                  java.nio.file.Paths.get(ch.last)) / 1e9
+              } else results(s"fold_delta_save_${nsaves}_${tag}_value") = w
+              tb.unpersist(blocking = false)
+            }
+            results(s"fold_reached_${tag}_value") = if (foldWall >= 0) 1.0 else 0.0
+            if (foldWall >= 0) {
+              var re3: Dedup.NearDupIndex = null
+              timed(s"index_load_after_fold_$tag") {
+                re3 = Dedup.NearDupIndex.load(spark, ipath)
+              }
+              if (re3 != null) {
+                val pb3 = mkBatch(995000000000L, "zzafterfoldtail", "za")
+                results(s"survivors_fold_reloaded_${tag}_value") =
+                  re3.dedupBatch(pb3, "text", threshold = 0.7).count().toDouble
+                results(s"survivors_fold_mem_${tag}_value") =
+                  idx.dedupBatch(pb3, "text", threshold = 0.7).count().toDouble
+                pb3.unpersist(blocking = false)
+              }
+            }
           }
         }
         batch.unpersist(blocking = false)
