@@ -242,14 +242,39 @@ object Dedup {
   /** Band keys over [[minhashSignatures]] output: one (`idCol`, band,
     * bkey) row per document per band — the joinable form of an LSH index
     * (two documents are candidates iff they share any (band, bkey)).
+    *
+    * `bkey` is a LONG that ENCODES THE BAND (r14): the top 60 bits of
+    * md5("band,minhash,minhash") — the band index is folded into the
+    * hashed content, so `bkey` equality alone is the candidate
+    * condition and every band join is a SINGLE-LONG-KEY join (Spark's
+    * primitive LongHashedRelation / long-keyed codegen hash, not the
+    * generic UnsafeRow-keyed relation a composite (band, bkey) key
+    * forces). Identical-content bands still collide by construction
+    * (same md5 input), and a 60-bit truncation collision only ADDS a
+    * candidate pair that the Jaccard verify stage then scores — no
+    * false negatives, and the false-candidate rate is ~2⁻⁶⁰ per
+    * cross-band pair. What the long key buys at corpus scale: the band
+    * frame is the LARGEST stored near-dup index frame (numHashes/
+    * rowsPerBand rows per doc) and the hot probe side of every
+    * [[NearDupIndex.dedupBatch]] — NearDupScale r14 measured the
+    * broadcast semi-join probe of 80M keys at 9.47 s as 32-char md5
+    * STRINGS and 6.38 s as (band, long) composites, against 0.24 s for
+    * the raw columnar scan of the same frame: the stream's cost IS the
+    * key hashing, and the single-long form is the cheapest key Spark
+    * can probe. The `band` column is still stored and emitted
+    * (debuggability, oracle-join parity); joins just no longer need it.
+    * DuckDB oracles mirror the key as
+    * `('0x' || substr(md5(CAST(min(seed) // rpb AS VARCHAR) || ',' ||
+    * string_agg(...)), 1, 15))::BIGINT`.
     */
   def lshBandKeys(signatures: DataFrame, idCol: String,
       rowsPerBand: Int = 2): DataFrame =
     signatures
       .withColumn("band", expr(s"seed div $rowsPerBand"))
       .groupBy(col(idCol), col("band"))
-      .agg(md5(concat_ws(",",
-        expr("transform(array_sort(collect_list(struct(seed, minhash))), x -> cast(x.minhash as string))")))
+      .agg(conv(substring(md5(concat_ws(",", col("band").cast("string"),
+        expr("transform(array_sort(collect_list(struct(seed, minhash))), x -> cast(x.minhash as string))"))),
+        1, 15), 16, 10).cast("long")
         .as("bkey"))
 
   /** LSH banding over [[minhashSignatures]] output: hash each band of
@@ -260,13 +285,14 @@ object Dedup {
       signatures: DataFrame, idCol: String, rowsPerBand: Int = 2): DataFrame =
     bandSelfPairs(lshBandKeys(signatures, idCol, rowsPerBand), idCol)
 
-  /** Candidate pairs from an already-materialized band-key frame. */
+  /** Candidate pairs from an already-materialized band-key frame. `bkey`
+    * encodes the band (r14, [[lshBandKeys]]), so the self-join runs on
+    * the single long key.
+    */
   private def bandSelfPairs(bands: DataFrame, idCol: String): DataFrame = {
-    val a = bands.select(col(idCol).as("id1"), col("band"), col("bkey"))
-    val b = bands.select(col(idCol).as("id2"), col("band").as("band2"),
-      col("bkey").as("bkey2"))
-    a.join(b, col("band") === col("band2") && col("bkey") === col("bkey2") &&
-        col("id1") < col("id2"))
+    val a = bands.select(col(idCol).as("id1"), col("bkey"))
+    val b = bands.select(col(idCol).as("id2"), col("bkey").as("bkey2"))
+    a.join(b, col("bkey") === col("bkey2") && col("id1") < col("id2"))
       .select(col("id1"), col("id2")).distinct()
   }
 
@@ -1095,9 +1121,10 @@ object Dedup {
     *     agreement ([[estimatedJaccardOnArr]]); the index stores ONE
     *     seed-ordered `numHashes`-long array row (r11; was `numHashes`
     *     seed rows — the 32× row-count cut is what the per-batch verify
-    *     scan streams) + band keys per representative — ~0.8 KB per doc
+    *     scan streams) + band keys per representative — ~0.4 KB per doc
     *     parquet-encoded at the 32-seed default (measured at 5M docs:
-    *     4.06 GB saved, BENCH_neardup5m_r12), token-count-independent —
+    *     2.08 GB saved at r14's long band keys — was 4.06 GB as md5
+    *     strings, BENCH_neardup5m_r14/_r12), token-count-independent —
     *     the shape that keeps an incremental dedup index
     *     deployable against an unbounded crawl. The estimate is within
     *     √(J(1−J)/numHashes) of exact in expectation; raise `numHashes`
@@ -1243,20 +1270,22 @@ object Dedup {
       // non-broadcast semi-join instead of OOMing the driver on a
       // skew-inflated build side.
       var candIdsBroadcastable = true
+      // bkey encodes the band (r14, lshBandKeys) — every probe below is
+      // a single-long-key join, the cheapest hashed relation Spark has
       def candidates(batchIdAs: String, corpusIdAs: String): DataFrame = {
         val batchBands = coreBands
-          .select(col(idCol).as(batchIdAs), col("band"), col("bkey"))
+          .select(col(idCol).as(batchIdAs), col("bkey"))
         val corpusBands = bands
-          .select(col(idCol).as(corpusIdAs), col("band"), col("bkey"))
+          .select(col(idCol).as(corpusIdAs), col("bkey"))
         val corpusSide =
           if (prune) {
             val cs = corpusBands.join(
-              broadcast(coreBands.select(col("band"), col("bkey")).distinct()),
-              Seq("band", "bkey"), "left_semi").localCheckpoint(true)
+              broadcast(coreBands.select(col("bkey")).distinct()),
+              Seq("bkey"), "left_semi").localCheckpoint(true)
             candIdsBroadcastable = cs.count() <= Dedup.dedupPruneMaxCandIds
             cs
           } else corpusBands
-        batchBands.join(corpusSide, Seq("band", "bkey"))
+        batchBands.join(corpusSide, Seq("bkey"))
           .select(col(batchIdAs), col(corpusIdAs)).distinct()
       }
       // pruned verify: restrict a stored per-doc frame to the candidate
@@ -1411,8 +1440,9 @@ object Dedup {
       * Cost: one distributed parquet write per stored frame — in
       * estimated mode that is signature-sized: one numHashes-long array
       * row + numHashes/rowsPerBand band keys + one fingerprint per rep,
-      * ≈ 0.8 KB/doc parquet-encoded at the 32-seed default (measured:
-      * a 5M-doc index saves 4.06 GB in 8.7 s, BENCH_neardup5m_r12) —
+      * ≈ 0.4 KB/doc parquet-encoded at the 32-seed default (measured:
+      * a 5M-doc index saves 2.08 GB in ~3 s at r14's long band keys;
+      * 4.06 GB / 8.7 s as md5 strings, BENCH_neardup5m_r14/_r12) —
       * token-count-independent, a checkpoint a crawl pipeline affords
       * at batch cadence. Exact mode additionally writes the
       * shingle/count store (∝ corpus tokens — inherent to exact
@@ -1456,7 +1486,7 @@ object Dedup {
       // the path's newest committed version (single-writer continuity)
       // and the chain hasn't hit the fold cadence: write ONLY the
       // appended-since slices — checkpoint cost ∝ batch survivors, not
-      // corpus (a full 5M-doc save rewrites 4.06 GB in ~9 s; a 10k-batch
+      // corpus (a full 5M-doc save rewrites ~2 GB; a 10k-batch
       // delta writes ~8 MB). Every maxDeltaChain-th save folds the chain
       // back to one full version, bounding load()'s union width and the
       // vacuum keep-window.
@@ -1607,10 +1637,18 @@ object Dedup {
       val est = m.getAs[Boolean]("estimated")
       def frame(name: String): DataFrame =
         spark.read.parquet(chain.map(d => s"$d/$name"): _*)
+      val bandsDf = frame("bands")
+      // band keys are LONGs from r14 (truncated-md5; lshBandKeys
+      // scaladoc) — a pre-r14 layout's string keys would silently
+      // type-coerce in every probe join; fail with the remedy instead
+      require(bandsDf.schema("bkey").dataType ==
+        org.apache.spark.sql.types.LongType,
+        s"$path stores pre-r14 STRING band keys — rebuild the index " +
+          "(NearDupIndex.build) to the long-key layout")
       val idx = NearDupIndex(
         m.getAs[String]("idCol"), m.getAs[Int]("k"),
         m.getAs[Int]("numHashes"), m.getAs[Int]("rowsPerBand"),
-        bands = frame("bands"),
+        bands = bandsDf,
         fingerprints = frame("fingerprints"),
         shingles = if (est) None else Some(frame("shingles")),
         counts = if (est) None else Some(frame("counts")),

@@ -173,7 +173,7 @@ object TextQueries {
           FROM sh CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS seed) sd),
         sig AS (SELECT doc_id, seed, min(h) AS minhash FROM hs GROUP BY doc_id, seed),
         bands AS (SELECT doc_id, seed // 2 AS band,
-          md5(string_agg(CAST(minhash AS VARCHAR), ',' ORDER BY seed)) AS bkey
+          ('0x' || substr(md5(CAST(min(seed) // 2 AS VARCHAR) || ',' || string_agg(CAST(minhash AS VARCHAR), ',' ORDER BY seed)), 1, 15))::BIGINT AS bkey
           FROM sig GROUP BY doc_id, band)
         SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
         FROM bands a JOIN bands b
@@ -257,7 +257,7 @@ object TextQueries {
           FROM sh CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS seed) sd),
         sig AS (SELECT doc_id, seed, min(h) AS minhash FROM hs GROUP BY doc_id, seed),
         bands AS (SELECT doc_id, seed // 2 AS band,
-          md5(string_agg(CAST(minhash AS VARCHAR), ',' ORDER BY seed)) AS bkey
+          ('0x' || substr(md5(CAST(min(seed) // 2 AS VARCHAR) || ',' || string_agg(CAST(minhash AS VARCHAR), ',' ORDER BY seed)), 1, 15))::BIGINT AS bkey
           FROM sig GROUP BY doc_id, band),
         cand AS (SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
           FROM bands a JOIN bands b
@@ -346,7 +346,7 @@ object TextQueries {
           FROM sh CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS seed) sd),
         sig AS (SELECT doc_id, seed, min(h) AS minhash FROM hs GROUP BY doc_id, seed),
         bands AS (SELECT doc_id, seed // 2 AS band,
-          md5(string_agg(CAST(minhash AS VARCHAR), ',' ORDER BY seed)) AS bkey
+          ('0x' || substr(md5(CAST(min(seed) // 2 AS VARCHAR) || ',' || string_agg(CAST(minhash AS VARCHAR), ',' ORDER BY seed)), 1, 15))::BIGINT AS bkey
           FROM sig GROUP BY doc_id, band),
         cand AS (SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
           FROM bands a JOIN bands b
@@ -497,7 +497,7 @@ object TextQueries {
           FROM sh CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS seed) sd),
         sig AS (SELECT doc_id, seed, min(h) AS minhash FROM hs GROUP BY doc_id, seed),
         bands AS (SELECT doc_id, seed // 2 AS band,
-          md5(string_agg(CAST(minhash AS VARCHAR), ',' ORDER BY seed)) AS bkey
+          ('0x' || substr(md5(CAST(min(seed) // 2 AS VARCHAR) || ',' || string_agg(CAST(minhash AS VARCHAR), ',' ORDER BY seed)), 1, 15))::BIGINT AS bkey
           FROM sig GROUP BY doc_id, band),
         cand AS (SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
           FROM bands a JOIN bands b
@@ -980,7 +980,7 @@ object TextQueries {
           FROM sh CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS seed) sd),
         sig AS (SELECT doc_id, seed, min(h) AS minhash FROM hs GROUP BY doc_id, seed),
         bands AS (SELECT doc_id, seed // 2 AS band,
-          md5(string_agg(CAST(minhash AS VARCHAR), ',' ORDER BY seed)) AS bkey
+          ('0x' || substr(md5(CAST(min(seed) // 2 AS VARCHAR) || ',' || string_agg(CAST(minhash AS VARCHAR), ',' ORDER BY seed)), 1, 15))::BIGINT AS bkey
           FROM sig GROUP BY doc_id, band),
         cand AS (SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
           FROM bands a JOIN bands b
@@ -1069,7 +1069,7 @@ object TextQueries {
           FROM sh CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS seed) sd),
         sig AS (SELECT doc_id, seed, min(h) AS minhash FROM hs GROUP BY doc_id, seed),
         bands AS (SELECT doc_id, seed // 2 AS band,
-          md5(string_agg(CAST(minhash AS VARCHAR), ',' ORDER BY seed)) AS bkey
+          ('0x' || substr(md5(CAST(min(seed) // 2 AS VARCHAR) || ',' || string_agg(CAST(minhash AS VARCHAR), ',' ORDER BY seed)), 1, 15))::BIGINT AS bkey
           FROM sig GROUP BY doc_id, band),
         cand AS (SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
           FROM bands a JOIN bands b
@@ -1381,7 +1381,7 @@ object TextQueries {
           FROM sh CROSS JOIN (SELECT unnest(generate_series(0, 31)) AS seed) sd
           GROUP BY doc_id, seed),
         bands AS (SELECT doc_id, seed // 2 AS band,
-          md5(string_agg(CAST(minhash AS VARCHAR), ',' ORDER BY seed)) AS bkey
+          ('0x' || substr(md5(CAST(min(seed) // 2 AS VARCHAR) || ',' || string_agg(CAST(minhash AS VARCHAR), ',' ORDER BY seed)), 1, 15))::BIGINT AS bkey
           FROM sig GROUP BY doc_id, band),
         cand AS (SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
           FROM bands a JOIN bands b
@@ -1423,7 +1423,7 @@ object TextQueries {
           FROM sh CROSS JOIN (SELECT unnest(generate_series(0, 31)) AS seed) sd
           GROUP BY doc_id, seed),
         bands AS (SELECT doc_id, seed // 2 AS band,
-          md5(string_agg(CAST(minhash AS VARCHAR), ',' ORDER BY seed)) AS bkey
+          ('0x' || substr(md5(CAST(min(seed) // 2 AS VARCHAR) || ',' || string_agg(CAST(minhash AS VARCHAR), ',' ORDER BY seed)), 1, 15))::BIGINT AS bkey
           FROM sig GROUP BY doc_id, band),
         cand AS (SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
           FROM bands a JOIN bands b

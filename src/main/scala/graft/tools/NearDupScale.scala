@@ -139,6 +139,16 @@ object NearDupScale {
               .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
             results(s"survivors_${tag}_value") = surv.count().toDouble
           }
+          // r14: a second fresh-batch rep — single-shot walls at the 5M
+          // tier swing ±2× with GC/device phase (r14 session: 11.3 s
+          // timed vs 4.7 s warm on identical plans); min-of-2 across
+          // dedup_batch/_b2 is the comparable number
+          val batch2 = mkBatch(910000000000L + ti * 40000000000L,
+            s"zzb2tail$ti", s"zx$ti")
+          timed(s"dedup_batch_b2_$tag") {
+            idx.dedupBatch(batch2, "text", threshold = 0.7).count()
+          }
+          batch2.unpersist(blocking = false)
           // the streaming-crawl loop's other half: fold the survivors in
           timed(s"append_survivors_$tag") {
             idx = idx.appended(surv, "text")
@@ -153,10 +163,10 @@ object NearDupScale {
           // realistic build sizes (a 20k-doc batch ≈ 320k band keys, 20k
           // fps, ~30k candidate ids), plus a raw one-column scan baseline
           // per frame, so the per-batch growth decomposes by frame.
-          val pbBands = idx.bands.select(col("band"), col("bkey"))
+          val pbBands = idx.bands.select(col("bkey"))
             .limit(320000).distinct().localCheckpoint(true)
           timed(s"probe_scan_bands_$tag") {
-            idx.bands.join(broadcast(pbBands), Seq("band", "bkey"),
+            idx.bands.join(broadcast(pbBands), Seq("bkey"),
               "left_semi").count()
           }
           val pbFps = idx.fingerprints.limit(20000).localCheckpoint(true)
