@@ -261,9 +261,10 @@ object IndexScale {
       }
     }
 
-    // unfiltered: routed two-level walk at nprobe 128 of 4096 (the
-    // production default engages on its own at this cell count) +
-    // telemetry proving sub-linear expansion
+    // unfiltered: nprobe 128 of 4096 on the DEFAULT routing path (from
+    // r14 that is FLAT at 4096 cells — twoLevelMinCells moved to the
+    // measured 16384 crossover; the forced A/B below still measures
+    // both mechanisms) + router telemetry when it engages
     var exactNF: Map[Int, Set[String]] = Map.empty
     val exactNFOk = timed("exact_unfiltered_10m") {
       exactNF = idSets(VectorSearch.topKMulti(

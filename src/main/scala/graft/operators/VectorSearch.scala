@@ -482,14 +482,19 @@ object VectorSearch {
 
     /** Cells below this count route flat; at or above it, the first
       * routing call builds the coarse router (a one-time ~2·k·√k·d
-      * parallel pass over the CENTROID table — no data-file IO). 4096
-      * default: below it the flat pass is ≤ ~11 ms/query (RouteBench
-      * interpolation) and a router saves nothing; above it the flat cost
-      * grows linearly to the 178 ms/query cap while two-level stays
-      * ~flat. Set before the first search; specs force 0 to exercise the
-      * two-level path on small indexes.
+      * parallel pass over the CENTROID table — no data-file IO). 16384
+      * default, set by the r14 in-situ end-to-end A/B on real indexes
+      * (BENCH_routex_r14.json, tools/RouterCrossover; order-controlled
+      * R/F/R/F searchMulti at np128): at 4096 cells routed is a small
+      * consistent LOSS (0.49 vs 0.39 s, idx2m r13/r14), at 16384 a dead
+      * tie (0.279 vs 0.278 s), at 65536 a 32% WIN (0.280 vs 0.412 s —
+      * flat's per-query ranking term alone is ~39 ms there, matching
+      * RouteBench's lab curve). The router build amortizes across the
+      * handle's queries (rebuilt only after append). Set before the
+      * first search; specs force 0 to exercise the two-level path on
+      * small indexes.
       */
-    @volatile private[graft] var twoLevelMinCells: Int = 4096
+    @volatile private[graft] var twoLevelMinCells: Int = 16384
 
     /** Per-HANDLE overrides of the cost-based switch knobs — NaN / < 0
       * defer to the companion defaults
