@@ -989,6 +989,68 @@ class VectorSearchSpec extends SparkSpec {
     }
   }
 
+  test("wall-aware switch term: per-file cost flips a narrow-rows many-cells plan to exact; forced-fraction handles keep the classic rule") {
+    // r14: exactScanWins' second term prices each planned file at
+    // probeCellOverheadRows row-equivalents (per-handle cellOverheadRows)
+    // and switches when that outweighs the extra rows the exact scan
+    // streams. Three contracts pinned here on one fixture:
+    //   1. a plan far BELOW the fraction gate still switches when the
+    //      per-file price says so (results stay recall-1.0-correct);
+    //   2. cellOverheadRows <= 0 disables the term (classic behavior);
+    //   3. a handle with a FORCED exactScanFraction opts out of the
+    //      wall term unless it sets cellOverheadRows itself;
+    //   4. unfiltered probes never take it (nprobe is a contract).
+    import spark.implicits._
+    val rnd = new scala.util.Random(41)
+    val hubs = Array.fill(8)(Array.fill(8)(rnd.nextFloat() * 10 - 5))
+    // rare rows live ONLY in hubs 0 and 2 (i % 50 == 0 hits i % 8 in
+    // {0, 2, 4, 6}; the < 4 cut keeps hubs 0 and 2) — the thin-support
+    // plan then covers a strict SUBSET of cells, so the decision goes
+    // through exactScanWins rather than the plan==all-cells shortcut
+    val corpus = (0 until 1000).map { i =>
+      val h = hubs(i % 8)
+      (i.toLong, if (i % 50 == 0 && i % 8 < 4) "rare" else "common",
+        h.map(v => v + rnd.nextFloat() - 0.5f))
+    }.toDF("vec_id", "cat", "embedding")
+    val dir = java.nio.file.Files.createTempDirectory("ivf_wall").toString
+    try {
+      val idx = VectorSearch.buildIvf(corpus, "embedding", 8, dir,
+        sampleFraction = 1.0, occupancyCols = Seq("cat"))
+      idx.exactScanMinCells = 2 // 8-cell fixture sits below the 256 floor
+      val filter = col("cat") === "rare" // 1% of rows, in ~2 of 8 cells
+      val q = hubs(0)
+      // term disabled per handle: the thin/widened plan probes
+      idx.cellOverheadRows = 0.0
+      val probed = idx.search(spark, q, 10, nprobe = 2, Some(filter))
+        .select("vec_id").as[Long].collect().toSet
+      assert(idx.exactSwitchCount == 0L, "term disabled yet switch fired")
+      // term priced high: planned files x price >= remaining rows -> exact
+      idx.cellOverheadRows = 1e9
+      val switched = idx.search(spark, q, 10, nprobe = 2, Some(filter))
+        .select("vec_id").as[Long].collect().toSet
+      assert(idx.exactSwitchCount == 1L,
+        s"wall term did not switch (${idx.exactSwitchCount})")
+      // exact path is a superset-or-equal answer at the same k
+      assert(probed.subsetOf(switched) || switched == probed,
+        s"exact answer lost probed hits: $probed vs $switched")
+      // unfiltered: same handle, same price — never switches
+      idx.search(spark, q, 10, nprobe = 2, None).collect()
+      assert(idx.exactSwitchCount == 1L, "unfiltered probe took the wall term")
+      // forced-fraction handle: explicit exactScanFraction pins the
+      // classic rule; the GLOBAL per-file price must not apply
+      val saved = VectorSearch.probeCellOverheadRows
+      VectorSearch.probeCellOverheadRows = 1e9
+      try {
+        idx.cellOverheadRows = Double.NaN // defer: forced frac -> 0
+        idx.exactScanFraction = 2.0       // classic rule, never switches
+        idx.search(spark, q, 10, nprobe = 2, Some(filter)).collect()
+        assert(idx.exactSwitchCount == 1L,
+          "forced-fraction handle took the global wall term")
+      } finally VectorSearch.probeCellOverheadRows = saved
+    } finally graft.FsUtil.deleteRecursively(
+      java.nio.file.Paths.get(dir))
+  }
+
   test("exact-switch overrides are per-handle: a forced handle leaves siblings and globals alone") {
     // r11: harnesses force the switch through IvfIndex.exactScanFraction /
     // exactScanMinCells instead of the process globals — two handles over
