@@ -318,7 +318,15 @@ object Bench {
         case (k, v) if k.startsWith("q") && !k.endsWith("_value") && v >= 0 =>
           (k, v)
       }.toSeq
-      results("suite_total_value") = suiteQ.map(_._2).sum
+      // a FAILED query records -1 and must not read as a faster suite:
+      // surface the failure count and poison the total so the tripwire
+      // trips instead of silently shrinking (r14 ADVICE)
+      val suiteFailed = results.count { case (k, v) =>
+        k.startsWith("q") && !k.endsWith("_value") && v < 0
+      }
+      results("suite_failed_count_value") = suiteFailed.toDouble
+      results("suite_total_value") =
+        if (suiteFailed > 0) -1.0 else suiteQ.map(_._2).sum
       suiteQ.sortBy(-_._2).take(3).zipWithIndex.foreach { case ((k, v), i) =>
         results(s"suite_slowest${i + 1}_${k}_value") = v
       }

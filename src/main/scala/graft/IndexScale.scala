@@ -221,43 +221,49 @@ object IndexScale {
             "parent_asin", Some(pred)).collect()
           (System.nanoTime() - t0) / 1e9
         }
+        // try/finally on every forced-knob block: an exception mid-A/B
+        // must not leave the forced fraction/threshold in place for the
+        // later tiers and the unfiltered section (r14 ADVICE)
         val fr0 = ivf.exactScanFraction
-        ivf.exactScanFraction = 0.0    // switch disabled → probe path
-        val p1 = multiOnce()
-        ivf.exactScanFraction = 1e-12  // any planned rows → exact path
-        val e1 = multiOnce()
-        ivf.exactScanFraction = 0.0
-        val p2 = multiOnce()
-        ivf.exactScanFraction = 1e-12
-        val e2 = multiOnce()
-        ivf.exactScanFraction = fr0
-        results(s"ab_probe_${tier}_wall_value") = math.min(p1, p2)
-        results(s"ab_exact_${tier}_wall_value") = math.min(e1, e2)
-        // single-query probe wall (no multi-query mask machinery): with
-        // the multi wall above this separates mask cost from read cost
-        ivf.exactScanFraction = 0.0
-        val t1 = System.nanoTime()
-        ivf.search(spark, queryVecs.head, 100, nprobe = chosen,
-          Some(pred)).collect()
-        results(s"single_probe_${tier}_wall_value") =
-          (System.nanoTime() - t1) / 1e9
-        ivf.exactScanFraction = fr0
+        try {
+          ivf.exactScanFraction = 0.0    // switch disabled → probe path
+          val p1 = multiOnce()
+          ivf.exactScanFraction = 1e-12  // any planned rows → exact path
+          val e1 = multiOnce()
+          ivf.exactScanFraction = 0.0
+          val p2 = multiOnce()
+          ivf.exactScanFraction = 1e-12
+          val e2 = multiOnce()
+          results(s"ab_probe_${tier}_wall_value") = math.min(p1, p2)
+          results(s"ab_exact_${tier}_wall_value") = math.min(e1, e2)
+          // single-query probe wall (no multi-query mask machinery): with
+          // the multi wall above this separates mask cost from read cost
+          ivf.exactScanFraction = 0.0
+          val t1 = System.nanoTime()
+          ivf.search(spark, queryVecs.head, 100, nprobe = chosen,
+            Some(pred)).collect()
+          results(s"single_probe_${tier}_wall_value") =
+            (System.nanoTime() - t1) / 1e9
+        } finally ivf.exactScanFraction = fr0
         // mask-mechanism A/B on the warm probe path (literal MapType
         // lookup is O(planned cells) per row; the broadcast join is
         // O(1)) — order-controlled L,B,L,B via the global threshold.
         val m0 = VectorSearch.maskLiteralMaxCells
-        ivf.exactScanFraction = 0.0
-        val l1 = multiOnce()
-        VectorSearch.maskLiteralMaxCells = 0 // force broadcast mask join
-        val b1 = multiOnce()
-        VectorSearch.maskLiteralMaxCells = m0
-        val l2 = multiOnce()
-        VectorSearch.maskLiteralMaxCells = 0
-        val b2 = multiOnce()
-        VectorSearch.maskLiteralMaxCells = m0
-        ivf.exactScanFraction = fr0
-        results(s"mask_literal_${tier}_wall_value") = math.min(l1, l2)
-        results(s"mask_broadcast_${tier}_wall_value") = math.min(b1, b2)
+        try {
+          ivf.exactScanFraction = 0.0
+          val l1 = multiOnce()
+          VectorSearch.maskLiteralMaxCells = 0 // force broadcast mask join
+          val b1 = multiOnce()
+          VectorSearch.maskLiteralMaxCells = m0
+          val l2 = multiOnce()
+          VectorSearch.maskLiteralMaxCells = 0
+          val b2 = multiOnce()
+          results(s"mask_literal_${tier}_wall_value") = math.min(l1, l2)
+          results(s"mask_broadcast_${tier}_wall_value") = math.min(b1, b2)
+        } finally {
+          VectorSearch.maskLiteralMaxCells = m0
+          ivf.exactScanFraction = fr0
+        }
       }
     }
 
@@ -305,15 +311,17 @@ object IndexScale {
         ivf.twoLevelMinCells = if (on) 2 else Int.MaxValue
         ivf.invalidateRouter()
       }
-      setRouted(true); val r1 = unfilteredOnce()
-      setRouted(false); val f1 = unfilteredOnce()
-      setRouted(true); val r2 = unfilteredOnce()
-      setRouted(false); val f2 = unfilteredOnce()
-      setRouted(true)
-      results("ab_routed_np128_wall_value") = math.min(r1._1, r2._1)
-      results("ab_flat_np128_wall_value") = math.min(f1._1, f2._1)
-      results("ab_routed_np128_recall_value") = r1._2
-      results("ab_flat_np128_recall_value") = f1._2
+      val tl0 = ivf.twoLevelMinCells
+      try {
+        setRouted(true); val r1 = unfilteredOnce()
+        setRouted(false); val f1 = unfilteredOnce()
+        setRouted(true); val r2 = unfilteredOnce()
+        setRouted(false); val f2 = unfilteredOnce()
+        results("ab_routed_np128_wall_value") = math.min(r1._1, r2._1)
+        results("ab_flat_np128_wall_value") = math.min(f1._1, f2._1)
+        results("ab_routed_np128_recall_value") = r1._2
+        results("ab_flat_np128_recall_value") = f1._2
+      } finally { ivf.twoLevelMinCells = tl0; ivf.invalidateRouter() }
     }
 
     spark.stop()

@@ -165,10 +165,13 @@ object Dedup {
     * (r14). Unlike the batch-key gate above, the candidate-id set is
     * bounded by corpus-side band-key skew — one hot band key (boilerplate
     * text) can make it orders of magnitude larger than the batch. The
-    * pruned path counts the checkpointed corpus survivors (a cache scan)
-    * and falls back to a non-broadcast semi-join for the verify-stage
-    * pruning when they exceed this — one corpus-frame shuffle instead of
-    * a driver OOM. Same default scale as the batch-key cap.
+    * pruned path estimates the DISTINCT surviving corpus ids over the
+    * eager checkpoint (approx_count_distinct ±2%, ×1.1 safety — the id
+    * set is what pruneByIds broadcasts; counting band ROWS tripped the
+    * fallback ~numBands× early, r14 ADVICE) and falls back to a
+    * non-broadcast semi-join for the verify-stage pruning when they
+    * exceed this — one corpus-frame shuffle instead of a driver OOM.
+    * Same default scale as the batch-key cap.
     */
   @volatile private[graft] var dedupPruneMaxCandIds: Long = 2000000L
 
@@ -1282,7 +1285,16 @@ object Dedup {
             val cs = corpusBands.join(
               broadcast(coreBands.select(col("bkey")).distinct()),
               Seq("bkey"), "left_semi").localCheckpoint(true)
-            candIdsBroadcastable = cs.count() <= Dedup.dedupPruneMaxCandIds
+            // gate on what actually broadcasts: the DISTINCT surviving
+            // corpus ids, not the band rows (numBands rows/doc — counting
+            // rows tripped the fallback ~16× early, r14 ADVICE). One pass
+            // over the eager checkpoint; HLL ±2% with a 1.1 safety factor
+            // keeps the cap conservative without an exact-distinct
+            // shuffle.
+            val gateRow = cs.agg(
+              approx_count_distinct(col(idCol), 0.02).as("ids")).head()
+            candIdsBroadcastable =
+              gateRow.getLong(0) * 1.1 <= Dedup.dedupPruneMaxCandIds
             cs
           } else corpusBands
         batchBands.join(corpusSide, Seq("bkey"))

@@ -259,8 +259,12 @@ object NearDupScale {
             var foldWall = -1.0
             var nsaves = 0
             while (foldWall < 0 && nsaves < Dedup.maxDeltaChain + 2) {
-              val tb = mkBatch(990000000000L + nsaves * 1000000L,
-                s"zzfoldtail$nsaves", s"zf$nsaves").limit(200)
+              // keep the PERSISTED frame's own handle: unpersisting the
+              // limit plan is a no-op and leaked one cached batch per
+              // fold-loop iteration (r14 ADVICE)
+              val tbSrc = mkBatch(990000000000L + nsaves * 1000000L,
+                s"zzfoldtail$nsaves", s"zf$nsaves")
+              val tb = tbSrc.limit(200)
               idx = idx.appended(tb, "text")
               val t0 = System.nanoTime()
               idx = idx.save(ipath)
@@ -273,7 +277,7 @@ object NearDupScale {
                 results(s"fold_gb_${tag}_value") = graft.FsUtil.sizeBytes(
                   java.nio.file.Paths.get(ch.last)) / 1e9
               } else results(s"fold_delta_save_${nsaves}_${tag}_value") = w
-              tb.unpersist(blocking = false)
+              tbSrc.unpersist(blocking = false)
             }
             results(s"fold_reached_${tag}_value") = if (foldWall >= 0) 1.0 else 0.0
             if (foldWall >= 0) {
