@@ -491,6 +491,94 @@ case class NearestCentroidDist(child: Expression, centroids: Array[Array[Float]]
     copy(child = newChild)
 }
 
+/** `centroid_dist_at(v, cid)` — TRUE squared-L2 distance from `v` to the
+  * GIVEN centroid `cid`, bit-identical to what [[NearestCentroidDist]] (or
+  * the grouped variant) returns for a row whose kernel chose `cid`: same
+  * |x|² + |c|²−2·x·c form, same left-to-right double accumulation, same
+  * ≥ 0 clamp. This is the build/append stats kernel as of r15: the write
+  * pass assigns once (`nearest_centroid*`), and per-cell radii/RMS are
+  * aggregated from this O(d) expression over the ALREADY-ASSIGNED cluster
+  * id — O(d) per row instead of re-running the O(k·d) assignment scan the
+  * r14 two-pass stats paid (27–43% of the measured 2M/4M build walls).
+  * `cid` must be a valid id in [0, numCentroids) — anything else throws,
+  * which is the right failure for a corrupted assignment column.
+  */
+case class CentroidDistAt(left: Expression, right: Expression,
+    centroids: Array[Array[Float]])
+    extends BinaryExpression with VectorKernelSupport {
+
+  require(centroids.nonEmpty)
+
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "centroid_dist_at"
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val vecCheck = checkVectorInput(Seq(left))
+    if (vecCheck != TypeCheckResult.TypeCheckSuccess) vecCheck
+    else if (right.dataType != IntegerType)
+      TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires an int cluster id, got ${right.dataType.sql}")
+    else TypeCheckResult.TypeCheckSuccess
+  }
+
+  @transient private lazy val c2: Array[Double] =
+    centroids.map(_.foldLeft(0.0)((acc, v) => acc + v.toDouble * v))
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val cid = b.asInstanceOf[Int]
+    val t = elementTypeOf(left)
+    val n = x.numElements()
+    var x2 = 0.0
+    var i = 0
+    while (i < n) { val e = elemAt(x, t, i); x2 += e * e; i += 1 }
+    val cv = centroids(cid)
+    val m = math.min(n, cv.length)
+    var acc = 0.0
+    var j = 0
+    while (j < m) { acc += elemAt(x, t, j) * cv(j); j += 1 }
+    // clamp: analytically ≥ 0, accumulation order can leave a tiny
+    // negative for near-coincident points (same rule as the kernels)
+    math.max(0.0, c2(cid) - 2.0 * acc + x2)
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val t = elementTypeOf(left)
+    val csRef = ctx.addReferenceObj("centroids", centroids, "float[][]")
+    val c2Ref = ctx.addReferenceObj("c2sums", c2, "double[]")
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val v = ctx.freshName("v"); val x2 = ctx.freshName("x2")
+      val cv = ctx.freshName("cv"); val m = ctx.freshName("m")
+      val acc = ctx.freshName("acc"); val i = ctx.freshName("i")
+      val j = ctx.freshName("j")
+      val toPrim = t match {
+        case DoubleType => s"final double[] $v = $a.toDoubleArray();"
+        case ByteType   => s"final byte[] $v = $a.toByteArray();"
+        case _          => s"final float[] $v = $a.toFloatArray();"
+      }
+      s"""
+         |$toPrim
+         |double $x2 = 0.0;
+         |for (int $i = 0; $i < $v.length; $i++) {
+         |  $x2 += (double)$v[$i] * (double)$v[$i];
+         |}
+         |final float[] $cv = $csRef[$b];
+         |final int $m = java.lang.Math.min($v.length, $cv.length);
+         |double $acc = 0.0;
+         |for (int $j = 0; $j < $m; $j++) {
+         |  $acc += (double)$v[$j] * (double)$cv[$j];
+         |}
+         |${ev.value} = java.lang.Math.max(0.0, $c2Ref[$b] - 2.0 * $acc + $x2);
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 /** `nearest_centroid_grouped(v)` — the two-level IVF assignment kernel for
   * LARGE centroid tables: rank the ~√k coarse group centroids by
   * squared-L2 (phase 1), then scan only the top-`probes` groups' member

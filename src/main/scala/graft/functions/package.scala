@@ -33,6 +33,16 @@ package object functions {
   def nearest_centroid_dist(v: Column, centroids: Array[Array[Float]]): Column =
     Bridge.column(NearestCentroidDist(Bridge.expression(v), centroids))
 
+  /** True squared-L2 distance to the GIVEN centroid id — the one-pass
+    * build/append stats kernel: O(d) over an already-assigned cluster
+    * column, bit-identical to [[nearest_centroid_dist]] for the cell the
+    * assignment chose (see [[graft.functions.CentroidDistAt]]).
+    */
+  def centroid_dist_at(v: Column, cluster: Column,
+      centroids: Array[Array[Float]]): Column =
+    Bridge.column(CentroidDistAt(Bridge.expression(v),
+      Bridge.expression(cluster), centroids))
+
   /** Two-level nearest-centroid index: rank `coarse` group centroids,
     * exact-scan the top-`probes` groups' `members` — the large-k IVF
     * assignment kernel (see

@@ -1,6 +1,6 @@
 package graft.operators
 
-import graft.functions.{vec_cos, vec_dot}
+import graft.functions.{centroid_dist_at, vec_cos, vec_dot}
 import org.apache.spark.ml.clustering.KMeans
 import org.apache.spark.ml.functions.array_to_vector
 import org.apache.spark.sql.functions._
@@ -221,13 +221,14 @@ object VectorSearch {
     * the yardstick [[driftRatio]] measures centroid drift against.
     *
     * `radii` (max assigned distance) and `rmsRadii` (root-mean-square
-    * assigned distance) come from the build/train sample; `cellCounts`
-    * are ESTIMATED FULL per-cell sizes (the train sample's counts scaled
-    * by 1/sampleFraction), kept so [[append]]'s count-weighted RMS merge
-    * weighs build and batch contributions on the same scale — folding a
-    * full-count batch against raw sample counts would over-weight the
-    * batch by ~1/sampleFraction and drift the routing radii toward
-    * append statistics. `occupancy` maps each registered categorical
+    * assigned distance) are aggregated from the written `__dist` stats
+    * column over the FULL index (r15; builds before that computed them
+    * on the train sample, scaling `cellCounts` by 1/sampleFraction —
+    * loaded old manifests still carry those estimates and every
+    * consumer tolerates both). On r15 builds `cellCounts` are exact
+    * per-cell sizes — the weights [[append]]'s count-weighted RMS merge
+    * wants — and the max radius is admissible for EVERY row, not just
+    * the sampled ones. `occupancy` maps each registered categorical
     * column to its per-(cluster, value) row counts over the FULL index —
     * the driver-side source for [[probePlan]]'s filtered match counts
     * ([[buildIvf]]'s `occupancyCols`; [[append]] keeps it current);
@@ -543,6 +544,14 @@ object VectorSearch {
       */
     @volatile private[graft] var builtWithHierarchicalFit: Boolean = false
     @volatile private[graft] var builtWithGroupedAssign: Boolean = false
+
+    /** True when the index's data files carry the `__dist` stats column
+      * (every r15+ build; [[IvfIndex.load]] re-arms it from the
+      * manifest's persisted data schema). Gates whether [[append]]
+      * writes the column — keeping file schemas uniform without ever
+      * listing the directory to find out.
+      */
+    @volatile private[graft] var hasDistColumn: Boolean = false
 
     // Built on the first routed query, INVALIDATED by [[append]]: the
     // group bounds bake in the fine radii at build time, and append
@@ -952,7 +961,11 @@ object VectorSearch {
       val probeDf =
         if (exact) indexDf(spark)
         else indexDf(spark).filter(col("__cluster").isin(clusters: _*))
-      topK(probeDf, "__vec", query, k, filter).drop("__cluster", "__vec")
+      // drop the physical layout's columns (__dist is the r15 stats
+      // column — dead weight for readers, pruned from every scan that
+      // doesn't name it)
+      topK(probeDf, "__vec", query, k, filter)
+        .drop("__cluster", "__vec", "__dist")
     }
 
     /** [[search]] for MULTIPLE queries in ONE scan over the UNION of their
@@ -1087,7 +1100,14 @@ object VectorSearch {
         .withColumnRenamed(vecCol, "__vec")
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       try {
-        assigned
+        // r15-built layouts carry the `__dist` stats column — appended
+        // files keep the schema uniform (O(d) from the persisted
+        // assignment, 8 bytes/row); pre-r15 layouts stay dist-less
+        val toWrite =
+          if (hasDistColumn) assigned.withColumn("__dist",
+            centroid_dist_at(col("__vec"), col("__cluster"), centroids))
+          else assigned
+        toWrite
           .sortWithinPartitions(col("__cluster"))
           // snappy, matching buildIvf: appends land on the same probe hot
           // path as the build's files, and the measured A/B (BASELINE.md)
@@ -1095,8 +1115,13 @@ object VectorSearch {
           .write.mode("append").option("compression", "snappy")
           .partitionBy("__cluster").parquet(path)
         if (radii.nonEmpty || rmsRadii.nonEmpty) {
+          // dist to the ASSIGNED cell, O(d) over the persisted batch —
+          // the r14 form re-ran the O(k·d) assignment kernel a second
+          // time per batch (same arithmetic, same chosen cell, so the
+          // folded radii are bit-identical)
           val stats = assigned.select(col("__cluster").as("__c"),
-              appendKernels._2(col("__vec")).as("__d"))
+              centroid_dist_at(col("__vec"), col("__cluster"), centroids)
+                .as("__d"))
             .groupBy(col("__c"))
             .agg(count(lit(1)).as("__n"), sum(col("__d")).as("__s"),
               max(col("__d")).as("__m"))
@@ -2082,16 +2107,15 @@ object VectorSearch {
     // groups, then each group refines its mass-proportional share of the
     // k centroids independently, one task per group — multiplier drops
     // to ~(m + k/m) ≈ 2√k. The hierarchical path also keeps the sample
-    // as FLOAT ARRAYS end to end (no MLlib vector conversion) and holds
-    // the cache through the stats pass below, saving the second
-    // full-table sample scan the flat path pays.
-    var trainCache: DataFrame = null
+    // as FLOAT ARRAYS end to end (no MLlib vector conversion); the cache
+    // lives only for the fit — since r15 the stats pass aggregates the
+    // written `__dist` column instead of re-scanning any sample.
     val centroids: Array[Array[Float]] =
       if (k >= fitMinK) {
         val tf = sampled.select(col(vecCol).cast("array<float>").as("__v"))
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        trainCache = tf
-        hierarchicalFit(df.sparkSession, tf, k, seed, ivfDbg)
+        try hierarchicalFit(df.sparkSession, tf, k, seed, ivfDbg)
+        finally tf.unpersist(blocking = false)
       } else ivfStep("fit_flat") {
         // Pin the training sample: k-means|| init plus every Lloyd
         // iteration is a separate job, and without an explicit persist
@@ -2124,7 +2148,7 @@ object VectorSearch {
     // accessor k times. At >= twoLevelAssignMinCells cells the kernel is
     // the two-level variant (top-probes coarse groups, exact within) —
     // see assignKernels for the cost/exactness contract.
-    val (asgCol, asgDistCol) = assignKernels(centroids, assignMinCells)
+    val (asgCol, _) = assignKernels(centroids, assignMinCells)
     val assigned = df
       .withColumn("__cluster", asgCol(col(vecCol)))
       .withColumnRenamed(vecCol, "__vec")
@@ -2156,52 +2180,55 @@ object VectorSearch {
           assigned.repartition(inParts, col("__cluster"))
             .sortWithinPartitions(col("__cluster"))
         else assigned.sortWithinPartitions(col("__cluster"))
-      laid.write.mode("overwrite").option("compression", "snappy")
+      // `__dist` rides along as an 8-byte stats column: the assigned
+      // squared distance, computed O(d) from the ALREADY-ASSIGNED id
+      // (centroid_dist_at) ABOVE the sort/exchange barrier — the barrier
+      // blocks project-collapse, so the O(k·d) assignment kernel provably
+      // runs once per row (the r14 two-pass stats re-ran it over the
+      // train sample: 179 s of the 662 s 2M build, 379 s of the 890 s 4M
+      // build). The exchange still moves only (payload, __vec,
+      // __cluster); the stats pass below then aggregates this narrow
+      // column instead of re-running any kernel.
+      laid
+        .withColumn("__dist",
+          centroid_dist_at(col("__vec"), col("__cluster"), centroids))
+        .write.mode("overwrite").option("compression", "snappy")
         .partitionBy("__cluster").parquet(path)
     }
     // Build-time drift baseline (mean assigned-centroid distance) AND
     // per-cluster radii — max (√ of the max assigned squared distance,
     // the admissible MIPS bound) and RMS (√ of the mean, the robust
-    // probe-ordering default in [[IvfIndex.nearestClusters]]) — all over
-    // the same bounded sample the fit used, in ONE narrow aggregation
-    // pass: the drift probe and the router get their yardsticks without
-    // a full-corpus scan. Per-cell sample counts ride along so append()
-    // can merge batches into the RMS exactly.
-    // hierarchical path: the float-array sample is still cached — the
-    // stats pass reads it instead of re-scanning the source parquet for
-    // a second sample draw (same rows by the deterministic sample seed)
-    val (statsSrc, statsVec) =
-      if (trainCache != null) (trainCache, "__v") else (sampled, vecCol)
+    // probe-ordering default in [[IvfIndex.nearestClusters]]) — since
+    // r15 aggregated from the written `__dist` column over the FULL
+    // index in one narrow pass (partition dirs + 8 bytes/row; the
+    // 2688-dim vectors are never re-read and NO kernel re-runs). Two
+    // upgrades over the r14 sample-side two-pass: the 27–43%-of-wall
+    // duplicate assignment kernel is gone, and the max radius is now
+    // admissible for EVERY row, not just the sampled ones (a full-data
+    // outlier beyond the sample's radius no longer escapes the routing
+    // bound). Per-cell counts become EXACT full counts, which is what
+    // append()'s count-weighted RMS merge wants anyway.
+    val written = df.sparkSession.read.parquet(path)
     val stats = ivfStep("stats") {
-      statsSrc
-        .select(
-          asgCol(col(statsVec)).as("__c"),
-          asgDistCol(col(statsVec)).as("__d"))
-        .groupBy(col("__c"))
-        .agg(count(lit(1)).as("__n"), sum(col("__d")).as("__s"),
-          max(col("__d")).as("__m"))
+      written
+        .groupBy(col("__cluster").as("__c"))
+        .agg(count(lit(1)).as("__n"), sum(col("__dist")).as("__s"),
+          max(col("__dist")).as("__m"))
         .collect()
     }
-    if (trainCache != null) trainCache.unpersist(blocking = false)
     val totalN = stats.map(_.getLong(1)).sum
     val baseline =
       if (totalN == 0) Double.NaN else stats.map(_.getDouble(2)).sum / totalN
     val radii = new Array[Double](centroids.length)
     val rmsRadii = new Array[Double](centroids.length)
     val cellN = new Array[Long](centroids.length)
-    // cell counts are stored as ESTIMATED FULL counts (sample count /
-    // fraction): append() merges full-count batches into the RMS with
-    // these as weights, and raw sample counts would under-weight the
-    // build side by ~1/fraction (the batch's statistics would dominate
-    // the folded radii on sampled builds)
-    val countScale = if (fraction >= 1.0) 1.0 else 1.0 / fraction
     stats.foreach { r =>
       val c = r.getInt(0)
-      val sampleN = r.getLong(1)
+      val n = r.getLong(1)
       radii(c) = math.sqrt(r.getDouble(3))
-      if (sampleN > 0) {
-        rmsRadii(c) = math.sqrt(r.getDouble(2) / sampleN)
-        cellN(c) = math.max(1L, math.round(sampleN * countScale))
+      if (n > 0) {
+        rmsRadii(c) = math.sqrt(r.getDouble(2) / n)
+        cellN(c) = n
       }
     }
     // Per-(cluster, value) occupancy for the registered categorical
@@ -2212,25 +2239,21 @@ object VectorSearch {
     // build; filtered searches on these columns then plan with zero
     // Spark jobs. At the 65536-cell cap × the reference's 46 categories
     // the table is ≤ ~3M entries — driver-trivial.
-    val written =
-      if (occupancyCols.isEmpty) None
-      else Some(df.sparkSession.read.parquet(path))
     val occ = ivfStep("occupancy") {
       occupancyCols.flatMap { oc =>
-        written.filter(_.columns.contains(oc)).map { w =>
-          oc -> w.filter(col(oc).isNotNull)
-            .groupBy(col("__cluster"), col(oc).cast("string").as("__v"))
-            .agg(count(lit(1)).as("__n"))
-            .collect().map(r => (r.getInt(0), r.getString(1)) -> r.getLong(2))
-            .toMap
-        }
+        if (!written.columns.contains(oc)) None
+        else Some(oc -> written.filter(col(oc).isNotNull)
+          .groupBy(col("__cluster"), col(oc).cast("string").as("__v"))
+          .agg(count(lit(1)).as("__n"))
+          .collect().map(r => (r.getInt(0), r.getString(1)) -> r.getLong(2))
+          .toMap)
       }.toMap
     }
     // record each registered column's Spark type so the occupancy lookup
     // can gate on literal-type faithfulness (see occupancyCounts)
     val occTypes = occupancyCols.flatMap { oc =>
-      written.filter(_.columns.contains(oc))
-        .map(w => oc -> w.schema(oc).dataType.catalogString)
+      if (!written.columns.contains(oc)) None
+      else Some(oc -> written.schema(oc).dataType.catalogString)
     }.toMap
     val idx = IvfIndex(path, centroids, baseline, radii, rmsRadii, cellN,
       occ, occTypes)
@@ -2240,6 +2263,7 @@ object VectorSearch {
     // production path, not the small-index fallbacks
     idx.builtWithHierarchicalFit = k >= fitMinK
     idx.builtWithGroupedAssign = centroids.length >= assignMinCells
+    idx.hasDistColumn = true
     // the index is a durable artifact, not a session object: persist the
     // driver-side state so IvfIndex.load reopens it in a fresh process
     // (manifest ≪ data files — see saveManifest scaladoc)

@@ -1154,4 +1154,62 @@ class VectorSearchSpec extends SparkSpec {
       ca.zip(cd).foreach { case (x, y) => assert(math.abs(x - y) < 1e-3) }
     }
   }
+
+  test("centroid_dist_at equals the assignment kernel's distance at the chosen cell") {
+    val rnd = new scala.util.Random(21)
+    val cents = Array.fill(5)(Array.fill(8)(rnd.nextFloat() * 4 - 2))
+    val vecs = (0 until 64).map(i =>
+      (i.toLong, Array.fill(8)(rnd.nextFloat() * 4 - 2))).toDF("id", "v")
+    val rows = vecs.select(col("v"),
+        graft.functions.nearest_centroid(col("v"), cents).as("c"),
+        graft.functions.nearest_centroid_dist(col("v"), cents).as("dk"))
+      .select(col("c"),
+        col("dk"),
+        graft.functions.centroid_dist_at(col("v"), col("c"), cents).as("dg"))
+      .collect()
+    // same cell in, BIT-identical distance out (same |x|²+|c|²−2xc form,
+    // same accumulation order, same clamp) — the contract that makes the
+    // one-pass build stats exactly the two-pass values
+    rows.foreach { r =>
+      assert(r.getDouble(1) == r.getDouble(2),
+        s"kernel ${r.getDouble(1)} != dist_at ${r.getDouble(2)}")
+    }
+  }
+
+  test("one-pass build stats equal a two-pass kernel recomputation (r15 contract)") {
+    val dir = java.nio.file.Files.createTempDirectory("ivf_1pass").toString
+    // fraction 1.0 by construction (n=120 < trainTarget): the written
+    // __dist aggregation must reproduce the r14 sample-side two-pass
+    // stats exactly — radii bit-equal, RMS/baseline to float-sum order
+    val idx = VectorSearch.buildIvf(clustered, "embedding", 3, dir)
+    val (asg, dist) = VectorSearch.assignKernels(idx.centroids)
+    val twoPass = clustered.select(asg(col("embedding")).as("c"),
+        dist(col("embedding")).as("d"))
+      .groupBy(col("c"))
+      .agg(count(lit(1)).as("n"), sum(col("d")).as("s"), max(col("d")).as("m"))
+      .collect().map(r => r.getInt(0) -> (r.getLong(1), r.getDouble(2),
+        r.getDouble(3))).toMap
+    (0 until 3).foreach { c =>
+      val (n, s, m) = twoPass(c)
+      assert(idx.cellCounts(c) == n, s"cell $c count")
+      assert(idx.radii(c) == math.sqrt(m), s"cell $c max radius")
+      assert(math.abs(idx.rmsRadii(c) - math.sqrt(s / n)) < 1e-9,
+        s"cell $c rms")
+    }
+    val totalN = twoPass.values.map(_._1).sum
+    val baseline = twoPass.values.map(_._2).sum / totalN
+    assert(math.abs(idx.baselineDist - baseline) < 1e-9, "baseline")
+    // the layout carries __dist; search results must not
+    val written = spark.read.parquet(dir)
+    assert(written.columns.contains("__dist"))
+    assert(written.filter(col("__dist") < 0).count() == 0L)
+    val hit = idx.search(spark, Array.fill(8)(5.0f), 3, nprobe = 3)
+    assert(!hit.columns.contains("__dist") && !hit.columns.contains("__vec"))
+    // appended batches keep the file schema uniform (hasDistColumn)
+    val extra = Seq((900L, 0, Array.fill(8)(5.2f)))
+      .toDF("vec_id", "true_cluster", "embedding")
+    idx.append(extra, "embedding")
+    assert(spark.read.parquet(dir).filter(col("__dist").isNull).count() == 0L)
+    FsUtil.deleteRecursively(java.nio.file.Paths.get(dir))
+  }
 }
