@@ -1292,7 +1292,7 @@ object Dedup {
             // keeps the cap conservative without an exact-distinct
             // shuffle.
             val gateRow = cs.agg(
-              approx_count_distinct(col(idCol), 0.02).as("ids")).head()
+              approx_count_distinct(col(corpusIdAs), 0.02).as("ids")).head()
             candIdsBroadcastable =
               gateRow.getLong(0) * 1.1 <= Dedup.dedupPruneMaxCandIds
             cs

@@ -668,9 +668,10 @@ object VectorSearch {
       }
     }
 
-    // Files-per-cell census for the wall-aware switch term: one listing
-    // via the cached relation (InMemoryFileIndex memoizes it), then a
-    // driver-resident scalar. Exchange-written layouts read ~1;
+    // Files-per-cell census for the wall-aware switch term: from the
+    // persisted file census when the handle carries one (pure driver
+    // arithmetic), else one listing via the cached relation
+    // (InMemoryFileIndex memoizes it). Exchange-written layouts read ~1;
     // pre-exchange many-file layouts price their heavier per-cell read
     // accordingly. Invalidated with dfCache (append/refresh).
     @transient @volatile private var filesPerCellCache: Double = -1.0
@@ -678,9 +679,11 @@ object VectorSearch {
       val c = filesPerCellCache
       if (c > 0) c
       else {
-        val v = math.max(1.0,
-          indexDf(spark).inputFiles.length.toDouble /
-            math.max(1, centroids.length))
+        val nFiles = censusNow0 match {
+          case Some((_, _, files)) => files.length.toDouble
+          case None => indexDf(spark).inputFiles.length.toDouble
+        }
+        val v = math.max(1.0, nFiles / math.max(1, centroids.length))
         filesPerCellCache = v
         v
       }
@@ -703,10 +706,47 @@ object VectorSearch {
     @transient private lazy val dfCache =
       java.util.Collections.synchronizedMap(
         new java.util.WeakHashMap[SparkSession, DataFrame]())
+
+    /** Persisted-file-census handle state (r15): (epoch, data schema,
+      * files). When set, [[indexDf]] constructs the relation FROM it —
+      * no directory listing, no footer read — which is what makes a
+      * fresh process's first filtered search cost ~the warm cost
+      * (plan_cold was 5.6–10.3 s of listing at 4k/8k files,
+      * BENCH_scale_idx2m/idx4m_r14). Sources, in trust order:
+      * [[buildIvf]] (extracted from the relation the stats pass just
+      * read), [[IvfIndex.load]] (the manifest's census, admitted only
+      * when its recorded epoch matches the index's current `_graft_epoch`
+      * — see [[org.apache.spark.sql.graft.CensusIndex.readEpoch]]), or a
+      * recapture off a real listing in [[indexDf]]. [[append]] and
+      * [[refresh]] drop it (files changed); [[saveManifest]] persists
+      * whatever the handle currently holds.
+      */
+    @transient @volatile private[graft] var censusNow0
+        : Option[(Long, org.apache.spark.sql.types.StructType,
+          Seq[org.apache.spark.sql.graft.CensusIndex.CensusFile])] = None
+
     private def indexDf(spark: SparkSession): DataFrame = {
       val cached = dfCache.get(spark)
       if (cached != null) cached
-      else { val df = spark.read.parquet(path); dfCache.put(spark, df); df }
+      else {
+        import org.apache.spark.sql.graft.CensusIndex
+        val df = censusNow0 match {
+          case Some((_, schema, files)) =>
+            CensusIndex.relation(spark, path, "__cluster", schema, files)
+          case None =>
+            // epoch BEFORE the listing: files appended between the two
+            // reads leave a mismatched epoch, so a stale capture can
+            // never be persisted as current
+            val ep = CensusIndex.readEpoch(spark, path)
+            val listed = spark.read.parquet(path)
+            if (ep.isDefined)
+              CensusIndex.extract(listed, path).foreach { case (ds, fs) =>
+                censusNow0 = Some((ep.get, ds, fs))
+              }
+            listed
+        }
+        dfCache.put(spark, df); df
+      }
     }
 
     /** Drop cached relations and memoized filtered-count maps so the next
@@ -716,6 +756,7 @@ object VectorSearch {
     def refresh(): Unit = {
       dfCache.clear(); countCache.clear()
       filesPerCellCache = -1.0
+      censusNow0 = None // external appends: the file list is stale
       // occupancy cannot be rebuilt here (it only folds this handle's
       // own appends), so any external rows refresh() just made visible
       // are absent from it — the occupancy-pruned count scan would no
@@ -1095,6 +1136,16 @@ object VectorSearch {
     @transient private lazy val appendKernels = assignKernels(centroids)
 
     def append(updates: DataFrame, vecCol: String): Unit = {
+      // bump the census epoch BEFORE any data file lands: a crash
+      // mid-append leaves epoch ≠ any persisted census, so load() falls
+      // back to a real listing instead of serving a file list that
+      // misses the partial batch
+      {
+        import org.apache.spark.sql.graft.CensusIndex
+        val s = updates.sparkSession
+        CensusIndex.writeEpoch(s, path,
+          CensusIndex.readEpoch(s, path).getOrElse(0L) + 1L)
+      }
       val assigned = updates
         .withColumn("__cluster", appendKernels._1(col(vecCol)))
         .withColumnRenamed(vecCol, "__vec")
@@ -1156,6 +1207,7 @@ object VectorSearch {
       dfCache.clear() // cached relations pin the old file list
       countCache.clear() // memoized counts predate the appended rows
       filesPerCellCache = -1.0 // appended files change the census
+      censusNow0 = None // next indexDf re-lists and recaptures at the new epoch
       // the coarse router's group bounds were computed from the
       // pre-append radii, which the stats fold above just mutated — a
       // stale router's termination certificate is no longer admissible
@@ -1266,13 +1318,39 @@ object VectorSearch {
         spark.createDataFrame(
             spark.sparkContext.emptyRDD[Row], occSchema)
           .write.mode("append").parquet(s"$vdir/occupancy")
+      // meta (r15 adds the census fields): census epoch + the data
+      // schema as JSON, both null when the handle holds no current
+      // census (append-heavy run that never searched, or pre-census
+      // handles) — load() then falls back to a real listing
+      val cn = censusNow0
       val metaSchema = StructType(Seq(
-        StructField("baselineDist", DoubleType, nullable = true)))
+        StructField("baselineDist", DoubleType, nullable = true),
+        StructField("censusEpoch", LongType, nullable = true),
+        StructField("dataSchemaJson", StringType, nullable = true)))
       spark.createDataFrame(
           spark.sparkContext.parallelize(Seq(Row(
-            if (baselineDist.isNaN) null else java.lang.Double.valueOf(baselineDist))), 1),
+            if (baselineDist.isNaN) null else java.lang.Double.valueOf(baselineDist),
+            cn.map(c => java.lang.Long.valueOf(c._1)).orNull,
+            cn.map(_._2.json).orNull)), 1),
           metaSchema)
         .write.mode("append").parquet(s"$vdir/meta")
+      // the file census itself: one narrow row per data file, sliced on
+      // the occupancy principle (a 65536-cell exchange layout is ~65k
+      // rows — driver-trivial, but never one giant Seq)
+      cn.foreach { case (_, _, files) =>
+        val fileSchema = StructType(Seq(
+          StructField("cluster", IntegerType, nullable = false),
+          StructField("relpath", StringType, nullable = false),
+          StructField("length", LongType, nullable = false),
+          StructField("mtime", LongType, nullable = false)))
+        files.grouped(262144).foreach { g =>
+          spark.createDataFrame(
+              spark.sparkContext.parallelize(
+                g.map(f => Row(f.cluster, f.relPath, f.length, f.modTime)), 1),
+              fileSchema)
+            .write.mode("append").parquet(s"$vdir/files")
+        }
+      }
       // commit marker LAST — the version is invisible to load() until
       // this file exists, which is the whole atomicity argument — then
       // vacuum to the two newest committed versions (shared layout)
@@ -1577,9 +1655,43 @@ object VectorSearch {
       val occTypes = occRows.map { case (oc, rows) =>
         oc -> (if (hasTypes) rows.head.getAs[String]("coltype") else "string")
       }
-      val meta = spark.read.parquet(s"$dir/meta").head()
+      val metaDf = spark.read.parquet(s"$dir/meta")
+      val meta = metaDf.head()
       val baseline = if (meta.isNullAt(0)) Double.NaN else meta.getDouble(0)
-      IvfIndex(path, cents, baseline, radii, rms, ns, occ, occTypes)
+      val idx = IvfIndex(path, cents, baseline, radii, rms, ns, occ, occTypes)
+      // r15 census re-arm: admit the persisted file list only when its
+      // recorded epoch still matches the index's `_graft_epoch` — any
+      // append after the checkpoint leaves a mismatch and the handle
+      // falls back to a real listing (never a file list missing rows).
+      // Pre-census manifests lack the columns entirely.
+      if (metaDf.columns.contains("censusEpoch")) {
+        val epIdx = metaDf.columns.indexOf("censusEpoch")
+        val sjIdx = metaDf.columns.indexOf("dataSchemaJson")
+        if (!meta.isNullAt(epIdx) && !meta.isNullAt(sjIdx)) {
+          val savedEpoch = meta.getLong(epIdx)
+          val current = org.apache.spark.sql.graft.CensusIndex
+            .readEpoch(spark, path)
+          if (current.contains(savedEpoch)) {
+            try {
+              val ds = org.apache.spark.sql.types.DataType
+                .fromJson(meta.getString(sjIdx))
+                .asInstanceOf[org.apache.spark.sql.types.StructType]
+              val files = spark.read.parquet(s"$dir/files")
+                .select(col("cluster"), col("relpath"), col("length"),
+                  col("mtime"))
+                .as[(Int, String, Long, Long)].collect()
+                .map(t => org.apache.spark.sql.graft.CensusIndex
+                  .CensusFile(t._1, t._2, t._3, t._4)).toSeq
+              idx.censusNow0 = Some((savedEpoch, ds, files))
+              idx.hasDistColumn = ds.fieldNames.contains("__dist")
+            } catch {
+              // absent/corrupt files dir: census stays off, listing path
+              case _: Exception => ()
+            }
+          }
+        }
+      }
+      idx
     }
   }
 
@@ -2208,6 +2320,9 @@ object VectorSearch {
     // outlier beyond the sample's radius no longer escapes the routing
     // bound). Per-cell counts become EXACT full counts, which is what
     // append()'s count-weighted RMS merge wants anyway.
+    // epoch 0 = the build generation; appenders bump it before adding
+    // files (see CensusIndex.readEpoch for the freshness contract)
+    org.apache.spark.sql.graft.CensusIndex.writeEpoch(df.sparkSession, path, 0L)
     val written = df.sparkSession.read.parquet(path)
     val stats = ivfStep("stats") {
       written
@@ -2264,6 +2379,11 @@ object VectorSearch {
     idx.builtWithHierarchicalFit = k >= fitMinK
     idx.builtWithGroupedAssign = centroids.length >= assignMinCells
     idx.hasDistColumn = true
+    // file census off the relation the stats pass already listed (free)
+    // — saveManifest persists it, so a fresh process's load() serves its
+    // first search without re-listing the partition tree
+    idx.censusNow0 = org.apache.spark.sql.graft.CensusIndex
+      .extract(written, path).map { case (ds, fs) => (0L, ds, fs) }
     // the index is a durable artifact, not a session object: persist the
     // driver-side state so IvfIndex.load reopens it in a fresh process
     // (manifest ≪ data files — see saveManifest scaladoc)
