@@ -351,10 +351,16 @@ object VectorSearch {
       * candidate count is past the floor (max(4n, 2√k)) and the best
       * remaining bound is strictly below the running n-th-best fine
       * score, the result is provably the flat ranking's — ties included,
-      * because a tied bound keeps the walk alive. A candidate cap
-      * (max(16n, 4√k)) keeps the worst-case geometry (groups merging
-      * unrelated hubs, whose deliberately-loose bounds would otherwise
-      * force a near-full expansion) at ~3% of the table.
+      * because a tied bound keeps the walk alive. Worst-case geometry
+      * (groups merging unrelated hubs, whose deliberately-loose bounds
+      * keep the suffix-max high) is contained by a per-group SKIP, not a
+      * blind stop: a group whose own bound is strictly below the n-th
+      * best is provably non-contributing and costs nothing, so total
+      * expansion is the certificate-minimal set — the r14 candidate cap
+      * that ended such walks wholesale was measured dropping cells the
+      * flat ranking keeps (65536-cell lab recall 0.317 vs 0.330) and is
+      * gone; parity now holds unconditionally (spec-pinned at 16384 and
+      * 65536 cells).
       *
       * Two deliberate choices, both echoes of the fine level's RMS
       * lesson (extent must not rule ORDER):
@@ -399,7 +405,6 @@ object VectorSearch {
         i -= 1
       }
       val floor = math.max(4 * n, 2 * m)
-      val cap = math.max(16 * n, 4 * m)
       // incremental selection: same (score desc, id asc) policy as
       // selectTopIds, maintained during the walk so the running n-th
       // best drives termination
@@ -414,29 +419,50 @@ object VectorSearch {
       var w = 0
       var done = false
       while (w < m && !done && dots(order(w)) > Double.NegativeInfinity) {
-        val ms = cr.members(order(w))
-        var j = 0
-        while (j < ms.length) {
-          val f = ms(j)
-          val r = if (f < rr.length) rr(f) else 0.0
-          val s = dotLocal(centroids(f), query) + r * qNorm
-          val p = candIds.length
-          candIds += f
-          candScores += s
-          if (heap.size < n) heap.add(p)
-          else {
-            val worst = heap.peek()
-            if (s > candScores(worst) ||
-                (s == candScores(worst) && f < candIds(worst))) {
-              heap.poll(); heap.add(p)
+        val gi = order(w)
+        // Certificate-preserving SKIP (r15): once the heap is full, a
+        // group whose OWN admissible bound sits STRICTLY below the
+        // running n-th-best fine score provably contributes nothing
+        // (every member's score ≤ the group bound) — skip its expansion
+        // and move on. This replaces the r14 blind candidate cap
+        // (stop-at-16n-candidates), which ended the walk wholesale and
+        // could drop cells the flat ranking keeps: the 65536-cell lab
+        // point read routed recall 0.317 vs flat 0.330, and the r15
+        // parity spec reproduced the omission deterministically at
+        // 16384 cells. With skipping, total expansion is the
+        // certificate-minimal set for this bound family (groups whose
+        // bound clears the final n-th best); the worst case degenerates
+        // to the flat scan's arithmetic plus the √k phase-1 — a bounded
+        // 2× walltime regression, never a recall leak. Strict <, so a
+        // bound TIED with the n-th best still expands (a tied member
+        // with a lower id displaces under the (score, id) policy).
+        val skip = heap.size == n && cnt >= floor &&
+          dots(gi) + cr.bounds(gi) * qNorm < candScores(heap.peek())
+        if (!skip) {
+          val ms = cr.members(gi)
+          var j = 0
+          while (j < ms.length) {
+            val f = ms(j)
+            val r = if (f < rr.length) rr(f) else 0.0
+            val s = dotLocal(centroids(f), query) + r * qNorm
+            val p = candIds.length
+            candIds += f
+            candScores += s
+            if (heap.size < n) heap.add(p)
+            else {
+              val worst = heap.peek()
+              if (s > candScores(worst) ||
+                  (s == candScores(worst) && f < candIds(worst))) {
+                heap.poll(); heap.add(p)
+              }
             }
+            j += 1
           }
-          j += 1
+          cnt += ms.length
         }
-        cnt += ms.length
         w += 1
         if (heap.size == n && cnt >= floor &&
-            (suffix(w) < candScores(heap.peek()) || cnt >= cap))
+            suffix(w) < candScores(heap.peek()))
           done = true
       }
       twoLevelQueries.incrementAndGet()

@@ -125,6 +125,19 @@ object RouterCrossover {
         results(s"ab_flat_${tag}_plan_value") = math.min(f1._3, f2._3)
         results(s"ab_routed_${tag}_recall_value") = math.max(r1._2, r2._2)
         results(s"ab_flat_${tag}_recall_value") = math.max(f1._2, f2._2)
+        // r15: probe-set parity ON THE REAL GEOMETRY (the r14 pair read
+        // routed 0.317 vs flat 0.330 here — the blind candidate cap,
+        // removed this round; the spec pins parity on synthetic
+        // geometry, this records it in-situ). 1.0 = every query's routed
+        // RANKED probe list is identical to the flat ranking's.
+        setRouted(true)
+        val routedPlans = ivf.probePlan(spark, queryVecs, 100, 128, None,
+          exactFallback = true)
+        setRouted(false)
+        val flatPlans = ivf.probePlan(spark, queryVecs, 100, 128, None,
+          exactFallback = true)
+        results(s"parity_${tag}_value") =
+          if (routedPlans == flatPlans) 1.0 else 0.0
         graft.FsUtil.deleteRecursively(
           java.nio.file.Paths.get(s"$base/ivf_$tag"))
       }

@@ -1155,6 +1155,46 @@ class VectorSearchSpec extends SparkSpec {
     }
   }
 
+  test("router parity AT the engaged scale: routed probe sets equal flat at >=16384 cells") {
+    // r14 moved the two-level default to 16384 cells, but parity was
+    // asserted only on small-index fixtures while the 65536-cell lab
+    // point read routed recall 0.317 vs flat 0.330 (tie-break noise on a
+    // 3-rows/cell shape). This pins the ranking itself at the geometries
+    // that now DEFAULT to routing: the routed walk must return the flat
+    // ranking exactly — ties included — per routeTwoLevel's termination
+    // certificate. Driver-only (nearestClusters needs no data files).
+    def parityAt(cells: Int, dims: Int, seed: Int): Unit = {
+      val rnd = new scala.util.Random(seed)
+      // hub-structured centroids (the geometry that stresses group
+      // bounds): 64 hubs, cells scattered around them at varied spread
+      val hubs = Array.fill(64)(Array.fill(dims)(rnd.nextFloat() * 8 - 4))
+      val cents = Array.tabulate(cells) { i =>
+        val h = hubs(i % 64)
+        val spread = 0.2f + (i % 7) * 0.3f
+        h.map(v => v + (rnd.nextFloat() - 0.5f) * spread)
+      }
+      val rms = Array.fill(cells)(0.05 + rnd.nextDouble() * 2.0)
+      val idx = VectorSearch.IvfIndex("unused", cents, rmsRadii = rms)
+      assert(idx.twoLevelMinCells <= cells,
+        "fixture must sit at/above the production routing default")
+      val queries = Array.fill(8)(Array.fill(dims)(rnd.nextFloat() * 8 - 4)) ++
+        Array(cents(cells / 3), cents(cells - 1))
+      Seq(4, 32, 128).foreach { np =>
+        idx.twoLevelMinCells = 2; idx.invalidateRouter()
+        val routed = queries.map(q => idx.nearestClusters(q, np))
+        idx.twoLevelMinCells = Int.MaxValue; idx.invalidateRouter()
+        val flat = queries.map(q => idx.nearestClusters(q, np))
+        routed.zip(flat).zipWithIndex.foreach { case ((r, f), qi) =>
+          assert(r == f,
+            s"cells=$cells np=$np query=$qi routed!=flat: " +
+              s"${r.take(8)}... vs ${f.take(8)}...")
+        }
+      }
+    }
+    parityAt(16384, 24, 41) // the crossover default engages exactly here
+    parityAt(65536, 8, 42)  // the lab win point / production cap
+  }
+
   test("centroid_dist_at equals the assignment kernel's distance at the chosen cell") {
     val rnd = new scala.util.Random(21)
     val cents = Array.fill(5)(Array.fill(8)(rnd.nextFloat() * 4 - 2))
