@@ -1398,11 +1398,18 @@ object VectorSearch {
       * is decaying — re-train ([[buildIvf]]) when it crosses the caller's
       * threshold ([[needsRetrain]] packages the common case).
       *
-      * Cost: one narrow sampled pass over (`__vec`) with the fused
-      * [[graft.functions.nearest_centroid_dist]] kernel — no shuffle, no
-      * exact recall evaluation (which would need exact top-k ground truth,
-      * i.e. full scans per query). Run it per maintenance window, not per
-      * append.
+      * Cost on r15 layouts: a sampled aggregate of the stored `__dist`
+      * column — 8 bytes/row, no vector decode, no kernel. Correct
+      * because centroids are FROZEN for the index's lifetime: every
+      * row's stored assigned distance (written by build/append against
+      * those centroids) equals what the kernel would recompute now, so
+      * the column IS the current drift measurement (DriftSpec-pinned
+      * equal to the kernel path). Pre-r15 layouts (no `__dist`) pay the
+      * original narrow sampled pass over `__vec` with the fused
+      * [[graft.functions.nearest_centroid_dist]] kernel. Either way: no
+      * shuffle, no exact recall evaluation (which would need exact
+      * top-k ground truth, i.e. full scans per query). Run it per
+      * maintenance window, not per append.
       */
     def driftRatio(spark: SparkSession, sampleFraction: Double = 0.1,
         seed: Long = 42L): Double = {
@@ -1414,8 +1421,11 @@ object VectorSearch {
       // same kernel rule as the build's baseline stats pass — a flat
       // current against a grouped baseline would read as spurious
       // (negative) drift at large k
+      val distCol =
+        if (hasDistColumn) col("__dist")
+        else appendKernels._2(col("__vec"))
       val cur = sampled
-        .select(avg(appendKernels._2(col("__vec"))).as("d"))
+        .select(avg(distCol).as("d"))
         .head().getDouble(0)
       // an all-identical degenerate build can have baseline 0; any real
       // spread after appends then reads as infinite drift, which is the

@@ -1195,6 +1195,23 @@ class VectorSearchSpec extends SparkSpec {
     parityAt(65536, 8, 42)  // the lab win point / production cap
   }
 
+  test("driftRatio from the stored __dist column equals the kernel recomputation") {
+    val dir = java.nio.file.Files.createTempDirectory("ivf_drift15").toString
+    val idx = VectorSearch.buildIvf(clustered, "embedding", 3, dir)
+    idx.append(clustered.limit(7).withColumn("embedding",
+      col("embedding")), "embedding")
+    assert(idx.hasDistColumn)
+    val viaColumn = idx.driftRatio(spark, sampleFraction = 1.0)
+    idx.hasDistColumn = false // force the pre-r15 kernel path
+    val viaKernel = idx.driftRatio(spark, sampleFraction = 1.0)
+    idx.hasDistColumn = true
+    // frozen centroids: the stored assigned distance IS what the kernel
+    // recomputes — averaging order aside, the two paths must agree
+    assert(math.abs(viaColumn - viaKernel) < 1e-9,
+      s"column $viaColumn != kernel $viaKernel")
+    FsUtil.deleteRecursively(java.nio.file.Paths.get(dir))
+  }
+
   test("centroid_dist_at equals the assignment kernel's distance at the chosen cell") {
     val rnd = new scala.util.Random(21)
     val cents = Array.fill(5)(Array.fill(8)(rnd.nextFloat() * 4 - 2))
