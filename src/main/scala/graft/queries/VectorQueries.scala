@@ -896,6 +896,48 @@ object VectorQueries {
         SELECT vec_id, round(${sqlDot("e.embedding", "q.qv")}, 4) + 0 AS score
         FROM embeddings e CROSS JOIN q
         WHERE vec_id < 6
-        ORDER BY ${sqlDot("e.embedding", "q.qv")} DESC, vec_id LIMIT 5"""))
+        ORDER BY ${sqlDot("e.embedding", "q.qv")} DESC, vec_id LIMIT 5""")),
+
+    // ---- census-backed load (r15): the index is reopened in a FRESH
+    //      handle via IvfIndex.load and the filtered search runs through
+    //      the relation CONSTRUCTED FROM the manifest's persisted file
+    //      census (no directory listing) — in-query require()s pin that
+    //      the census actually armed and survived the search, and the
+    //      result hash-matches the DuckDB exact answer ----
+    QueryDef(
+      "q120_census_load",
+      (s, d) => {
+        val e = Tables.embeddings(s, d)
+        val root = java.nio.file.Files.createTempDirectory("q120_census")
+        try {
+          VectorSearch.buildIvf(e, "embedding", 8,
+            s"$root/ivf", sampleFraction = 1.0)
+          val loaded = VectorSearch.IvfIndex.load(s, s"$root/ivf")
+          require(loaded.censusNow0.isDefined,
+            "load() did not re-arm the persisted file census")
+          require(loaded.hasDistColumn,
+            "load() did not detect the __dist stats column")
+          val pred = col("vec_id") % 3 === 0
+          val qv = e.filter(col("vec_id") === 2).select(col("embedding"))
+            .head().getSeq[Float](0).toArray
+          // full-probe search: every cell read THROUGH the census
+          // relation; the filter's count scan also runs over it
+          val hits = loaded.search(s, qv, 30, nprobe = 8, Some(pred))
+            .select(col("vec_id"), col("score")).collect()
+          require(loaded.censusNow0.isDefined,
+            "census dropped mid-search (unexpected invalidation)")
+          import s.implicits._
+          hits.map(r => (r.getLong(0), r.getDouble(1)))
+            .sortBy(t => (-t._2, t._1)).take(20).toSeq
+            .toDF("vec_id", "score_raw")
+            .select(col("vec_id"),
+              (round(col("score_raw"), 4) + 0.0).as("score"))
+        } finally graft.FsUtil.deleteRecursively(root)
+      },
+      Some(s"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 2)
+        SELECT vec_id, round(${sqlDot("e.embedding", "q.qv")}, 4) + 0 AS score
+        FROM embeddings e CROSS JOIN q
+        WHERE vec_id % 3 = 0
+        ORDER BY ${sqlDot("e.embedding", "q.qv")} DESC, vec_id LIMIT 20"""))
   )
 }
