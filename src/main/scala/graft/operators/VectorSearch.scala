@@ -705,7 +705,7 @@ object VectorSearch {
       val c = filesPerCellCache
       if (c > 0) c
       else {
-        val nFiles = censusNow0 match {
+        val nFiles = censusOpt match {
           case Some((_, _, files)) => files.length.toDouble
           case None => indexDf(spark).inputFiles.length.toDouble
         }
@@ -751,12 +751,22 @@ object VectorSearch {
         : Option[(Long, org.apache.spark.sql.types.StructType,
           Seq[org.apache.spark.sql.graft.CensusIndex.CensusFile])] = None
 
+    // @transient fields deserialize to JVM defaults, not initializers —
+    // a handle that rode through a closure would read censusNow0 as
+    // NULL, and a match on null throws. Read through this everywhere.
+    private def censusOpt
+        : Option[(Long, org.apache.spark.sql.types.StructType,
+          Seq[org.apache.spark.sql.graft.CensusIndex.CensusFile])] = {
+      val c = censusNow0
+      if (c == null) None else c
+    }
+
     private def indexDf(spark: SparkSession): DataFrame = {
       val cached = dfCache.get(spark)
       if (cached != null) cached
       else {
         import org.apache.spark.sql.graft.CensusIndex
-        val df = censusNow0 match {
+        val df = censusOpt match {
           case Some((_, schema, files)) =>
             CensusIndex.relation(spark, path, "__cluster", schema, files)
           case None =>
@@ -1348,7 +1358,7 @@ object VectorSearch {
       // schema as JSON, both null when the handle holds no current
       // census (append-heavy run that never searched, or pre-census
       // handles) — load() then falls back to a real listing
-      val cn = censusNow0
+      val cn = censusOpt
       val metaSchema = StructType(Seq(
         StructField("baselineDist", DoubleType, nullable = true),
         StructField("censusEpoch", LongType, nullable = true),
