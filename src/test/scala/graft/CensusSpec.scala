@@ -102,6 +102,22 @@ class CensusSpec extends SparkSpec {
     FsUtil.deleteRecursively(java.nio.file.Paths.get(dir))
   }
 
+  test("census survives relocating the index directory (relative paths)") {
+    val dir = java.nio.file.Files.createTempDirectory("census_mv").toString
+    val built = VectorSearch.buildIvf(mkData(120, 11), "embedding", 3, dir)
+    val q = Array.fill(8)(5.0f)
+    val want = ids(built.search(spark, q, 10, nprobe = 3))
+    // move the whole index tree — data files, manifest, epoch file
+    val dir2 = dir + "_moved"
+    java.nio.file.Files.move(java.nio.file.Paths.get(dir),
+      java.nio.file.Paths.get(dir2))
+    val loaded = VectorSearch.IvfIndex.load(spark, dir2)
+    assert(loaded.censusNow0.isDefined,
+      "census must re-arm at the new location (paths are stored relative)")
+    assert(ids(loaded.search(spark, q, 10, nprobe = 3)) == want)
+    FsUtil.deleteRecursively(java.nio.file.Paths.get(dir2))
+  }
+
   test("missing/corrupt epoch file reads as None (fail-safe fallback)") {
     val dir = java.nio.file.Files.createTempDirectory("census_tear").toString
     assert(CensusIndex.readEpoch(spark, dir.toString).isEmpty)
