@@ -194,10 +194,20 @@ object VectorSearch {
     * unaffected.
     */
   def topKMulti(df: DataFrame, vecCol: String, queries: Seq[Array[Float]],
+      k: Int, idCol: String, filter: Option[Column] = None): DataFrame =
+    topKMultiScored(df, q => vec_dot(col(vecCol), typedLit(q)), queries, k,
+      idCol, filter)
+
+  /** [[topKMulti]] with a caller-supplied per-query score column — the
+    * storage-mode seam: an SQ8 index scores the same one-scan
+    * bounded-heap shape over its code algebra instead of a float dot.
+    */
+  private[graft] def topKMultiScored(df: DataFrame,
+      scoreOf: Array[Float] => Column, queries: Seq[Array[Float]],
       k: Int, idCol: String, filter: Option[Column] = None): DataFrame = {
     require(queries.nonEmpty)
     val filtered = filter.map(df.filter).getOrElse(df)
-    val scores = array(queries.map(q => vec_dot(col(vecCol), typedLit(q))): _*)
+    val scores = array(queries.map(scoreOf): _*)
     val exploded = filtered
       .select(col(idCol), posexplode(scores).as(Seq("__qid", "__score")))
     graft.functions.GroupTopK.perGroupStr(exploded, "__qid", "__score", idCol, k)
@@ -751,6 +761,69 @@ object VectorSearch {
         : Option[(Long, org.apache.spark.sql.types.StructType,
           Seq[org.apache.spark.sql.graft.CensusIndex.CensusFile])] = None
 
+    /** The index's DATA-FILE schema, tracked independently of the census
+      * (r16, the r15 ADVICE fix): the schema is a property of the FILES,
+      * not of census freshness — `hasDistColumn` (and Phase-C storage
+      * detection) must survive a dropped/stale census, or an appended
+      * index reloaded in a fresh process writes dist-less files into an
+      * r15 layout (mixed schemas) and driftRatio silently excludes the
+      * newest rows. Set by [[buildIvf]], [[IvfIndex.load]] (from the
+      * manifest, epoch-independent) and [[indexDf]]'s recapture;
+      * persisted by [[saveManifest]] even when the census itself is
+      * stale. Null-safe accessor below (@transient deserializes to null).
+      */
+    @transient @volatile private[graft] var dataSchemaNow
+        : org.apache.spark.sql.types.StructType = null
+
+    private def dataSchemaOpt: Option[org.apache.spark.sql.types.StructType] =
+      Option(dataSchemaNow).orElse(censusOpt.map(_._2))
+
+    /** True when the index's data files store int8 codes instead of the
+      * float vector ([[buildIvf]] `storage = "sq8"`). Schema-derived —
+      * like [[hasDistColumn]], a property of the files, persisted via
+      * `dataSchemaJson` and independent of census freshness; no separate
+      * manifest field to drift out of sync.
+      */
+    private[graft] def quantized: Boolean =
+      dataSchemaOpt.exists(_.fieldNames.contains("__codes"))
+
+    /** The per-row score of query `q` under the index's storage mode.
+      * Float layouts: the exact dot. SQ8 layouts: the dot against the
+      * stored row's DEQUANTIZED vector, computed algebraically from the
+      * code array without materializing it —
+      *   qmin·Σq + (qmax−qmin)/255 · (codes·q + 128·Σq)
+      * (per-row asymmetric int8, [[graft.operators.Quantize]]). All
+      * arithmetic in double, term order fixed so the DuckDB oracle
+      * replays it bit-for-bit (q67/q121). This is NOT a stage-1 estimate
+      * needing a float re-rank: the codes are the only stored
+      * representation (that is the disk win), the algebra IS the exact
+      * dot over what is stored, and any overfetch+re-rank against the
+      * same codes would reproduce the identical ranking. Quantization
+      * loss shows up only against a FLOAT-exact baseline (measured:
+      * IndexScale sq8 mode recalls).
+      */
+    private def scoreExpr(q: Array[Float]): Column =
+      if (!quantized) vec_dot(col("__vec"), typedLit(q))
+      else {
+        var qsum = 0.0
+        var i = 0
+        while (i < q.length) { qsum += q(i); i += 1 }
+        col("__qmin") * lit(qsum) +
+          (col("__qmax") - col("__qmin")) / lit(255.0) *
+            (vec_dot(col("__codes"), typedLit(q)) + lit(128.0 * qsum))
+      }
+
+    /** Columns of the physical layout a search result must not leak. */
+    private def layoutCols: Seq[String] =
+      Seq("__cluster", "__vec", "__dist", "__codes", "__qmin", "__qmax")
+
+    /** Exact multi-query top-k over the whole index under the storage
+      * mode's scoring — the exact-switch target and recall baseline.
+      */
+    private def exactMulti(spark: SparkSession, queries: Seq[Array[Float]],
+        k: Int, idCol: String, filter: Option[Column]): DataFrame =
+      topKMultiScored(indexDf(spark), scoreExpr, queries, k, idCol, filter)
+
     // @transient fields deserialize to JVM defaults, not initializers —
     // a handle that rode through a closure would read censusNow0 as
     // NULL, and a match on null throws. Read through this everywhere.
@@ -778,6 +851,7 @@ object VectorSearch {
             if (ep.isDefined)
               CensusIndex.extract(listed, path).foreach { case (ds, fs) =>
                 censusNow0 = Some((ep.get, ds, fs))
+                dataSchemaNow = ds
               }
             listed
         }
@@ -799,6 +873,51 @@ object VectorSearch {
       // longer be exact. One-way: reload the index to re-arm pruning.
       prunedCountScanDisabled = true
     }
+
+    /** Extend a census with the files a just-committed append added to
+      * `touched` cluster dirs: list ONLY those dirs (O(batch cells), not
+      * O(index files)) and keep everything whose relative path the prior
+      * census doesn't know. None on any failure — the caller then drops
+      * the census and the next read falls back to a real full listing,
+      * which remains the ground truth.
+      */
+    private def foldCensus(spark: SparkSession,
+        schema: org.apache.spark.sql.types.StructType,
+        oldFiles: Seq[org.apache.spark.sql.graft.CensusIndex.CensusFile],
+        touched: Set[Int], newEpoch: Long)
+        : Option[(Long, org.apache.spark.sql.types.StructType,
+          Seq[org.apache.spark.sql.graft.CensusIndex.CensusFile])] =
+      try {
+        import org.apache.hadoop.fs.Path
+        val rootPath = new Path(path)
+        val fs = rootPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val rootUriPath = fs.makeQualified(rootPath).toUri.getPath
+        val known = oldFiles.iterator.map(_.relPath).toSet
+        val added = touched.toSeq.sorted.flatMap { c =>
+          val d = new Path(rootPath, s"__cluster=$c")
+          if (!fs.exists(d)) Seq.empty
+          else fs.listStatus(d).toSeq
+            .filter { st =>
+              val n = st.getPath.getName
+              st.isFile && !n.startsWith("_") && !n.startsWith(".")
+            }
+            .flatMap { st =>
+              val p = fs.makeQualified(st.getPath).toUri.getPath
+              if (p.startsWith(rootUriPath + "/"))
+                Some(org.apache.spark.sql.graft.CensusIndex.CensusFile(
+                  c, p.substring(rootUriPath.length + 1), st.getLen,
+                  st.getModificationTime))
+              else None
+            }
+        }.filterNot(f => known(f.relPath))
+        Some((newEpoch, schema, oldFiles ++ added))
+      } catch {
+        case e: Exception =>
+          System.err.println(
+            s"[graft] census fold after append failed (falling back to " +
+              s"re-listing): ${e.getMessage}")
+          None
+      }
 
     /** Set by [[refresh]]: once external appends may be visible in the
       * scan but not in occupancy, the conjunction count-scan pruning
@@ -1040,9 +1159,11 @@ object VectorSearch {
         else indexDf(spark).filter(col("__cluster").isin(clusters: _*))
       // drop the physical layout's columns (__dist is the r15 stats
       // column — dead weight for readers, pruned from every scan that
-      // doesn't name it)
-      topK(probeDf, "__vec", query, k, filter)
-        .drop("__cluster", "__vec", "__dist")
+      // doesn't name it; sq8 layouts additionally carry codes + range)
+      val filtered = filter.map(probeDf.filter).getOrElse(probeDf)
+      filtered.withColumn("score", scoreExpr(query))
+        .orderBy(desc("score")).limit(k)
+        .drop(layoutCols: _*)
     }
 
     /** [[search]] for MULTIPLE queries in ONE scan over the UNION of their
@@ -1075,7 +1196,7 @@ object VectorSearch {
       if (unionAll.size < centroids.length &&
           exactScanWins(spark, effective, filter.isDefined)) {
         exactSwitches.incrementAndGet()
-        return topKMulti(indexDf(spark), "__vec", queries, k, idCol, filter)
+        return exactMulti(spark, queries, k, idCol, filter)
       }
       val base =
         if (unionAll.size == centroids.length) indexDf(spark)
@@ -1125,11 +1246,11 @@ object VectorSearch {
         }
       val scores = array(queries.zip(effective).zipWithIndex.map {
         case ((q, s), qi) =>
-          if (s.size == centroids.length) vec_dot(col("__vec"), typedLit(q))
+          if (s.size == centroids.length) scoreExpr(q)
           else when(
             shiftright(element_at(col("__mask"), qi / 64 + 1), qi % 64)
               .bitwiseAND(1L) === 1L,
-            vec_dot(col("__vec"), typedLit(q)))
+            scoreExpr(q))
       }: _*)
       val exploded = withMask
         .select(col(idCol), posexplode(scores).as(Seq("__qid", "__score")))
@@ -1172,16 +1293,24 @@ object VectorSearch {
     @transient private lazy val appendKernels = assignKernels(centroids)
 
     def append(updates: DataFrame, vecCol: String): Unit = {
+      // the census as of BEFORE this batch — the fold below extends it
+      // with the batch's own files instead of throwing it away (r16)
+      val priorCensus = censusOpt
       // bump the census epoch BEFORE any data file lands: a crash
       // mid-append leaves epoch ≠ any persisted census, so load() falls
       // back to a real listing instead of serving a file list that
       // misses the partial batch
-      {
+      val newEpoch = {
         import org.apache.spark.sql.graft.CensusIndex
         val s = updates.sparkSession
-        CensusIndex.writeEpoch(s, path,
-          CensusIndex.readEpoch(s, path).getOrElse(0L) + 1L)
+        val e = CensusIndex.readEpoch(s, path).getOrElse(0L) + 1L
+        CensusIndex.writeEpoch(s, path, e)
+        e
       }
+      // the batch's cluster set, filled from whichever per-cluster
+      // aggregation runs anyway (stats/occupancy) — the census fold
+      // needs to know which partition dirs gained files
+      var touchedClusters: Option[Set[Int]] = None
       val assigned = updates
         .withColumn("__cluster", appendKernels._1(col(vecCol)))
         .withColumnRenamed(vecCol, "__vec")
@@ -1189,11 +1318,18 @@ object VectorSearch {
       try {
         // r15-built layouts carry the `__dist` stats column — appended
         // files keep the schema uniform (O(d) from the persisted
-        // assignment, 8 bytes/row); pre-r15 layouts stay dist-less
-        val toWrite =
+        // assignment, 8 bytes/row); pre-r15 layouts stay dist-less.
+        // SQ8 layouts quantize the batch the same way the build did
+        // (per-row asymmetric int8) and drop the float vector — appended
+        // files land with the index's own schema and scoring semantics.
+        val withDist =
           if (hasDistColumn) assigned.withColumn("__dist",
             centroid_dist_at(col("__vec"), col("__cluster"), centroids))
           else assigned
+        val toWrite =
+          if (quantized)
+            graft.operators.Quantize.quantize(withDist, "__vec").drop("__vec")
+          else withDist
         toWrite
           .sortWithinPartitions(col("__cluster"))
           // snappy, matching buildIvf: appends land on the same probe hot
@@ -1213,6 +1349,7 @@ object VectorSearch {
             .agg(count(lit(1)).as("__n"), sum(col("__d")).as("__s"),
               max(col("__d")).as("__m"))
             .collect()
+          touchedClusters = Some(stats.map(_.getInt(0)).toSet)
           stats.foreach { r =>
             val c = r.getInt(0)
             val n = r.getLong(1); val s = r.getDouble(2); val m = r.getDouble(3)
@@ -1239,11 +1376,29 @@ object VectorSearch {
             }
           }
         }
+        // radii-less legacy layouts skipped the stats collect — the fold
+        // still needs the batch's cluster set (one narrow distinct over
+        // the persisted batch)
+        if (touchedClusters.isEmpty && priorCensus.isDefined)
+          touchedClusters = Some(assigned.select(col("__cluster"))
+            .distinct().collect().map(_.getInt(0)).toSet)
       } finally assigned.unpersist(blocking = false)
       dfCache.clear() // cached relations pin the old file list
       countCache.clear() // memoized counts predate the appended rows
       filesPerCellCache = -1.0 // appended files change the census
-      censusNow0 = None // next indexDf re-lists and recaptures at the new epoch
+      // Fold the batch's files INTO the census instead of dropping it
+      // (r16): the appender knows exactly which cluster dirs it touched,
+      // so listing JUST those and diffing by relative path yields the
+      // new file set — the next search (and the checkpoint below) keeps
+      // serving from driver memory with zero full listings, and
+      // plan_cold after an append ≈ plan_warm. Any surprise (no prior
+      // census, listing failure) falls back to the pre-r16 behavior:
+      // census dropped, next indexDf re-lists and recaptures.
+      censusNow0 = (priorCensus, touchedClusters) match {
+        case (Some((_, schema, oldFiles)), Some(touched)) =>
+          foldCensus(updates.sparkSession, schema, oldFiles, touched, newEpoch)
+        case _ => None
+      }
       // the coarse router's group bounds were computed from the
       // pre-append radii, which the stats fold above just mutated — a
       // stale router's termination certificate is no longer admissible
@@ -1354,11 +1509,13 @@ object VectorSearch {
         spark.createDataFrame(
             spark.sparkContext.emptyRDD[Row], occSchema)
           .write.mode("append").parquet(s"$vdir/occupancy")
-      // meta (r15 adds the census fields): census epoch + the data
-      // schema as JSON, both null when the handle holds no current
-      // census (append-heavy run that never searched, or pre-census
-      // handles) — load() then falls back to a real listing
+      // meta (r15 adds the census fields; r16 decouples them): the data
+      // schema is a property of the FILES and persists whenever the
+      // handle knows it — censusEpoch alone gates the census; a stale
+      // census must not strand schema-derived state (hasDistColumn) on
+      // a fresh load() (the r15 append-then-load ADVICE bug)
       val cn = censusOpt
+      val ds = dataSchemaOpt
       val metaSchema = StructType(Seq(
         StructField("baselineDist", DoubleType, nullable = true),
         StructField("censusEpoch", LongType, nullable = true),
@@ -1367,7 +1524,7 @@ object VectorSearch {
           spark.sparkContext.parallelize(Seq(Row(
             if (baselineDist.isNaN) null else java.lang.Double.valueOf(baselineDist),
             cn.map(c => java.lang.Long.valueOf(c._1)).orNull,
-            cn.map(_._2.json).orNull)), 1),
+            ds.map(_.json).orNull)), 1),
           metaSchema)
         .write.mode("append").parquet(s"$vdir/meta")
       // the file census itself: one narrow row per data file, sliced on
@@ -1705,6 +1862,22 @@ object VectorSearch {
       val meta = metaDf.head()
       val baseline = if (meta.isNullAt(0)) Double.NaN else meta.getDouble(0)
       val idx = IvfIndex(path, cents, baseline, radii, rms, ns, occ, occTypes)
+      // Schema re-arm (r16): the persisted data schema binds REGARDLESS
+      // of census freshness — hasDistColumn (and the storage mode) are
+      // properties of the files on disk, which an epoch mismatch says
+      // nothing about. Pre-r16 manifests persisted the schema only
+      // alongside a live census; both layouts parse here.
+      val sjIdx = metaDf.columns.indexOf("dataSchemaJson")
+      val dataSchema: Option[org.apache.spark.sql.types.StructType] =
+        if (sjIdx < 0 || meta.isNullAt(sjIdx)) None
+        else try Some(org.apache.spark.sql.types.DataType
+          .fromJson(meta.getString(sjIdx))
+          .asInstanceOf[org.apache.spark.sql.types.StructType])
+        catch { case _: Exception => None }
+      dataSchema.foreach { ds =>
+        idx.dataSchemaNow = ds
+        idx.hasDistColumn = ds.fieldNames.contains("__dist")
+      }
       // r15 census re-arm: admit the persisted file list only when its
       // recorded epoch still matches the index's `_graft_epoch` — any
       // append after the checkpoint leaves a mismatch and the handle
@@ -1712,27 +1885,28 @@ object VectorSearch {
       // Pre-census manifests lack the columns entirely.
       if (metaDf.columns.contains("censusEpoch")) {
         val epIdx = metaDf.columns.indexOf("censusEpoch")
-        val sjIdx = metaDf.columns.indexOf("dataSchemaJson")
-        if (!meta.isNullAt(epIdx) && !meta.isNullAt(sjIdx)) {
+        if (!meta.isNullAt(epIdx) && dataSchema.isDefined) {
           val savedEpoch = meta.getLong(epIdx)
           val current = org.apache.spark.sql.graft.CensusIndex
             .readEpoch(spark, path)
           if (current.contains(savedEpoch)) {
             try {
-              val ds = org.apache.spark.sql.types.DataType
-                .fromJson(meta.getString(sjIdx))
-                .asInstanceOf[org.apache.spark.sql.types.StructType]
               val files = spark.read.parquet(s"$dir/files")
                 .select(col("cluster"), col("relpath"), col("length"),
                   col("mtime"))
                 .as[(Int, String, Long, Long)].collect()
                 .map(t => org.apache.spark.sql.graft.CensusIndex
                   .CensusFile(t._1, t._2, t._3, t._4)).toSeq
-              idx.censusNow0 = Some((savedEpoch, ds, files))
-              idx.hasDistColumn = ds.fieldNames.contains("__dist")
+              idx.censusNow0 = Some((savedEpoch, dataSchema.get, files))
             } catch {
-              // absent/corrupt files dir: census stays off, listing path
-              case _: Exception => ()
+              // absent/corrupt files dir: census stays off, the listing
+              // path still serves — but say so (r15 ADVICE: a silently
+              // swallowed persistent corruption degrades every load to
+              // the slow path with zero signal)
+              case e: Exception =>
+                System.err.println(
+                  s"[graft] census re-arm failed for $path (listing " +
+                    s"fallback): ${e.getMessage}")
             }
           }
         }
@@ -2212,11 +2386,40 @@ object VectorSearch {
     * dynamic-partition write; sorting explicitly makes the layout a
     * contract of the operator rather than an optimizer default.)
     */
+  /** The SQ8 pre-write frame: `__dist` (assigned squared distance, the
+    * r15 stats column) plus the int8 quantization columns
+    * ([[graft.operators.Quantize.quantize]] — `__qmin`/`__qmax`/
+    * `__codes`), float vector dropped. Factored out so Sq8IndexSpec can
+    * pin on the OPTIMIZED plan that the assignment kernel is not
+    * duplicated by project-collapse (`__cluster` is referenced by both
+    * the output and `__dist`; Catalyst refuses to inline a non-cheap
+    * expression used more than once).
+    */
+  private[graft] def sq8Narrow(assigned: DataFrame,
+      centroids: Array[Array[Float]]): DataFrame =
+    graft.operators.Quantize.quantize(
+        assigned.withColumn("__dist",
+          centroid_dist_at(col("__vec"), col("__cluster"), centroids)),
+        "__vec")
+      .drop("__vec")
+
   def buildIvf(df: DataFrame, vecCol: String, numClusters: Int, path: String,
       sampleFraction: Double = Double.NaN, seed: Long = 42L,
       maxTrainVectors: Long = 1000000L,
       occupancyCols: Seq[String] = Seq.empty,
-      largePathMinCells: Int = -1): IvfIndex = {
+      largePathMinCells: Int = -1,
+      storage: String = "float"): IvfIndex = {
+    // storage = "sq8" (r16): the data files store per-row asymmetric
+    // int8 codes (graft.operators.Quantize — array<tinyint> + two range
+    // doubles) instead of the float vector: ~4× fewer index bytes at
+    // 2688 dims, which is what lets a 10M × 2688 corpus' ONLY copy fit
+    // a ~80 GB disk (float source+index ≈ 216 GB). Fit, assignment and
+    // the __dist stats all run on the FLOAT vector before it is
+    // dropped; searches score the code algebra (see scoreExpr) —
+    // exactly the dot against the stored (dequantized) representation.
+    require(storage == "float" || storage == "sq8",
+      s"buildIvf: unknown storage mode '$storage' (float|sq8)")
+    val sq8 = storage == "sq8"
     // largePathMinCells ≥ 0 overrides BOTH large-index thresholds
     // (hierarchicalFitMinK and twoLevelAssignMinCells) for THIS build —
     // the q117 per-handle lesson applied to build time: fixture queries
@@ -2332,24 +2535,37 @@ object VectorSearch {
     // cold archival tiers.
     ivfStep("assign_write") {
       val inParts = assigned.rdd.getNumPartitions
+      // SQ8: quantize BEFORE any exchange so the shuffle moves 1-byte
+      // codes, not 4-byte floats (at 10M × 2688 that is the difference
+      // between a ~27 GB and a ~108 GB shuffle). `__dist` and the codes
+      // live in a projection ABOVE the assignment projection; Catalyst's
+      // CollapseProject will not merge them because `__cluster` (a
+      // non-trivial expression) is referenced more than once — the
+      // O(k·d) kernel still runs once per row (Sq8IndexSpec pins this
+      // on the optimized plan).
+      val toLay =
+        if (sq8) sq8Narrow(assigned, centroids)
+        else assigned
       val laid =
         if (inParts.toLong * centroids.length >
             VectorSearch.writeExchangeMinFiles)
-          assigned.repartition(inParts, col("__cluster"))
+          toLay.repartition(inParts, col("__cluster"))
             .sortWithinPartitions(col("__cluster"))
-        else assigned.sortWithinPartitions(col("__cluster"))
-      // `__dist` rides along as an 8-byte stats column: the assigned
-      // squared distance, computed O(d) from the ALREADY-ASSIGNED id
-      // (centroid_dist_at) ABOVE the sort/exchange barrier — the barrier
-      // blocks project-collapse, so the O(k·d) assignment kernel provably
-      // runs once per row (the r14 two-pass stats re-ran it over the
-      // train sample: 179 s of the 662 s 2M build, 379 s of the 890 s 4M
-      // build). The exchange still moves only (payload, __vec,
-      // __cluster); the stats pass below then aggregates this narrow
-      // column instead of re-running any kernel.
-      laid
-        .withColumn("__dist",
+        else toLay.sortWithinPartitions(col("__cluster"))
+      // Float layouts: `__dist` rides along as an 8-byte stats column —
+      // the assigned squared distance, computed O(d) from the
+      // ALREADY-ASSIGNED id (centroid_dist_at) ABOVE the sort/exchange
+      // barrier — the barrier blocks project-collapse, so the O(k·d)
+      // assignment kernel provably runs once per row (the r14 two-pass
+      // stats re-ran it over the train sample: 179 s of the 662 s 2M
+      // build, 379 s of the 890 s 4M build). The exchange still moves
+      // only (payload, __vec, __cluster); the stats pass below then
+      // aggregates this narrow column instead of re-running any kernel.
+      val toWrite =
+        if (sq8) laid
+        else laid.withColumn("__dist",
           centroid_dist_at(col("__vec"), col("__cluster"), centroids))
+      toWrite
         .write.mode("overwrite").option("compression", "snappy")
         .partitionBy("__cluster").parquet(path)
     }
@@ -2430,6 +2646,11 @@ object VectorSearch {
     // first search without re-listing the partition tree
     idx.censusNow0 = org.apache.spark.sql.graft.CensusIndex
       .extract(written, path).map { case (ds, fs) => (0L, ds, fs) }
+    // data-file schema, tracked independently of the census (r16) — the
+    // partition column is layout, not data
+    idx.dataSchemaNow = idx.censusNow0.map(_._2).getOrElse(
+      org.apache.spark.sql.types.StructType(
+        written.schema.filterNot(_.name == "__cluster")))
     // the index is a durable artifact, not a session object: persist the
     // driver-side state so IvfIndex.load reopens it in a fresh process
     // (manifest ≪ data files — see saveManifest scaladoc)

@@ -130,14 +130,21 @@ object RouterCrossover {
         // removed this round; the spec pins parity on synthetic
         // geometry, this records it in-situ). 1.0 = every query's routed
         // RANKED probe list is identical to the flat ranking's.
-        setRouted(true)
-        val routedPlans = ivf.probePlan(spark, queryVecs, 100, 128, None,
-          exactFallback = true)
-        setRouted(false)
-        val flatPlans = ivf.probePlan(spark, queryVecs, 100, 128, None,
-          exactFallback = true)
-        results(s"parity_${tag}_value") =
-          if (routedPlans == flatPlans) 1.0 else 0.0
+        // try/finally like the IndexScale knob blocks: the parity A/B
+        // must not leave the handle forced to either mechanism for
+        // whatever runs after it (r15 ADVICE — the block used to end on
+        // setRouted(false))
+        val tl0 = ivf.twoLevelMinCells
+        try {
+          setRouted(true)
+          val routedPlans = ivf.probePlan(spark, queryVecs, 100, 128, None,
+            exactFallback = true)
+          setRouted(false)
+          val flatPlans = ivf.probePlan(spark, queryVecs, 100, 128, None,
+            exactFallback = true)
+          results(s"parity_${tag}_value") =
+            if (routedPlans == flatPlans) 1.0 else 0.0
+        } finally { ivf.twoLevelMinCells = tl0; ivf.invalidateRouter() }
         graft.FsUtil.deleteRecursively(
           java.nio.file.Paths.get(s"$base/ivf_$tag"))
       }

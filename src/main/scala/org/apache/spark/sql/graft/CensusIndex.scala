@@ -164,10 +164,20 @@ object CensusIndex {
       else {
         val in = fs.open(p)
         try {
+          // read to EOF: a single read() may return a PREFIX ("12" → "1")
+          // which parses as a VALID smaller epoch instead of garbage —
+          // the one torn-read shape that would admit a stale census. A
+          // legitimate epoch is ≤ 20 digits; anything longer is garbage
+          // and overflowing the buffer surfaces as a parse failure → None.
           val buf = new Array[Byte](32)
-          val n = in.read(buf)
-          if (n <= 0) None
-          else Some(new String(buf, 0, n, "UTF-8").trim.toLong)
+          var off = 0
+          var n = in.read(buf, off, buf.length - off)
+          while (n > 0 && off < buf.length) {
+            off += n
+            n = if (off < buf.length) in.read(buf, off, buf.length - off) else -1
+          }
+          if (off <= 0 || (off >= buf.length && in.read() >= 0)) None
+          else Some(new String(buf, 0, off, "UTF-8").trim.toLong)
         } finally in.close()
       }
     } catch { case _: Exception => None }

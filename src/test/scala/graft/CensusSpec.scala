@@ -52,11 +52,11 @@ class CensusSpec extends SparkSpec {
     FsUtil.deleteRecursively(java.nio.file.Paths.get(dir))
   }
 
-  test("append after the checkpoint invalidates the persisted census (epoch mismatch)") {
+  test("append after the checkpoint invalidates the PERSISTED census (epoch mismatch)") {
     val dir = java.nio.file.Files.createTempDirectory("census_ep").toString
     val built = VectorSearch.buildIvf(mkData(120, 5), "embedding", 3, dir)
     // manual-checkpoint mode: the append bumps the epoch and adds files
-    // but the manifest keeps the build-time census
+    // but the manifest keeps the build-time census (epoch 0)
     built.manifestCheckpointEvery = 0
     built.append(Seq((900L, 0, Array.fill(8)(5.3f)))
       .toDF("vec_id", "cat", "embedding"), "embedding")
@@ -66,24 +66,64 @@ class CensusSpec extends SparkSpec {
     // row on the very first search
     assert(loaded.censusNow0.isEmpty,
       "load admitted a census older than the index's epoch")
+    // ...but the SCHEMA (and hasDistColumn with it) binds regardless of
+    // census freshness — it is a property of the files, and losing it
+    // here is exactly the r15 ADVICE bug (appends through this handle
+    // would write dist-less files into an r15 layout)
+    assert(loaded.hasDistColumn,
+      "schema-derived state must survive an epoch mismatch")
     val hits = ids(loaded.search(spark, Array.fill(8)(5.0f), 121, nprobe = 3))
     assert(hits.contains(900L), "appended row invisible after fallback load")
     FsUtil.deleteRecursively(java.nio.file.Paths.get(dir))
   }
 
-  test("search-recapture + checkpoint heals the census; appended files included") {
-    val dir = java.nio.file.Files.createTempDirectory("census_heal").toString
+  test("append FOLDS its files into the census; checkpoint persists it (r16)") {
+    val dir = java.nio.file.Files.createTempDirectory("census_fold").toString
     val built = VectorSearch.buildIvf(mkData(120, 7), "embedding", 3, dir)
     val n0 = built.censusNow0.get._3.size
     built.manifestCheckpointEvery = 0
     built.append(Seq((901L, 1, Array.fill(8)(-5.2f)))
       .toDF("vec_id", "cat", "embedding"), "embedding")
-    assert(built.censusNow0.isEmpty, "append must drop the handle census")
+    // the appender knows which files it wrote: the census stays ARMED at
+    // the bumped epoch — no search-triggered re-listing needed
+    assert(built.censusNow0.isDefined, "append must fold, not drop, the census")
+    assert(built.censusNow0.get._1 == 1L)
+    assert(built.censusNow0.get._3.size > n0, "fold missing appended files")
+    // folded file set == what a real listing finds
+    def norm(s: String): String = new org.apache.hadoop.fs.Path(s).toUri.getPath
+    val listed = spark.read.parquet(dir).inputFiles.map(norm).toSet
+    assert(built.censusNow0.get._3.map(f => norm(s"$dir/${f.relPath}")).toSet
+      == listed, "folded census diverges from a real listing")
+    // the census-served search sees the appended row immediately
+    assert(ids(built.search(spark, Array.fill(8)(-5.0f), 121, nprobe = 3))
+      .contains(901L))
+    // ...and the next checkpoint persists the folded census: a fresh
+    // process loads it (epoch parity) and serves listing-free
+    built.saveManifest(spark)
+    val loaded = VectorSearch.IvfIndex.load(spark, dir)
+    assert(loaded.censusNow0.isDefined, "folded census not persisted")
+    assert(loaded.censusNow0.get._1 == 1L)
+    assert(loaded.hasDistColumn)
+    assert(ids(loaded.search(spark, Array.fill(8)(-5.0f), 121, nprobe = 3))
+      .contains(901L))
+    FsUtil.deleteRecursively(java.nio.file.Paths.get(dir))
+  }
+
+  test("search-recapture + checkpoint heals a dropped census") {
+    val dir = java.nio.file.Files.createTempDirectory("census_heal").toString
+    val built = VectorSearch.buildIvf(mkData(120, 13), "embedding", 3, dir)
+    built.manifestCheckpointEvery = 0
+    // refresh() drops the census (external-append contract) — the next
+    // append then has nothing to fold into and leaves it empty
+    built.refresh()
+    built.append(Seq((901L, 1, Array.fill(8)(-5.2f)))
+      .toDF("vec_id", "cat", "embedding"), "embedding")
+    assert(built.censusNow0.isEmpty,
+      "no prior census to fold into — append must leave it dropped")
     // a search re-lists and recaptures at the new epoch...
     built.search(spark, Array.fill(8)(5.0f), 5, nprobe = 3).collect()
     assert(built.censusNow0.isDefined, "search did not recapture the census")
     assert(built.censusNow0.get._1 == 1L)
-    assert(built.censusNow0.get._3.size > n0, "recapture missing appended files")
     // ...and the next checkpoint persists it for fresh processes
     built.saveManifest(spark)
     val loaded = VectorSearch.IvfIndex.load(spark, dir)
