@@ -938,6 +938,66 @@ object VectorQueries {
         SELECT vec_id, round(${sqlDot("e.embedding", "q.qv")}, 4) + 0 AS score
         FROM embeddings e CROSS JOIN q
         WHERE vec_id % 3 = 0
-        ORDER BY ${sqlDot("e.embedding", "q.qv")} DESC, vec_id LIMIT 20"""))
+        ORDER BY ${sqlDot("e.embedding", "q.qv")} DESC, vec_id LIMIT 20""")),
+
+    // ---- SQ8 storage mode (r16): the index's data files store int8
+    //      codes (graft.operators.Quantize per-row asymmetric
+    //      quantization) instead of the float vector — the mode that
+    //      fits a 10M × 2688 corpus' only copy on disk. The filtered
+    //      full-probe search through a LOADED handle (storage mode
+    //      re-derived from the manifest's persisted schema) must equal
+    //      the DuckDB replay of the whole pipeline: quantize → score
+    //      the code algebra (= the dot against the stored dequantized
+    //      vector, double arithmetic in pinned term order) → filter →
+    //      top-k. In-query require()s pin provenance: the handle knows
+    //      it is quantized, and the probe path (not the exact-scan
+    //      switch) answered ----
+    QueryDef(
+      "q121_sq8_index_search",
+      (s, d) => {
+        val e = Tables.embeddings(s, d)
+        val root = java.nio.file.Files.createTempDirectory("q121_sq8")
+        try {
+          VectorSearch.buildIvf(e, "embedding", 8, s"$root/ivf",
+            sampleFraction = 1.0, storage = "sq8")
+          val loaded = VectorSearch.IvfIndex.load(s, s"$root/ivf")
+          require(loaded.quantized,
+            "load() did not re-derive sq8 storage from the manifest schema")
+          require(loaded.hasDistColumn,
+            "sq8 layout must carry the __dist stats column")
+          loaded.exactScanFraction = 2.0 // pin the probe read
+          val pred = col("vec_id") % 2 === 1
+          val qv = e.filter(col("vec_id") === 4).select(col("embedding"))
+            .head().getSeq[Float](0).toArray
+          val hits = loaded.search(s, qv, 30, nprobe = 8, Some(pred))
+            .select(col("vec_id"), col("score")).collect()
+          require(loaded.exactSwitchCount == 0L,
+            "exact-scan switch fired; sq8 probe path not exercised")
+          import s.implicits._
+          hits.map(r => (r.getLong(0), r.getDouble(1)))
+            .sortBy(t => (-t._2, t._1)).take(20).toSeq
+            .toDF("vec_id", "score_raw")
+            .select(col("vec_id"),
+              (round(col("score_raw"), 4) + 0.0).as("score"))
+        } finally graft.FsUtil.deleteRecursively(root)
+      },
+      Some(s"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 4),
+        qs AS (SELECT list_sum(list_transform(qv, x -> CAST(x AS DOUBLE))) AS qsum
+          FROM q),
+        qz AS (SELECT vec_id, embedding,
+            CAST(list_min(embedding) AS DOUBLE) AS mn,
+            CAST(list_max(embedding) AS DOUBLE) AS mx
+          FROM embeddings WHERE vec_id % 2 = 1),
+        cs AS (SELECT vec_id, mn, mx,
+            list_transform(embedding, v -> CASE WHEN mx = mn THEN 0
+              ELSE CAST(round((CAST(v AS DOUBLE) - mn) / (mx - mn) * 255) AS INT)
+                - 128 END) AS codes
+          FROM qz),
+        sc AS (SELECT c.vec_id,
+            c.mn * qs.qsum + (c.mx - c.mn) / 255.0 *
+              (${sqlDot("c.codes", "q.qv")} + 128 * qs.qsum) AS score
+          FROM cs c CROSS JOIN q CROSS JOIN qs)
+        SELECT vec_id, round(score, 4) + 0 AS score FROM sc
+        ORDER BY score DESC, vec_id LIMIT 20"""))
   )
 }
