@@ -284,6 +284,14 @@ object IndexScale {
       }
     }
 
+    // r16: re-checkpoint the manifest AFTER the tier loop so the
+    // predicate-count memo the plans just computed persists — the
+    // _reuse (fresh-process) run's plan_cold then serves every tier's
+    // conjunction counts from the manifest (plan_cold ≈ plan_warm)
+    if (reusePath.isEmpty) timed("manifest_recheckpoint") {
+      ivf.saveManifest(spark)
+    }
+
     // unfiltered: nprobe 128 of 4096 on the DEFAULT routing path (from
     // r14 that is FLAT at 4096 cells — twoLevelMinCells moved to the
     // measured 16384 crossover; the forced A/B below still measures

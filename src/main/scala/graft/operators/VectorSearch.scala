@@ -598,13 +598,26 @@ object VectorSearch {
     // current radii generation. Not a lazy val precisely so appends can
     // reset it.
     @transient @volatile private var coarseRouterCache: Option[CoarseRouter] = _
+    // The router's radii-independent half — the coarse clustering of the
+    // frozen centroid table. Built at most ONCE per handle lifetime
+    // (~2·k·√k·d flops at cap scale); appends invalidate only the
+    // bounds, whose rebuild from this structure is an O(k) max pass
+    // (CoarseRouter.fromStructure). Pre-r16, invalidateRouter() threw
+    // the clustering away too, so every append (and every A/B toggle)
+    // paid the full rebuild on its next routed plan.
+    @transient @volatile private var coarseStructCache: CoarseStructure = _
     private def coarseRouter: Option[CoarseRouter] = {
       var cr = coarseRouterCache
       if (cr == null) {
         cr =
-          if (centroids.length >= math.max(twoLevelMinCells, 2))
-            Some(CoarseRouter.build(centroids, routingRadii))
-          else None
+          if (centroids.length >= math.max(twoLevelMinCells, 2)) {
+            var s = coarseStructCache
+            if (s == null) {
+              s = CoarseRouter.structure(centroids)
+              coarseStructCache = s
+            }
+            Some(CoarseRouter.fromStructure(s, routingRadii))
+          } else None
         coarseRouterCache = cr
       }
       cr
@@ -725,9 +738,13 @@ object VectorSearch {
       }
     }
 
-    /** Drop the built coarse router so the next routed query rebuilds it
-      * — required after changing [[twoLevelMinCells]] on a handle that
-      * has already served a search (A/B harnesses, specs).
+    /** Drop the built coarse router so the next routed query rebuilds
+      * its BOUNDS — required after changing [[twoLevelMinCells]] on a
+      * handle that has already served a search (A/B harnesses, specs)
+      * and after [[append]]'s radii folds. The clustering structure
+      * itself ([[coarseStructCache]]) survives: it depends only on the
+      * frozen centroids, so the rebuild is an O(k) bounds pass, not a
+      * re-clustering of the centroid table.
       */
     private[graft] def invalidateRouter(): Unit = { coarseRouterCache = null }
 
@@ -935,6 +952,19 @@ object VectorSearch {
     // per search — the serving-layer cache the probe plan wants.
     @transient private lazy val countCache =
       new java.util.concurrent.ConcurrentHashMap[String, Map[Int, Long]]()
+
+    /** Prefill the per-filter count memo from a persisted snapshot
+      * ([[saveManifest]]'s `counts` table via [[IvfIndex.load]]) —
+      * existing in-memory entries win (they are at least as fresh).
+      */
+    private[graft] def prefillCounts(m: Map[String, Map[Int, Long]]): Unit =
+      m.foreach { case (k, v) => countCache.putIfAbsent(k, v); () }
+
+    /** Filter keys currently memoized (spec/diagnostic surface). */
+    private[graft] def memoizedCountKeys: Set[String] = {
+      import scala.jdk.CollectionConverters._
+      countCache.keySet.asScala.toSet
+    }
 
     /** Per-cluster match counts for `filter`, cheapest source first:
       * (a) the build-time [[occupancyTable]] when the filter is an
@@ -1509,6 +1539,47 @@ object VectorSearch {
         spark.createDataFrame(
             spark.sparkContext.emptyRDD[Row], occSchema)
           .write.mode("append").parquet(s"$vdir/occupancy")
+      // Persisted predicate-count memo (r16): the per-(filter, cluster)
+      // EXACT match counts this handle has computed — the cold half of
+      // a fresh process's first conjunction-filtered probe plan (the
+      // pushed count scan, 0.7–0.97 s at the measured 4k/8k-file
+      // layouts; the reference's sel_0001..sel_1 tiers are conjunction
+      // shapes occupancy alone cannot serve). Persisting the memo makes
+      // plan_cold ≈ plan_warm for every filter ANY prior process of
+      // this index generation planned, with counts — and therefore
+      // every widening/thin-support/exact-switch decision — EXACT and
+      // identical by construction. (The sketch alternative was
+      // rejected: driver-side bounds from per-cell min/max or
+      // equi-depth sketches over-count a conjunction's support by the
+      // unconditioned numeric selectivity, which flips the
+      // thin-support decision at precisely the ultra-selective tier
+      // that needs it, and an exact per-(cell, category, region) joint
+      // table is a coarsened copy of the data — SCALE.md r16.)
+      // Validity is the census epoch: counts describe a frozen file
+      // set, so load() admits them under the same epoch gate as the
+      // census. Cleared by append()/refresh() like the in-memory memo.
+      locally {
+        val countsSchema = StructType(Seq(
+          StructField("fkey", StringType, nullable = false),
+          StructField("cluster", IntegerType, nullable = false),
+          StructField("n", LongType, nullable = false)))
+        val snap = {
+          import scala.jdk.CollectionConverters._
+          countCache.asScala.toSeq.take(256)
+        }
+        if (snap.nonEmpty && censusOpt.isDefined) {
+          val rows = snap.flatMap { case (fk, m) =>
+            // a genuinely-zero-match filter memoizes an EMPTY map —
+            // persist it as a (-1, 0) sentinel so a fresh process keeps
+            // serving the zero without re-scanning
+            if (m.isEmpty) Seq(Row(fk, -1, 0L))
+            else m.iterator.map { case (c, n) => Row(fk, c, n) }.toSeq
+          }
+          spark.createDataFrame(
+              spark.sparkContext.parallelize(rows, 1), countsSchema)
+            .write.mode("append").parquet(s"$vdir/counts")
+        }
+      }
       // meta (r15 adds the census fields; r16 decouples them): the data
       // schema is a property of the FILES and persists whenever the
       // handle knows it — censusEpoch alone gates the census; a stale
@@ -1623,18 +1694,62 @@ object VectorSearch {
       val members: Array[Array[Int]],
       val bounds: Array[Double])
 
+  /** The radii-INDEPENDENT half of the router (r16 split): the coarse
+    * clustering of the fine centroid table plus each member's distance
+    * to its group center. Centroids are frozen for an index's lifetime,
+    * so this never invalidates — only the bounds (which fold the
+    * mutable per-cell radii) are rebuilt after an append, an O(k) max
+    * pass over `centDist` instead of the full ~2·k·√k·d Lloyd rebuild
+    * (measured as the 1.32 s-vs-0.116 s routed-plan gap at 65536 cells,
+    * BENCH_routex_r15 — the A/B's invalidation was re-clustering the
+    * centroid table on every measured plan).
+    */
+  private final case class CoarseStructure(
+      cents: Array[Array[Float]],
+      members: Array[Array[Int]],
+      centDist: Array[Array[Double]])
+
   private object CoarseRouter {
+    /** Routing bounds from a prebuilt [[CoarseStructure]] and the
+      * CURRENT radii: bounds(g) = max over members f of
+      * (|c_f − c_g| + r_f). O(k) driver arithmetic — the post-append
+      * rebuild path.
+      */
+    def fromStructure(s: CoarseStructure,
+        radii: Array[Double]): CoarseRouter = {
+      val bounds = Array.tabulate(s.members.length) { g =>
+        val ms = s.members(g)
+        val ds = s.centDist(g)
+        var b = 0.0
+        var i = 0
+        while (i < ms.length) {
+          val r = if (ms(i) < radii.length) radii(ms(i)) else 0.0
+          val d = ds(i) + r
+          if (d > b) b = d
+          i += 1
+        }
+        b
+      }
+      new CoarseRouter(s.cents, s.members, bounds)
+    }
+
+    /** Convenience: structure + bounds in one call (fixture/bench use;
+      * handles cache the structure and go through [[fromStructure]]).
+      */
+    def build(centroids: Array[Array[Float]],
+        radii: Array[Double]): CoarseRouter =
+      fromStructure(structure(centroids), radii)
+
     /** Cluster the fine centroids into m = ⌈√k⌉ coarse cells: seed with
       * evenly-spaced fine centroids (deterministic — no RNG), one Lloyd
       * refinement (assign → means → re-assign), then member lists and
-      * routing bounds. Cost: ~2 assignment passes of k·m·d mul-adds,
-      * parallelized across cores (at the 65536-cell cap × 2688 dims
-      * that's 2×45 GFLOP ≈ a few seconds ONCE per index handle — repaid
-      * within ~30 routed queries vs the flat path). Driver-only; no
-      * Spark jobs, no data-file reads.
+      * per-member center distances. Cost: ~2 assignment passes of
+      * k·m·d mul-adds, parallelized across cores (at the 65536-cell cap
+      * × 2688 dims that's 2×45 GFLOP ≈ a few seconds ONCE per index
+      * handle — repaid within ~30 routed queries vs the flat path).
+      * Driver-only; no Spark jobs, no data-file reads.
       */
-    def build(centroids: Array[Array[Float]],
-        radii: Array[Double]): CoarseRouter = {
+    def structure(centroids: Array[Array[Float]]): CoarseStructure = {
       val k = centroids.length
       val m = math.max(1, math.ceil(math.sqrt(k.toDouble)).toInt)
       def sqDist(a: Array[Float], b: Array[Float]): Double = {
@@ -1705,16 +1820,10 @@ object VectorSearch {
       var f = 0
       while (f < k) { memberBuf(asg(f)) += f; f += 1 }
       val members = memberBuf.map(_.toArray)
-      val bounds = Array.tabulate(m) { g =>
-        var b = 0.0
-        members(g).foreach { fi =>
-          val r = if (fi < radii.length) radii(fi) else 0.0
-          val d = math.sqrt(sqDist(centroids(fi), refined(g))) + r
-          if (d > b) b = d
-        }
-        b
+      val centDist = Array.tabulate(m) { g =>
+        members(g).map(fi => math.sqrt(sqDist(centroids(fi), refined(g))))
       }
-      new CoarseRouter(refined, members, bounds)
+      CoarseStructure(refined, members, centDist)
     }
   }
 
@@ -1761,7 +1870,7 @@ object VectorSearch {
       minCells: Int = twoLevelAssignMinCells)
       : (Column => Column, Column => Column) =
     if (centroids.length >= minCells) {
-      val cr = CoarseRouter.build(centroids, Array.emptyDoubleArray)
+      val cr = CoarseRouter.structure(centroids)
       (v => graft.functions.nearest_centroid_grouped(
           v, centroids, cr.cents, cr.members, twoLevelAssignProbes),
         v => graft.functions.nearest_centroid_grouped_dist(
@@ -1776,7 +1885,7 @@ object VectorSearch {
     */
   private[graft] def forcedGroupedKernels(centroids: Array[Array[Float]])
       : (Column => Column, Column => Column) = {
-    val cr = CoarseRouter.build(centroids, Array.emptyDoubleArray)
+    val cr = CoarseRouter.structure(centroids)
     (v => graft.functions.nearest_centroid_grouped(
         v, centroids, cr.cents, cr.members, twoLevelAssignProbes),
       v => graft.functions.nearest_centroid_grouped_dist(
@@ -1790,7 +1899,7 @@ object VectorSearch {
     */
   private[graft] def assignGroupingSizes(
       centroids: Array[Array[Float]]): Array[Int] =
-    CoarseRouter.build(centroids, Array.emptyDoubleArray).members.map(_.length)
+    CoarseRouter.structure(centroids).members.map(_.length)
 
   object IvfIndex {
     /** (version, committed) for every `v########` directory under the
@@ -1890,6 +1999,30 @@ object VectorSearch {
           val current = org.apache.spark.sql.graft.CensusIndex
             .readEpoch(spark, path)
           if (current.contains(savedEpoch)) {
+            // persisted predicate-count memo (r16): exact per-filter
+            // match counts, valid for exactly this epoch's file set —
+            // a fresh process's conjunction-filtered probe plans run
+            // jobless for every filter a prior process planned
+            try {
+              val cpath = new org.apache.hadoop.fs.Path(s"$dir/counts")
+              if (mfs.exists(cpath)) {
+                val loaded = spark.read.parquet(s"$dir/counts")
+                  .select(col("fkey"), col("cluster"), col("n"))
+                  .as[(String, Int, Long)].collect()
+                  .groupBy(_._1)
+                  .map { case (fk, rows) =>
+                    fk -> rows.iterator
+                      .filter(_._2 >= 0) // drop the empty-map sentinel
+                      .map(t => t._2 -> t._3).toMap
+                  }
+                idx.prefillCounts(loaded)
+              }
+            } catch {
+              case e: Exception =>
+                System.err.println(
+                  s"[graft] count-memo re-arm failed for $path " +
+                    s"(filters re-scan once): ${e.getMessage}")
+            }
             try {
               val files = spark.read.parquet(s"$dir/files")
                 .select(col("cluster"), col("relpath"), col("length"),

@@ -105,6 +105,17 @@ object RouterCrossover {
         setRouted(false)
         ivf.searchMulti(spark, queryVecs, 100, nprobe = 128,
           "parent_asin").collect()
+        // one-time coarse-structure build, timed SEPARATELY (r16): the
+        // clustering of the centroid table survives invalidateRouter,
+        // so the A/B below measures the steady-state routed plan
+        // (bounds rebuild + routing) — pre-r16 every measured plan
+        // repaid the full re-clustering (the 1.32 s-vs-0.116 s r15 gap)
+        setRouted(true)
+        timed(s"router_struct_$tag") {
+          ivf.probePlan(spark, queryVecs, 100, 128, None,
+            exactFallback = true)
+          ()
+        }
         def once(): (Double, Double, Double) = {
           val tp = System.nanoTime()
           ivf.probePlan(spark, queryVecs, 100, 128, None,
