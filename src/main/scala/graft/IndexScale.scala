@@ -205,7 +205,14 @@ object IndexScale {
           .map(c => if (c < ivf.cellCounts.length) ivf.cellCounts(c) else 0L)
           .sum.toDouble
       }
-      val ladder = Seq(64, 128, 256)
+      // r16: env-extendable ladder — the 10M × 2688 / 4096-cell point
+      // needs np512 on the broadest filtered tier (sel_10 read 0.880 at
+      // np256: probe loss, not quantization — sel_0001 reads 0.993 on
+      // the same index), and extending it in the REUSE run costs one
+      // load instead of a second 38-minute build
+      val ladder = sys.env.get("SPARK_GRAFT_INDEX_NPROBES")
+        .map(_.split(",").toSeq.map(_.trim.toInt))
+        .getOrElse(Seq(64, 128, 256))
       var chosen = ladder.last
       var rec = if (exactOk) 0.0 else -1.0
       var done = !exactOk
