@@ -23,10 +23,27 @@ object TimeQuery {
     args.foreach { name =>
       val q = byName.getOrElse(name,
         sys.error(s"unknown query $name; have ${byName.keys.toSeq.sorted.take(5)}..."))
+      var lastDf: org.apache.spark.sql.DataFrame = null
       (1 to reps).foreach { r =>
         val t0 = System.nanoTime()
-        q.run(spark, sfDir).write.mode("overwrite").format("noop").save()
+        lastDf = q.run(spark, sfDir)
+        lastDf.write.mode("overwrite").format("noop").save()
         println(f"[timequery] $name rep$r: ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      }
+      // SPARK_GRAFT_EXPLAIN=1 (r16): print the EXECUTED plan's join
+      // strategies — the post-AQE truth (`explain()` on an unexecuted
+      // frame shows pre-adaptive placeholders). Rerun-free: reads the
+      // last rep's executedPlan.
+      if (sys.env.get("SPARK_GRAFT_EXPLAIN").contains("1") && lastDf != null) {
+        // the noop writes above ran their own QueryExecutions — AQE
+        // finalizes per-execution, so drive THIS frame's before reading
+        // it (suite queries return bounded, oracle-compared results)
+        lastDf.collect()
+        val executed = lastDf.queryExecution.executedPlan.toString
+        println(s"[timequery] $name executed plan joins:")
+        executed.linesIterator
+          .filter(l => l.contains("Join") || l.contains("Exchange"))
+          .foreach(l => println("  " + l.trim.take(160)))
       }
     }
     spark.stop()
