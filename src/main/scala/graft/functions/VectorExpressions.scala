@@ -765,3 +765,180 @@ case class NearestCentroidGrouped(child: Expression,
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
 }
+
+/** `pq_encode(v)` — product-quantization encoder: splits the vector into
+  * `m` contiguous subspaces (d/m dims each) and emits, per subspace, the
+  * index of the nearest codebook centroid (squared-L2, ties → lower
+  * index) as one byte, shifted by −128 for `array<tinyint>` storage —
+  * the same storage convention as [[graft.operators.Quantize]]'s scalar
+  * codes. At m = 96 over 2688 dims this is 96 bytes/row, a 28× cut vs
+  * int8 and 112× vs float32 — the candidate-generation tier for
+  * IVF-PQ (Jégou et al., "Product Quantization for Nearest Neighbor
+  * Search", TPAMI 2011; the FAISS IndexIVFPQ storage layout is the
+  * public reference shape). One fused kernel per row: the codegen loops
+  * subspace → centroid → dim over a primitive copy of the row vector,
+  * inside whole-stage codegen like [[NearestCentroid]].
+  *
+  * `codebooks(j)(c)` is centroid `c` of subspace `j`; all subspaces must
+  * have equal width (d divisible by m — [[graft.operators.Quantize
+  * .defaultPqM]] picks such an m).
+  */
+case class PqEncode(child: Expression, codebooks: Array[Array[Array[Float]]])
+    extends UnaryExpression with VectorKernelSupport {
+
+  require(codebooks.nonEmpty && codebooks.forall(_.nonEmpty))
+  require(codebooks.forall(_.length <= 256),
+    "pq_encode: at most 256 centroids per subspace (one byte per code)")
+
+  override def dataType: DataType = ArrayType(ByteType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "pq_encode"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    checkVectorInput(Seq(child))
+
+  @transient private lazy val dsub: Int = codebooks(0)(0).length
+
+  // per-(subspace, centroid) squared norms — the |c|² term of the
+  // rank-only |c|²−2·x·c distance form (|x|² is constant per argmin)
+  @transient private lazy val cb2: Array[Array[Double]] =
+    codebooks.map(_.map(_.foldLeft(0.0)((acc, v) => acc + v.toDouble * v)))
+
+  override def nullSafeEval(a: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val t = elementTypeOf(child)
+    val n = x.numElements()
+    val m = codebooks.length
+    val out = new Array[Byte](m)
+    var j = 0
+    while (j < m) {
+      val off = j * dsub
+      val cbj = codebooks(j)
+      val c2j = cb2(j)
+      var best = Double.MaxValue
+      var bi = 0
+      var c = 0
+      while (c < cbj.length) {
+        val cv = cbj(c)
+        var acc = 0.0
+        var i = 0
+        val lim = math.min(cv.length, math.max(0, n - off))
+        while (i < lim) { acc += elemAt(x, t, off + i) * cv(i); i += 1 }
+        val d = c2j(c) - 2.0 * acc
+        if (d < best) { best = d; bi = c }
+        c += 1
+      }
+      out(j) = (bi - 128).toByte
+      j += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val t = elementTypeOf(child)
+    val cbRef = ctx.addReferenceObj("pqcbs", codebooks, "float[][][]")
+    val c2Ref = ctx.addReferenceObj("pqc2", cb2, "double[][]")
+    nullSafeCodeGen(ctx, ev, a => {
+      val v = ctx.freshName("v"); val out = ctx.freshName("out")
+      val j = ctx.freshName("j"); val off = ctx.freshName("off")
+      val cbj = ctx.freshName("cbj"); val c2j = ctx.freshName("c2j")
+      val best = ctx.freshName("best"); val bi = ctx.freshName("bi")
+      val c = ctx.freshName("c"); val cv = ctx.freshName("cv")
+      val acc = ctx.freshName("acc"); val i = ctx.freshName("i")
+      val lim = ctx.freshName("lim"); val d = ctx.freshName("d")
+      val toPrim = t match {
+        case DoubleType => s"final double[] $v = $a.toDoubleArray();"
+        case ByteType   => s"final byte[] $v = $a.toByteArray();"
+        case _          => s"final float[] $v = $a.toFloatArray();"
+      }
+      val dsubLit = dsub.toString
+      s"""
+         |$toPrim
+         |final byte[] $out = new byte[$cbRef.length];
+         |for (int $j = 0; $j < $cbRef.length; $j++) {
+         |  final int $off = $j * $dsubLit;
+         |  final float[][] $cbj = $cbRef[$j];
+         |  final double[] $c2j = $c2Ref[$j];
+         |  double $best = Double.MAX_VALUE; int $bi = 0;
+         |  for (int $c = 0; $c < $cbj.length; $c++) {
+         |    final float[] $cv = $cbj[$c];
+         |    final int $lim =
+         |      java.lang.Math.min($cv.length, java.lang.Math.max(0, $v.length - $off));
+         |    double $acc = 0.0;
+         |    for (int $i = 0; $i < $lim; $i++) {
+         |      $acc += (double)$v[$off + $i] * (double)$cv[$i];
+         |    }
+         |    final double $d = $c2j[$c] - 2.0 * $acc;
+         |    if ($d < $best) { $best = $d; $bi = $c; }
+         |  }
+         |  $out[$j] = (byte)($bi - 128);
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** `pq_adc(codes, lut, ksub)` — asymmetric-distance-computation score: for
+  * a query's precomputed lookup table `lut` (flat `m × ksub` doubles,
+  * `lut(j·ksub + c)` = dot(query subvector j, codebook(j)(c)) —
+  * [[graft.operators.Quantize.pqLut]]), the score of a coded row is
+  *   Σ_j lut(j·ksub + (codes(j) + 128))
+  * = the dot of the query against the row's CODEBOOK reconstruction.
+  * O(m) table lookups per row — no multiplies, and the scan reads only
+  * the m-byte code column. This is the PQ phase-1 ranking score; the
+  * serving path re-ranks its shortlist against the stored sq8 codes
+  * (exact over what is stored), so ADC error only moves RECALL, never a
+  * returned score.
+  */
+case class PqAdc(child: Expression, lut: Array[Double], ksub: Int)
+    extends UnaryExpression with VectorKernelSupport {
+
+  require(ksub > 0 && ksub <= 256 && lut.length % ksub == 0)
+
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "pq_adc"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case ArrayType(ByteType, _) => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"pq_adc requires array<tinyint> codes, got ${other.sql}")
+    }
+
+  override def nullSafeEval(a: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val m = math.min(x.numElements(), lut.length / ksub)
+    var acc = 0.0
+    var j = 0
+    while (j < m) {
+      acc += lut(j * ksub + (x.getByte(j).toInt + 128))
+      j += 1
+    }
+    acc
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val lutRef = ctx.addReferenceObj("pqlut", lut, "double[]")
+    nullSafeCodeGen(ctx, ev, a => {
+      val v = ctx.freshName("v"); val m = ctx.freshName("m")
+      val acc = ctx.freshName("acc"); val j = ctx.freshName("j")
+      s"""
+         |final byte[] $v = $a.toByteArray();
+         |final int $m = java.lang.Math.min($v.length, $lutRef.length / $ksub);
+         |double $acc = 0.0;
+         |for (int $j = 0; $j < $m; $j++) {
+         |  $acc += $lutRef[$j * $ksub + (((int)$v[$j]) + 128)];
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}

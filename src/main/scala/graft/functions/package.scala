@@ -74,6 +74,20 @@ package object functions {
   def vec_hamming(a: Column, b: Column): Column =
     Bridge.column(HammingDistance(Bridge.expression(a), Bridge.expression(b)))
 
+  /** Product-quantization codes (`array<tinyint>`, one byte per
+    * subspace, −128 shift) for an `array<float|double>` column — the
+    * IVF-PQ candidate-generation storage tier (see
+    * [[graft.functions.PqEncode]]).
+    */
+  def pq_encode(v: Column, codebooks: Array[Array[Array[Float]]]): Column =
+    Bridge.column(PqEncode(Bridge.expression(v), codebooks))
+
+  /** ADC score of a PQ code array against a query's precomputed lookup
+    * table ([[graft.operators.Quantize.pqLut]]).
+    */
+  def pq_adc(codes: Column, lut: Array[Double], ksub: Int): Column =
+    Bridge.column(PqAdc(Bridge.expression(codes), lut, ksub))
+
   /** Register vec_dot / vec_norm / vec_cos / vec_sign_pack / vec_hamming
     * with the session's function registry for SQL use.
     */

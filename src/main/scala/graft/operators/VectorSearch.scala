@@ -804,6 +804,35 @@ object VectorSearch {
     private[graft] def quantized: Boolean =
       dataSchemaOpt.exists(_.fieldNames.contains("__codes"))
 
+    /** PQ codebooks + the id column the two serving phases join on —
+      * set by [[buildIvf]] (storage = "pq") and [[IvfIndex.load]] (the
+      * manifest's `pq` table). @transient vars on the census pattern:
+      * driver-only state with null-safe reads everywhere.
+      */
+    @transient @volatile private[graft] var pqCodebooksNow
+        : Array[Array[Array[Float]]] = null
+    @transient @volatile private[graft] var pqIdColNow: String = null
+
+    /** Phase-1 shortlist multiple: PQ serving re-ranks the top
+      * (k · pqOverfetch) ADC candidates sq8-exact. 8 is the standard
+      * IVF-PQ refinement budget — raise it when ADC recall against the
+      * sq8 ranking matters more than phase-2 bytes.
+      */
+    @volatile var pqOverfetch: Int = 8
+
+    /** True when the layout carries PQ codes AND the handle has the
+      * codebooks to score them — a pq-coded layout loaded without its
+      * manifest `pq` table degrades gracefully to the sq8 serving path
+      * (correct, just without the phase-1 byte cut).
+      */
+    private[graft] def pqMode: Boolean =
+      pqCodebooksNow != null &&
+        dataSchemaOpt.exists(_.fieldNames.contains("__pq"))
+
+    // PQ phase-1 engagements — q122's provenance require()
+    private val pqPhase1 = new java.util.concurrent.atomic.AtomicLong(0L)
+    def pqPhase1Count: Long = pqPhase1.get()
+
     /** The per-row score of query `q` under the index's storage mode.
       * Float layouts: the exact dot. SQ8 layouts: the dot against the
       * stored row's DEQUANTIZED vector, computed algebraically from the
@@ -832,7 +861,8 @@ object VectorSearch {
 
     /** Columns of the physical layout a search result must not leak. */
     private def layoutCols: Seq[String] =
-      Seq("__cluster", "__vec", "__dist", "__codes", "__qmin", "__qmax")
+      Seq("__cluster", "__vec", "__dist", "__codes", "__qmin", "__qmax",
+        "__pq")
 
     /** Exact multi-query top-k over the whole index under the storage
       * mode's scoring — the exact-switch target and recall baseline.
@@ -1180,6 +1210,16 @@ object VectorSearch {
       // cost-based switch: a probe plan touching ≥ exactScanSwitchFraction
       // of the rows runs the exact scan instead (recall 1.0, one clean
       // pushed pass — see the var's scaladoc for the sf1 measurement)
+      // PQ layouts ALWAYS serve two-phase (ADC shortlist over the m-byte
+      // code column → sq8-exact re-rank), full-plan included: phase 1
+      // reads ~28× fewer bytes than the sq8 "exact" scan at 2688 dims,
+      // so the exact-switch arbitration (which models equal-bytes
+      // representations) is never the cheaper path on a pq layout — the
+      // same contract as FAISS IndexIVFPQ, where search is
+      // shortlist-bounded at every nprobe and recall is governed by the
+      // refinement budget ([[pqOverfetch]]), not by a scan fallback.
+      if (pqMode)
+        return searchPqProbe(spark, query, k, clusters, filter)
       val exact = clusters.length == centroids.length ||
         exactScanWins(spark, Seq(clusters), filter.isDefined)
       if (exact && clusters.length != centroids.length)
@@ -1193,6 +1233,45 @@ object VectorSearch {
       val filtered = filter.map(probeDf.filter).getOrElse(probeDf)
       filtered.withColumn("score", scoreExpr(query))
         .orderBy(desc("score")).limit(k)
+        .drop(layoutCols: _*)
+    }
+
+    /** [[search]]'s probe branch on PQ layouts: phase 1 heap-top-ks the
+      * k · [[pqOverfetch]] shortlist by ADC over ONLY (`__cluster`,
+      * id, `__pq`) — a TakeOrderedAndProject whose scan reads m bytes
+      * of codes per row; phase 2 re-reads just the shortlist's cells,
+      * joins the (bounded, broadcast) id list and re-ranks sq8-exact.
+      * Needs the build-registered [[pqIdColNow]] to join the phases —
+      * the reason storage = "pq" requires `pqIdCol` at build.
+      */
+    private def searchPqProbe(spark: SparkSession, query: Array[Float],
+        k: Int, clusters: Seq[Int], filter: Option[Column]): DataFrame = {
+      val idc = pqIdColNow
+      require(idc != null,
+        "PQ index has no registered id column (manifest predates pq or " +
+          "was built without pqIdCol) — rebuild with buildIvf(storage=\"pq\", pqIdCol=...)")
+      pqPhase1.incrementAndGet()
+      val lut = graft.operators.Quantize.pqLut(query, pqCodebooksNow)
+      val base =
+        if (clusters.length == centroids.length) indexDf(spark)
+        else indexDf(spark).filter(col("__cluster").isin(clusters: _*))
+      val filtered = filter.map(base.filter).getOrElse(base)
+      val shortK = math.max(k, k * math.max(1, pqOverfetch))
+      val cand = filtered
+        .select(col("__cluster"), col(idc).cast("string").as("__idstr"),
+          graft.functions.pq_adc(col("__pq"), lut, 256).as("__adc"))
+        .orderBy(desc("__adc"), col("__idstr"))
+        .limit(shortK)
+        .select(col("__cluster"), col("__idstr")).collect()
+      val candCells = cand.map(_.getInt(0)).distinct.toSeq
+      val candIds = cand.map(_.getString(1)).distinct.toSeq
+      import spark.implicits._
+      indexDf(spark).filter(col("__cluster").isin(candCells: _*))
+        .withColumn("__idstr", col(idc).cast("string"))
+        .join(broadcast(candIds.toDF("__idstr")), Seq("__idstr"))
+        .withColumn("score", scoreExpr(query))
+        .orderBy(desc("score")).limit(k)
+        .drop("__idstr")
         .drop(layoutCols: _*)
     }
 
@@ -1212,6 +1291,9 @@ object VectorSearch {
         nprobe: Int, idCol: String, filter: Option[Column] = None,
         exactFallback: Boolean = true): DataFrame = {
       require(queries.nonEmpty)
+      if (pqMode)
+        return searchMultiPq(spark, queries, k, nprobe, idCol, filter,
+          exactFallback)
       // same filter-aware plan as [[search]] — ONE per-cluster count scan
       // serves every query's widening decision
       val effective: Seq[Set[Int]] =
@@ -1232,19 +1314,32 @@ object VectorSearch {
         if (unionAll.size == centroids.length) indexDf(spark)
         else indexDf(spark).filter(col("__cluster").isin(unionAll.toSeq: _*))
       val filtered = filter.map(base.filter).getOrElse(base)
-      // score masked to the query's own probe set — null outside it, and
-      // GroupTopK drops nulls, so union-probing never inflates a query's
-      // recall beyond what its own nprobe would see. The mask is ONE
-      // literal map cluster → Q-bit bitmask (a single MapType Literal
-      // node) read once per row, with a constant shift+AND per query —
-      // NOT Q literal `isin` lists: Q × nprobe `In` literals across Q
-      // `when` branches grow the plan with the FAN-OUT, the shape that
-      // measured 13.7 s of first-call analysis+codegen at 500 literals
-      // in one In (BASELINE.md r7). MaskCompileBench at Q=64 ×
-      // nprobe=128: plan 0.04 s, first-call 3.9 s vs 3.2 s steady-state
-      // (the work is the scoring+aggregation, the compile tail is
-      // sub-second and now independent of nprobe); per-row masking is
-      // O(Q) bit tests instead of O(Q·nprobe) In comparisons.
+      maskedMultiTopK(spark, filtered, effective, queries, scoreExpr, k,
+        col(idCol), idCol)
+    }
+
+    /** The masked multi-query top-k tail shared by [[searchMulti]] and
+      * the PQ phase-1 scan: per-query scores masked to each query's own
+      * effective probe set, one bounded-heap aggregation.
+      *
+      * Score masked to the query's own probe set — null outside it, and
+      * GroupTopK drops nulls, so union-probing never inflates a query's
+      * recall beyond what its own nprobe would see. The mask is ONE
+      * literal map cluster → Q-bit bitmask (a single MapType Literal
+      * node) read once per row, with a constant shift+AND per query —
+      * NOT Q literal `isin` lists: Q × nprobe `In` literals across Q
+      * `when` branches grow the plan with the FAN-OUT, the shape that
+      * measured 13.7 s of first-call analysis+codegen at 500 literals
+      * in one In (BASELINE.md r7). MaskCompileBench at Q=64 ×
+      * nprobe=128: plan 0.04 s, first-call 3.9 s vs 3.2 s steady-state
+      * (the work is the scoring+aggregation, the compile tail is
+      * sub-second and now independent of nprobe); per-row masking is
+      * O(Q) bit tests instead of O(Q·nprobe) In comparisons.
+      */
+    private def maskedMultiTopK(spark: SparkSession, filtered: DataFrame,
+        effective: Seq[Set[Int]], queries: Seq[Array[Float]],
+        scoreOf: Array[Float] => Column, k: Int,
+        idExpr: Column, idName: String): DataFrame = {
       val words = (queries.length + 63) / 64
       val maskMap: Map[Int, Seq[Long]] = {
         val m = scala.collection.mutable.Map.empty[Int, Array[Long]]
@@ -1276,13 +1371,96 @@ object VectorSearch {
         }
       val scores = array(queries.zip(effective).zipWithIndex.map {
         case ((q, s), qi) =>
-          if (s.size == centroids.length) scoreExpr(q)
+          if (s.size == centroids.length) scoreOf(q)
           else when(
             shiftright(element_at(col("__mask"), qi / 64 + 1), qi % 64)
               .bitwiseAND(1L) === 1L,
-            scoreExpr(q))
+            scoreOf(q))
       }: _*)
       val exploded = withMask
+        .select(idExpr.as(idName), posexplode(scores).as(Seq("__qid", "__score")))
+      graft.functions.GroupTopK.perGroupStr(
+          exploded, "__qid", "__score", idName, k)
+        .withColumnRenamed("__qid", "query_id")
+        .withColumnRenamed("__score", "score")
+    }
+
+    /** PQ two-phase [[searchMulti]] (storage = "pq" layouts): phase 1
+      * ranks by ADC over ONLY the m-byte `__pq` code column (the
+      * 28×-fewer-bytes candidate scan at 2688 dims; per-query probe-set
+      * masks and plan identical to the one-phase path) and keeps the top
+      * k · [[pqOverfetch]] per query; phase 2 re-reads ONLY the
+      * shortlist's cells, restricts to the shortlist ids via one
+      * broadcast (id → query-bitmask) join, and re-ranks sq8-exact —
+      * returned scores are exactly [[scoreExpr]]'s, so PQ error moves
+      * RECALL only, never a score. The user filter is applied in phase 1
+      * (membership in the shortlist implies it). No exact-switch
+      * arbitration: on a pq layout phase 1 reads ~28× fewer bytes than
+      * the sq8 scan the switch would pick, at EVERY plan size including
+      * full — pq serving is shortlist-bounded at every nprobe (the
+      * FAISS IndexIVFPQ contract) and recall is the refinement budget's
+      * ([[pqOverfetch]]) job.
+      */
+    private def searchMultiPq(spark: SparkSession,
+        queries: Seq[Array[Float]], k: Int, nprobe: Int, idCol: String,
+        filter: Option[Column], exactFallback: Boolean): DataFrame = {
+      val effective: Seq[Set[Int]] =
+        probePlan(spark, queries, k, nprobe, filter, exactFallback)
+          .map(_.toSet)
+      val unionAll = effective.reduce(_ ++ _)
+      pqPhase1.incrementAndGet()
+      val cbs = pqCodebooksNow
+      val base =
+        if (unionAll.size == centroids.length) indexDf(spark)
+        else indexDf(spark).filter(col("__cluster").isin(unionAll.toSeq: _*))
+      val filtered = filter.map(base.filter).getOrElse(base)
+      // phase 1: the id carries its cluster ("<cluster>\u0001<id>") so phase
+      // 2 can restrict its scan to the CELLS that actually hold
+      // candidates — typically far fewer than the probed union, which is
+      // where the sq8-bytes read of phase 2 shrinks below a one-phase
+      // sq8 scan. Ties in ADC break on the combined string: cluster
+      // first, id second — deterministic.
+      val adcOf: Array[Float] => Column = q =>
+        graft.functions.pq_adc(col("__pq"),
+          graft.operators.Quantize.pqLut(q, cbs), 256)
+      val cand = maskedMultiTopK(spark, filtered, effective, queries,
+        adcOf, math.max(k, k * math.max(1, pqOverfetch)),
+        concat_ws("\u0001", col("__cluster").cast("string"),
+          col(idCol).cast("string")), "__cid")
+        .select(col("query_id"), col("__cid")).collect()
+      // driver state is bounded: Q × k × overfetch (cluster, id) pairs
+      val perId = scala.collection.mutable.Map.empty[(Int, String), Array[Long]]
+      val words = (queries.length + 63) / 64
+      cand.foreach { r =>
+        val qi = r.getInt(0)
+        val s = r.getString(1)
+        val cut = s.indexOf('\u0001')
+        val cell = s.substring(0, cut).toInt
+        val id = s.substring(cut + 1)
+        val m = perId.getOrElseUpdate((cell, id), new Array[Long](words))
+        m(qi / 64) |= 1L << (qi % 64)
+      }
+      import spark.implicits._
+      val candCells = perId.keysIterator.map(_._1).toSeq.distinct
+      val candDf = perId.iterator
+        .map { case ((_, id), m) => (id, m.toSeq) }.toSeq
+        .groupBy(_._1) // the same id in two cells (non-unique) ORs its masks
+        .map { case (id, ms) =>
+          val acc = new Array[Long](words)
+          ms.foreach(t => t._2.zipWithIndex.foreach { case (w, i) => acc(i) |= w })
+          (id, acc.toSeq)
+        }.toSeq.toDF("__idstr", "__mask")
+      val base2 = indexDf(spark)
+        .filter(col("__cluster").isin(candCells: _*))
+        .withColumn("__idstr", col(idCol).cast("string"))
+        .join(broadcast(candDf), Seq("__idstr"))
+      val scores = array(queries.zipWithIndex.map { case (q, qi) =>
+        when(
+          shiftright(element_at(col("__mask"), qi / 64 + 1), qi % 64)
+            .bitwiseAND(1L) === 1L,
+          scoreExpr(q))
+      }: _*)
+      val exploded = base2
         .select(col(idCol), posexplode(scores).as(Seq("__qid", "__score")))
       graft.functions.GroupTopK.perGroupStr(
           exploded, "__qid", "__score", idCol, k)
@@ -1356,10 +1534,17 @@ object VectorSearch {
           if (hasDistColumn) assigned.withColumn("__dist",
             centroid_dist_at(col("__vec"), col("__cluster"), centroids))
           else assigned
+        // PQ layouts additionally encode the batch with the FROZEN
+        // codebooks (frozen like the centroids — drift is the same
+        // re-train trade) so appended files keep the phase-1 column
+        val withPq =
+          if (pqMode) withDist.withColumn("__pq",
+            graft.functions.pq_encode(col("__vec"), pqCodebooksNow))
+          else withDist
         val toWrite =
           if (quantized)
-            graft.operators.Quantize.quantize(withDist, "__vec").drop("__vec")
-          else withDist
+            graft.operators.Quantize.quantize(withPq, "__vec").drop("__vec")
+          else withPq
         toWrite
           .sortWithinPartitions(col("__cluster"))
           // snappy, matching buildIvf: appends land on the same probe hot
@@ -1590,14 +1775,35 @@ object VectorSearch {
       val metaSchema = StructType(Seq(
         StructField("baselineDist", DoubleType, nullable = true),
         StructField("censusEpoch", LongType, nullable = true),
-        StructField("dataSchemaJson", StringType, nullable = true)))
+        StructField("dataSchemaJson", StringType, nullable = true),
+        // r16 pq: the id column the two serving phases join on; the
+        // codebooks themselves ride in $vdir/pq (frozen, like centroids)
+        StructField("pqIdCol", StringType, nullable = true)))
       spark.createDataFrame(
           spark.sparkContext.parallelize(Seq(Row(
             if (baselineDist.isNaN) null else java.lang.Double.valueOf(baselineDist),
             cn.map(c => java.lang.Long.valueOf(c._1)).orNull,
-            ds.map(_.json).orNull)), 1),
+            ds.map(_.json).orNull,
+            pqIdColNow)), 1),
           metaSchema)
         .write.mode("append").parquet(s"$vdir/meta")
+      // PQ codebooks: m × ksub narrow rows (≤ ~25k at m=96) — frozen
+      // for the index's lifetime, persisted with every version like the
+      // centroid table
+      if (pqCodebooksNow != null) {
+        val pqSchema = StructType(Seq(
+          StructField("subspace", IntegerType, nullable = false),
+          StructField("centroid", IntegerType, nullable = false),
+          StructField("vec", ArrayType(FloatType, containsNull = false),
+            nullable = false)))
+        val rows = for {
+          j <- pqCodebooksNow.indices
+          c <- pqCodebooksNow(j).indices
+        } yield Row(j, c, pqCodebooksNow(j)(c).toIndexedSeq)
+        spark.createDataFrame(
+            spark.sparkContext.parallelize(rows, 1), pqSchema)
+          .write.mode("append").parquet(s"$vdir/pq")
+      }
       // the file census itself: one narrow row per data file, sliced on
       // the occupancy principle (a 65536-cell exchange layout is ~65k
       // rows — driver-trivial, but never one giant Seq)
@@ -1986,6 +2192,38 @@ object VectorSearch {
       dataSchema.foreach { ds =>
         idx.dataSchemaNow = ds
         idx.hasDistColumn = ds.fieldNames.contains("__dist")
+      }
+      // PQ re-arm (r16): codebooks + the phase-join id column. Like the
+      // centroid table — frozen for the index's lifetime, so no epoch
+      // gate; a missing/corrupt pq table degrades the handle to the sq8
+      // serving path (correct results, no phase-1 byte cut) and says so.
+      val pqIdIdx = metaDf.columns.indexOf("pqIdCol")
+      if (pqIdIdx >= 0 && !meta.isNullAt(pqIdIdx))
+        idx.pqIdColNow = meta.getString(pqIdIdx)
+      try {
+        val ppath = new org.apache.hadoop.fs.Path(s"$dir/pq")
+        if (mfs.exists(ppath)) {
+          val rows = spark.read.parquet(s"$dir/pq")
+            .select(col("subspace"), col("centroid"),
+              col("vec").cast("array<float>"))
+            .as[(Int, Int, Array[Float])].collect()
+          val m = rows.iterator.map(_._1).max + 1
+          val cbs = new Array[Array[Array[Float]]](m)
+          rows.groupBy(_._1).foreach { case (j, g) =>
+            val ks = g.iterator.map(_._2).max + 1
+            val cb = new Array[Array[Float]](ks)
+            g.foreach { case (_, c, v) => cb(c) = v }
+            cbs(j) = cb
+          }
+          require(cbs.forall(cb => cb != null && cb.forall(_ != null)),
+            "pq table has holes")
+          idx.pqCodebooksNow = cbs
+        }
+      } catch {
+        case e: Exception =>
+          System.err.println(
+            s"[graft] pq re-arm failed for $path (sq8 serving path): " +
+              e.getMessage)
       }
       // r15 census re-arm: admit the persisted file list only when its
       // recorded epoch still matches the index's `_graft_epoch` — any
@@ -2536,12 +2774,31 @@ object VectorSearch {
         "__vec")
       .drop("__vec")
 
+  /** [[sq8Narrow]] plus the m-byte PQ code column (`__pq`) — the
+    * storage = "pq" write frame. Same project-collapse argument: both
+    * derived columns sit ABOVE the assignment projection and reference
+    * `__vec`/`__cluster` without re-inlining the O(k·d) kernel.
+    */
+  private[graft] def pqNarrow(assigned: DataFrame,
+      centroids: Array[Array[Float]],
+      codebooks: Array[Array[Array[Float]]]): DataFrame =
+    graft.operators.Quantize.quantize(
+        assigned
+          .withColumn("__dist",
+            centroid_dist_at(col("__vec"), col("__cluster"), centroids))
+          .withColumn("__pq",
+            graft.functions.pq_encode(col("__vec"), codebooks)),
+        "__vec")
+      .drop("__vec")
+
   def buildIvf(df: DataFrame, vecCol: String, numClusters: Int, path: String,
       sampleFraction: Double = Double.NaN, seed: Long = 42L,
       maxTrainVectors: Long = 1000000L,
       occupancyCols: Seq[String] = Seq.empty,
       largePathMinCells: Int = -1,
-      storage: String = "float"): IvfIndex = {
+      storage: String = "float",
+      pqIdCol: String = null,
+      pqTrainVectors: Int = 16384): IvfIndex = {
     // storage = "sq8" (r16): the data files store per-row asymmetric
     // int8 codes (graft.operators.Quantize — array<tinyint> + two range
     // doubles) instead of the float vector: ~4× fewer index bytes at
@@ -2550,9 +2807,22 @@ object VectorSearch {
     // the __dist stats all run on the FLOAT vector before it is
     // dropped; searches score the code algebra (see scoreExpr) —
     // exactly the dot against the stored (dequantized) representation.
-    require(storage == "float" || storage == "sq8",
-      s"buildIvf: unknown storage mode '$storage' (float|sq8)")
-    val sq8 = storage == "sq8"
+    //
+    // storage = "pq" (r16): everything sq8 stores PLUS an m-byte
+    // product-quantization code column (`__pq`, Quantize.pqFit /
+    // functions.pq_encode — ~96 B/row at 2688 dims, 28× below the sq8
+    // codes). Serving goes two-phase: phase 1 ranks by ADC over ONLY
+    // the __pq column (the 28×-fewer-bytes candidate scan), phase 2
+    // re-ranks the k·pqOverfetch shortlist sq8-exact — returned scores
+    // are identical in kind to sq8 mode's; PQ error moves recall only.
+    // Requires `pqIdCol`: a unique row identifier the two phases join
+    // on (persisted in the manifest; searchMulti uses the caller's).
+    require(storage == "float" || storage == "sq8" || storage == "pq",
+      s"buildIvf: unknown storage mode '$storage' (float|sq8|pq)")
+    val pq = storage == "pq"
+    require(!pq || (pqIdCol != null && df.columns.contains(pqIdCol)),
+      "buildIvf: storage=pq requires pqIdCol naming a unique id column")
+    val sq8 = storage == "sq8" || pq
     // largePathMinCells ≥ 0 overrides BOTH large-index thresholds
     // (hierarchicalFitMinK and twoLevelAssignMinCells) for THIS build —
     // the q117 per-handle lesson applied to build time: fixture queries
@@ -2642,6 +2912,21 @@ object VectorSearch {
     // accessor k times. At >= twoLevelAssignMinCells cells the kernel is
     // the two-level variant (top-probes coarse groups, exact within) —
     // see assignKernels for the cost/exactness contract.
+    // PQ codebooks train on a BOUNDED driver-side sample (16k rows ×
+    // 2688 dims ≈ 172 MB floats): per-subspace Lloyd is embarrassingly
+    // parallel and deterministic (Quantize.pqFit — evenly-spaced
+    // seeding, no RNG), and the total flop count (ksub·|sample|·d·iters)
+    // is seconds on 32 threads — far below the coarse fit above.
+    val pqCbs: Array[Array[Array[Float]]] =
+      if (!pq) null
+      else ivfStep("pq_fit") {
+        val rows = sampled.select(col(vecCol).cast("array<float>"))
+          .limit(pqTrainVectors).collect()
+          .map(_.getSeq[Float](0).toArray)
+        require(rows.nonEmpty, "buildIvf: empty PQ training sample")
+        graft.operators.Quantize.pqFit(
+          rows, graft.operators.Quantize.defaultPqM(rows(0).length))
+      }
     val (asgCol, _) = assignKernels(centroids, assignMinCells)
     val assigned = df
       .withColumn("__cluster", asgCol(col(vecCol)))
@@ -2677,7 +2962,8 @@ object VectorSearch {
       // O(k·d) kernel still runs once per row (Sq8IndexSpec pins this
       // on the optimized plan).
       val toLay =
-        if (sq8) sq8Narrow(assigned, centroids)
+        if (pq) pqNarrow(assigned, centroids, pqCbs)
+        else if (sq8) sq8Narrow(assigned, centroids)
         else assigned
       val laid =
         if (inParts.toLong * centroids.length >
@@ -2774,6 +3060,7 @@ object VectorSearch {
     idx.builtWithHierarchicalFit = k >= fitMinK
     idx.builtWithGroupedAssign = centroids.length >= assignMinCells
     idx.hasDistColumn = true
+    if (pq) { idx.pqCodebooksNow = pqCbs; idx.pqIdColNow = pqIdCol }
     // file census off the relation the stats pass already listed (free)
     // — saveManifest persists it, so a fresh process's load() serves its
     // first search without re-listing the partition tree

@@ -998,6 +998,63 @@ object VectorQueries {
               (${sqlDot("c.codes", "q.qv")} + 128 * qs.qsum) AS score
           FROM cs c CROSS JOIN q CROSS JOIN qs)
         SELECT vec_id, round(score, 4) + 0 AS score FROM sc
+        ORDER BY score DESC, vec_id LIMIT 20""")),
+
+    // ---- IVF-PQ storage mode (r16): the data files additionally carry
+    //      an m-byte product-quantization code column; serving is
+    //      two-phase (ADC shortlist over ONLY the code column → exact
+    //      re-rank against the stored sq8 codes), so the FINAL scores
+    //      are the same sq8 algebra q121 pins — the oracle is the same
+    //      DuckDB replay, and the PQ machinery must deliver the same
+    //      global filtered top-k because the shortlist covers it. The
+    //      require()s pin provenance: the loaded handle restored its
+    //      codebooks + id column from the manifest, and phase 1 (the
+    //      28×-fewer-bytes candidate scan) actually served the call. ----
+    QueryDef(
+      "q122_pq_index_search",
+      (s, d) => {
+        val e = Tables.embeddings(s, d)
+        val root = java.nio.file.Files.createTempDirectory("q122_pq")
+        try {
+          VectorSearch.buildIvf(e, "embedding", 8, s"$root/ivf",
+            sampleFraction = 1.0, storage = "pq", pqIdCol = "vec_id")
+          val loaded = VectorSearch.IvfIndex.load(s, s"$root/ivf")
+          require(loaded.pqMode,
+            "load() did not restore the pq codebooks/id column")
+          loaded.pqOverfetch = 16 // shortlist 16·k candidates
+          val pred = col("vec_id") % 2 === 1
+          val qv = e.filter(col("vec_id") === 4).select(col("embedding"))
+            .head().getSeq[Float](0).toArray
+          val p0 = loaded.pqPhase1Count
+          val hits = loaded.search(s, qv, 30, nprobe = 8, Some(pred))
+            .select(col("vec_id"), col("score")).collect()
+          require(loaded.pqPhase1Count > p0,
+            "PQ phase 1 did not serve the call")
+          import s.implicits._
+          hits.map(r => (r.getLong(0), r.getDouble(1)))
+            .sortBy(t => (-t._2, t._1)).take(20).toSeq
+            .toDF("vec_id", "score_raw")
+            .select(col("vec_id"),
+              (round(col("score_raw"), 4) + 0.0).as("score"))
+        } finally graft.FsUtil.deleteRecursively(root)
+      },
+      Some(s"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 4),
+        qs AS (SELECT list_sum(list_transform(qv, x -> CAST(x AS DOUBLE))) AS qsum
+          FROM q),
+        qz AS (SELECT vec_id, embedding,
+            CAST(list_min(embedding) AS DOUBLE) AS mn,
+            CAST(list_max(embedding) AS DOUBLE) AS mx
+          FROM embeddings WHERE vec_id % 2 = 1),
+        cs AS (SELECT vec_id, mn, mx,
+            list_transform(embedding, v -> CASE WHEN mx = mn THEN 0
+              ELSE CAST(round((CAST(v AS DOUBLE) - mn) / (mx - mn) * 255) AS INT)
+                - 128 END) AS codes
+          FROM qz),
+        sc AS (SELECT c.vec_id,
+            c.mn * qs.qsum + (c.mx - c.mn) / 255.0 *
+              (${sqlDot("c.codes", "q.qv")} + 128 * qs.qsum) AS score
+          FROM cs c CROSS JOIN q CROSS JOIN qs)
+        SELECT vec_id, round(score, 4) + 0 AS score FROM sc
         ORDER BY score DESC, vec_id LIMIT 20"""))
   )
 }
