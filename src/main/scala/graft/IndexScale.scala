@@ -81,8 +81,14 @@ object IndexScale {
     // and query vectors come from the REGENERATED source frame — recall
     // is measured against FLOAT-exact ground truth, end to end across
     // quantization AND probe loss.
+    // SPARK_GRAFT_INDEX_STORAGE=pq (r16): sq8 PLUS the m-byte PQ code
+    // column; serving is two-phase (ADC shortlist → sq8-exact re-rank).
+    // Like sq8, the float corpus exists only in flight — exact baselines
+    // and query vectors regenerate from the deterministic source, so
+    // recalls price quantization AND probe AND shortlist loss end to end.
     val storage = sys.env.getOrElse("SPARK_GRAFT_INDEX_STORAGE", "float")
-    val sq8 = storage == "sq8"
+    val sq8 = storage != "float"
+    val pqStorage = storage == "pq"
     // production default at full scale; ~√n when smoke-shrunk.
     // SPARK_GRAFT_INDEX_CELLS pins the count explicitly — the r11
     // full-dim point (2M × 2688) wants 4096 so both two-level paths stay
@@ -122,10 +128,12 @@ object IndexScale {
         timed("ivf_build_10m") {
           ivf = VectorSearch.buildIvf(source, "embedding", k, ivfPath,
             sampleFraction = fraction, occupancyCols = Seq("main_category"),
-            storage = storage)
+            storage = storage,
+            pqIdCol = if (pqStorage) "parent_asin" else null)
         }
     }
     if (sq8) results("storage_sq8_value") = 1.0
+    if (pqStorage) results("storage_pq_value") = 1.0
     // a failed build leaves `ivf` null — emit the partial artifact (the
     // -1 build wall is the failure record) instead of falling through to
     // a null dereference that would lose even that
@@ -354,6 +362,36 @@ object IndexScale {
         results("ab_routed_np128_recall_value") = r1._2
         results("ab_flat_np128_recall_value") = f1._2
       } finally { ivf.twoLevelMinCells = tl0; ivf.invalidateRouter() }
+    }
+
+    // pq-vs-sq8 serving A/B on the SAME layout (r16; pq files carry
+    // BOTH code columns): nulling the handle's codebooks drops it to
+    // the generic one-phase sq8 path, so the pair isolates what the
+    // two-phase ADC scan buys/costs at equal plan, data and cache.
+    // Order-controlled P,S,P,S, min per arm; recalls vs the float-exact
+    // baseline above (sq8 arm = quantization+probe loss, pq arm adds
+    // shortlist loss — equal recalls mean the overfetch budget covers).
+    if (pqStorage && exactNFOk) {
+      def multiOnce(): (Double, Map[Int, Set[String]]) = {
+        val t0 = System.nanoTime()
+        val r = idSets(ivf.searchMulti(
+          spark, queryVecs, 100, nprobe = 128, "parent_asin"))
+        ((System.nanoTime() - t0) / 1e9, r)
+      }
+      val cbs = ivf.pqCodebooksNow
+      try {
+        val p1 = multiOnce()
+        ivf.pqCodebooksNow = null
+        val s1 = multiOnce()
+        ivf.pqCodebooksNow = cbs
+        val p2 = multiOnce()
+        ivf.pqCodebooksNow = null
+        val s2 = multiOnce()
+        results("ab_pq_np128_wall_value") = math.min(p1._1, p2._1)
+        results("ab_sq8_np128_wall_value") = math.min(s1._1, s2._1)
+        results("ab_pq_np128_recall_value") = recallVs(exactNF, p1._2)
+        results("ab_sq8_np128_recall_value") = recallVs(exactNF, s1._2)
+      } finally ivf.pqCodebooksNow = cbs
     }
 
     spark.stop()

@@ -115,13 +115,19 @@ object Quantize {
   // per-subspace Lloyd is embarrassingly parallel across subspaces);
   // everything is deterministic — evenly-spaced sample seeding, no RNG.
 
-  /** Largest divisor of `d` that is ≤ min(96, d/4) — subspace count
-    * giving dsub ≥ 4 with at most 96 one-byte codes per row; falls back
-    * to 1 (scalar-free whole-vector quantizer) for tiny dims with no
-    * usable divisor. 2688 → 96 (dsub 28); 384 → 96 (dsub 4); 8 → 2.
+  /** Subspace count targeting the FAISS-default width dsub = 8:
+    * the largest divisor of `d` with d/m ≥ 8, capped at 384 codes/row;
+    * 1 for tiny dims. 2688 → 336 (dsub 8); 384 → 48 (dsub 8); 64 → 8;
+    * 16 → 2. Wider subspaces (smaller m) cut more bytes but 256
+    * centroids cover a ≥ 16-dim subspace too coarsely on
+    * high-intrinsic-dimension data — measured on the synthetic corpus
+    * at dsub 28: ADC shortlist loss pinned recall at 0.6–0.8
+    * independent of nprobe, while dsub 8 tracks the sq8 ranking. At
+    * dsub 8 the code column is d bytes/row ÷ 8 — an 8× phase-1 byte
+    * cut vs the sq8 codes, 32× vs float32.
     */
   def defaultPqM(d: Int): Int = {
-    val cap = math.min(96, d / 4)
+    val cap = math.min(384, d / 8)
     (cap to 1 by -1).find(m => m >= 1 && d % m == 0).getOrElse(1)
   }
 

@@ -814,11 +814,14 @@ object VectorSearch {
     @transient @volatile private[graft] var pqIdColNow: String = null
 
     /** Phase-1 shortlist multiple: PQ serving re-ranks the top
-      * (k · pqOverfetch) ADC candidates sq8-exact. 8 is the standard
-      * IVF-PQ refinement budget — raise it when ADC recall against the
-      * sq8 ranking matters more than phase-2 bytes.
+      * (k · pqOverfetch) ADC candidates sq8-exact. Default 16, set by
+      * the 1M × 2688 measurement (BENCH_scale_idxpq1m_r16): at 8 the
+      * broad tiers were shortlist-capped (sel_1 recall 0.887 flat
+      * across nprobe — ADC ranking loss, not probe loss) while phase 2
+      * stays O(k · overfetch) rows either way; 16 recovers the sq8
+      * ranking's recall at negligible phase-2 cost.
       */
-    @volatile var pqOverfetch: Int = 8
+    @volatile var pqOverfetch: Int = 16
 
     /** True when the layout carries PQ codes AND the handle has the
       * codebooks to score them — a pq-coded layout loaded without its

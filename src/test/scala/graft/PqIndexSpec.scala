@@ -53,7 +53,8 @@ class PqIndexSpec extends SparkSpec {
     assert(!names.contains("__vec"))
     assert(written.schema("__pq").dataType.sql == "ARRAY<TINYINT>")
     val m = Quantize.defaultPqM(dims)
-    assert(m == 4, s"defaultPqM(16) expected 4, got $m")
+    assert(m == 2, s"defaultPqM(16) expected 2 (dsub 8), got $m")
+    assert(Quantize.defaultPqM(2688) == 336 && Quantize.defaultPqM(384) == 48)
     assert(written.select(size(col("__pq"))).head().getInt(0) == m)
     FsUtil.deleteRecursively(java.nio.file.Paths.get(dir))
   }
