@@ -836,6 +836,89 @@ object VectorSearch {
     private val pqPhase1 = new java.util.concurrent.atomic.AtomicLong(0L)
     def pqPhase1Count: Long = pqPhase1.get()
 
+    /** Tombstoned row ids (r16 deletes): (id column, string-cast id set).
+      * Three-valued through null — null = not yet read from disk
+      * (@transient deserialization, or a handle that has never looked),
+      * None = known empty, Some = active tombstones. Ground truth lives
+      * under `<path>/_graft_deletes` (underscore ⇒ invisible to the
+      * index's own parquet scans), so a FRESH [[IvfIndex.load]] sees
+      * deletes with no manifest checkpoint in between; this field is
+      * only the per-handle cache of that directory.
+      */
+    @transient @volatile private var deletesNow0
+        : Option[(String, Set[String])] = null
+
+    private def tombstones(spark: SparkSession)
+        : Option[(String, Set[String])] = {
+      val d = deletesNow0
+      if (d != null) d
+      else {
+        val read = IvfIndex.readTombstones(spark, path)
+        deletesNow0 = read
+        read
+      }
+    }
+
+    /** Tombstoned-id count (diagnostic / provenance surface — q123). */
+    def tombstoneCount(spark: SparkSession): Long =
+      tombstones(spark).map(_._2.size.toLong).getOrElse(0L)
+
+    /** Above this many tombstoned ids the serving-path exclusion ships
+      * as a broadcast anti-join instead of an `InSet` literal: both are
+      * one hash probe per row, but a million-id literal is re-planned
+      * and re-shipped with EVERY query plan, while the broadcast is
+      * built once per plan from a driver set either way — the same
+      * literal-vs-broadcast crossover the searchMulti masks use
+      * ([[VectorSearch.maskLiteralMaxCells]]).
+      */
+    @volatile var deleteInSetMaxIds: Int = 8192
+
+    /** Rows of `df` minus tombstoned ids — the serving-side exclusion.
+      * Ids match on `cast(idCol as string)` (the repo-wide canonical
+      * cross-type id form); null ids can't be tombstoned and always
+      * survive (both shapes below keep them: `In` on null is null →
+      * `coalesce(..., false)`; an anti-join's null key matches nothing).
+      */
+    private def excludeDeleted(spark: SparkSession, df: DataFrame): DataFrame =
+      tombstones(spark) match {
+        case Some((idc, ids)) if ids.nonEmpty =>
+          if (ids.size <= deleteInSetMaxIds)
+            df.filter(!coalesce(
+              col(idc).cast("string").isin(ids.toSeq: _*), lit(false)))
+          else {
+            import spark.implicits._
+            df.join(broadcast(ids.toSeq.toDF("__graft_del_id")),
+              col(idc).cast("string") === col("__graft_del_id"), "left_anti")
+          }
+        case _ => df
+      }
+
+    /** [[indexDf]] minus tombstoned rows — what every SERVING path reads.
+      * Planning paths (occupancy, count memo, cellCounts) intentionally
+      * stay on the tombstone-inclusive counts: support estimates may
+      * only OVER-count under deletion, which widens probes (more work,
+      * never missing results) and keeps the zero-match fast path exact
+      * (a true 0 stays 0 when rows are only ever removed).
+      */
+    private def servingDf(spark: SparkSession): DataFrame =
+      excludeDeleted(spark, indexDf(spark))
+
+    /** `df` plus a boolean `__graft_del` flag — [[scrub]]'s both-polarity
+      * form of [[excludeDeleted]], same InSet/broadcast crossover.
+      */
+    private def withDeletedFlag(spark: SparkSession, df: DataFrame,
+        idc: String, ids: Set[String]): DataFrame =
+      if (ids.size <= deleteInSetMaxIds)
+        df.withColumn("__graft_del", coalesce(
+          col(idc).cast("string").isin(ids.toSeq: _*), lit(false)))
+      else {
+        import spark.implicits._
+        df.join(broadcast(ids.toSeq.toDF("__graft_del_id")),
+            col(idc).cast("string") === col("__graft_del_id"), "left_outer")
+          .withColumn("__graft_del", col("__graft_del_id").isNotNull)
+          .drop("__graft_del_id")
+      }
+
     /** The per-row score of query `q` under the index's storage mode.
       * Float layouts: the exact dot. SQ8 layouts: the dot against the
       * stored row's DEQUANTIZED vector, computed algebraically from the
@@ -872,7 +955,7 @@ object VectorSearch {
       */
     private def exactMulti(spark: SparkSession, queries: Seq[Array[Float]],
         k: Int, idCol: String, filter: Option[Column]): DataFrame =
-      topKMultiScored(indexDf(spark), scoreExpr, queries, k, idCol, filter)
+      topKMultiScored(servingDf(spark), scoreExpr, queries, k, idCol, filter)
 
     // @transient fields deserialize to JVM defaults, not initializers —
     // a handle that rode through a closure would read censusNow0 as
@@ -916,6 +999,7 @@ object VectorSearch {
     def refresh(): Unit = {
       dfCache.clear(); countCache.clear()
       filesPerCellCache = -1.0
+      deletesNow0 = null // re-read `_graft_deletes` (external deletes/scrubs)
       censusNow0 = None // external appends: the file list is stale
       // occupancy cannot be rebuilt here (it only folds this handle's
       // own appends), so any external rows refresh() just made visible
@@ -1228,8 +1312,8 @@ object VectorSearch {
       if (exact && clusters.length != centroids.length)
         exactSwitches.incrementAndGet()
       val probeDf =
-        if (exact) indexDf(spark)
-        else indexDf(spark).filter(col("__cluster").isin(clusters: _*))
+        if (exact) servingDf(spark)
+        else servingDf(spark).filter(col("__cluster").isin(clusters: _*))
       // drop the physical layout's columns (__dist is the r15 stats
       // column — dead weight for readers, pruned from every scan that
       // doesn't name it; sq8 layouts additionally carry codes + range)
@@ -1256,8 +1340,8 @@ object VectorSearch {
       pqPhase1.incrementAndGet()
       val lut = graft.operators.Quantize.pqLut(query, pqCodebooksNow)
       val base =
-        if (clusters.length == centroids.length) indexDf(spark)
-        else indexDf(spark).filter(col("__cluster").isin(clusters: _*))
+        if (clusters.length == centroids.length) servingDf(spark)
+        else servingDf(spark).filter(col("__cluster").isin(clusters: _*))
       val filtered = filter.map(base.filter).getOrElse(base)
       val shortK = math.max(k, k * math.max(1, pqOverfetch))
       val cand = filtered
@@ -1269,7 +1353,7 @@ object VectorSearch {
       val candCells = cand.map(_.getInt(0)).distinct.toSeq
       val candIds = cand.map(_.getString(1)).distinct.toSeq
       import spark.implicits._
-      indexDf(spark).filter(col("__cluster").isin(candCells: _*))
+      servingDf(spark).filter(col("__cluster").isin(candCells: _*))
         .withColumn("__idstr", col(idc).cast("string"))
         .join(broadcast(candIds.toDF("__idstr")), Seq("__idstr"))
         .withColumn("score", scoreExpr(query))
@@ -1314,8 +1398,8 @@ object VectorSearch {
         return exactMulti(spark, queries, k, idCol, filter)
       }
       val base =
-        if (unionAll.size == centroids.length) indexDf(spark)
-        else indexDf(spark).filter(col("__cluster").isin(unionAll.toSeq: _*))
+        if (unionAll.size == centroids.length) servingDf(spark)
+        else servingDf(spark).filter(col("__cluster").isin(unionAll.toSeq: _*))
       val filtered = filter.map(base.filter).getOrElse(base)
       maskedMultiTopK(spark, filtered, effective, queries, scoreExpr, k,
         col(idCol), idCol)
@@ -1414,8 +1498,8 @@ object VectorSearch {
       pqPhase1.incrementAndGet()
       val cbs = pqCodebooksNow
       val base =
-        if (unionAll.size == centroids.length) indexDf(spark)
-        else indexDf(spark).filter(col("__cluster").isin(unionAll.toSeq: _*))
+        if (unionAll.size == centroids.length) servingDf(spark)
+        else servingDf(spark).filter(col("__cluster").isin(unionAll.toSeq: _*))
       val filtered = filter.map(base.filter).getOrElse(base)
       // phase 1: the id carries its cluster ("<cluster>\u0001<id>") so phase
       // 2 can restrict its scan to the CELLS that actually hold
@@ -1453,7 +1537,7 @@ object VectorSearch {
           ms.foreach(t => t._2.zipWithIndex.foreach { case (w, i) => acc(i) |= w })
           (id, acc.toSeq)
         }.toSeq.toDF("__idstr", "__mask")
-      val base2 = indexDf(spark)
+      val base2 = servingDf(spark)
         .filter(col("__cluster").isin(candCells: _*))
         .withColumn("__idstr", col(idCol).cast("string"))
         .join(broadcast(candDf), Seq("__idstr"))
@@ -1629,6 +1713,478 @@ object VectorSearch {
         saveManifest(updates.sparkSession)
         appendsSinceCheckpoint = 0
       }
+    }
+
+    private def deletesDir: String = s"$path/${IvfIndex.DeletesDir}"
+
+    /** Tombstone rows by id: excluded EXACTLY from every subsequent
+      * search — through this handle immediately, through a fresh
+      * [[IvfIndex.load]] via the persisted tombstone set, and through a
+      * live handle in another process after [[refresh]] — without
+      * touching a data file. The durable form is a parquet id list under
+      * `_graft_deletes`; physical removal is [[scrub]]'s job (the
+      * delete→scrub split is the standard LSM/Lucene deletion shape: an
+      * O(ids) logical delete now, an O(affected files) compaction when
+      * the operator chooses). Ids match on `cast(idCol as string)`, the
+      * repo-wide canonical cross-type id form (the PQ phase join, the
+      * upsert store). One id column per index across all delete batches.
+      *
+      * Probe PLANNING (occupancy, count memo, cellCounts) intentionally
+      * keeps counting tombstoned rows until scrub: support estimates may
+      * then only OVER-count, which widens probes — more read work, never
+      * a missing result — and the zero-match fast path stays exact
+      * because deletion can only move true counts TOWARD zero.
+      *
+      * Single writer per index, as with [[append]].
+      *
+      * @return ids newly tombstoned (already-deleted ids fold to 0)
+      */
+    def delete(spark: SparkSession, idCol: String, ids: Seq[Any]): Long = {
+      require(ids.nonEmpty, "delete of zero ids")
+      val prior = tombstones(spark)
+      prior.foreach { case (pc, _) =>
+        require(pc == idCol,
+          s"index already holds tombstones on '$pc' — one id column per " +
+            s"index (got '$idCol')")
+      }
+      val strs = ids.iterator.map(String.valueOf).toSet
+      val fresh = prior.map(t => strs diff t._2).getOrElse(strs)
+      if (fresh.isEmpty) return 0L
+      import spark.implicits._
+      fresh.toSeq.sorted.map(i => (idCol, i)).toDF("col", "id")
+        .coalesce(1)
+        .write.mode("append").parquet(deletesDir)
+      deletesNow0 = Some((idCol,
+        prior.map(_._2).getOrElse(Set.empty[String]) ++ fresh))
+      fresh.size.toLong
+    }
+
+    /** Physically remove tombstoned rows: rewrite ONLY the data files
+      * that hold at least one, drop the originals, clear the tombstones.
+      * Cost ∝ affected files — a delete confined to one cell rewrites
+      * one cell's files, never the index (the scan that FINDS the files
+      * reads just the id + occupancy columns, column-pruned).
+      *
+      * Crash-atomic via a commit journal, the manifest's
+      * write-then-commit discipline applied to data files: survivors
+      * land in an invisible staging dir first; the journal (stage→target
+      * moves + originals to drop + the tombstone clear) is written only
+      * after that job commits; replay ([[IvfIndex.load]] and the next
+      * scrub both run it) is idempotent. A crash BEFORE the journal
+      * leaves the pre-scrub index — old files intact, tombstones intact,
+      * exclusion still exact; a crash AFTER it completes to the
+      * post-scrub index on the next load. At no point does a reader of
+      * THIS handle see a half state (caches invalidate only after the
+      * replay finishes). Other handles: same contract as [[append]] —
+      * single writer, concurrent readers in other processes must
+      * [[refresh]]/reload (the epoch bump keeps fresh loads
+      * census-correct automatically).
+      *
+      * Driver stats stay truthful downward: cellCounts and occupancy are
+      * decremented exactly (from the same pruned scan that found the
+      * files), so post-scrub zero-support filters serve empty results
+      * jobless; radii keep their pre-scrub values — an over-estimate
+      * that biases probe ORDER toward caution, never correctness.
+      *
+      * @return rows physically removed
+      */
+    def scrub(spark: SparkSession): Long = {
+      import org.apache.hadoop.fs.Path
+      val rootPath = new Path(path)
+      val fs = rootPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      // complete a prior crashed scrub first — idempotent, usually a no-op
+      IvfIndex.completeScrubIfPending(spark, path)
+      deletesNow0 = null // the replay may have cleared them
+      val t = tombstones(spark)
+      if (!t.exists(_._2.nonEmpty)) return 0L
+      val (idc, ids) = t.get
+      // a stage dir with NO journal is a scrub that crashed before its
+      // commit point: its files were never visible — drop and restart
+      val stage = new Path(rootPath, IvfIndex.ScrubStageDir)
+      if (fs.exists(stage)) { fs.delete(stage, true); () }
+      val rootUriPath = fs.makeQualified(rootPath).toUri.getPath
+      def relativize(p: Path): String = {
+        val s = fs.makeQualified(p).toUri.getPath
+        require(s.startsWith(rootUriPath + "/"),
+          s"scrub file $s outside index root $rootUriPath")
+        s.substring(rootUriPath.length + 1)
+      }
+      // 1. affected files + exact removal counts, one pruned scan over
+      //    (file, cluster, id [, occupancy columns])
+      val presentCols = indexDf(spark).columns.toSet
+      val occCols = occupancyNow.keySet.filter(presentCols).toSeq.sorted
+      val flagged = withDeletedFlag(spark,
+          indexDf(spark).withColumn("__graft_file", input_file_name()),
+          idc, ids)
+        .filter(col("__graft_del"))
+        .select((Seq(col("__graft_file"), col("__cluster")) ++
+          occCols.map(col)): _*)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        val perFile = flagged
+          .groupBy(col("__graft_file"), col("__cluster"))
+          .agg(count(lit(1)).as("__n")).collect()
+        if (perFile.isEmpty) { // tombstones never landed in the index
+          fs.delete(new Path(deletesDir), true)
+          deletesNow0 = None
+          return 0L
+        }
+        val oldFiles: Seq[(String, Int)] = perFile.iterator.map { r =>
+          relativize(new Path(new java.net.URI(r.getString(0)))) -> r.getInt(1)
+        }.toSeq
+        val perCell: Map[Int, Long] = perFile.iterator
+          .map(r => r.getInt(1) -> r.getLong(2)).toSeq
+          .groupBy(_._1).map { case (c, g) => c -> g.iterator.map(_._2).sum }
+        val removed = perFile.iterator.map(_.getLong(2)).sum
+        val occDeltas: Map[String, Map[(Int, String), Long]] =
+          occCols.iterator.map { oc =>
+            oc -> flagged.filter(col(oc).isNotNull)
+              .groupBy(col("__cluster"), col(oc).cast("string").as("__v"))
+              .agg(count(lit(1)).as("__n")).collect()
+              .map(r => (r.getInt(0), r.getString(1)) -> r.getLong(2)).toMap
+          }.toMap
+        // 2. epoch bump BEFORE any file changes (append's discipline):
+        //    a crash leaves epoch ≠ any persisted census, so load()
+        //    falls back to a real listing
+        val newEpoch = {
+          import org.apache.spark.sql.graft.CensusIndex
+          val e = CensusIndex.readEpoch(spark, path).getOrElse(0L) + 1L
+          CensusIndex.writeEpoch(spark, path, e)
+          e
+        }
+        // 3. survivors → invisible staging dir (same schema incl. the
+        //    __cluster partition column via basePath; snappy like the
+        //    build — staged files ARE the future serving files)
+        val absOld = oldFiles.map(f => s"$path/${f._1}").distinct
+        withDeletedFlag(spark,
+            spark.read.option("basePath", path).parquet(absOld: _*),
+            idc, ids)
+          .filter(!col("__graft_del")).drop("__graft_del")
+          .write.mode("append").option("compression", "snappy")
+          .partitionBy("__cluster").parquet(stage.toString)
+        // 4. move plan from the committed stage dir
+        val moves: Seq[(Int, String, String)] = // (cluster, stageRel, targetRel)
+          if (!fs.exists(stage)) Seq.empty
+          else fs.listStatus(stage).toSeq.filter(_.isDirectory)
+            .filter(_.getPath.getName.startsWith("__cluster="))
+            .flatMap { d =>
+              val c = d.getPath.getName.stripPrefix("__cluster=").toInt
+              fs.listStatus(d.getPath).toSeq
+                .filter { st =>
+                  val n = st.getPath.getName
+                  st.isFile && !n.startsWith("_") && !n.startsWith(".")
+                }
+                .map { st =>
+                  val n = st.getPath.getName
+                  (c, relativize(st.getPath),
+                    s"__cluster=$c/scrub-$newEpoch-$n")
+                }
+            }
+        // 5. the commit point: journal written via create-then-rename
+        val lines =
+          Seq(IvfIndex.ScrubJournalHeader) ++
+            moves.map(m => s"MOV\t${m._2}\t${m._3}") ++
+            oldFiles.map(f => s"OLD\t${f._1}")
+        val tmp = new Path(rootPath, IvfIndex.ScrubJournal + ".tmp")
+        val out = fs.create(tmp, true)
+        try out.write(lines.mkString("\n").getBytes("UTF-8"))
+        finally out.close()
+        val journal = new Path(rootPath, IvfIndex.ScrubJournal)
+        require(fs.rename(tmp, journal), s"could not commit scrub journal")
+        // 6. replay = the actual moves + deletes + tombstone clear
+        IvfIndex.replayScrub(fs, rootPath)
+        // 7. driver state: counts down-folded exactly, caches dropped,
+        //    census folded (old files out, staged files in)
+        perCell.foreach { case (c, n) =>
+          if (c < cellCounts.length)
+            cellCounts(c) = math.max(0L, cellCounts(c) - n)
+        }
+        occupancyNow = occupancyNow.map { case (oc, table) =>
+          occDeltas.get(oc) match {
+            case None => oc -> table
+            case Some(deltas) =>
+              oc -> deltas.foldLeft(table) { case (tb, (k2, n)) =>
+                val left = tb.getOrElse(k2, 0L) - n
+                if (left > 0L) tb.updated(k2, left) else tb.removed(k2)
+              }
+          }
+        }
+        dfCache.clear(); countCache.clear()
+        filesPerCellCache = -1.0
+        deletesNow0 = None
+        censusNow0 = censusOpt match {
+          case Some((_, schema, files)) =>
+            try {
+              val gone = oldFiles.iterator.map(_._1).toSet
+              val kept = files.filterNot(f => gone(f.relPath))
+              val added = moves.map { case (c, _, targetRel) =>
+                val st = fs.getFileStatus(new Path(rootPath, targetRel))
+                org.apache.spark.sql.graft.CensusIndex.CensusFile(
+                  c, targetRel, st.getLen, st.getModificationTime)
+              }
+              Some((newEpoch, schema, kept ++ added))
+            } catch {
+              case e: Exception =>
+                System.err.println(
+                  s"[graft] census fold after scrub failed (falling back " +
+                    s"to re-listing): ${e.getMessage}")
+                None
+            }
+          case None => None
+        }
+        saveManifest(spark)
+        removed
+      } finally { flagged.unpersist(blocking = false); () }
+    }
+
+    /** Split HOT cells in place — the incremental cure for the skew
+      * that appends accumulate, between the O(batch) cost of [[append]]
+      * and the O(index) cost of a full retrain. Cells holding more than
+      * `hotFactor ×` the mean row count are re-fit locally (a driver
+      * Lloyd over a bounded per-cell sample, [[localLloyd]] — the same
+      * kernel the hierarchical build's refine step uses) and their rows
+      * re-assigned among the new subcells; subcell 0 keeps the old
+      * cluster id, the rest take fresh ids appended after the existing
+      * table, so every COLD cell's files, stats, occupancy rows and
+      * probe semantics are untouched. Cost ∝ rows in hot cells.
+      *
+      * Why splitting beats waiting for a retrain at scale: a skewed
+      * append stream concentrates rows in few cells, and a probe that
+      * must read a 10×-mean cell pays 10× that cell's bytes for the
+      * same nprobe — the routing can't subdivide what the layout
+      * doesn't. Splitting restores the build's cell-size contract for
+      * exactly the cells that broke it. Centroid semantics follow the
+      * standard IVF maintenance trade ([[append]]'s scaladoc): the new
+      * subcentroids come from the CURRENT stored rows (on sq8/pq
+      * layouts: the dequantized stored representation — the thing
+      * probes actually score), and the drift baseline is kept, so
+      * [[driftRatio]] reads the improvement.
+      *
+      * Durability: same commit-journal discipline as [[scrub]] (staged
+      * survivor files, journal written only after the stage job
+      * commits, idempotent replay in [[IvfIndex.load]]), under a
+      * rebalance header that — unlike scrub's — leaves any tombstone
+      * set alone. A [[scrub]] runs first regardless: physically
+      * removing tombstoned rows before re-fitting means deleted rows
+      * neither steer the subcentroids nor survive the rewrite.
+      *
+      * Single writer per index; the RETURNED handle is the index
+      * afterwards (this one's caches are dropped, but its centroid
+      * table is frozen by construction and must not keep serving).
+      *
+      * @return a fresh handle over the rebalanced index (`this` when no
+      *         cell is hot)
+      */
+    def rebalance(spark: SparkSession, hotFactor: Double = 2.0,
+        maxCells: Int = 65536, maxTrainPerCell: Int = 65536,
+        seed: Long = 42L): IvfIndex = {
+      require(hotFactor > 1.0, s"hotFactor must exceed 1 (got $hotFactor)")
+      scrub(spark)
+      if (cellCounts.isEmpty) return this
+      val k0 = centroids.length
+      val totalRows = cellCounts.sum
+      if (totalRows <= 0L) return this
+      val mean = totalRows.toDouble / k0
+      // deterministic split plan: hottest first for the id budget, then
+      // executed in ascending cell order so new ids are reproducible
+      var budget = maxCells - k0
+      val hot = cellCounts.zipWithIndex
+        .filter { case (n, _) => n > hotFactor * mean }
+        .sortBy { case (n, c) => (-n, c) }
+        .flatMap { case (n, c) =>
+          val want = math.min(64, math.ceil(n / mean).toInt)
+          val m = math.min(want, budget + 1) // m−1 fresh ids
+          if (m >= 2) { budget -= (m - 1); Some((c, m)) } else None
+        }
+        .sortBy(_._1)
+      if (hot.isEmpty) return this
+      import org.apache.hadoop.fs.Path
+      val rootPath = new Path(path)
+      val fs = rootPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val rootUriPath = fs.makeQualified(rootPath).toUri.getPath
+      def relativize(p: Path): String = {
+        val s = fs.makeQualified(p).toUri.getPath
+        require(s.startsWith(rootUriPath + "/"),
+          s"rebalance file $s outside index root $rootUriPath")
+        s.substring(rootUriPath.length + 1)
+      }
+      val stage = new Path(rootPath, IvfIndex.ScrubStageDir)
+      if (fs.exists(stage)) { fs.delete(stage, true); () }
+      // the stored representation probes score — what the re-fit and the
+      // re-assignment must both run on
+      def vecExpr: Column =
+        if (quantized) graft.operators.Quantize.dequantize(
+          col("__codes"), col("__qmin"), col("__qmax"))
+        else col("__vec")
+      // per-cell local fits from bounded driver samples
+      var nextId = k0
+      val plans: Seq[(Int, Array[Array[Float]], Array[Int])] =
+        hot.toSeq.map { case (c, m) =>
+          val frac = math.min(1.0,
+            maxTrainPerCell.toDouble / math.max(1L, cellCounts(c)))
+          val src = indexDf(spark).filter(col("__cluster") === c)
+            .select(vecExpr.as("__v"))
+          val pts = (if (frac >= 1.0) src
+            else src.sample(withReplacement = false, frac, seed + c))
+            .collect().map(_.getSeq[Float](0).toArray)
+          val subs = localLloyd(pts, m, seed + c, 20)
+          val gids = new Array[Int](subs.length)
+          if (subs.nonEmpty) gids(0) = c
+          var i = 1
+          while (i < subs.length) { gids(i) = nextId; nextId += 1; i += 1 }
+          (c, subs, gids)
+        }.filter(_._2.length >= 2)
+      if (plans.isEmpty) return this
+      val newK = nextId
+      val newCents = new Array[Array[Float]](newK)
+      System.arraycopy(centroids, 0, newCents, 0, k0)
+      plans.foreach { case (_, subs, gids) =>
+        var i = 0
+        while (i < subs.length) { newCents(gids(i)) = subs(i); i += 1 }
+      }
+      // epoch bump BEFORE any file motion (append/scrub discipline)
+      val newEpoch = {
+        import org.apache.spark.sql.graft.CensusIndex
+        val e = CensusIndex.readEpoch(spark, path).getOrElse(0L) + 1L
+        CensusIndex.writeEpoch(spark, path, e)
+        e
+      }
+      // one unioned re-assignment frame over every hot cell: a row only
+      // competes among ITS OWN cell's subcentroids — that is what makes
+      // this a split (cold cells unaffected) rather than a re-train
+      val frames = plans.map { case (c, subs, gids) =>
+        indexDf(spark).filter(col("__cluster") === c)
+          .withColumn("__local", graft.functions.nearest_centroid(vecExpr, subs))
+          .withColumn("__newdist",
+            centroid_dist_at(vecExpr, col("__local"), subs))
+          .withColumn("__cluster",
+            element_at(typedLit(gids.toSeq), col("__local") + 1))
+          .drop("__local")
+      }
+      val assigned = frames.reduce(_ unionByName _)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        // exact per-new-cell stats from the full rewrite pass — the same
+        // narrow (cluster, squared-dist) aggregate the build's stats use
+        val stats = assigned.select(col("__cluster").as("__c"),
+            col("__newdist").as("__d"))
+          .groupBy(col("__c"))
+          .agg(count(lit(1)).as("__n"), sum(col("__d")).as("__s"),
+            max(col("__d")).as("__m")).collect()
+        val presentCols = indexDf(spark).columns.toSet
+        val occCols = occupancyNow.keySet.filter(presentCols).toSeq.sorted
+        val occNew: Map[String, Map[(Int, String), Long]] =
+          occCols.iterator.map { oc =>
+            oc -> assigned.filter(col(oc).isNotNull)
+              .groupBy(col("__cluster"), col(oc).cast("string").as("__v"))
+              .agg(count(lit(1)).as("__n")).collect()
+              .map(r => (r.getInt(0), r.getString(1)) -> r.getLong(2)).toMap
+          }.toMap
+        val toWrite =
+          (if (hasDistColumn) assigned.withColumn("__dist", col("__newdist"))
+           else assigned).drop("__newdist")
+        toWrite
+          .sortWithinPartitions(col("__cluster"))
+          .write.mode("append").option("compression", "snappy")
+          .partitionBy("__cluster").parquet(stage.toString)
+        // journal = commit point (rebalance header: tombstones, if an
+        // external writer broke the single-writer contract, are KEPT)
+        val oldFiles: Seq[String] = plans.map(_._1).flatMap { c =>
+          val d = new Path(rootPath, s"__cluster=$c")
+          if (!fs.exists(d)) Seq.empty
+          else fs.listStatus(d).toSeq
+            .filter { st =>
+              val n = st.getPath.getName
+              st.isFile && !n.startsWith("_") && !n.startsWith(".")
+            }
+            .map(st => relativize(st.getPath))
+        }
+        val moves: Seq[(Int, String, String)] =
+          if (!fs.exists(stage)) Seq.empty
+          else fs.listStatus(stage).toSeq.filter(_.isDirectory)
+            .filter(_.getPath.getName.startsWith("__cluster="))
+            .flatMap { d =>
+              val c = d.getPath.getName.stripPrefix("__cluster=").toInt
+              fs.listStatus(d.getPath).toSeq
+                .filter { st =>
+                  val n = st.getPath.getName
+                  st.isFile && !n.startsWith("_") && !n.startsWith(".")
+                }
+                .map { st =>
+                  val n = st.getPath.getName
+                  (c, relativize(st.getPath),
+                    s"__cluster=$c/rebal-$newEpoch-$n")
+                }
+            }
+        val lines =
+          Seq(IvfIndex.RebalanceJournalHeader) ++
+            moves.map(m => s"MOV\t${m._2}\t${m._3}") ++
+            oldFiles.map(f => s"OLD\t$f")
+        val tmp = new Path(rootPath, IvfIndex.ScrubJournal + ".tmp")
+        val out0 = fs.create(tmp, true)
+        try out0.write(lines.mkString("\n").getBytes("UTF-8"))
+        finally out0.close()
+        require(fs.rename(tmp, new Path(rootPath, IvfIndex.ScrubJournal)),
+          "could not commit rebalance journal")
+        IvfIndex.replayScrub(fs, rootPath)
+        // the post-rebalance handle: cold-cell stats copied, split-cell
+        // stats exact from the rewrite pass, drift baseline kept
+        val newRadii = new Array[Double](newK)
+        val newRms = new Array[Double](newK)
+        val newCounts = new Array[Long](newK)
+        var i = 0
+        while (i < k0) {
+          if (i < radii.length) newRadii(i) = radii(i)
+          if (i < rmsRadii.length) newRms(i) = rmsRadii(i)
+          if (i < cellCounts.length) newCounts(i) = cellCounts(i)
+          i += 1
+        }
+        stats.foreach { r =>
+          val c = r.getInt(0)
+          val n = r.getLong(1); val s = r.getDouble(2); val m = r.getDouble(3)
+          newCounts(c) = n
+          newRms(c) = math.sqrt(s / math.max(1L, n))
+          newRadii(c) = math.sqrt(m)
+        }
+        val hotSet = plans.map(_._1).toSet
+        val mergedOcc = occupancyNow.map { case (oc, table) =>
+          val kept = table.filterNot { case ((c, _), _) => hotSet(c) }
+          oc -> (kept ++ occNew.getOrElse(oc, Map.empty))
+        }
+        val fresh = IvfIndex(path, newCents, baselineDist,
+          newRadii, newRms, newCounts, mergedOcc, occupancyTypes)
+        fresh.dataSchemaNow = dataSchemaNow
+        fresh.hasDistColumn = hasDistColumn
+        fresh.pqCodebooksNow = pqCodebooksNow
+        fresh.pqIdColNow = pqIdColNow
+        // census fold: hot cells' old files out, staged moves in
+        fresh.censusNow0 = censusOpt match {
+          case Some((_, schema, files)) =>
+            try {
+              val gone = oldFiles.toSet
+              val kept = files.filterNot(f => gone(f.relPath))
+              val added = moves.map { case (c, _, targetRel) =>
+                val st = fs.getFileStatus(new Path(rootPath, targetRel))
+                org.apache.spark.sql.graft.CensusIndex.CensusFile(
+                  c, targetRel, st.getLen, st.getModificationTime)
+              }
+              Some((newEpoch, schema, kept ++ added))
+            } catch {
+              case e: Exception =>
+                System.err.println(
+                  s"[graft] census fold after rebalance failed (falling " +
+                    s"back to re-listing): ${e.getMessage}")
+                None
+            }
+          case None => None
+        }
+        // this handle's centroid table is now stale — poison its caches
+        // so accidental reads at least re-list current files
+        dfCache.clear(); countCache.clear()
+        censusNow0 = None; filesPerCellCache = -1.0
+        fresh.saveManifest(spark)
+        fresh
+      } finally { assigned.unpersist(blocking = false); () }
     }
 
     /** Persist the index's driver-side state — centroids, both radius
@@ -2134,7 +2690,109 @@ object VectorSearch {
       * manifests written before the versioned layout load from the flat
       * root files directly.
       */
+    private[graft] val DeletesDir = "_graft_deletes"
+    private[graft] val ScrubStageDir = "_graft_scrub_stage"
+    private[graft] val ScrubJournal = "_graft_scrub_commit"
+    private[graft] val ScrubJournalHeader = "graft-scrub-v1"
+    private[graft] val RebalanceJournalHeader = "graft-rebalance-v1"
+
+    /** The persisted tombstone set under `<path>/_graft_deletes`, or
+      * None when the index has none. Tiny by contract (id strings;
+      * [[IvfIndex.scrub]] clears it), read once per handle.
+      */
+    private[graft] def readTombstones(spark: SparkSession, path: String)
+        : Option[(String, Set[String])] = {
+      import org.apache.hadoop.fs.Path
+      val dir = new Path(path, DeletesDir)
+      val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (!fs.exists(dir)) return None
+      val hasData = fs.listStatus(dir).exists { st =>
+        val n = st.getPath.getName
+        st.isFile && !n.startsWith("_") && !n.startsWith(".")
+      }
+      if (!hasData) return None
+      val rows = spark.read.parquet(dir.toString)
+        .select(col("col"), col("id")).collect()
+      if (rows.isEmpty) None
+      else {
+        val cols = rows.iterator.map(_.getString(0)).toSet
+        require(cols.size == 1, s"mixed tombstone id columns in $dir: $cols")
+        Some((cols.head, rows.iterator.map(_.getString(1)).toSet))
+      }
+    }
+
+    /** Complete a crashed [[IvfIndex.scrub]] when its commit journal is
+      * present — called by [[load]] BEFORE anything reads data files,
+      * and by scrub() itself. Idempotent; a missing journal is a no-op.
+      * @return true when a pending scrub was completed
+      */
+    private[graft] def completeScrubIfPending(spark: SparkSession,
+        path: String): Boolean = {
+      import org.apache.hadoop.fs.Path
+      val root = new Path(path)
+      val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (!fs.exists(new Path(root, ScrubJournal))) false
+      else { replayScrub(fs, root); true }
+    }
+
+    /** Execute (or re-execute after a crash) a scrub's committed plan:
+      * move staged survivor files into their cluster dirs, drop the
+      * rewritten originals, clear staging + tombstones, remove the
+      * journal LAST. Every step is conditional on current existence, so
+      * replay after a crash at any point converges to the same
+      * post-scrub state.
+      */
+    private[graft] def replayScrub(fs: org.apache.hadoop.fs.FileSystem,
+        root: org.apache.hadoop.fs.Path): Unit = {
+      import org.apache.hadoop.fs.Path
+      val journal = new Path(root, ScrubJournal)
+      if (!fs.exists(journal)) return
+      val text = {
+        val in = fs.open(journal)
+        try {
+          val bos = new java.io.ByteArrayOutputStream()
+          val buf = new Array[Byte](8192)
+          var n = in.read(buf)
+          while (n >= 0) { bos.write(buf, 0, n); n = in.read(buf) }
+          new String(bos.toByteArray, "UTF-8")
+        } finally in.close()
+      }
+      val lines = text.split("\n").toSeq
+      val header = lines.headOption.getOrElse("")
+      require(header == ScrubJournalHeader ||
+        header == RebalanceJournalHeader,
+        s"unrecognized scrub journal at $journal")
+      lines.foreach { l =>
+        if (l.startsWith("MOV\t")) {
+          val p = l.split("\t")
+          val src = new Path(root, p(1))
+          if (fs.exists(src)) {
+            val dst = new Path(root, p(2))
+            fs.mkdirs(dst.getParent)
+            if (fs.exists(dst)) { fs.delete(src, false); () } // already moved
+            else require(fs.rename(src, dst),
+              s"scrub replay: rename $src -> $dst failed")
+          }
+        } else if (l.startsWith("OLD\t")) {
+          val p = new Path(root, l.split("\t")(1))
+          if (fs.exists(p)) { fs.delete(p, false); () }
+        }
+      }
+      fs.delete(new Path(root, ScrubStageDir), true)
+      // a SCRUB's completion is what clears the tombstones it served; a
+      // rebalance ran its scrub as a separate committed step and must
+      // leave any later tombstones alone
+      if (header == ScrubJournalHeader) {
+        fs.delete(new Path(root, DeletesDir), true); ()
+      }
+      fs.delete(journal, false)
+      ()
+    }
+
     def load(spark: SparkSession, path: String): IvfIndex = {
+      // a crashed scrub completes HERE, before any census/listing/read
+      // decision binds to the half-moved file set
+      completeScrubIfPending(spark, path)
       val mroot = s"$path/_graft_manifest"
       val rootPath = new org.apache.hadoop.fs.Path(mroot)
       val mfs = rootPath.getFileSystem(spark.sparkContext.hadoopConfiguration)

@@ -1055,6 +1055,157 @@ object VectorQueries {
               (${sqlDot("c.codes", "q.qv")} + 128 * qs.qsum) AS score
           FROM cs c CROSS JOIN q CROSS JOIN qs)
         SELECT vec_id, round(score, 4) + 0 AS score FROM sc
-        ORDER BY score DESC, vec_id LIMIT 20"""))
+        ORDER BY score DESC, vec_id LIMIT 20""")),
+
+    // ---- tombstone deletes (r16): ids removed through the index's
+    //      delete() are excluded EXACTLY from a filtered search without
+    //      touching a data file — the logical half of the LSM-style
+    //      delete→scrub lifecycle. The in-query require()s pin
+    //      provenance (tombstones active, data files untouched, probe
+    //      path answered); the oracle is DuckDB's exact filtered top-k
+    //      with the deleted ids excluded by predicate ----
+    QueryDef(
+      "q123_index_delete",
+      (s, d) => {
+        val e = Tables.embeddings(s, d)
+        val root = java.nio.file.Files.createTempDirectory("q123_del")
+        try {
+          VectorSearch.buildIvf(e, "embedding", 8, s"$root/ivf",
+            sampleFraction = 1.0)
+          val loaded = VectorSearch.IvfIndex.load(s, s"$root/ivf")
+          loaded.exactScanFraction = 2.0 // pin the probe read
+          val total = e.count()
+          val dropIds = e.filter(col("vec_id") % 7 === 3)
+            .select(col("vec_id")).collect().map(_.getLong(0)).toSeq
+          require(loaded.delete(s, "vec_id", dropIds) == dropIds.size.toLong,
+            "delete() did not tombstone the full id set")
+          require(loaded.tombstoneCount(s) == dropIds.size.toLong,
+            "tombstone count mismatch")
+          require(s.read.parquet(s"$root/ivf").count() == total,
+            "delete() touched data files (physical removal is scrub's job)")
+          val pred = col("vec_id") % 3 === 0
+          val qv = e.filter(col("vec_id") === 5).select(col("embedding"))
+            .head().getSeq[Float](0).toArray
+          val hits = loaded.search(s, qv, 30, nprobe = 8, Some(pred))
+            .select(col("vec_id"), col("score")).collect()
+          require(loaded.exactSwitchCount == 0L,
+            "exact-scan switch fired; tombstoned probe path not exercised")
+          import s.implicits._
+          hits.map(r => (r.getLong(0), r.getDouble(1)))
+            .sortBy(t => (-t._2, t._1)).take(20).toSeq
+            .toDF("vec_id", "score_raw")
+            .select(col("vec_id"),
+              (round(col("score_raw"), 4) + 0.0).as("score"))
+        } finally graft.FsUtil.deleteRecursively(root)
+      },
+      Some(s"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 5)
+        SELECT vec_id, round(${sqlDot("e.embedding", "q.qv")}, 4) + 0 AS score
+        FROM embeddings e CROSS JOIN q
+        WHERE vec_id % 3 = 0 AND vec_id % 7 <> 3
+        ORDER BY ${sqlDot("e.embedding", "q.qv")} DESC, vec_id LIMIT 20""")),
+
+    // ---- physical scrub (r16): the same deletion served PHYSICALLY —
+    //      scrub() rewrites only the affected files, clears the
+    //      tombstones, and a FRESH load() (post-scrub manifest, census
+    //      re-armed at the new epoch) hash-matches the same oracle.
+    //      require()s pin the physical contract: rows gone from the raw
+    //      parquet, tombstone set empty, removal count exact ----
+    QueryDef(
+      "q124_index_scrub",
+      (s, d) => {
+        val e = Tables.embeddings(s, d)
+        val root = java.nio.file.Files.createTempDirectory("q124_scrub")
+        try {
+          val ivf = VectorSearch.buildIvf(e, "embedding", 8, s"$root/ivf",
+            sampleFraction = 1.0)
+          val total = e.count()
+          val dropIds = e.filter(col("vec_id") % 7 === 3)
+            .select(col("vec_id")).collect().map(_.getLong(0)).toSeq
+          ivf.delete(s, "vec_id", dropIds)
+          require(ivf.scrub(s) == dropIds.size.toLong,
+            "scrub() removal count != tombstoned rows present in the index")
+          require(ivf.tombstoneCount(s) == 0L,
+            "scrub() left tombstones behind")
+          require(s.read.parquet(s"$root/ivf").count() ==
+            total - dropIds.size,
+            "scrub() did not physically remove the rows")
+          val loaded = VectorSearch.IvfIndex.load(s, s"$root/ivf")
+          require(loaded.censusNow0.isDefined,
+            "post-scrub manifest census did not re-arm (stale epoch?)")
+          loaded.exactScanFraction = 2.0
+          val pred = col("vec_id") % 3 === 0
+          val qv = e.filter(col("vec_id") === 5).select(col("embedding"))
+            .head().getSeq[Float](0).toArray
+          val hits = loaded.search(s, qv, 30, nprobe = 8, Some(pred))
+            .select(col("vec_id"), col("score")).collect()
+          import s.implicits._
+          hits.map(r => (r.getLong(0), r.getDouble(1)))
+            .sortBy(t => (-t._2, t._1)).take(20).toSeq
+            .toDF("vec_id", "score_raw")
+            .select(col("vec_id"),
+              (round(col("score_raw"), 4) + 0.0).as("score"))
+        } finally graft.FsUtil.deleteRecursively(root)
+      },
+      Some(s"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 5)
+        SELECT vec_id, round(${sqlDot("e.embedding", "q.qv")}, 4) + 0 AS score
+        FROM embeddings e CROSS JOIN q
+        WHERE vec_id % 3 = 0 AND vec_id % 7 <> 3
+        ORDER BY ${sqlDot("e.embedding", "q.qv")} DESC, vec_id LIMIT 20""")),
+
+    // ---- hot-cell rebalance (r16): a skewed append (one vector copied
+    //      table-count times, all landing in one cell) makes a cell hot;
+    //      rebalance() splits exactly that cell (require()s pin that the
+    //      centroid table grew and the max cell shrank), and the
+    //      filtered full-probe search over the ORIGINAL rows through the
+    //      returned handle still hash-matches DuckDB's exact answer —
+    //      i.e. the split moved rows between cells without losing,
+    //      duplicating or corrupting any. The appended copies are
+    //      excluded by the id predicate, so the oracle stays on the
+    //      fixed embeddings table while the copies exist only to force
+    //      the skew ----
+    QueryDef(
+      "q125_index_rebalance",
+      (s, d) => {
+        val e = Tables.embeddings(s, d)
+        val root = java.nio.file.Files.createTempDirectory("q125_rebal")
+        try {
+          val ivf = VectorSearch.buildIvf(e, "embedding", 8, s"$root/ivf",
+            sampleFraction = 1.0)
+          val total = e.count()
+          val v5 = e.filter(col("vec_id") === 5).select(col("embedding"))
+            .head().getSeq[Float](0).toArray
+          val batch = s.range(total).select(
+            (col("id") + 10000000L).as("vec_id"),
+            typedLit(v5).as("embedding"),
+            lit(999).as("label"))
+          ivf.append(batch, "embedding")
+          val oldMax = ivf.cellCounts.max
+          val fresh = ivf.rebalance(s)
+          require(fresh.centroids.length > 8,
+            "no cell split — the skewed append did not make a cell hot")
+          require(fresh.cellCounts.max < oldMax,
+            "rebalance did not shrink the hot cell")
+          require(fresh.cellCounts.sum == 2 * total,
+            "rebalance lost or duplicated rows")
+          fresh.exactScanFraction = 2.0
+          val pred = col("vec_id") % 3 === 0 && col("vec_id") < 10000000L
+          val qv = e.filter(col("vec_id") === 2).select(col("embedding"))
+            .head().getSeq[Float](0).toArray
+          val hits = fresh.search(s, qv, 30,
+            nprobe = fresh.centroids.length, Some(pred))
+            .select(col("vec_id"), col("score")).collect()
+          import s.implicits._
+          hits.map(r => (r.getLong(0), r.getDouble(1)))
+            .sortBy(t => (-t._2, t._1)).take(20).toSeq
+            .toDF("vec_id", "score_raw")
+            .select(col("vec_id"),
+              (round(col("score_raw"), 4) + 0.0).as("score"))
+        } finally graft.FsUtil.deleteRecursively(root)
+      },
+      Some(s"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 2)
+        SELECT vec_id, round(${sqlDot("e.embedding", "q.qv")}, 4) + 0 AS score
+        FROM embeddings e CROSS JOIN q
+        WHERE vec_id % 3 = 0
+        ORDER BY ${sqlDot("e.embedding", "q.qv")} DESC, vec_id LIMIT 20"""))
   )
 }

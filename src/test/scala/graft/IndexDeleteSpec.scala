@@ -1,0 +1,275 @@
+package graft
+
+import graft.operators.VectorSearch
+import graft.operators.VectorSearch.IvfIndex
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.functions._
+
+/** The r16 index-deletion contract — the lifecycle piece between
+  * append() (grow) and a full retrain (rebuild): tombstone deletes and
+  * the physical scrub.
+  *
+  * Pinned here:
+  *  (1) delete() excludes ids EXACTLY from every serving path — search,
+  *      searchMulti, the exact-scan switch — without touching a data
+  *      file; null ids always survive;
+  *  (2) the InSet-literal and broadcast-anti-join exclusion shapes
+  *      return identical results (the [[IvfIndex.deleteInSetMaxIds]]
+  *      crossover is a cost choice, never a semantics choice);
+  *  (3) tombstones are durable: a FRESH load() sees them with no
+  *      manifest checkpoint in between;
+  *  (4) scrub() removes the rows physically, rewrites ONLY the files
+  *      that held a tombstoned row, clears the tombstones, and keeps
+  *      serving results identical;
+  *  (5) scrub survives a crash at the commit point: a pending journal
+  *      replays idempotently on the next load();
+  *  (6) post-scrub stats stay truthful — a category whose rows were all
+  *      deleted serves an empty result from occupancy alone.
+  */
+class IndexDeleteSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val dims = 16
+
+  private def mkData(n: Int, seed: Int) = {
+    val rnd = new scala.util.Random(seed)
+    val centers = Seq(
+      Array.fill(dims)(5.0f), Array.fill(dims)(-5.0f),
+      Array.tabulate(dims)(i => if (i % 2 == 0) 5.0f else -5.0f),
+      Array.tabulate(dims)(i => if (i % 3 == 0) -5.0f else 5.0f))
+    (0 until n).map { i =>
+      val c = centers(i % centers.length)
+      (i.toLong, i % 3, c.map(v => v + rnd.nextFloat() - 0.5f))
+    }.toDF("vec_id", "cat", "embedding")
+  }
+
+  private def queryVec(df: org.apache.spark.sql.DataFrame, id: Long) =
+    df.filter(col("vec_id") === id).select(col("embedding"))
+      .head().getSeq[Float](0).toArray
+
+  private def bruteTopK(df: org.apache.spark.sql.DataFrame,
+      q: Array[Float], k: Int, drop: Set[Long]): Seq[(Long, Double)] =
+    df.select(col("vec_id"), col("embedding")).collect()
+      .filterNot(r => drop(r.getLong(0)))
+      .map { r =>
+        val v = r.getSeq[Float](1)
+        var acc = 0.0; var i = 0
+        while (i < v.length) { acc += v(i).toDouble * q(i); i += 1 }
+        (r.getLong(0), acc)
+      }.sortBy(t => (-t._2, t._1)).take(k).toSeq
+
+  private def got(df: org.apache.spark.sql.DataFrame): Seq[(Long, Double)] =
+    df.select(col("vec_id"), col("score")).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).sortBy(t => (-t._2, t._1))
+      .toSeq
+
+  test("delete excludes ids exactly from search / searchMulti / exact switch") {
+    val dir = java.nio.file.Files.createTempDirectory("del_serve").toString
+    val data = mkData(300, 11)
+    val ivf = VectorSearch.buildIvf(data, "embedding", 4, dir,
+      sampleFraction = 1.0)
+    val drop = (0L until 300L).filter(_ % 7 == 3)
+    assert(ivf.delete(spark, "vec_id", drop) == drop.size.toLong)
+    assert(ivf.tombstoneCount(spark) == drop.size.toLong)
+    // deleting the same ids again folds to zero new tombstones
+    assert(ivf.delete(spark, "vec_id", drop.take(5)) == 0L)
+    val q = queryVec(data, 7)
+    // probe path
+    ivf.exactScanFraction = 2.0
+    assert(got(ivf.search(spark, q, 20, nprobe = 4)) ==
+      bruteTopK(data, q, 20, drop.toSet))
+    assert(ivf.exactSwitchCount == 0L)
+    // exact-scan switch path (force it: any planned volume wins)
+    ivf.exactScanFraction = 1e-9
+    ivf.exactScanMinCells = 0
+    assert(got(ivf.search(spark, q, 20, nprobe = 1)) ==
+      bruteTopK(data, q, 20, drop.toSet))
+    assert(ivf.exactSwitchCount >= 1L)
+    ivf.exactScanFraction = 2.0
+    // multi-query path
+    val q2 = queryVec(data, 8)
+    val multi = ivf.searchMulti(spark, Seq(q, q2), 10, nprobe = 4, "vec_id")
+      .collect().groupBy(_.getInt(0))
+    Seq(q, q2).zipWithIndex.foreach { case (qq, qi) =>
+      val want = bruteTopK(data, qq, 10, drop.toSet)
+        .map { case (id, s) => (id.toString, s) }
+      val g = multi(qi).map(r =>
+        (r.getAs[String]("vec_id"), r.getAs[Double]("score")))
+        .sortBy(t => (-t._2, t._1)).toSeq
+      assert(g.map(_._1) == want.map(_._1), s"query $qi ids")
+    }
+    // the data files were not touched by any of this
+    assert(spark.read.parquet(dir)
+      .filter(col("vec_id") % 7 === 3).count() == drop.size.toLong)
+    FsUtil.deleteRecursively(java.nio.file.Paths.get(dir))
+  }
+
+  test("InSet and broadcast anti-join exclusion shapes agree; null ids survive") {
+    val dir = java.nio.file.Files.createTempDirectory("del_shapes").toString
+    val rnd = new scala.util.Random(23)
+    val data = (0 until 200).map { i =>
+      val id: java.lang.Long = if (i % 50 == 49) null else i.toLong
+      (id, Array.fill(dims)(rnd.nextFloat() * 10 - 5))
+    }.toDF("vec_id", "embedding")
+    val ivf = VectorSearch.buildIvf(data, "embedding", 4, dir,
+      sampleFraction = 1.0)
+    ivf.exactScanFraction = 2.0
+    val drop = (0L until 200L).filter(_ % 3 == 1)
+    ivf.delete(spark, "vec_id", drop)
+    val q = Array.fill(dims)(1.0f)
+    def nullSafe(df: org.apache.spark.sql.DataFrame): Seq[(Any, Double)] =
+      df.select(col("vec_id"), col("score")).collect()
+        .map(r => (if (r.isNullAt(0)) null else r.getLong(0), r.getDouble(1)))
+        .sortBy(t => (-t._2, String.valueOf(t._1))).toSeq
+    val inSet = nullSafe(ivf.search(spark, q, 200, nprobe = 4))
+    ivf.deleteInSetMaxIds = 0 // force the broadcast anti-join shape
+    val anti = nullSafe(ivf.search(spark, q, 200, nprobe = 4))
+    assert(inSet == anti, "exclusion shape changed the result")
+    // null-id rows can't be tombstoned: all 4 survive under both shapes;
+    // the deletable matches are the 67 ids ≡1 (mod 3) minus the two
+    // (49, 199) that are null in the table
+    assert(spark.read.parquet(dir).filter(col("vec_id").isNull).count() == 4L)
+    assert(inSet.size == 200 - (drop.size - 2), s"got ${inSet.size}")
+    assert(inSet.count(_._1 == null) == 4, "a null-id row was excluded")
+    FsUtil.deleteRecursively(java.nio.file.Paths.get(dir))
+  }
+
+  test("tombstones are durable: a fresh load() excludes with no checkpoint") {
+    val dir = java.nio.file.Files.createTempDirectory("del_durable").toString
+    val data = mkData(240, 31)
+    val ivf = VectorSearch.buildIvf(data, "embedding", 4, dir,
+      sampleFraction = 1.0)
+    ivf.manifestCheckpointEvery = 0 // no checkpoint between delete and load
+    val drop = (0L until 240L).filter(_ % 5 == 2)
+    ivf.delete(spark, "vec_id", drop)
+    val fresh = IvfIndex.load(spark, dir)
+    fresh.exactScanFraction = 2.0
+    val q = queryVec(data, 3)
+    assert(got(fresh.search(spark, q, 15, nprobe = 4)) ==
+      bruteTopK(data, q, 15, drop.toSet))
+    assert(fresh.tombstoneCount(spark) == drop.size.toLong)
+    FsUtil.deleteRecursively(java.nio.file.Paths.get(dir))
+  }
+
+  test("scrub removes rows physically, rewrites only affected files, keeps results") {
+    val dir = java.nio.file.Files.createTempDirectory("del_scrub").toString
+    val data = mkData(400, 41)
+    val ivf = VectorSearch.buildIvf(data, "embedding", 4, dir,
+      sampleFraction = 1.0)
+    ivf.exactScanFraction = 2.0
+    val q = queryVec(data, 5)
+    // delete rows of ONE spatial cluster only (center 0: i % 4 == 0 and
+    // i % 8 != 0 → half of center-0's rows) so some files hold no
+    // tombstoned row and must survive the scrub untouched
+    val drop = (0L until 400L).filter(i => i % 4 == 0 && i % 8 != 0)
+    ivf.delete(spark, "vec_id", drop)
+    val before = got(ivf.search(spark, q, 25, nprobe = 4))
+    val filesBefore = spark.read.parquet(dir).inputFiles.toSet
+    val affected = spark.read.parquet(dir)
+      .withColumn("__f", input_file_name())
+      .filter(col("vec_id").isin(drop: _*))
+      .select("__f").distinct().collect().map(_.getString(0)).toSet
+    assert(affected.nonEmpty && affected.size < filesBefore.size,
+      "fixture must leave some files untouched")
+    val removed = ivf.scrub(spark)
+    assert(removed == drop.size.toLong)
+    assert(ivf.tombstoneCount(spark) == 0L)
+    // physically gone
+    assert(spark.read.parquet(dir)
+      .filter(col("vec_id").isin(drop: _*)).count() == 0L)
+    assert(spark.read.parquet(dir).count() == 400L - drop.size)
+    // only the affected files were rewritten
+    val filesAfter = spark.read.parquet(dir).inputFiles.toSet
+    assert((filesBefore -- affected).subsetOf(filesAfter),
+      "scrub rewrote a file that held no tombstoned row")
+    assert((filesAfter & affected).isEmpty, "an affected file survived")
+    // serving identical before/after scrub, from this handle AND a
+    // fresh load (post-scrub manifest + census)
+    assert(got(ivf.search(spark, q, 25, nprobe = 4)) == before)
+    val fresh = IvfIndex.load(spark, dir)
+    fresh.exactScanFraction = 2.0
+    assert(fresh.censusNow0.isDefined,
+      "scrub's saveManifest must persist a census valid at the new epoch")
+    assert(got(fresh.search(spark, q, 25, nprobe = 4)) == before)
+    // idempotent: nothing left to scrub
+    assert(ivf.scrub(spark) == 0L)
+    FsUtil.deleteRecursively(java.nio.file.Paths.get(dir))
+  }
+
+  test("a crashed scrub's journal replays on load(): moves + drops + tombstone clear") {
+    val dir = java.nio.file.Files.createTempDirectory("del_crash").toString
+    val data = mkData(200, 53)
+    val ivf = VectorSearch.buildIvf(data, "embedding", 2, dir,
+      sampleFraction = 1.0)
+    val drop = (0L until 200L).filter(_ % 2 == 0) // center-0 rows (i%4∈{0,2})
+    ivf.delete(spark, "vec_id", drop)
+    // construct the crash state a real scrub would leave at its commit
+    // point: survivors staged, journal committed, NOTHING moved yet
+    val fs = new Path(dir).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    val rootQ = fs.makeQualified(new Path(dir)).toUri.getPath
+    def rel(p: String) = {
+      val s = fs.makeQualified(new Path(new java.net.URI(p))).toUri.getPath
+      s.substring(rootQ.length + 1)
+    }
+    val affected = spark.read.parquet(dir)
+      .withColumn("__f", input_file_name())
+      .filter(col("vec_id").isin(drop: _*))
+      .select(col("__f"), col("__cluster")).distinct().collect()
+      .map(r => (rel(r.getString(0)), r.getInt(1)))
+    val stage = s"$dir/${IvfIndex.ScrubStageDir}"
+    spark.read.option("basePath", dir)
+      .parquet(affected.map(f => s"$dir/${f._1}").distinct: _*)
+      .filter(!col("vec_id").isin(drop: _*))
+      .write.option("compression", "snappy")
+      .partitionBy("__cluster").parquet(stage)
+    val moves = fs.listStatus(new Path(stage)).filter(_.isDirectory).flatMap {
+      d =>
+        val c = d.getPath.getName.stripPrefix("__cluster=")
+        fs.listStatus(d.getPath).filter(_.isFile)
+          .filterNot(st => st.getPath.getName.startsWith("_"))
+          .map(st => (rel(st.getPath.toString),
+            s"__cluster=$c/scrub-test-${st.getPath.getName}"))
+    }
+    val lines = Seq(IvfIndex.ScrubJournalHeader) ++
+      moves.map(m => s"MOV\t${m._1}\t${m._2}") ++
+      affected.map(f => s"OLD\t${f._1}")
+    val out = fs.create(new Path(dir, IvfIndex.ScrubJournal), true)
+    out.write(lines.mkString("\n").getBytes("UTF-8")); out.close()
+    // the "crash": nothing moved. load() must complete the scrub.
+    val fresh = IvfIndex.load(spark, dir)
+    assert(!fs.exists(new Path(dir, IvfIndex.ScrubJournal)), "journal gone")
+    assert(!fs.exists(new Path(dir, IvfIndex.ScrubStageDir)), "stage gone")
+    assert(!fs.exists(new Path(dir, IvfIndex.DeletesDir)), "tombstones gone")
+    assert(spark.read.parquet(dir)
+      .filter(col("vec_id").isin(drop: _*)).count() == 0L)
+    assert(spark.read.parquet(dir).count() == 200L - drop.size)
+    assert(fresh.tombstoneCount(spark) == 0L)
+    // and replay is idempotent when re-run against the completed state
+    IvfIndex.replayScrub(fs, new Path(dir)) // no journal: no-op
+    assert(spark.read.parquet(dir).count() == 200L - drop.size)
+    FsUtil.deleteRecursively(java.nio.file.Paths.get(dir))
+  }
+
+  test("post-scrub occupancy: a fully-deleted category serves empty joblessly") {
+    val dir = java.nio.file.Files.createTempDirectory("del_occ").toString
+    val data = mkData(300, 61)
+    val ivf = VectorSearch.buildIvf(data, "embedding", 4, dir,
+      sampleFraction = 1.0, occupancyCols = Seq("cat"))
+    ivf.exactScanFraction = 2.0
+    val catIds = data.filter(col("cat") === 2).select("vec_id")
+      .collect().map(_.getLong(0)).toSeq
+    ivf.delete(spark, "vec_id", catIds)
+    // BEFORE scrub: counts over-count (tombstones included) but serving
+    // is already exact — the probe runs and finds nothing
+    assert(ivf.search(spark, queryVec(data, 1), 10, nprobe = 4,
+      Some(col("cat") === 2)).count() == 0L)
+    assert(ivf.scrub(spark) == catIds.size.toLong)
+    // AFTER scrub: occupancy holds a true zero for cat=2
+    assert(ivf.search(spark, queryVec(data, 1), 10, nprobe = 4,
+      Some(col("cat") === 2)).count() == 0L)
+    assert(ivf.search(spark, queryVec(data, 1), 10, nprobe = 4,
+      Some(col("cat") === 1)).count() == 10L)
+    FsUtil.deleteRecursively(java.nio.file.Paths.get(dir))
+  }
+}
