@@ -863,6 +863,12 @@ object VectorSearch {
     def tombstoneCount(spark: SparkSession): Long =
       tombstones(spark).map(_._2.size.toLong).getOrElse(0L)
 
+    /** Test hook (RebalanceSpec crash case): throw between the journal
+      * commit and its replay — the widest crash window the commit-
+      * through-journal design must survive.
+      */
+    @transient @volatile private[graft] var failAfterJournal: Boolean = false
+
     /** Above this many tombstoned ids the serving-path exclusion ships
       * as a broadcast anti-join instead of an `InSet` literal: both are
       * one hash probe per row, but a million-id literal is re-planned
@@ -2099,7 +2105,10 @@ object VectorSearch {
             }
             .map(st => relativize(st.getPath))
         }
-        val moves: Seq[(Int, String, String)] =
+        // (cluster, stageRel, targetRel, length, mtime) — the census
+        // entries for the post-move files are derivable from the STAGE
+        // listing (rename preserves length; mtime is informational)
+        val moves: Seq[(Int, String, String, Long, Long)] =
           if (!fs.exists(stage)) Seq.empty
           else fs.listStatus(stage).toSeq.filter(_.isDirectory)
             .filter(_.getPath.getName.startsWith("__cluster="))
@@ -2113,20 +2122,10 @@ object VectorSearch {
                 .map { st =>
                   val n = st.getPath.getName
                   (c, relativize(st.getPath),
-                    s"__cluster=$c/rebal-$newEpoch-$n")
+                    s"__cluster=$c/rebal-$newEpoch-$n",
+                    st.getLen, st.getModificationTime)
                 }
             }
-        val lines =
-          Seq(IvfIndex.RebalanceJournalHeader) ++
-            moves.map(m => s"MOV\t${m._2}\t${m._3}") ++
-            oldFiles.map(f => s"OLD\t$f")
-        val tmp = new Path(rootPath, IvfIndex.ScrubJournal + ".tmp")
-        val out0 = fs.create(tmp, true)
-        try out0.write(lines.mkString("\n").getBytes("UTF-8"))
-        finally out0.close()
-        require(fs.rename(tmp, new Path(rootPath, IvfIndex.ScrubJournal)),
-          "could not commit rebalance journal")
-        IvfIndex.replayScrub(fs, rootPath)
         // the post-rebalance handle: cold-cell stats copied, split-cell
         // stats exact from the rewrite pass, drift baseline kept
         val newRadii = new Array[Double](newK)
@@ -2157,32 +2156,48 @@ object VectorSearch {
         fresh.hasDistColumn = hasDistColumn
         fresh.pqCodebooksNow = pqCodebooksNow
         fresh.pqIdColNow = pqIdColNow
-        // census fold: hot cells' old files out, staged moves in
+        // census fold: hot cells' old files out, staged moves in (stage
+        // listing stats — the files exist at their targets only after
+        // the replay below, which is exactly why the manifest commits
+        // THROUGH the journal)
         fresh.censusNow0 = censusOpt match {
           case Some((_, schema, files)) =>
-            try {
-              val gone = oldFiles.toSet
-              val kept = files.filterNot(f => gone(f.relPath))
-              val added = moves.map { case (c, _, targetRel) =>
-                val st = fs.getFileStatus(new Path(rootPath, targetRel))
-                org.apache.spark.sql.graft.CensusIndex.CensusFile(
-                  c, targetRel, st.getLen, st.getModificationTime)
-              }
-              Some((newEpoch, schema, kept ++ added))
-            } catch {
-              case e: Exception =>
-                System.err.println(
-                  s"[graft] census fold after rebalance failed (falling " +
-                    s"back to re-listing): ${e.getMessage}")
-                None
+            val gone = oldFiles.toSet
+            val kept = files.filterNot(f => gone(f.relPath))
+            val added = moves.map { case (c, _, targetRel, len, mtime) =>
+              org.apache.spark.sql.graft.CensusIndex.CensusFile(
+                c, targetRel, len, mtime)
             }
+            Some((newEpoch, schema, kept ++ added))
           case None => None
         }
+        // the new manifest is FULLY WRITTEN but uncommitted: its commit
+        // marker is a journal step, so the centroid-table growth and the
+        // file moves land atomically — a crash anywhere leaves load()
+        // either the old manifest over the old layout or, after replay,
+        // the new manifest over the new layout; never a manifest that
+        // doesn't know cells the data files use
+        val vdir = fresh.saveManifest(spark, commit = false)
+        val lines =
+          Seq(IvfIndex.RebalanceJournalHeader) ++
+            moves.map(m => s"MOV\t${m._2}\t${m._3}") ++
+            oldFiles.map(f => s"OLD\t$f") ++
+            Seq(s"CMT\t${relativize(new Path(vdir))}/" +
+              graft.operators.ManifestLayout.CommitMarker)
+        val tmp = new Path(rootPath, IvfIndex.ScrubJournal + ".tmp")
+        val out0 = fs.create(tmp, true)
+        try out0.write(lines.mkString("\n").getBytes("UTF-8"))
+        finally out0.close()
+        require(fs.rename(tmp, new Path(rootPath, IvfIndex.ScrubJournal)),
+          "could not commit rebalance journal")
+        if (failAfterJournal)
+          throw new RuntimeException(
+            "injected crash after rebalance journal commit (test hook)")
+        IvfIndex.replayScrub(fs, rootPath)
         // this handle's centroid table is now stale — poison its caches
         // so accidental reads at least re-list current files
         dfCache.clear(); countCache.clear()
         censusNow0 = None; filesPerCellCache = -1.0
-        fresh.saveManifest(spark)
         fresh
       } finally { assigned.unpersist(blocking = false); () }
     }
@@ -2223,7 +2238,16 @@ object VectorSearch {
       * no longer materializes ~700 MB of payload (plus Row boxing) in
       * one driver Seq per checkpoint.
       */
-    def saveManifest(spark: SparkSession): Unit = {
+    /** With `commit = false` the version directory is fully written but
+      * its `_graft_commit` marker is NOT created — invisible to [[load]]
+      * until someone creates it. [[rebalance]] uses this to make the
+      * marker a journal replay step, so the grown centroid table and the
+      * moved data files commit ATOMICALLY: a crash anywhere leaves
+      * either the old manifest + old layout or (after replay) the new
+      * manifest + new layout, never a manifest that doesn't know cells
+      * the files use. Returns the version directory.
+      */
+    def saveManifest(spark: SparkSession, commit: Boolean = true): String = {
       import org.apache.hadoop.fs.Path
       import org.apache.spark.sql.Row
       import org.apache.spark.sql.types._
@@ -2383,13 +2407,16 @@ object VectorSearch {
       // commit marker LAST — the version is invisible to load() until
       // this file exists, which is the whole atomicity argument — then
       // vacuum to the two newest committed versions (shared layout)
-      ManifestLayout.commitAndVacuum(fs, dir, next, versions)
-      // pre-r9 flat-layout files are superseded by the first committed
-      // versioned write (one-time upgrade cleanup)
-      Seq("cells", "occupancy", "meta").foreach { s =>
-        val p = new Path(root, s)
-        if (fs.exists(p)) { fs.delete(p, true); () }
+      if (commit) {
+        ManifestLayout.commitAndVacuum(fs, dir, next, versions)
+        // pre-r9 flat-layout files are superseded by the first committed
+        // versioned write (one-time upgrade cleanup)
+        Seq("cells", "occupancy", "meta").foreach { s =>
+          val p = new Path(root, s)
+          if (fs.exists(p)) { fs.delete(p, true); () }
+        }
       }
+      vdir
     }
 
     /** Centroid-drift probe — the maintenance hook behind [[append]]'s
@@ -2776,6 +2803,15 @@ object VectorSearch {
         } else if (l.startsWith("OLD\t")) {
           val p = new Path(root, l.split("\t")(1))
           if (fs.exists(p)) { fs.delete(p, false); () }
+        } else if (l.startsWith("CMT\t")) {
+          // commit a pre-written manifest version as a replay step —
+          // how rebalance's grown centroid table becomes visible in the
+          // same atomic unit as the file moves it describes
+          val p = new Path(root, l.split("\t")(1))
+          if (!fs.exists(p)) {
+            fs.mkdirs(p.getParent)
+            fs.create(p).close()
+          }
         }
       }
       fs.delete(new Path(root, ScrubStageDir), true)

@@ -161,11 +161,21 @@ object MaintenanceScale {
     results("cell_scrubbed_recall_value") = recallOf(exactDel2, c1._2)
 
     // ---- 3. skewed append + rebalance ----
+    // tight DISTINCT points around one anchor (0.9·anchor + 0.1·noise):
+    // they pile into one cell like a real hot-topic crawl burst, but
+    // stay spatially divisible — identical copies would pin the cell
+    // unsplittable (and unsplittable-by-content is also unsplittable-
+    // by-any-index: reading that cell IS reading the answer)
     val skewN = nRows / 5
     val anchor = queryVecs.head
-    val batch = spark.range(skewN).select(
-      concat(lit("skew-"), col("id").cast("string")).as("parent_asin"),
-      typedLit(anchor).as("embedding"))
+    val noise = graft.sources.ProductGen.withDerived(
+      graft.sources.ProductGen.baseColumns(
+        spark.range(nRows, nRows + skewN, 1, cpus.toInt).toDF("id")), dims)
+      .select(col("parent_asin"), col("embedding"))
+    val batch = noise.select(
+      concat(lit("skew-"), col("parent_asin")).as("parent_asin"),
+      zip_with(typedLit(anchor), col("embedding"),
+        (a, b) => a * lit(0.9f) + b * lit(0.1f)).as("embedding"))
     timed("append_skew") { ivf.append(batch, "embedding") }
     results("maxcell_pre_value") = ivf.cellCounts.max.toDouble
     val exactNow = exactSets(Set.empty)

@@ -200,6 +200,36 @@ class RebalanceSpec extends SparkSpec {
     FsUtil.deleteRecursively(java.nio.file.Paths.get(dir))
   }
 
+  test("crash between journal commit and replay: load() serves the FULL rebalance") {
+    val dir = java.nio.file.Files.createTempDirectory("rebal_crash").toString
+    val data = mkData(300, 67)
+    val ivf = VectorSearch.buildIvf(data, "embedding", 4, dir,
+      sampleFraction = 1.0)
+    ivf.append(skewBatch(900, 1000L, 68), "embedding")
+    ivf.exactScanFraction = 2.0
+    val q = queryVec(data, 5)
+    val before = got(ivf.search(spark, q, 30, nprobe = 4))
+    ivf.failAfterJournal = true
+    val thrown = intercept[RuntimeException] { ivf.rebalance(spark) }
+    assert(thrown.getMessage.contains("injected crash"))
+    // the "crashed" index: journal present, stage present, old manifest
+    // still the committed one. load() must complete the rebalance — the
+    // moved files AND the grown centroid table arrive together.
+    val fs = new Path(dir).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    assert(fs.exists(new Path(dir, IvfIndex.ScrubJournal)))
+    val loaded = IvfIndex.load(spark, dir)
+    assert(!fs.exists(new Path(dir, IvfIndex.ScrubJournal)), "journal gone")
+    assert(loaded.centroids.length > 4,
+      "replay must commit the grown centroid table with the moved files")
+    assert(spark.read.parquet(dir).count() == 1200L)
+    assert(loaded.cellCounts.sum == 1200L)
+    loaded.exactScanFraction = 2.0
+    assert(got(loaded.search(spark, q, 30,
+      nprobe = loaded.centroids.length)) == before)
+    FsUtil.deleteRecursively(java.nio.file.Paths.get(dir))
+  }
+
   test("no hot cell: rebalance is the identity") {
     val dir = java.nio.file.Files.createTempDirectory("rebal_noop").toString
     val data = mkData(400, 57)
