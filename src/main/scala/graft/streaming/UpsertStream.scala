@@ -902,6 +902,84 @@ object UpsertStream {
       .start()
   }
 
+  /** Handle for [[runIndexIngest]]: [[index]] is the CURRENT IvfIndex —
+    * inline rebalances swap it, so serving code reads through this
+    * accessor rather than pinning the launch-time handle.
+    */
+  final class IndexIngest private[streaming] (
+      initial: graft.operators.VectorSearch.IvfIndex) {
+    @volatile private var current = initial
+    private[streaming] def update(
+        i: graft.operators.VectorSearch.IvfIndex): Unit = current = i
+    /** The current index handle (swapped by inline rebalances). */
+    def index: graft.operators.VectorSearch.IvfIndex = current
+    /** Commits applied so far (diagnostic). */
+    @volatile private[streaming] var commitCount: Int = 0
+    def commits: Int = commitCount
+    /** Inline rebalances that actually split a cell (diagnostic). */
+    @volatile private[streaming] var rebalanceCount: Int = 0
+    def rebalances: Int = rebalanceCount
+    @volatile private[streaming] var query: StreamingQuery = _
+    def streamingQuery: StreamingQuery = query
+    def processAllAvailable(): Unit =
+      if (query != null) query.processAllAvailable()
+    def stop(): Unit = if (query != null) query.stop()
+  }
+
+  /** Streaming ANN-index ingest — the arc from the streaming layer into
+    * the vector index: each micro-batch APPENDS to an
+    * [[graft.operators.VectorSearch.IvfIndex]] (frozen-centroid
+    * assignment, cluster-partitioned file append — O(batch), per
+    * append's scaladoc), so searches through [[IndexIngest.index]] see
+    * new vectors at micro-batch latency, and the manifest checkpoints on
+    * append's own cadence — a crashed ingester resumes
+    * load()-consistent, with the stream checkpoint replaying at-least-
+    * once from the last committed offset.
+    *
+    * Inline maintenance: every `rebalanceEvery` commits (0 = never) the
+    * ingest runs [[graft.operators.VectorSearch.IvfIndex.rebalance]] in
+    * the commit gap. A skewed stream — the hot-topic crawl burst that
+    * concentrates a day's vectors in one cell — is healed at hot-cell
+    * cost (BENCH_maint1m_r16: a 54×-mean cell split 15× down for 0.7%
+    * of the files rewritten), and the handle swaps to the returned
+    * index; an even stream pays one in-memory cellCounts scan per
+    * cadence (rebalance returns `this` unchanged when nothing is hot).
+    * Single writer per index, as with batch [[IvfIndex.append]];
+    * concurrent readers in other processes refresh()/reload on their
+    * own schedule.
+    */
+  def runIndexIngest(updates: DataFrame,
+      index0: graft.operators.VectorSearch.IvfIndex, vecCol: String,
+      checkpoint: String,
+      trigger: Trigger = Trigger.ProcessingTime("1 second"),
+      rebalanceEvery: Int = 0, hotFactor: Double = 2.0,
+      maxCells: Int = 65536): IndexIngest = {
+    val h = new IndexIngest(index0)
+    val q = updates.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          val idx = h.index
+          idx.append(batch, vecCol)
+          h.commitCount += 1
+          if (rebalanceEvery > 0 && h.commitCount % rebalanceEvery == 0) {
+            val next = idx.rebalance(batch.sparkSession, hotFactor,
+              maxCells)
+            if (next ne idx) {
+              h.update(next)
+              h.rebalanceCount += 1
+            }
+          }
+          ()
+        }
+      }
+      .start()
+    h.query = q
+    h
+  }
+
   /** Streaming upserts against a [[BucketedStore]]: each micro-batch
     * rewrites only the buckets its keys hash into — per-commit cost ∝
     * touched buckets, not table size.

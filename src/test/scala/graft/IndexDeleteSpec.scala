@@ -251,6 +251,35 @@ class IndexDeleteSpec extends SparkSpec {
     FsUtil.deleteRecursively(java.nio.file.Paths.get(dir))
   }
 
+  test("delete excludes on sq8 and pq layouts (both serving phases)") {
+    val data = mkData(300, 71)
+    val drop = (0L until 300L).filter(_ % 6 == 1)
+    val q = queryVec(data, 9)
+    Seq("sq8", "pq").foreach { mode =>
+      val dir = java.nio.file.Files.createTempDirectory(s"del_$mode").toString
+      val ivf = VectorSearch.buildIvf(data, "embedding", 4, dir,
+        sampleFraction = 1.0, storage = mode,
+        pqIdCol = if (mode == "pq") "vec_id" else null)
+      ivf.exactScanFraction = 2.0
+      val before = got(ivf.search(spark, q, 40, nprobe = 4))
+      ivf.delete(spark, "vec_id", drop)
+      val after = got(ivf.search(spark, q, 40, nprobe = 4))
+      assert(after.forall(t => !drop.contains(t._1)),
+        s"$mode: a tombstoned id leaked")
+      // the survivors rank exactly as they did pre-delete
+      val expect = before.filterNot(t => drop.contains(t._1))
+      assert(after.take(expect.size).map(_._1) ==
+        expect.map(_._1).take(after.size),
+        s"$mode: survivor ranking changed under exclusion")
+      // scrub keeps the layout's storage mode and the results
+      assert(ivf.scrub(spark) == drop.size.toLong)
+      assert(got(ivf.search(spark, q, 40, nprobe = 4)) == after ||
+        got(ivf.search(spark, q, 40, nprobe = 4)).map(_._1) ==
+          after.map(_._1), s"$mode: scrub changed the serving result")
+      FsUtil.deleteRecursively(java.nio.file.Paths.get(dir))
+    }
+  }
+
   test("post-scrub occupancy: a fully-deleted category serves empty joblessly") {
     val dir = java.nio.file.Files.createTempDirectory("del_occ").toString
     val data = mkData(300, 61)
