@@ -230,6 +230,34 @@ class RebalanceSpec extends SparkSpec {
     FsUtil.deleteRecursively(java.nio.file.Paths.get(dir))
   }
 
+  test("rebalance with live tombstones scrubs them first") {
+    val dir = java.nio.file.Files.createTempDirectory("rebal_tomb").toString
+    val data = mkData(300, 77)
+    val ivf = VectorSearch.buildIvf(data, "embedding", 4, dir,
+      sampleFraction = 1.0)
+    ivf.append(skewBatch(900, 1000L, 78), "embedding")
+    // tombstone rows on BOTH sides of the split: some base rows, some
+    // of the hot cell's appended rows
+    val drop = (0L until 300L).filter(_ % 10 == 3) ++
+      (1000L until 1900L).filter(_ % 9 == 4)
+    ivf.delete(spark, "vec_id", drop)
+    val fresh = ivf.rebalance(spark)
+    assert(fresh.centroids.length > 4)
+    // the scrub-inside-rebalance removed them physically, before the
+    // split counted or carried anything
+    assert(fresh.tombstoneCount(spark) == 0L)
+    assert(spark.read.parquet(dir)
+      .filter(col("vec_id").isin(drop: _*)).count() == 0L)
+    assert(spark.read.parquet(dir).count() == 1200L - drop.size)
+    assert(fresh.cellCounts.sum == 1200L - drop.size)
+    fresh.exactScanFraction = 2.0
+    val q = queryVec(data, 5)
+    val got0 = got(fresh.search(spark, q, 25,
+      nprobe = fresh.centroids.length))
+    assert(got0.forall(t => !drop.contains(t._1)))
+    FsUtil.deleteRecursively(java.nio.file.Paths.get(dir))
+  }
+
   test("no hot cell: rebalance is the identity") {
     val dir = java.nio.file.Files.createTempDirectory("rebal_noop").toString
     val data = mkData(400, 57)
