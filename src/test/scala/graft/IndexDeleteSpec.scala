@@ -280,6 +280,31 @@ class IndexDeleteSpec extends SparkSpec {
     }
   }
 
+  test("tombstone exclusion adds no shuffle to the probe plan") {
+    val dir = java.nio.file.Files.createTempDirectory("del_plan").toString
+    val data = mkData(300, 81)
+    val ivf = VectorSearch.buildIvf(data, "embedding", 4, dir,
+      sampleFraction = 1.0)
+    ivf.exactScanFraction = 2.0
+    ivf.delete(spark, "vec_id", (0L until 300L).filter(_ % 5 == 2))
+    val q = queryVec(data, 3)
+    // InSet shape: the NOT-IN rides inside the scan's filter — scan +
+    // filter + TakeOrderedAndProject, zero exchanges of any kind
+    val inSetPlan = ivf.search(spark, q, 10, nprobe = 4)
+      .queryExecution.executedPlan.toString
+    assert(inSetPlan.contains("TakeOrderedAndProject"), inSetPlan)
+    assert(!inSetPlan.contains("ShuffleExchange"), inSetPlan)
+    assert(!inSetPlan.contains("BroadcastExchange"), inSetPlan)
+    // broadcast anti-join shape: one BroadcastExchange, still no shuffle
+    ivf.deleteInSetMaxIds = 0
+    val antiPlan = ivf.search(spark, q, 10, nprobe = 4)
+      .queryExecution.executedPlan.toString
+    assert(antiPlan.contains("BroadcastHashJoin") ||
+      antiPlan.contains("BroadcastNestedLoopJoin"), antiPlan)
+    assert(!antiPlan.contains("ShuffleExchange"), antiPlan)
+    FsUtil.deleteRecursively(java.nio.file.Paths.get(dir))
+  }
+
   test("post-scrub occupancy: a fully-deleted category serves empty joblessly") {
     val dir = java.nio.file.Files.createTempDirectory("del_occ").toString
     val data = mkData(300, 61)

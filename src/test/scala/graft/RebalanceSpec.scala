@@ -258,6 +258,22 @@ class RebalanceSpec extends SparkSpec {
     FsUtil.deleteRecursively(java.nio.file.Paths.get(dir))
   }
 
+  test("driftRatio reads the improvement (baseline kept, cells tighter)") {
+    val dir = java.nio.file.Files.createTempDirectory("rebal_drift").toString
+    val data = mkData(300, 87)
+    val ivf = VectorSearch.buildIvf(data, "embedding", 4, dir,
+      sampleFraction = 1.0)
+    ivf.append(skewBatch(900, 1000L, 88), "embedding")
+    val before = ivf.driftRatio(spark, sampleFraction = 1.0)
+    val fresh = ivf.rebalance(spark)
+    assert(fresh.centroids.length > 4)
+    val after = fresh.driftRatio(spark, sampleFraction = 1.0)
+    assert(after < before,
+      s"splitting the hot cell must reduce mean assigned distance " +
+        s"(before $before, after $after)")
+    FsUtil.deleteRecursively(java.nio.file.Paths.get(dir))
+  }
+
   test("no hot cell: rebalance is the identity") {
     val dir = java.nio.file.Files.createTempDirectory("rebal_noop").toString
     val data = mkData(400, 57)
