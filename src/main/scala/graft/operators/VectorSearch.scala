@@ -845,7 +845,7 @@ object VectorSearch {
       * deletes with no manifest checkpoint in between; this field is
       * only the per-handle cache of that directory.
       */
-    @transient @volatile private var deletesNow0
+    @transient @volatile private[graft] var deletesNow0
         : Option[(String, Set[String])] = null
 
     private def tombstones(spark: SparkSession)
@@ -3757,6 +3757,10 @@ object VectorSearch {
     idx.builtWithHierarchicalFit = k >= fitMinK
     idx.builtWithGroupedAssign = centroids.length >= assignMinCells
     idx.hasDistColumn = true
+    // a just-built index has no tombstones — spare the first search the
+    // _graft_deletes existence probe (one metadata round trip on an
+    // object store; fresh loads still read the directory)
+    idx.deletesNow0 = None
     if (pq) { idx.pqCodebooksNow = pqCbs; idx.pqIdColNow = pqIdCol }
     // file census off the relation the stats pass already listed (free)
     // — saveManifest persists it, so a fresh process's load() serves its
