@@ -305,6 +305,57 @@ class IndexDeleteSpec extends SparkSpec {
     FsUtil.deleteRecursively(java.nio.file.Paths.get(dir))
   }
 
+  test("deletes fail CLOSED: a corrupt tombstone store refuses to serve") {
+    val dir = java.nio.file.Files.createTempDirectory("del_closed").toString
+    val data = mkData(100, 91)
+    val ivf = VectorSearch.buildIvf(data, "embedding", 2, dir,
+      sampleFraction = 1.0)
+    ivf.delete(spark, "vec_id", Seq(1L, 2L, 3L))
+    // corrupt the tombstone store: a parquet-suffixed file that isn't one
+    val delDir = new Path(dir, IvfIndex.DeletesDir)
+    val fs = delDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(new Path(delDir, "part-corrupt.parquet"), true)
+    out.write("not parquet".getBytes("UTF-8")); out.close()
+    // a FRESH handle must refuse to search rather than silently serving
+    // rows a compliance delete removed — exclusion fails closed
+    val loaded = IvfIndex.load(spark, dir)
+    val q = queryVec(data, 5)
+    intercept[Exception] {
+      loaded.search(spark, q, 10, nprobe = 2).collect()
+    }
+    // the handle that already holds the set keeps serving (cached)
+    assert(ivf.search(spark, q, 10, nprobe = 2).count() == 10L)
+    FsUtil.deleteRecursively(java.nio.file.Paths.get(dir))
+  }
+
+  test("append of a tombstoned id stays excluded until scrub (id-level semantics)") {
+    val dir = java.nio.file.Files.createTempDirectory("del_reappend").toString
+    val data = mkData(200, 93)
+    val ivf = VectorSearch.buildIvf(data, "embedding", 4, dir,
+      sampleFraction = 1.0)
+    ivf.exactScanFraction = 2.0
+    ivf.delete(spark, "vec_id", Seq(7L))
+    // re-append a row with the deleted id: the tombstone is BY ID, so
+    // the new row is excluded too — delete() is a compliance removal,
+    // not an upsert; re-admitting an id goes scrub-then-append
+    val row = data.filter(col("vec_id") === 7).collect().head
+    ivf.append(Seq((7L, row.getInt(1),
+      row.getSeq[Float](2).toArray)).toDF("vec_id", "cat", "embedding"),
+      "embedding")
+    val q = queryVec(data, 3)
+    val got0 = got(ivf.search(spark, q, 200, nprobe = 4))
+    assert(!got0.exists(_._1 == 7L), "tombstoned id served after re-append")
+    // scrub removes BOTH physical copies and clears the tombstone;
+    // a subsequent append re-admits the id
+    assert(ivf.scrub(spark) == 2L)
+    ivf.append(Seq((7L, row.getInt(1),
+      row.getSeq[Float](2).toArray)).toDF("vec_id", "cat", "embedding"),
+      "embedding")
+    val got1 = got(ivf.search(spark, q, 200, nprobe = 4))
+    assert(got1.count(_._1 == 7L) == 1, "re-admitted id must serve once")
+    FsUtil.deleteRecursively(java.nio.file.Paths.get(dir))
+  }
+
   test("post-scrub occupancy: a fully-deleted category serves empty joblessly") {
     val dir = java.nio.file.Files.createTempDirectory("del_occ").toString
     val data = mkData(300, 61)
