@@ -1747,6 +1747,17 @@ object VectorSearch {
       */
     def delete(spark: SparkSession, idCol: String, ids: Seq[Any]): Long = {
       require(ids.nonEmpty, "delete of zero ids")
+      // null ids can't match any row (SQL null equality) — a "null"
+      // tombstone would be junk that additionally shadows a legitimate
+      // string id of value "null"; reject loudly
+      require(ids.forall(_ != null), "null ids cannot be tombstoned")
+      // a mistyped column name would otherwise persist tombstones every
+      // later search (and scrub) fails to resolve — a durably bricked
+      // index with no API-level recovery
+      val cols = indexDf(spark).columns
+      require(cols.contains(idCol),
+        s"'$idCol' is not a column of the index (have: " +
+          s"${cols.filterNot(_.startsWith("__")).mkString(", ")})")
       val prior = tombstones(spark)
       prior.foreach { case (pc, _) =>
         require(pc == idCol,
@@ -1779,10 +1790,12 @@ object VectorSearch {
       * scrub both run it) is idempotent. A crash BEFORE the journal
       * leaves the pre-scrub index — old files intact, tombstones intact,
       * exclusion still exact; a crash AFTER it completes to the
-      * post-scrub index on the next load. At no point does a reader of
-      * THIS handle see a half state (caches invalidate only after the
-      * replay finishes). Other handles: same contract as [[append]] —
-      * single writer, concurrent readers in other processes must
+      * post-scrub index on the next load. Reads STARTED on this handle
+      * after scrub returns are consistent (caches invalidate after the
+      * replay); reads IN FLIGHT during the replay follow the same
+      * contract as [[graft.streaming.UpsertStream]] vacuum — single
+      * writer, concurrent readers quiesce or tolerate a retryable read
+      * failure on the dropped originals. Other handles/processes:
       * [[refresh]]/reload (the epoch bump keeps fresh loads
       * census-correct automatically).
       *
@@ -2156,6 +2169,24 @@ object VectorSearch {
         fresh.hasDistColumn = hasDistColumn
         fresh.pqCodebooksNow = pqCodebooksNow
         fresh.pqIdColNow = pqIdColNow
+        // the handle SWAP must not silently reset an operator's tuning —
+        // a streaming ingest that rebalances mid-stream keeps serving
+        // with the knobs it was launched with
+        fresh.twoLevelMinCells = twoLevelMinCells
+        fresh.exactScanFraction = exactScanFraction
+        fresh.exactScanMinCells = exactScanMinCells
+        fresh.cellOverheadRows = cellOverheadRows
+        fresh.widenFactor = widenFactor
+        fresh.thinFactor = thinFactor
+        fresh.thinReadFraction = thinReadFraction
+        fresh.pqOverfetch = pqOverfetch
+        fresh.deleteInSetMaxIds = deleteInSetMaxIds
+        fresh.manifestCheckpointEvery = manifestCheckpointEvery
+        fresh.builtWithHierarchicalFit = builtWithHierarchicalFit
+        fresh.builtWithGroupedAssign = builtWithGroupedAssign
+        // the scrub above guarantees no tombstones survive into the
+        // split — spare the fresh handle the first-search probe
+        fresh.deletesNow0 = None
         // census fold: hot cells' old files out, staged moves in (stage
         // listing stats — the files exist at their targets only after
         // the replay below, which is exactly why the manifest commits
@@ -2806,10 +2837,20 @@ object VectorSearch {
         } else if (l.startsWith("CMT\t")) {
           // commit a pre-written manifest version as a replay step —
           // how rebalance's grown centroid table becomes visible in the
-          // same atomic unit as the file moves it describes
+          // same atomic unit as the file moves it describes. Guard on
+          // the version PAYLOAD: if the uncommitted dir was vacuumed in
+          // the window (a stale handle checkpointing after a crashed
+          // rebalance), blindly creating the marker would commit an
+          // EMPTY version and brick every later load — fail CLOSED with
+          // the cause instead (the journal stays; the moved files need
+          // this manifest's centroid table to be servable).
           val p = new Path(root, l.split("\t")(1))
           if (!fs.exists(p)) {
-            fs.mkdirs(p.getParent)
+            require(fs.exists(new Path(p.getParent, "cells")),
+              s"scrub replay: manifest payload ${p.getParent} is gone " +
+                "(vacuumed after a crashed rebalance?) — refusing to " +
+                "commit an empty version; restore the manifest or " +
+                "rebuild the index")
             fs.create(p).close()
           }
         }

@@ -944,9 +944,16 @@ object UpsertStream {
     * of the files rewritten), and the handle swaps to the returned
     * index; an even stream pays one in-memory cellCounts scan per
     * cadence (rebalance returns `this` unchanged when nothing is hot).
-    * Single writer per index, as with batch [[IvfIndex.append]];
-    * concurrent readers in other processes refresh()/reload on their
-    * own schedule.
+    * Single writer per index, as with batch [[IvfIndex.append]].
+    *
+    * Reader contract during a cadence commit: the rebalance REPLACES
+    * the hot cell's files, so in-flight searches racing it follow the
+    * scrub/vacuum contract — a reader may hit a retryable read failure
+    * on a dropped original, and a search STARTED between the replay and
+    * the handle swap can miss the moved rows. Serve queries from a
+    * separate process over load()ed handles (the epoch keeps fresh
+    * loads consistent), or quiesce in-process serving across the
+    * commit gap; reads started after the swap are consistent.
     */
   def runIndexIngest(updates: DataFrame,
       index0: graft.operators.VectorSearch.IvfIndex, vecCol: String,

@@ -209,7 +209,11 @@ object MaintenanceScale {
     val json = results.map { case (k, v) => s""""$k":$v""" }.mkString(",")
     println(s"""{"metric":"maintenance_scale","rows":$nRows,"dims":$dims,""" +
       s""""queries":{$json},"sf":"synthetic"}""")
-    graft.FsUtil.deleteRecursively(java.nio.file.Paths.get(base))
     spark.stop()
+    // sibling-tool convention: only self-created temp dirs are cleaned;
+    // a user-supplied WORK_DIR (possibly a shared scratch root) is not
+    // ours to delete
+    if (sys.env.get("SPARK_GRAFT_WORK_DIR").isEmpty)
+      graft.FsUtil.deleteRecursively(java.nio.file.Paths.get(base))
   }
 }
