@@ -154,6 +154,20 @@ object IndexScale {
       Thread.sleep(15000) // drain writeback before the timed reads
     }
 
+    // r17: SPARK_GRAFT_INDEX_BUILD_ONLY=1 stops after the build + manifest
+    // (the index on disk is the product — tier evals run later against it
+    // via SPARK_GRAFT_INDEX_REUSE in a quiet window, so their walls are
+    // not contaminated by whatever else the session runs alongside the
+    // 38-minute build).
+    if (sys.env.get("SPARK_GRAFT_INDEX_BUILD_ONLY").contains("1")) {
+      results("build_only_value") = 1.0
+      spark.stop()
+      emit(nRows, dims)
+      if (sys.env.get("SPARK_GRAFT_WORK_DIR").isEmpty)
+        FsUtil.deleteRecursively(java.nio.file.Paths.get(base))
+      return
+    }
+
     val idxDf = spark.read.parquet(readPath)
     // sq8: the index has no float column — query vectors and exact
     // baselines come from the regenerated (deterministic) float source;
@@ -221,6 +235,12 @@ object IndexScale {
       val ladder = sys.env.get("SPARK_GRAFT_INDEX_NPROBES")
         .map(_.split(",").toSeq.map(_.trim.toInt))
         .getOrElse(Seq(64, 128, 256))
+      // r17: the ladder stops at this recall (default = the reference's
+      // 0.9 bar). Raising it in a _reuse run walks tiers past the bar —
+      // how the sel_1@10M margin question ("is the curve flat past
+      // np128?") is answered for one load instead of a second build.
+      val recallBar = sys.env.get("SPARK_GRAFT_INDEX_RECALL_BAR")
+        .map(_.toDouble).getOrElse(0.9)
       var chosen = ladder.last
       var rec = if (exactOk) 0.0 else -1.0
       var done = !exactOk
@@ -237,7 +257,7 @@ object IndexScale {
           results(s"ann10m_recall_${tier}_np${np}_value") = rec
           results(s"ann10m_path_exact_${tier}_np${np}_value") =
             if (ivf.exactSwitchCount > sw0) 1.0 else 0.0
-          if (rec >= 0.9) done = true
+          if (rec >= recallBar) done = true
         }
       }
       results(s"ann10m_recall_${tier}_value") = rec
