@@ -863,6 +863,69 @@ object VectorSearch {
     def tombstoneCount(spark: SparkSession): Long =
       tombstones(spark).map(_._2.size.toLong).getOrElse(0L)
 
+    /** Per-cell TOMBSTONED-row counts (r17) — the planning-side companion
+      * to the tombstone set. [[matchCounts]]' sources (occupancy, memo,
+      * count scan) are tombstone-INCLUSIVE, and an inclusive count does
+      * not only widen probes: the ≥ k widening loop stops once the
+      * cumulative count reaches its target, so counting rows the filter
+      * can no longer return makes a plan stop EARLIER than live counts
+      * would, and the thin-support classification (total ≤ thinFactor·k)
+      * is missed for exactly the post-deletion filters that want it.
+      * Subtracting a cell's tombstone count gives a LOWER bound on its
+      * live matches (tombstoned rows matching the filter ≤ tombstoned
+      * rows in the cell), which errs the safe way: probes widen at least
+      * as far as live counts require and thin-support fires at least as
+      * often, while cell MEMBERSHIP stays on the inclusive counts so a
+      * cell holding any live match is never dropped. Persisted beside
+      * the id set (`_graft_deletes/_celltombs.tsv` — the underscore
+      * keeps it invisible to that dir's parquet read) and keyed to
+      * (id count, census epoch): [[delete]] writes it, a fresh process
+      * re-arms it without a job, and any key mismatch — an append under
+      * active tombstones, an interrupted delete — falls back to one
+      * pruned (id, cluster) scan that re-persists. Cleared with the
+      * tombstones by [[scrub]] (the deletes dir is removed whole).
+      */
+    @transient @volatile private[graft] var cellTombsNow: Map[Int, Long] = null
+
+    private[graft] def cellTombCounts(spark: SparkSession): Map[Int, Long] =
+      tombstones(spark) match {
+        case Some((idc, ids)) if ids.nonEmpty =>
+          val cached = cellTombsNow
+          if (cached != null) cached
+          else {
+            val epoch = org.apache.spark.sql.graft.CensusIndex
+              .readEpoch(spark, path).getOrElse(0L)
+            val read = IvfIndex.readCellTombs(spark, path)
+              .collect { case (n, e, m) if n == ids.size && e == epoch => m }
+              .getOrElse(
+                computeAndPersistCellTombs(spark, idc, ids.size.toLong))
+            cellTombsNow = read
+            read
+          }
+        case _ => Map.empty
+      }
+
+    /** One pruned (id, cluster) scan joined against the persisted
+      * tombstone ids → per-cell tombstone counts, re-persisted under the
+      * current (nids, epoch) key. The tombstone side joins as a
+      * file-based relation (auto-broadcast under the threshold), so this
+      * never compiles an id-sized literal and never collects the index.
+      */
+    private def computeAndPersistCellTombs(spark: SparkSession,
+        idc: String, nids: Long): Map[Int, Long] = {
+      val tombIds = spark.read.parquet(deletesDir)
+        .select(col("id")).distinct()
+      val counts = indexDf(spark)
+        .select(col(idc).cast("string").as("id"), col("__cluster"))
+        .join(tombIds, "id")
+        .groupBy(col("__cluster")).agg(count(lit(1)).as("__n"))
+        .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+      val epoch = org.apache.spark.sql.graft.CensusIndex
+        .readEpoch(spark, path).getOrElse(0L)
+      IvfIndex.writeCellTombs(spark, path, nids, epoch, counts)
+      counts
+    }
+
     /** Test hook (RebalanceSpec crash case): throw between the journal
       * commit and its replay — the widest crash window the commit-
       * through-journal design must survive.
@@ -1006,6 +1069,7 @@ object VectorSearch {
       dfCache.clear(); countCache.clear()
       filesPerCellCache = -1.0
       deletesNow0 = null // re-read `_graft_deletes` (external deletes/scrubs)
+      cellTombsNow = null // keyed to (nids, epoch); both may have moved
       censusNow0 = None // external appends: the file list is stale
       // occupancy cannot be rebuilt here (it only folds this handle's
       // own appends), so any external rows refresh() just made visible
@@ -1233,6 +1297,15 @@ object VectorSearch {
         exactFallback: Boolean): Seq[Seq[Int]] = filter match {
       case Some(f) if exactFallback && nprobe < centroids.length =>
         val counts = matchCounts(spark, f)
+        // r17: under active tombstones the widening/thin-support VOLUMES
+        // use live lower bounds (inclusive count − cell tombstone count;
+        // scaladoc at [[cellTombsNow]]); membership below stays on the
+        // inclusive counts so no live-match cell is ever dropped. With
+        // no tombstones this is the identity at zero cost.
+        val tombs = cellTombCounts(spark)
+        def liveAt(c: Int): Long =
+          if (tombs.isEmpty) counts.getOrElse(c, 0L)
+          else math.max(0L, counts.getOrElse(c, 0L) - tombs.getOrElse(c, 0L))
         // candidate-volume target: ≥ widenFactor × k matching rows in
         // the probed cells, floor k — see VectorSearch.probeWidenFactor
         // (default 1.0 = the classic ≥ k widening; the larger-factor
@@ -1249,7 +1322,9 @@ object VectorSearch {
           else thinFactor
         val trf = if (thinReadFraction.isNaN)
           VectorSearch.thinSupportMaxReadFraction else thinReadFraction
-        val totalMatches = counts.valuesIterator.sum
+        val totalMatches =
+          if (tombs.isEmpty) counts.valuesIterator.sum
+          else counts.keysIterator.map(liveAt).sum
         val thinAll = tf > 0 && totalMatches > 0 &&
           totalMatches <= tf * k && cellCounts.nonEmpty && {
             val totalRows = cellCounts.sum
@@ -1271,7 +1346,7 @@ object VectorSearch {
             var i = 0
             while (i < ranked.length && (i < nprobe || cum < target)) {
               sel += ranked(i)
-              cum += counts(ranked(i))
+              cum += liveAt(ranked(i))
               i += 1
             }
             sel.toSeq
@@ -1694,6 +1769,12 @@ object VectorSearch {
       dfCache.clear() // cached relations pin the old file list
       countCache.clear() // memoized counts predate the appended rows
       filesPerCellCache = -1.0 // appended files change the census
+      // per-cell tombstone counts are keyed to the census epoch this
+      // append just bumped — a batch re-inserting a tombstoned id (the
+      // id-level delete semantics exclude it at serve) would otherwise
+      // leave a stale-LOW count that lets plans stop early; the next
+      // filtered plan under active tombstones re-scans and re-persists
+      cellTombsNow = null
       // Fold the batch's files INTO the census instead of dropping it
       // (r16): the appender knows exactly which cluster dirs it touched,
       // so listing JUST those and diffing by relative path yields the
@@ -1735,11 +1816,28 @@ object VectorSearch {
       * repo-wide canonical cross-type id form (the PQ phase join, the
       * upsert store). One id column per index across all delete batches.
       *
-      * Probe PLANNING (occupancy, count memo, cellCounts) intentionally
-      * keeps counting tombstoned rows until scrub: support estimates may
-      * then only OVER-count, which widens probes — more read work, never
-      * a missing result — and the zero-match fast path stays exact
-      * because deletion can only move true counts TOWARD zero.
+      * Probe PLANNING: the count SOURCES (occupancy, count memo,
+      * cellCounts) stay tombstone-inclusive until scrub — the zero-match
+      * fast path stays exact because deletion only moves true counts
+      * toward zero — but the probe plan's widening/thin-support volumes
+      * subtract the per-cell tombstone counts this call persists beside
+      * the id set (r17; scaladoc at [[cellTombsNow]]): an inclusive
+      * volume would make the ≥ k widening STOP EARLY after deletions
+      * concentrated in top-ranked cells. delete() therefore pays one
+      * narrow (id, cluster) scan on top of the O(ids) tombstone write —
+      * still no data-file rewrite; that remains [[scrub]]'s job.
+      *
+      * Id canonicalization: ids match on `cast(idCol as string)`. This
+      * Seq form renders the PASSED ids with `String.valueOf`, which
+      * agrees with Spark's cast only for string/integral forms — both
+      * the column type and the id values are gated to that set, and
+      * everything else (timestamps, floats, decimals) must go through
+      * the DataFrame overload below, which canonicalizes through Spark
+      * itself. Without the gate a
+      * diverging rendering (java.sql.Timestamp's trailing ".0", float
+      * scientific-notation corners) would tombstone a string no row
+      * ever casts to — a compliance delete reporting success while
+      * excluding nothing.
       *
       * Single writer per index, as with [[append]].
       *
@@ -1747,6 +1845,15 @@ object VectorSearch {
       */
     def delete(spark: SparkSession, idCol: String, ids: Seq[Any]): Long = {
       require(ids.nonEmpty, "delete of zero ids")
+      ids.foreach { v =>
+        require(v == null || v.isInstanceOf[String] ||
+          v.isInstanceOf[java.lang.Long] || v.isInstanceOf[java.lang.Integer] ||
+          v.isInstanceOf[java.lang.Short] || v.isInstanceOf[java.lang.Byte],
+          s"delete(Seq) canonicalizes ids with String.valueOf, which " +
+            s"matches Spark's cast-to-string only for string/integral " +
+            s"values (got ${v.getClass.getName}) — use the DataFrame " +
+            "overload, which canonicalizes through Spark itself")
+      }
       // null ids can't match any row (SQL null equality) — a "null"
       // tombstone would be junk that additionally shadows a legitimate
       // string id of value "null"; reject loudly
@@ -1754,10 +1861,11 @@ object VectorSearch {
       // a mistyped column name would otherwise persist tombstones every
       // later search (and scrub) fails to resolve — a durably bricked
       // index with no API-level recovery
-      val cols = indexDf(spark).columns
-      require(cols.contains(idCol),
+      val schema = indexDf(spark).schema
+      require(schema.fieldNames.contains(idCol),
         s"'$idCol' is not a column of the index (have: " +
-          s"${cols.filterNot(_.startsWith("__")).mkString(", ")})")
+          s"${schema.fieldNames.filterNot(_.startsWith("__")).mkString(", ")})")
+      validateIdColType(schema(idCol).dataType)
       val prior = tombstones(spark)
       prior.foreach { case (pc, _) =>
         require(pc == idCol,
@@ -1767,13 +1875,106 @@ object VectorSearch {
       val strs = ids.iterator.map(String.valueOf).toSet
       val fresh = prior.map(t => strs diff t._2).getOrElse(strs)
       if (fresh.isEmpty) return 0L
+      val total = prior.map(_._2.size).getOrElse(0) + fresh.size
+      require(total <= maxTombstoneIds,
+        s"$total tombstoned ids would exceed maxTombstoneIds " +
+          s"($maxTombstoneIds) — the serving exclusion holds the set in " +
+          "driver memory; scrub() between delete batches to clear it")
       import spark.implicits._
       fresh.toSeq.sorted.map(i => (idCol, i)).toDF("col", "id")
         .coalesce(1)
         .write.mode("append").parquet(deletesDir)
       deletesNow0 = Some((idCol,
         prior.map(_._2).getOrElse(Set.empty[String]) ++ fresh))
+      // the planning companion (scaladoc above): one narrow scan, keyed
+      // to the post-write id count + current epoch
+      cellTombsNow = computeAndPersistCellTombs(spark, idCol, total.toLong)
       fresh.size.toLong
+    }
+
+    /** Column-type gate shared by both delete forms' Seq-side rendering
+      * concerns: string/integral columns are the set where the driver's
+      * String.valueOf and Spark's cast-to-string provably agree.
+      */
+    private def validateIdColType(
+        dt: org.apache.spark.sql.types.DataType): Unit = {
+      import org.apache.spark.sql.types._
+      val ok = dt match {
+        case StringType | IntegerType | LongType | ShortType | ByteType =>
+          true
+        case _ => false
+      }
+      require(ok,
+        s"delete(Seq) supports string/integral id columns (got " +
+          s"${dt.simpleString}) — other types render differently under " +
+          "the driver's String.valueOf vs Spark's cast-to-string (a " +
+          "tombstone that matches nothing); use the DataFrame overload")
+    }
+
+    /** Driver-resident tombstone budget. The serving exclusion holds the
+      * id set in DRIVER memory regardless of mechanism (the ≤
+      * [[deleteInSetMaxIds]] InSet literal and the broadcast anti-join
+      * are both built from a driver set) — ~60–100 B per id string on
+      * heap, so the default 4M-id budget is ~0.4 GB. Past it, [[scrub]]
+      * between delete batches: physical removal clears the set, and its
+      * cost is bounded by affected files, not accumulated ids.
+      */
+    @volatile var maxTombstoneIds: Int = 4000000
+
+    /** Distributed [[delete]]: `ids` is a ONE-column DataFrame of ids to
+      * tombstone — the GDPR-batch shape. Ids are canonicalized through
+      * Spark's own `cast(… as string)` (so ANY id column type renders
+      * exactly as the serving exclusion will match it), de-duplicated,
+      * anti-joined against the existing tombstone set and appended, all
+      * DISTRIBUTED — the delete itself never materializes the batch on
+      * the driver. (Serving still re-arms the driver-resident set on the
+      * next search — [[maxTombstoneIds]] bounds that, enforced here via
+      * one count of the post-write set.) Null ids cannot match any row
+      * (SQL null equality) and are dropped. Same single-writer contract
+      * and per-cell count persist as the Seq form.
+      *
+      * @return ids newly tombstoned (already-deleted ids fold to 0)
+      */
+    def delete(spark: SparkSession, idCol: String, ids: DataFrame): Long = {
+      require(ids.columns.length == 1,
+        s"delete(DataFrame) wants exactly one id column (got " +
+          s"${ids.columns.mkString(", ")})")
+      val schema = indexDf(spark).schema
+      require(schema.fieldNames.contains(idCol),
+        s"'$idCol' is not a column of the index (have: " +
+          s"${schema.fieldNames.filterNot(_.startsWith("__")).mkString(", ")})")
+      val prior = tombstones(spark)
+      prior.foreach { case (pc, _) =>
+        require(pc == idCol,
+          s"index already holds tombstones on '$pc' — one id column per " +
+            s"index (got '$idCol')")
+      }
+      val strs = ids
+        .select(col(ids.columns.head).cast("string").as("id"))
+        .filter(col("id").isNotNull).distinct()
+      val freshDf = prior match {
+        case Some(_) =>
+          strs.join(spark.read.parquet(deletesDir).select(col("id")),
+            Seq("id"), "left_anti")
+        case None => strs
+      }
+      val persisted = freshDf
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        val n = persisted.count()
+        if (n == 0L) return 0L
+        val total = prior.map(_._2.size.toLong).getOrElse(0L) + n
+        require(total <= maxTombstoneIds,
+          s"$total tombstoned ids would exceed maxTombstoneIds " +
+            s"($maxTombstoneIds) — the serving exclusion holds the set " +
+            "in driver memory; scrub() between delete batches to clear it")
+        persisted.select(lit(idCol).as("col"), col("id"))
+          .coalesce(math.max(1, math.min(32, (n / 4000000L).toInt + 1)))
+          .write.mode("append").parquet(deletesDir)
+        deletesNow0 = null // re-read lazily: prior batches + this one
+        cellTombsNow = computeAndPersistCellTombs(spark, idCol, total)
+        n
+      } finally { persisted.unpersist(blocking = false); () }
     }
 
     /** Physically remove tombstoned rows: rewrite ONLY the data files
@@ -1814,6 +2015,7 @@ object VectorSearch {
       // complete a prior crashed scrub first — idempotent, usually a no-op
       IvfIndex.completeScrubIfPending(spark, path)
       deletesNow0 = null // the replay may have cleared them
+      cellTombsNow = null // lives inside the deletes dir; follows it
       val t = tombstones(spark)
       if (!t.exists(_._2.nonEmpty)) return 0L
       val (idc, ids) = t.get
@@ -1846,6 +2048,7 @@ object VectorSearch {
         if (perFile.isEmpty) { // tombstones never landed in the index
           fs.delete(new Path(deletesDir), true)
           deletesNow0 = None
+          cellTombsNow = null
           return 0L
         }
         val oldFiles: Seq[(String, Int)] = perFile.iterator.map { r =>
@@ -1931,6 +2134,7 @@ object VectorSearch {
         dfCache.clear(); countCache.clear()
         filesPerCellCache = -1.0
         deletesNow0 = None
+        cellTombsNow = null
         censusNow0 = censusOpt match {
           case Some((_, schema, files)) =>
             try {
@@ -1996,8 +2200,18 @@ object VectorSearch {
       */
     def rebalance(spark: SparkSession, hotFactor: Double = 2.0,
         maxCells: Int = 65536, maxTrainPerCell: Int = 65536,
-        seed: Long = 42L): IvfIndex = {
+        seed: Long = 42L,
+        maxTrainBytesPerCell: Long = 128L << 20): IvfIndex = {
       require(hotFactor > 1.0, s"hotFactor must exceed 1 (got $hotFactor)")
+      // the per-cell fit sample is collected to the DRIVER serially per
+      // hot cell, so the real budget is bytes, not rows: 65536 rows is
+      // ~0.7 GB at 2688 float dims. The byte cap scales the row cap by
+      // the layout's width (default ≤ 128 MB per cell sample ≈ 12.5k
+      // rows at 2688 dims, the full 65536 at ≤ 512 dims); localLloyd's
+      // quality is sample-bounded anyway (it subsamples past ~100k).
+      val trainCap = VectorSearch.rebalanceTrainCap(
+        centroids.headOption.map(_.length).getOrElse(0),
+        maxTrainPerCell, maxTrainBytesPerCell)
       scrub(spark)
       if (cellCounts.isEmpty) return this
       val k0 = centroids.length
@@ -2040,7 +2254,7 @@ object VectorSearch {
       val plans: Seq[(Int, Array[Array[Float]], Array[Int])] =
         hot.toSeq.map { case (c, m) =>
           val frac = math.min(1.0,
-            maxTrainPerCell.toDouble / math.max(1L, cellCounts(c)))
+            trainCap.toDouble / math.max(1L, cellCounts(c)))
           val src = indexDf(spark).filter(col("__cluster") === c)
             .select(vecExpr.as("__v"))
           val pts = (if (frac >= 1.0) src
@@ -2150,6 +2364,19 @@ object VectorSearch {
           if (i < rmsRadii.length) newRms(i) = rmsRadii(i)
           if (i < cellCounts.length) newCounts(i) = cellCounts(i)
           i += 1
+        }
+        // Every split-plan gid starts from ZERO before the stats fold:
+        // subcell 0 reuses the hot cell's id, and if the re-assignment
+        // sends it no rows (the local fit trained on a sample; the full
+        // cell can assign away from any one subcentroid) there is no
+        // stats row to overwrite the seed — the emptied cell would keep
+        // its pre-split count and cellCounts.sum would over-count rows
+        // that now live in sibling subcells. Fresh ids (>= k0) are
+        // already zero; this also zeroes the reused id.
+        plans.foreach { case (_, _, gids) =>
+          gids.foreach { g =>
+            newCounts(g) = 0L; newRms(g) = 0.0; newRadii(g) = 0.0
+          }
         }
         stats.foreach { r =>
           val c = r.getInt(0)
@@ -2779,6 +3006,60 @@ object VectorSearch {
       }
     }
 
+    private[graft] val CellTombsFile = "_celltombs.tsv"
+
+    /** The persisted per-cell tombstone counts — (nids, epoch, counts) —
+      * or None. Lives INSIDE the deletes dir (underscore name: invisible
+      * to that dir's parquet read; removed with it by scrub). Fail-SOFT,
+      * unlike the tombstone set itself: a missing/corrupt file degrades
+      * to the recomputing scan, never to wrong exclusion.
+      */
+    private[graft] def readCellTombs(spark: SparkSession, path: String)
+        : Option[(Long, Long, Map[Int, Long])] = {
+      import org.apache.hadoop.fs.Path
+      val f = new Path(new Path(path, DeletesDir), CellTombsFile)
+      val fs = f.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      try {
+        if (!fs.exists(f)) None
+        else {
+          val in = fs.open(f)
+          val text =
+            try {
+              val bos = new java.io.ByteArrayOutputStream()
+              val buf = new Array[Byte](8192)
+              var n = in.read(buf)
+              while (n >= 0) { bos.write(buf, 0, n); n = in.read(buf) }
+              new String(bos.toByteArray, "UTF-8")
+            } finally in.close()
+          val lines = text.split("\n").filter(_.nonEmpty)
+          val h = lines.head.split("\t")
+          if (h.length != 3 || h(0) != "graft-celltombs-v1") None
+          else Some((h(1).toLong, h(2).toLong,
+            lines.tail.map { l =>
+              val p = l.split("\t"); p(0).toInt -> p(1).toLong
+            }.toMap))
+        }
+      } catch { case _: Exception => None }
+    }
+
+    /** Create-then-rename write of [[readCellTombs]]' file. */
+    private[graft] def writeCellTombs(spark: SparkSession, path: String,
+        nids: Long, epoch: Long, counts: Map[Int, Long]): Unit = {
+      import org.apache.hadoop.fs.Path
+      val dir = new Path(path, DeletesDir)
+      val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val tmp = new Path(dir, CellTombsFile + ".tmp")
+      val lines = s"graft-celltombs-v1\t$nids\t$epoch" +:
+        counts.toSeq.sorted.map { case (c, n) => s"$c\t$n" }
+      val out = fs.create(tmp, true)
+      try out.write(lines.mkString("\n").getBytes("UTF-8"))
+      finally out.close()
+      val dst = new Path(dir, CellTombsFile)
+      if (fs.exists(dst)) { fs.delete(dst, false); () }
+      require(fs.rename(tmp, dst),
+        s"could not commit per-cell tombstone counts at $dst")
+    }
+
     /** Complete a crashed [[IvfIndex.scrub]] when its commit journal is
       * present — called by [[load]] BEFORE anything reads data files,
       * and by scrub() itself. Idempotent; a missing journal is a no-op.
@@ -3063,6 +3344,21 @@ object VectorSearch {
     */
   def defaultNumClusters(n: Long): Int =
     math.max(4L, math.min(65536L, math.round(math.sqrt(n.toDouble)))).toInt
+
+  /** Effective per-hot-cell train-sample row cap for
+    * [[IvfIndex.rebalance]]: the tighter of the row cap and the byte
+    * budget at this layout's float width (4·dims bytes/row collected to
+    * the driver), floored at 1024 rows so a tiny budget can't starve
+    * the local fit below statistical usefulness.
+    */
+  private[graft] def rebalanceTrainCap(dims: Int, maxRows: Int,
+      maxBytes: Long): Int = {
+    if (dims <= 0) maxRows
+    else {
+      val byRows = math.max(1024L, maxBytes / (4L * dims))
+      math.max(1024L, math.min(maxRows.toLong, byRows)).toInt
+    }
+  }
 
   /** Cell count at/above which [[buildIvf]] trains centroids with the
     * two-level fit instead of one flat MLlib k-means. Flat Lloyd costs

@@ -933,8 +933,11 @@ object UpsertStream {
     * append's scaladoc), so searches through [[IndexIngest.index]] see
     * new vectors at micro-batch latency, and the manifest checkpoints on
     * append's own cadence — a crashed ingester resumes
-    * load()-consistent, with the stream checkpoint replaying at-least-
-    * once from the last committed offset.
+    * load()-consistent. foreachBatch replays AT-LEAST-ONCE from the last
+    * committed offset; the per-batch (checkpoint, batchId) marker fence
+    * (r17, below) makes the replay idempotent except for a crash landing
+    * exactly between an append and its marker write, which duplicates at
+    * most that one batch (documented at the fence).
     *
     * Inline maintenance: every `rebalanceEvery` commits (0 = never) the
     * ingest runs [[graft.operators.VectorSearch.IvfIndex.rebalance]] in
@@ -960,23 +963,70 @@ object UpsertStream {
       checkpoint: String,
       trigger: Trigger = Trigger.ProcessingTime("1 second"),
       rebalanceEvery: Int = 0, hotFactor: Double = 2.0,
-      maxCells: Int = 65536): IndexIngest = {
+      maxCells: Int = 65536,
+      localMap: Option[(Seq[Row] => Seq[Row],
+        org.apache.spark.sql.types.StructType)] = None,
+      onCommit: (Long, Seq[Row]) => Unit = (_, _) => ()): IndexIngest = {
     val h = new IndexIngest(index0)
+    // Replay fence (r17): foreachBatch is AT-LEAST-ONCE — after a crash
+    // the stream re-offers the last batch whose side effect may already
+    // be on disk, and a re-appended batch would serve duplicate rows
+    // with no dedup or scrub path keyed to them. The index root carries
+    // a (checkpoint, batchId) marker written AFTER each append; on
+    // restart FROM THE SAME CHECKPOINT, batches at or below the marker
+    // are skipped. The marker lands after the data (there is no atomic
+    // data+marker commit on a plain file layout), so the fence shrinks
+    // the duplicate window from "every restart re-appends one batch" to
+    // "only a crash BETWEEN append and marker duplicates that one batch"
+    // — the standard foreachBatch idempotence shape; exactly-once needs
+    // a transactional sink. A DIFFERENT checkpoint path invalidates the
+    // marker (batchIds restart at 0 per checkpoint).
+    @volatile var fence = Long.MinValue
+    @volatile var fenceArmed = false
     val q = updates.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpoint)
       .trigger(trigger)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        if (!batch.isEmpty) {
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!fenceArmed) {
+          fence = IngestMarker.read(batch.sparkSession, h.index.path)
+            .collect { case (ck, b) if ck == checkpoint => b }
+            .getOrElse(Long.MinValue)
+          fenceArmed = true
+        }
+        if (batchId > fence) {
           val idx = h.index
-          idx.append(batch, vecCol)
-          h.commitCount += 1
-          if (rebalanceEvery > 0 && h.commitCount % rebalanceEvery == 0) {
-            val next = idx.rebalance(batch.sparkSession, hotFactor,
-              maxCells)
-            if (next ne idx) {
-              h.update(next)
-              h.rebalanceCount += 1
+          val (applied: Seq[Row], appended: Boolean) = localMap match {
+            case Some((f, schema)) =>
+              // runDelta's collected shape: the micro-batch (ids, by
+              // contract small) collects ONCE, maps driver-side (the
+              // per-object re-embed), and appends from a local relation
+              // — one batch-plan execution instead of the emptiness
+              // probe + the append job recomputing it
+              val rows = f(batch.collect().toSeq)
+              if (rows.nonEmpty) {
+                import scala.jdk.CollectionConverters._
+                idx.append(batch.sparkSession.createDataFrame(
+                  rows.asJava, schema), vecCol)
+              }
+              (rows, rows.nonEmpty)
+            case None =>
+              if (batch.isEmpty) (Seq.empty[Row], false)
+              else { idx.append(batch, vecCol); (Seq.empty[Row], true) }
+          }
+          if (appended) {
+            IngestMarker.write(batch.sparkSession, idx.path, checkpoint,
+              batchId)
+            fence = batchId
+            h.commitCount += 1
+            onCommit(batchId, applied)
+            if (rebalanceEvery > 0 && h.commitCount % rebalanceEvery == 0) {
+              val next = idx.rebalance(batch.sparkSession, hotFactor,
+                maxCells)
+              if (next ne idx) {
+                h.update(next)
+                h.rebalanceCount += 1
+              }
             }
           }
           ()
@@ -985,6 +1035,48 @@ object UpsertStream {
       .start()
     h.query = q
     h
+  }
+
+  /** The ingest replay fence's marker file — see [[runIndexIngest]]. */
+  private[graft] object IngestMarker {
+    private val Name = "_graft_ingest_commit"
+    def read(spark: SparkSession, indexPath: String)
+        : Option[(String, Long)] = {
+      import org.apache.hadoop.fs.Path
+      val f = new Path(indexPath, Name)
+      val fs = f.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      try {
+        if (!fs.exists(f)) None
+        else {
+          val in = fs.open(f)
+          val text =
+            try {
+              val bos = new java.io.ByteArrayOutputStream()
+              val buf = new Array[Byte](4096)
+              var n = in.read(buf)
+              while (n >= 0) { bos.write(buf, 0, n); n = in.read(buf) }
+              new String(bos.toByteArray, "UTF-8")
+            } finally in.close()
+          val p = text.trim.split("\t")
+          if (p.length == 3 && p(0) == "graft-ingest-v1")
+            Some((p(1), p(2).toLong))
+          else None
+        }
+      } catch { case _: Exception => None } // fail-soft: replay once
+    }
+    def write(spark: SparkSession, indexPath: String, checkpoint: String,
+        batchId: Long): Unit = {
+      import org.apache.hadoop.fs.Path
+      val dst = new Path(indexPath, Name)
+      val fs = dst.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val tmp = new Path(indexPath, Name + ".tmp")
+      val out = fs.create(tmp, true)
+      try out.write(
+        s"graft-ingest-v1\t$checkpoint\t$batchId".getBytes("UTF-8"))
+      finally out.close()
+      if (fs.exists(dst)) { fs.delete(dst, false); () }
+      require(fs.rename(tmp, dst), s"could not commit ingest marker $dst")
+    }
   }
 
   /** Streaming upserts against a [[BucketedStore]]: each micro-batch

@@ -377,4 +377,147 @@ class IndexDeleteSpec extends SparkSpec {
       Some(col("cat") === 1)).count() == 10L)
     FsUtil.deleteRecursively(java.nio.file.Paths.get(dir))
   }
+
+  test("filtered probe plans WIDEN under tombstones concentrated in top-ranked cells (r17)") {
+    val dir = java.nio.file.Files.createTempDirectory("del_widen").toString
+    val rnd = new scala.util.Random(71)
+    val cA = Array.fill(dims)(5.0f)
+    val cB = Array.fill(dims)(-5.0f)
+    val cC = Array.tabulate(dims)(i => if (i % 2 == 0) 5.0f else -5.0f)
+    def near(c: Array[Float]) = c.map(v => v + rnd.nextFloat() - 0.5f)
+    // cell A: 24 rows matching cat=1 (+ 30 filler); cell B: 20 matching
+    // (+ 30 filler); cell C: filler only. Query sits at A's center, so
+    // the ranked match-bearing list is [A, B].
+    val rows =
+      (0 until 24).map(i => (i.toLong, 1, near(cA))) ++
+      (100 until 130).map(i => (i.toLong, 0, near(cA))) ++
+      (200 until 220).map(i => (i.toLong, 1, near(cB))) ++
+      (300 until 330).map(i => (i.toLong, 0, near(cB))) ++
+      (400 until 440).map(i => (i.toLong, 0, near(cC)))
+    val data = rows.toDF("vec_id", "cat", "embedding")
+    val ivf = VectorSearch.buildIvf(data, "embedding", 3, dir,
+      sampleFraction = 1.0, occupancyCols = Seq("cat"))
+    ivf.thinFactor = 0.0 // isolate the >= k widening loop from thin-support
+    ivf.exactScanFraction = 2.0 // and from the exact switch
+    val q = cA
+    val f = col("cat") === 1
+    // tombstone-free plan: A's 24 matches cover the k=10 target alone
+    val planBefore = ivf.probePlan(spark, Seq(q), 10, 1, Some(f),
+      exactFallback = true).head
+    assert(planBefore.length == 1, s"pre-delete plan was $planBefore")
+    // delete 20 of A's 24 matching rows — inclusive counts still read 24
+    val drop = (0L until 20L)
+    assert(ivf.delete(spark, "vec_id", drop) == 20L)
+    // the persisted planning companion: per-cell counts keyed to the set
+    val ct = IvfIndex.readCellTombs(spark, dir)
+    assert(ct.exists { case (nids, _, m) =>
+      nids == 20L && m.valuesIterator.sum == 20L && m.size == 1 })
+    // live lower bound at A is 4 < k — the plan must widen into B
+    val planAfter = ivf.probePlan(spark, Seq(q), 10, 1, Some(f),
+      exactFallback = true).head
+    assert(planAfter.length == 2,
+      s"post-delete plan must widen past the tombstoned cell: $planAfter")
+    // and the served results are the exact live top-10 (4 from A + 6
+    // from B) — the tombstone-inclusive plan returned only A's 4
+    val expect = bruteTopK(data.filter(f), q, 10, drop.toSet)
+    assert(got(ivf.search(spark, q, 10, nprobe = 1, Some(f))) == expect)
+    // a FRESH process re-arms the persisted counts (no recompute scan
+    // needed) and plans/serves identically
+    val fresh = IvfIndex.load(spark, dir)
+    fresh.thinFactor = 0.0
+    fresh.exactScanFraction = 2.0
+    assert(fresh.probePlan(spark, Seq(q), 10, 1, Some(f),
+      exactFallback = true).head.length == 2)
+    assert(got(fresh.search(spark, q, 10, nprobe = 1, Some(f))) == expect)
+    // an append under active tombstones re-keys the counts (epoch moved)
+    // and plans stay safe afterwards
+    val extra = (900L, 1, near(cB))
+    ivf.append(Seq(extra).toDF("vec_id", "cat", "embedding"), "embedding")
+    assert(ivf.probePlan(spark, Seq(q), 10, 1, Some(f),
+      exactFallback = true).head.length == 2)
+    assert(got(ivf.search(spark, q, 10, nprobe = 1, Some(f))) ==
+      bruteTopK(
+        data.union(Seq(extra).toDF("vec_id", "cat", "embedding")).filter(f),
+        q, 10, drop.toSet))
+    FsUtil.deleteRecursively(java.nio.file.Paths.get(dir))
+  }
+
+  test("delete(Seq) gates the renderings-agree set: value types and column types") {
+    val dir = java.nio.file.Files.createTempDirectory("del_gate").toString
+    val data = mkData(60, 73)
+    val ivf = VectorSearch.buildIvf(data, "embedding", 2, dir,
+      sampleFraction = 1.0)
+    // a Double VALUE renders "3.0" under String.valueOf but the long
+    // column casts to "3" — silent no-op; must refuse loudly
+    val e1 = intercept[IllegalArgumentException] {
+      ivf.delete(spark, "vec_id", Seq(3.0))
+    }
+    assert(e1.getMessage.contains("DataFrame overload"))
+    FsUtil.deleteRecursively(java.nio.file.Paths.get(dir))
+    // a non-integral id COLUMN (timestamp/double) must route to the
+    // DataFrame overload even when the passed values look safe
+    val dir2 = java.nio.file.Files.createTempDirectory("del_gate2").toString
+    val data2 = mkData(60, 74)
+      .withColumn("vec_id", col("vec_id").cast("double"))
+    val ivf2 = VectorSearch.buildIvf(data2, "embedding", 2, dir2,
+      sampleFraction = 1.0)
+    val e2 = intercept[IllegalArgumentException] {
+      ivf2.delete(spark, "vec_id", Seq("3.0"))
+    }
+    assert(e2.getMessage.contains("DataFrame overload"))
+    // the DataFrame overload canonicalizes THROUGH Spark: double ids
+    // tombstone correctly
+    ivf2.exactScanFraction = 2.0
+    val q2 = queryVec(data2.withColumn("vec_id", col("vec_id").cast("long")), 7)
+    assert(ivf2.delete(spark, "vec_id",
+      Seq(3.0, 10.0).toDF("id")) == 2L)
+    val servedIds = ivf2.search(spark, q2, 60, nprobe = 2)
+      .select(col("vec_id")).collect().map(_.getDouble(0)).toSet
+    assert(servedIds.size == 58 && !servedIds(3.0) && !servedIds(10.0))
+    FsUtil.deleteRecursively(java.nio.file.Paths.get(dir2))
+  }
+
+  test("delete(DataFrame): a 1M-id distributed delete, dedup across batches, budget gate") {
+    val dir = java.nio.file.Files.createTempDirectory("del_big").toString
+    // ids 999000..1000999: the 1M-id delete range [0, 1M) tombstones the
+    // 1000 present ids below 1M and leaves 1000 survivors above it
+    val data = mkData(2000, 77)
+      .withColumn("vec_id", col("vec_id") + lit(999000L))
+    val ivf = VectorSearch.buildIvf(data, "embedding", 4, dir,
+      sampleFraction = 1.0)
+    ivf.exactScanFraction = 2.0
+    // batch 1: half the range; batch 2: the full range — only the
+    // un-tombstoned half is fresh (distributed anti-join dedup)
+    assert(ivf.delete(spark, "vec_id",
+      spark.range(0L, 500000L).toDF("id")) == 500000L)
+    assert(ivf.delete(spark, "vec_id",
+      spark.range(0L, 1000000L).toDF("id")) == 500000L)
+    assert(ivf.tombstoneCount(spark) == 1000000L)
+    // serving excludes every sub-1M id through the broadcast anti-join
+    // shape (1M ids >> deleteInSetMaxIds) and keeps every survivor
+    val q = queryVec(data, 999007L)
+    val served = got(ivf.search(spark, q, 2000, nprobe = 4))
+    assert(served.length == 1000 && served.forall(_._1 >= 1000000L))
+    // a fresh load sees the same set (durability at this volume)
+    assert(IvfIndex.load(spark, dir).tombstoneCount(spark) == 1000000L)
+    // scrub removes the 1000 physical rows and clears the set
+    assert(ivf.scrub(spark) == 1000L)
+    assert(ivf.tombstoneCount(spark) == 0L)
+    assert(spark.read.parquet(dir).count() == 1000L)
+    FsUtil.deleteRecursively(java.nio.file.Paths.get(dir))
+    // the driver-resident budget refuses loudly past maxTombstoneIds
+    val dir3 = java.nio.file.Files.createTempDirectory("del_budget").toString
+    val ivf3 = VectorSearch.buildIvf(mkData(60, 79), "embedding", 2, dir3,
+      sampleFraction = 1.0)
+    ivf3.maxTombstoneIds = 100
+    val e = intercept[IllegalArgumentException] {
+      ivf3.delete(spark, "vec_id", spark.range(0L, 200L).toDF("id"))
+    }
+    assert(e.getMessage.contains("maxTombstoneIds"))
+    val e2 = intercept[IllegalArgumentException] {
+      ivf3.delete(spark, "vec_id", (0L until 200L))
+    }
+    assert(e2.getMessage.contains("maxTombstoneIds"))
+    FsUtil.deleteRecursively(java.nio.file.Paths.get(dir3))
+  }
 }

@@ -285,4 +285,32 @@ class RebalanceSpec extends SparkSpec {
     assert(spark.read.parquet(dir).inputFiles.toSet == files)
     FsUtil.deleteRecursively(java.nio.file.Paths.get(dir))
   }
+
+  test("driver train sample is byte-capped: width scales the row cap; splits still land (r17)") {
+    // the pure cap rule: bytes bound rows at 4·dims per row, floor 1024
+    assert(VectorSearch.rebalanceTrainCap(2688, 65536, 128L << 20) == 12483)
+    assert(VectorSearch.rebalanceTrainCap(384, 65536, 128L << 20) == 65536)
+    assert(VectorSearch.rebalanceTrainCap(16, 65536, 128L << 20) == 65536)
+    assert(VectorSearch.rebalanceTrainCap(2688, 65536, 1L << 20) == 1024,
+      "tiny budgets floor at 1024 rows")
+    assert(VectorSearch.rebalanceTrainCap(0, 65536, 128L << 20) == 65536)
+    // end-to-end: a budget that forces sampling (1024 of the hot cell's
+    // ~1200 rows) still splits the cell and preserves data + serving
+    val dir = java.nio.file.Files.createTempDirectory("rebal_cap").toString
+    val data = mkData(400, 97)
+    val ivf = VectorSearch.buildIvf(data, "embedding", 4, dir,
+      sampleFraction = 1.0)
+    ivf.append(skewBatch(1200, 1000L, 98), "embedding")
+    ivf.exactScanFraction = 2.0
+    val q = queryVec(data, 3)
+    val before = got(ivf.search(spark, q, 30, nprobe = 4))
+    val fresh = ivf.rebalance(spark, maxTrainBytesPerCell = 1L << 16)
+    assert(fresh ne ivf)
+    assert(fresh.centroids.length > 4)
+    assert(fresh.cellCounts.sum == 1600L)
+    fresh.exactScanFraction = 2.0
+    assert(got(fresh.search(spark, q, 30,
+      nprobe = fresh.centroids.length)) == before)
+    FsUtil.deleteRecursively(java.nio.file.Paths.get(dir))
+  }
 }

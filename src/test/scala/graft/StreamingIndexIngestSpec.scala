@@ -123,4 +123,97 @@ class StreamingIndexIngestSpec extends SparkSpec {
     FsUtil.deleteRecursively(java.nio.file.Paths.get(dir))
     FsUtil.deleteRecursively(java.nio.file.Paths.get(ckpt))
   }
+
+  test("replay fence: batches at or below the persisted marker are skipped, same checkpoint only (r17)") {
+    val dir = java.nio.file.Files.createTempDirectory("ingest_fence").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("ingest_fck").toString
+    val base = mkData(200, 23)
+    val ivf = VectorSearch.buildIvf(
+      base.toDF("vec_id", "cat", "embedding"), "embedding", 4,
+      s"$dir/ivf", sampleFraction = 1.0)
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // simulate a recovered stream whose first two replayed batches were
+    // already applied before the crash: marker says (this ckpt, batch 1)
+    UpsertStream.IngestMarker.write(spark, s"$dir/ivf", ckpt, 1L)
+    val mem = MemoryStream[(Long, Int, Array[Float])]
+    val ingest = UpsertStream.runIndexIngest(
+      mem.toDF().toDF("vec_id", "cat", "embedding"), ivf, "embedding", ckpt)
+    try {
+      // batches 0 and 1 — both at/below the fence: NOT re-appended
+      mem.addData(mkData(30, 25).map { case (id, c, v) => (id + 1000L, c, v) }: _*)
+      ingest.processAllAvailable()
+      mem.addData(mkData(30, 26).map { case (id, c, v) => (id + 2000L, c, v) }: _*)
+      ingest.processAllAvailable()
+      assert(ingest.commits == 0, "fenced batches must not re-append")
+      assert(spark.read.parquet(s"$dir/ivf").count() == 200L)
+      // batch 2 crosses the fence: applied, and the marker advances
+      mem.addData(mkData(30, 27).map { case (id, c, v) => (id + 3000L, c, v) }: _*)
+      ingest.processAllAvailable()
+      assert(ingest.commits == 1)
+      assert(spark.read.parquet(s"$dir/ivf").count() == 230L)
+      assert(UpsertStream.IngestMarker.read(spark, s"$dir/ivf")
+        .contains((ckpt, 2L)))
+    } finally ingest.stop()
+    // a DIFFERENT checkpoint ignores the marker (its batchIds restart)
+    val ckpt2 = java.nio.file.Files.createTempDirectory("ingest_fck2").toString
+    val mem2 = MemoryStream[(Long, Int, Array[Float])]
+    val ingest2 = UpsertStream.runIndexIngest(
+      mem2.toDF().toDF("vec_id", "cat", "embedding"), ingest.index,
+      "embedding", ckpt2)
+    try {
+      mem2.addData(mkData(10, 29).map { case (id, c, v) => (id + 4000L, c, v) }: _*)
+      ingest2.processAllAvailable()
+      assert(ingest2.commits == 1)
+      assert(spark.read.parquet(s"$dir/ivf").count() == 240L)
+    } finally ingest2.stop()
+    FsUtil.deleteRecursively(java.nio.file.Paths.get(dir))
+    FsUtil.deleteRecursively(java.nio.file.Paths.get(ckpt))
+    FsUtil.deleteRecursively(java.nio.file.Paths.get(ckpt2))
+  }
+
+  test("localMap ingest: ids-only stream, driver-side row build, onCommit visibility hook (r17)") {
+    val dir = java.nio.file.Files.createTempDirectory("ingest_local").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("ingest_lck").toString
+    val base = mkData(200, 31)
+    val ivf = VectorSearch.buildIvf(
+      base.toDF("vec_id", "cat", "embedding"), "embedding", 4,
+      s"$dir/ivf", sampleFraction = 1.0)
+    ivf.exactScanFraction = 2.0
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("vec_id", LongType), StructField("cat", IntegerType),
+      StructField("embedding", ArrayType(FloatType))))
+    // the per-object "re-embed": deterministic vector from the id
+    def rowFor(id: Long): org.apache.spark.sql.Row = {
+      val rnd = new scala.util.Random(id)
+      org.apache.spark.sql.Row(id, (id % 3).toInt,
+        Array.fill(dims)(5.0f + rnd.nextFloat() - 0.5f).toSeq)
+    }
+    val committed = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+    val mem = MemoryStream[Long]
+    val ingest = UpsertStream.runIndexIngest(
+      mem.toDF().withColumnRenamed("value", "vec_id"), ivf, "embedding",
+      ckpt,
+      localMap = Some((rows => rows.map(r => rowFor(r.getLong(0))), schema)),
+      onCommit = (_, rows) =>
+        rows.foreach(r => committed.add(r.getLong(0))))
+    try {
+      mem.addData(5000L, 5001L, 5002L)
+      ingest.processAllAvailable()
+      assert(ingest.commits == 1)
+      import scala.jdk.CollectionConverters._
+      assert(committed.asScala.toSet == Set(5000L, 5001L, 5002L))
+      assert(spark.read.parquet(s"$dir/ivf").count() == 203L)
+      // the appended rows serve exactly
+      val q = Array.fill(dims)(5.0f)
+      val got = ingest.index.search(spark, q, 30, nprobe = 4)
+        .select(col("vec_id"), col("score")).collect()
+        .map(r => (r.getLong(0), r.getDouble(1)))
+        .sortBy(t => (-t._2, t._1)).toSeq
+      assert(got == bruteTopK(q, 30, s"$dir/ivf"))
+    } finally ingest.stop()
+    FsUtil.deleteRecursively(java.nio.file.Paths.get(dir))
+    FsUtil.deleteRecursively(java.nio.file.Paths.get(ckpt))
+  }
 }
