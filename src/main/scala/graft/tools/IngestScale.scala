@@ -1,0 +1,291 @@
+package graft.tools
+
+import graft.operators.VectorSearch
+import graft.streaming.UpsertStream
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Open-loop streaming ANN-INGEST rates at the reference's write tiers
+  * (reference `README.md:69-70`: sustained single-object upserts incl.
+  * re-embedding at the 20-QPS and 200-QPS shapes, p95 ≤ 2 s, concurrent
+  * with filtered reads) — the r16 `runIndexIngest` capability measured
+  * the way the store tiers are (`Bench.streamTier`'s methodology):
+  *
+  *   - the feeder offers object IDS on a fixed schedule (50 ms linger);
+  *     each object's arrival timestamp is its SCHEDULED offer time
+  *     (open-loop — no coordinated omission);
+  *   - the stream carries ids only; the per-object 384-dim "re-embed"
+  *     runs driver-side via runIndexIngest's localMap (the
+  *     inference-endpoint shape the store tiers pinned: embedding inside
+  *     the streaming plan puts codegen + a job per micro-batch on the
+  *     commit path);
+  *   - latency = scheduled offer → SEARCH-VISIBLE (onCommit fires after
+  *     append() returns, which is when a search on the handle reads the
+  *     rows); p95 of that vs the reference's 2 s bar;
+  *   - a reader thread serves 1%-selectivity filtered top-k THROUGH
+  *     `IndexIngest.index` (the swapped handle) on a fixed ~1 read/s
+  *     schedule during the tier;
+  *   - three tiers: `ingest_20` (offered 2× at 40/s, reference's 20-QPS
+  *     shape), `ingest_200` (200/s), and `ingest_skew` (200/s of
+  *     hot-topic vectors with `rebalanceEvery` armed, so at least one
+  *     INLINE REBALANCE fires mid-stream and its cost lands inside the
+  *     measured p95 — the self-maintaining-index price, reported, not
+  *     hidden);
+  *   - after the drain: exact (float, brute) recall of the reader's
+  *     config over the FINAL index, ≥ 0.9 gate.
+  *
+  * Base index: SPARK_GRAFT_INGEST_ROWS (default 1M) × _DIMS (384) over
+  * _CELLS (1024) topic-structured rows; one JSON line like Bench.
+  */
+object IngestScale {
+
+  private val Topics = 512
+
+  /** Deterministic topic-structured row — the ONE generator for the
+    * Spark-side base build and the driver-side per-object "re-embed"
+    * (ids are the seed, so both sides agree row-for-row).
+    */
+  def rowTuple(id: Long, dims: Int): (String, String, Array[Float]) = {
+    val topic = (id % Topics).toInt
+    val trnd = new scala.util.Random(topic.toLong * 1099511628211L)
+    val center = Array.fill(dims)((trnd.nextFloat() - 0.5f) * 10f)
+    val rnd = new scala.util.Random(id * 2654435761L)
+    val v = center.map(c => c + (rnd.nextFloat() - 0.5f))
+    (s"ing-$id", s"cat-${id % 100}", v)
+  }
+
+  /** The hot-topic variant: 0.9·(topic-0 center) + 0.1·noise — piles
+    * into one cell but stays spatially divisible (rebalance can split).
+    */
+  def skewTuple(id: Long, dims: Int): (String, String, Array[Float]) = {
+    val trnd = new scala.util.Random(0L)
+    val center = Array.fill(dims)((trnd.nextFloat() - 0.5f) * 10f)
+    val rnd = new scala.util.Random(id * 2654435761L)
+    val v = center.map(c => c * 0.9f + (rnd.nextFloat() - 0.5f) * 3f)
+    (s"ing-$id", s"cat-${id % 100}", v)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val base = sys.env.get("SPARK_GRAFT_WORK_DIR").getOrElse(
+      java.nio.file.Files.createTempDirectory("graft_ingest").toString)
+    val results = scala.collection.mutable.LinkedHashMap[String, Double]()
+    val builder = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.local.dir", s"$base/spark-local")
+    graft.GraftSession.defaults.foreach { case (k, v) => builder.config(k, v) }
+    val spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    graft.GraftSession.prepare(spark)
+    spark.range(1000).select(sum(col("id"))).collect()
+    import spark.implicits._
+
+    def timed[T](name: String)(f: => T): Option[T] = {
+      val t0 = System.nanoTime()
+      try {
+        val r = f
+        results(name) = (System.nanoTime() - t0) / 1e9
+        Some(r)
+      } catch {
+        case e: Throwable =>
+          System.err.println(s"[ingest] $name FAILED: ${e.getMessage}")
+          e.printStackTrace()
+          results(name) = -1.0
+          None
+      }
+    }
+
+    val nRows = sys.env.getOrElse("SPARK_GRAFT_INGEST_ROWS", "1000000").toLong
+    val dims = sys.env.getOrElse("SPARK_GRAFT_INGEST_DIMS", "384").toInt
+    val cells = sys.env.getOrElse("SPARK_GRAFT_INGEST_CELLS", "1024").toInt
+    val idxPath = s"$base/ivf_ingest"
+    println(s"[ingest] rows=$nRows dims=$dims cells=$cells")
+
+    val sourceDs = spark.range(0, nRows, 1, cpus.toInt).as[Long]
+      .mapPartitions(_.map(rowTuple(_, dims)))
+      .toDF("parent_asin", "main_category", "embedding")
+    var ivf: VectorSearch.IvfIndex = null
+    timed("ingest_index_build") {
+      ivf = VectorSearch.buildIvf(sourceDs, "embedding", cells, idxPath,
+        sampleFraction = math.min(1.0, 400000.0 / nRows),
+        occupancyCols = Seq("main_category"))
+    }
+    require(ivf != null, "build failed")
+    results("cells_value") = ivf.centroids.length.toDouble
+
+    // reader config: 1%-selectivity filtered top-100 at nprobe 32 of
+    // 1024 — recall-gated post-tier against the float-exact brute scan
+    val queryVec = rowTuple(7L, dims)._3
+    val readPred = col("main_category") === "cat-7"
+    val readNp = 32
+
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("parent_asin", StringType),
+      StructField("main_category", StringType),
+      StructField("embedding", ArrayType(FloatType))))
+    def rowOf(t: (String, String, Array[Float])): Row =
+      Row(t._1, t._2, t._3.toSeq)
+
+    val streamDebug = sys.env.contains("SPARK_GRAFT_INGEST_DEBUG")
+
+    /** One open-loop tier (Bench.streamTier's methodology on the index
+      * ingest path). Returns after drain; metrics land in `results`.
+      */
+    def tier(name: String, nObjects: Int, offeredQps: Double,
+        idOffset: Long, skew: Boolean, rebalanceEvery: Int): Unit = {
+      val arrivals = new java.util.concurrent.ConcurrentHashMap[Long, Long]()
+      val lats = new java.util.concurrent.ConcurrentLinkedQueue[java.lang.Double]()
+      val readLats = new java.util.concurrent.ConcurrentLinkedQueue[java.lang.Double]()
+      @volatile var reading = true
+      val gen: Long => (String, String, Array[Float]) =
+        if (skew) skewTuple(_, dims) else rowTuple(_, dims)
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      var ingest: UpsertStream.IndexIngest = null
+      val ckpt = java.nio.file.Files
+        .createTempDirectory(s"graft_ick_$name").toString
+      val reader = new Thread(() => {
+        spark.sparkContext.setLocalProperty("spark.scheduler.pool",
+          "graft-read")
+        var nextDue = System.nanoTime()
+        while (reading) {
+          val t0 = System.nanoTime()
+          try {
+            ingest.index.search(spark, queryVec, 100, nprobe = readNp,
+              Some(readPred)).collect()
+            readLats.add((System.nanoTime() - t0) / 1e9)
+          } catch { case _: Throwable => () }
+          nextDue += 1000000000L
+          val waitMs = (nextDue - System.nanoTime()) / 1000000L
+          if (waitMs > 0 && reading) Thread.sleep(waitMs)
+          else nextDue = System.nanoTime()
+        }
+      }, s"$name-reader")
+      try {
+        val mem = MemoryStream[Long]
+        ingest = UpsertStream.runIndexIngest(
+          mem.toDF().withColumnRenamed("value", "id"), ivf, "embedding",
+          ckpt,
+          trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(0),
+          rebalanceEvery = rebalanceEvery,
+          localMap = Some((
+            (rows: Seq[Row]) => rows.map(r => rowOf(gen(r.getLong(0)))),
+            schema)),
+          onCommit = (v, rows) => {
+            val now = System.nanoTime()
+            if (streamDebug)
+              println(s"[ingest] $name batch=$v n=${rows.size}")
+            rows.foreach { r =>
+              val id = r.getString(0).stripPrefix("ing-").toLong
+              val t = arrivals.get(id)
+              if (t != 0L) lats.add((now - t) / 1e9)
+            }
+          })
+        // graduated warmup below idOffset (stream startup + first-plan
+        // codegen + writer JIT are one-offs, not steady-state rate)
+        var warmId = idOffset - 1
+        Seq(1, 8, 32).foreach { n =>
+          mem.addData((0 until n).map { _ => warmId -= 1; warmId + 1 }: _*)
+          ingest.processAllAvailable()
+        }
+        try { new ProcessBuilder("sync").start().waitFor(); () }
+        catch { case _: Throwable => () }
+        // prime the reader's plan once, untimed
+        try ingest.index.search(spark, queryVec, 100, nprobe = readNp,
+          Some(readPred)).collect()
+        catch { case _: Throwable => () }
+        reader.start()
+        timed(name) {
+          val t0 = System.nanoTime()
+          var i = 0
+          while (i < nObjects) {
+            val nowNs = System.nanoTime()
+            val due = math.min(nObjects.toLong,
+              ((nowNs - t0) / 1e9 * offeredQps).toLong + 1).toInt
+            if (due > i) {
+              (i until due).foreach { j =>
+                arrivals.put(idOffset + j,
+                  t0 + (j / offeredQps * 1e9).toLong)
+              }
+              mem.addData((i until due).map(j => idOffset + j): _*)
+              i = due
+            }
+            Thread.sleep(50)
+          }
+          ingest.processAllAvailable()
+        }
+        results(s"${name}_commits_value") = ingest.commits.toDouble
+        results(s"${name}_rebalances_value") = ingest.rebalances.toDouble
+      } catch {
+        case e: Throwable =>
+          System.err.println(
+            s"[ingest] $name tier FAILED: ${e.getClass.getName}: " +
+              e.getMessage)
+          if (!results.contains(name)) results(name) = -1.0
+      } finally {
+        if (ingest != null) { try ingest.stop() catch { case _: Throwable => () } }
+        reading = false
+        reader.join(10000)
+      }
+      def p95(q: java.util.concurrent.ConcurrentLinkedQueue[java.lang.Double])
+          : Option[Double] = {
+        import scala.jdk.CollectionConverters._
+        val xs = q.asScala.map(_.toDouble).toArray.sorted
+        if (xs.isEmpty) None
+        else Some(xs(math.min(xs.length - 1,
+          math.ceil(0.95 * xs.length).toInt - 1)))
+      }
+      if (results.getOrElse(name, -1.0) >= 0) {
+        results(s"${name}_qps_value") =
+          nObjects / math.max(results(name), 1e-9)
+        p95(lats).foreach(v => results(s"${name}_p95_value") = v)
+        results(s"${name}_objects_value") = lats.size.toDouble
+        p95(readLats).foreach(v =>
+          results(s"${name}_read_p95_value") = v)
+        results(s"${name}_reads_value") = readLats.size().toDouble
+      }
+      graft.FsUtil.deleteRecursively(java.nio.file.Paths.get(ckpt))
+      // the tiers chain on the same index: later tiers ingest through
+      // whatever handle the previous tier left (incl. rebalance swaps)
+      ivf = if (ingest != null) ingest.index else ivf
+    }
+
+    // warmup ids sit below the measured ranges; tiers use disjoint ids
+    tier("ingest_20", 800, 40.0, nRows + 1000000L, skew = false,
+      rebalanceEvery = 0)
+    tier("ingest_200", 5000, 200.0, nRows + 2000000L, skew = false,
+      rebalanceEvery = 0)
+    // the skew tier arms the inline cadence: commits are free-running,
+    // so 25 commits ≈ every few seconds at this rate — at least one
+    // rebalance lands mid-stream and is PART of the measured p95
+    tier("ingest_skew", 4000, 200.0, nRows + 3000000L, skew = true,
+      rebalanceEvery = 25)
+    results("maxcell_post_skew_value") = ivf.cellCounts.max.toDouble
+    results("cells_post_skew_value") = ivf.centroids.length.toDouble
+
+    // post-drain recall gate: the reader's exact config vs the FLOAT
+    // brute scan over the final index files (float layout: __vec IS the
+    // stored representation)
+    timed("ingest_recall_eval") {
+      val idxDf = spark.read.parquet(idxPath)
+      val exact = VectorSearch.topKMulti(
+        idxDf.filter(readPred), "__vec", Seq(queryVec), 100, "parent_asin")
+        .collect().map(_.getString(3)).toSet
+      val approx = ivf.search(spark, queryVec, 100, nprobe = readNp,
+        Some(readPred)).select(col("parent_asin")).collect()
+        .map(_.getString(0)).toSet
+      results("ingest_read_recall_value") =
+        if (exact.isEmpty) 1.0
+        else exact.intersect(approx).size.toDouble / exact.size
+    }
+
+    val json = results.map { case (k, v) => s""""$k":$v""" }.mkString(",")
+    println(s"""{"metric":"ingest_scale","rows":$nRows,"dims":$dims,""" +
+      s""""queries":{$json},"sf":"synthetic"}""")
+    spark.stop()
+    if (sys.env.get("SPARK_GRAFT_WORK_DIR").isEmpty)
+      graft.FsUtil.deleteRecursively(java.nio.file.Paths.get(base))
+  }
+}
