@@ -1206,6 +1206,62 @@ object VectorQueries {
         SELECT vec_id, round(${sqlDot("e.embedding", "q.qv")}, 4) + 0 AS score
         FROM embeddings e CROSS JOIN q
         WHERE vec_id % 3 = 0
-        ORDER BY ${sqlDot("e.embedding", "q.qv")} DESC, vec_id LIMIT 20"""))
+        ORDER BY ${sqlDot("e.embedding", "q.qv")} DESC, vec_id LIMIT 20""")),
+
+    // ---- tombstone-aware probe planning (r17): when most of a filter's
+    //      matches are deleted, tombstone-INCLUSIVE volumes would stop
+    //      the ≥ k widening early and miss the thin-support
+    //      classification — the plan reads fewer live match-bearing
+    //      cells than the answer needs until scrub. The r17 live lower
+    //      bounds (inclusive − per-cell tombstone counts, persisted by
+    //      delete()) restore it: at k = 8 the INCLUSIVE support (167 /
+    //      667 matching rows at sf0.01 / sf0.1) is past the 16·k thin
+    //      bar while the LIVE support (16 / 61) is under it, so the
+    //      require() that the thin-support rule planned discriminates
+    //      exactly the fixed path. The delete runs through the
+    //      DataFrame overload (r17: Spark-side canonicalization,
+    //      distributed dedup); the oracle is DuckDB's exact filtered
+    //      top-k with the deleted ids excluded by predicate ----
+    QueryDef(
+      "q126_tombstone_widen",
+      (s, d) => {
+        val e = Tables.embeddings(s, d)
+        val root = java.nio.file.Files.createTempDirectory("q126_widen")
+        try {
+          VectorSearch.buildIvf(e, "embedding", 8, s"$root/ivf",
+            sampleFraction = 1.0)
+          val loaded = VectorSearch.IvfIndex.load(s, s"$root/ivf")
+          loaded.exactScanFraction = 2.0 // pin the probe read
+          loaded.thinReadFraction = 1.0 // open thin's cost gate (q119)
+          val pred = col("vec_id") % 3 === 0
+          val delDf = e.filter(pred && col("vec_id") % 33 =!= 0)
+            .select(col("vec_id"))
+          val expected = delDf.count()
+          require(loaded.delete(s, "vec_id", delDf) == expected,
+            "DataFrame delete did not tombstone the full id set")
+          require(VectorSearch.IvfIndex.readCellTombs(s, s"$root/ivf")
+            .exists(_._1 == expected),
+            "per-cell tombstone counts were not persisted beside the ids")
+          val qv = e.filter(col("vec_id") === 5).select(col("embedding"))
+            .head().getSeq[Float](0).toArray
+          val thin0 = loaded.thinSupportPlanCount
+          val hits = loaded.search(s, qv, 8, nprobe = 1, Some(pred))
+            .select(col("vec_id"), col("score")).collect()
+          require(loaded.thinSupportPlanCount > thin0,
+            "thin-support did not fire on LIVE counts — planning is " +
+              "still tombstone-inclusive")
+          import s.implicits._
+          hits.map(r => (r.getLong(0), r.getDouble(1)))
+            .sortBy(t => (-t._2, t._1)).toSeq
+            .toDF("vec_id", "score_raw")
+            .select(col("vec_id"),
+              (round(col("score_raw"), 4) + 0.0).as("score"))
+        } finally graft.FsUtil.deleteRecursively(root)
+      },
+      Some(s"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 5)
+        SELECT vec_id, round(${sqlDot("e.embedding", "q.qv")}, 4) + 0 AS score
+        FROM embeddings e CROSS JOIN q
+        WHERE vec_id % 33 = 0
+        ORDER BY ${sqlDot("e.embedding", "q.qv")} DESC, vec_id LIMIT 8"""))
   )
 }
