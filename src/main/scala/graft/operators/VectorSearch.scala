@@ -25,6 +25,18 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
   */
 object VectorSearch {
 
+  /** The TAIL segment's partition value: streaming appends
+    * ([[IvfIndex.appendTail]]) land as whole-batch files under
+    * `__cluster=-1` — one file per commit instead of one per touched
+    * cell — and every search reads `planned cells ∪ tail` until
+    * [[IvfIndex.compactTail]] migrates the rows into their real cells
+    * (the LSM shape: a small always-scanned growing segment keeps the
+    * write path O(1) files; the sealed per-cell layout keeps probes
+    * pruned). Never a valid cell id: assignment kernels return
+    * `[0, numClusters)`.
+    */
+  private[graft] val TailCell: Int = -1
+
   /** Largest searchMulti probe-set union served by a MapType-literal
     * mask; bigger unions switch to a broadcast (cluster → bitmap) join.
     * The literal's `element_at` is a linear key scan — O(|union|)
@@ -284,6 +296,45 @@ object VectorSearch {
       */
     private[graft] def occupancyTable: Map[String, Map[(Int, String), Long]] =
       occupancyNow
+
+    /** Rows in the streaming TAIL segment — files under the
+      * `__cluster=-1` partition that [[appendTail]] writes and
+      * [[compactTail]] folds away. `null` = unknown (fresh load,
+      * deserialized handle, external writer): recomputed on demand by
+      * [[tailRowsNow]]. A boxed Long because `@transient` fields
+      * deserialize to JVM defaults and a primitive 0 would silently
+      * read as "no tail".
+      */
+    @transient @volatile private var tailRowsKnown: java.lang.Long = null
+
+    /** Whether any tail files exist — jobless: the census answers from
+      * driver memory; without one, a single directory probe.
+      */
+    private def tailPresent(spark: SparkSession): Boolean = censusOpt match {
+      case Some((_, _, files)) => files.exists(_.cluster == VectorSearch.TailCell)
+      case None =>
+        import org.apache.hadoop.fs.Path
+        val d = new Path(path, s"__cluster=${VectorSearch.TailCell}")
+        try d.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(d)
+        catch { case _: Exception => false }
+    }
+
+    /** Exact tail row count, memoized. First call after a fresh load of
+      * an index WITH a tail runs one footer-only count over the tail
+      * partition; tail-less indexes answer jobless.
+      */
+    private[graft] def tailRowsNow(spark: SparkSession): Long = {
+      val t = tailRowsKnown
+      if (t != null) t.longValue()
+      else {
+        val v =
+          if (!tailPresent(spark)) 0L
+          else indexDf(spark)
+            .filter(col("__cluster") === VectorSearch.TailCell).count()
+        tailRowsKnown = java.lang.Long.valueOf(v)
+        v
+      }
+    }
 
     /** Radius used for probe ORDERING: the RMS radius when the build
       * recorded one, else the max radius. RMS is the robust choice —
@@ -695,7 +746,9 @@ object VectorSearch {
         if (total <= 0L) false
         else {
           val union = scala.collection.mutable.BitSet.empty
-          effective.foreach(_.iterator.foreach(union += _))
+          // BitSet cannot hold negatives; the tail pseudo-cell (−1) is
+          // outside cellCounts and outside this arbitration anyway
+          effective.foreach(_.iterator.filter(_ >= 0).foreach(union += _))
           val planned = union.iterator
             .map(c => if (c < cellCounts.length) cellCounts(c) else 0L).sum
           if (planned.toDouble >= frac * total) true
@@ -1070,6 +1123,7 @@ object VectorSearch {
       filesPerCellCache = -1.0
       deletesNow0 = null // re-read `_graft_deletes` (external deletes/scrubs)
       cellTombsNow = null // keyed to (nids, epoch); both may have moved
+      tailRowsKnown = null // external appendTail/compactTail: recount
       censusNow0 = None // external appends: the file list is stale
       // occupancy cannot be rebuilt here (it only folds this handle's
       // own appends), so any external rows refresh() just made visible
@@ -1170,7 +1224,20 @@ object VectorSearch {
       // type gate didn't anticipate), the scan is the ground truth, and a
       // genuinely-zero-match filter pays one memoized empty count job
       // instead of silently returning zero search results
-      occupancyCounts(f).filter(_.valuesIterator.sum > 0L).getOrElse {
+      //
+      // TAIL rows (appendTail's deferred-fold segment) are outside the
+      // occupancy table; the jobless path stays jobless by carrying
+      // them as pseudo-cell −1 with the TAIL SIZE as the match count —
+      // an upper bound (tail matches ≤ tail rows) that keeps the
+      // zero-match fast path sound (a filter whose only matches sit in
+      // the tail can't be served an empty answer) and makes planning
+      // probe the tail, which is read in full anyway. The count-scan
+      // path below counts the tail's matches exactly (its rows group
+      // under the −1 partition value).
+      occupancyCounts(f).filter(_.valuesIterator.sum > 0L).map { m =>
+        val tr = tailRowsNow(spark)
+        if (tr > 0L) m.updated(VectorSearch.TailCell, tr) else m
+      }.getOrElse {
         // stable across calls for the same predicate (repeated searches
         // hit the memo) and type-faithful (lit(1) vs lit("1") cannot
         // alias one entry) — see Bridge.stableKey
@@ -1215,7 +1282,12 @@ object VectorSearch {
           val scanDf = candidateCells match {
             case Some(cells) if cells.length < centroids.length &&
                 cells.length <= VectorSearch.maskLiteralMaxCells =>
-              indexDf(spark).filter(col("__cluster").isin(cells: _*))
+              // the occupancy bound doesn't cover TAIL rows — a pruned
+              // scan must still count the tail's matches exactly
+              val withTail =
+                if (tailRowsNow(spark) > 0L) cells :+ VectorSearch.TailCell
+                else cells
+              indexDf(spark).filter(col("__cluster").isin(withTail: _*))
             case _ => indexDf(spark)
           }
           val counts = scanDf.filter(f)
@@ -1329,30 +1401,48 @@ object VectorSearch {
           totalMatches <= tf * k && cellCounts.nonEmpty && {
             val totalRows = cellCounts.sum
             totalRows > 0L && {
+              // tail (pseudo-cell −1) excluded from the cost volume:
+              // it is read regardless of this decision, and cellCounts
+              // describes compacted cells only
               val vol = counts.keysIterator
-                .map(c => if (c < cellCounts.length) cellCounts(c) else 0L)
+                .map(c => if (c >= 0 && c < cellCounts.length) cellCounts(c)
+                  else 0L)
                 .sum
               vol.toDouble <= trf * totalRows
             }
           }
         if (thinAll) thinSupportPlans.incrementAndGet()
+        // every plan carries the TAIL segment when it may hold matches:
+        // tail rows were never assigned, so no ranked cell accounts for
+        // them — the plan's membership claim (no live-match region
+        // dropped) requires reading the tail until compaction folds it.
+        // Never counted toward the ≥ k widening (a plan widens as if
+        // the tail held nothing — the conservative direction).
+        val tailPlan = counts.getOrElse(VectorSearch.TailCell, 0L) > 0L
         queries.map { q =>
           val ranked = nearestClusters(q, centroids.length)
             .filter(c => counts.getOrElse(c, 0L) > 0L)
-          if (thinAll) ranked
-          else {
-            val sel = scala.collection.mutable.ArrayBuffer.empty[Int]
-            var cum = 0L
-            var i = 0
-            while (i < ranked.length && (i < nprobe || cum < target)) {
-              sel += ranked(i)
-              cum += liveAt(ranked(i))
-              i += 1
+          val planned =
+            if (thinAll) ranked
+            else {
+              val sel = scala.collection.mutable.ArrayBuffer.empty[Int]
+              var cum = 0L
+              var i = 0
+              while (i < ranked.length && (i < nprobe || cum < target)) {
+                sel += ranked(i)
+                cum += liveAt(ranked(i))
+                i += 1
+              }
+              sel.toSeq
             }
-            sel.toSeq
-          }
+          if (tailPlan) planned :+ VectorSearch.TailCell else planned
         }
-      case _ => queries.map(q => nearestClusters(q, nprobe))
+      case _ =>
+        val tailPlan = tailRowsNow(spark) > 0L
+        queries.map { q =>
+          val planned = nearestClusters(q, nprobe)
+          if (tailPlan) planned :+ VectorSearch.TailCell else planned
+        }
     }
 
     /** Approximate filtered top-k probing `nprobe` clusters. Partition
@@ -1388,9 +1478,13 @@ object VectorSearch {
       // refinement budget ([[pqOverfetch]]), not by a scan fallback.
       if (pqMode)
         return searchPqProbe(spark, query, k, clusters, filter)
-      val exact = clusters.length == centroids.length ||
-        exactScanWins(spark, Seq(clusters), filter.isDefined)
-      if (exact && clusters.length != centroids.length)
+      // full-plan/switch arbitration over REAL cells only — the tail
+      // (pseudo-cell −1, appended by probePlan) is outside cellCounts
+      // and is read by the full scan either way
+      val realCells = clusters.filter(_ >= 0)
+      val exact = realCells.length == centroids.length ||
+        exactScanWins(spark, Seq(realCells), filter.isDefined)
+      if (exact && realCells.length != centroids.length)
         exactSwitches.incrementAndGet()
       val probeDf =
         if (exact) servingDf(spark)
@@ -1421,7 +1515,7 @@ object VectorSearch {
       pqPhase1.incrementAndGet()
       val lut = graft.operators.Quantize.pqLut(query, pqCodebooksNow)
       val base =
-        if (clusters.length == centroids.length) servingDf(spark)
+        if (clusters.count(_ >= 0) == centroids.length) servingDf(spark)
         else servingDf(spark).filter(col("__cluster").isin(clusters: _*))
       val filtered = filter.map(base.filter).getOrElse(base)
       val shortK = math.max(k, k * math.max(1, pqOverfetch))
@@ -1472,14 +1566,17 @@ object VectorSearch {
       // way): when the union holds ≥ exactScanSwitchFraction of the
       // rows, one exact multi-query scan beats probing it cell by cell,
       // returns recall 1.0 for every query, and skips the mask
-      // machinery entirely
-      if (unionAll.size < centroids.length &&
-          exactScanWins(spark, effective, filter.isDefined)) {
+      // machinery entirely. Arbitration over REAL cells — the tail
+      // (pseudo-cell −1) is outside cellCounts and read either way.
+      val unionReal = unionAll.count(_ >= 0)
+      if (unionReal < centroids.length &&
+          exactScanWins(spark, effective.map(_.filter(_ >= 0)),
+            filter.isDefined)) {
         exactSwitches.incrementAndGet()
         return exactMulti(spark, queries, k, idCol, filter)
       }
       val base =
-        if (unionAll.size == centroids.length) servingDf(spark)
+        if (unionReal == centroids.length) servingDf(spark)
         else servingDf(spark).filter(col("__cluster").isin(unionAll.toSeq: _*))
       val filtered = filter.map(base.filter).getOrElse(base)
       maskedMultiTopK(spark, filtered, effective, queries, scoreExpr, k,
@@ -1539,7 +1636,11 @@ object VectorSearch {
         }
       val scores = array(queries.zip(effective).zipWithIndex.map {
         case ((q, s), qi) =>
-          if (s.size == centroids.length) scoreOf(q)
+          // unmasked only when the query's set covers every partition
+          // value the scan can contain — all real cells, plus the tail
+          // pseudo-cell when the plan carries one
+          if (s.size == centroids.length +
+              (if (s(VectorSearch.TailCell)) 1 else 0)) scoreOf(q)
           else when(
             shiftright(element_at(col("__mask"), qi / 64 + 1), qi % 64)
               .bitwiseAND(1L) === 1L,
@@ -1579,7 +1680,7 @@ object VectorSearch {
       pqPhase1.incrementAndGet()
       val cbs = pqCodebooksNow
       val base =
-        if (unionAll.size == centroids.length) servingDf(spark)
+        if (unionAll.count(_ >= 0) == centroids.length) servingDf(spark)
         else servingDf(spark).filter(col("__cluster").isin(unionAll.toSeq: _*))
       val filtered = filter.map(base.filter).getOrElse(base)
       // phase 1: the id carries its cluster ("<cluster>\u0001<id>") so phase
@@ -1800,6 +1901,263 @@ object VectorSearch {
         saveManifest(updates.sparkSession)
         appendsSinceCheckpoint = 0
       }
+    }
+
+    /** Streaming-latency append: the batch lands as ONE file in the
+      * TAIL segment (`__cluster=-1`) — no assignment kernel, no
+      * stats/occupancy folds, no per-cell fan-out — so the commit cost
+      * is one small write job plus a single-directory census fold,
+      * regardless of how many cells the batch's vectors belong to.
+      * [[append]] writes a file per touched cell (right for batch
+      * loads, where files amortize); at single-object upsert rates that
+      * fan-out IS the latency (measured: ~2 s/commit at 200 QPS,
+      * ~0.85 of it the per-cell write+listing — BENCH_ingest_r17), so
+      * the streaming path buys the LSM trade instead: every search
+      * scans `planned cells ∪ tail` (the tail is commit-sized × the
+      * compaction cadence, so the extra read is bounded and small) and
+      * [[compactTail]] migrates tail rows into their cells on a cadence,
+      * restoring the pruned layout.
+      *
+      * Planning stays honest without per-batch folds: cell MEMBERSHIP
+      * and per-cell counts describe the compacted layout only; the tail
+      * rides along as pseudo-cell −1 — always probed, its match count
+      * exact under count-scan planning and upper-bounded by the tail
+      * size under jobless occupancy planning, and never counted toward
+      * the ≥ k widening target (conservative: plans widen as if the
+      * tail held nothing). Rows are encoded to the layout's stored
+      * representation here (sq8 codes / pq codes), identically to
+      * [[append]] — tail rows score through the same expressions as
+      * compacted rows.
+      *
+      * Durability: the file write is the commit (same as [[append]];
+      * the epoch bump precedes it, so a crashed half-append can never
+      * serve from a stale census). Single writer per index.
+      *
+      * @return rows appended
+      */
+    def appendTail(updates: DataFrame, vecCol: String): Long = {
+      val spark = updates.sparkSession
+      val priorCensus = censusOpt
+      val newEpoch = {
+        import org.apache.spark.sql.graft.CensusIndex
+        val e = CensusIndex.readEpoch(spark, path).getOrElse(0L) + 1L
+        CensusIndex.writeEpoch(spark, path, e)
+        e
+      }
+      val based = updates.withColumnRenamed(vecCol, "__vec")
+      // schema-uniform with the cell files: __dist is the build's stats
+      // column — meaningless before assignment, so an explicit null
+      // (recomputed by compactTail) keeps every file's parquet schema
+      // identical and the listing fallback merge-free
+      val withDist =
+        if (hasDistColumn) based.withColumn("__dist", lit(null).cast("double"))
+        else based
+      val withPq =
+        if (pqMode) withDist.withColumn("__pq",
+          graft.functions.pq_encode(col("__vec"), pqCodebooksNow))
+        else withDist
+      val toWrite =
+        if (quantized)
+          graft.operators.Quantize.quantize(withPq, "__vec").drop("__vec")
+        else withPq
+      val obs = org.apache.spark.sql.Observation()
+      toWrite
+        .withColumn("__cluster", lit(VectorSearch.TailCell))
+        .observe(obs, count(lit(1)).as("__n"))
+        .coalesce(1)
+        .write.mode("append").option("compression", "snappy")
+        .partitionBy("__cluster").parquet(path)
+      val n = obs.get("__n").asInstanceOf[Long]
+      val before = tailRowsKnown
+      tailRowsKnown =
+        if (before == null) null // still unknown; count lazily later
+        else java.lang.Long.valueOf(before.longValue() + n)
+      dfCache.clear(); countCache.clear()
+      filesPerCellCache = -1.0
+      cellTombsNow = null // keyed to the epoch this append just bumped
+      censusNow0 = priorCensus match {
+        case Some((_, schema, oldFiles)) =>
+          foldCensus(spark, schema, oldFiles,
+            Set(VectorSearch.TailCell), newEpoch)
+        case None => None
+      }
+      appendsSinceCheckpoint += 1
+      if (manifestCheckpointEvery > 0 &&
+          appendsSinceCheckpoint >= manifestCheckpointEvery) {
+        saveManifest(spark)
+        appendsSinceCheckpoint = 0
+      }
+      n
+    }
+
+    /** Migrate every TAIL row into its real cell and fold the stats the
+      * tail deferred — the compaction half of the [[appendTail]] LSM
+      * trade. One assignment pass over the tail (the same frozen-kernel
+      * rule as [[append]]; on sq8/pq layouts it runs on the dequantized
+      * stored representation, like [[rebalance]]), survivors stage
+      * invisibly, and the move commits through the scrub journal under
+      * the REBALANCE header (tombstones, unlike scrub's, are kept — a
+      * tombstoned tail row stays excluded before, during and after).
+      * Radii/RMS/cellCounts/occupancy fold exactly from the same pass,
+      * so post-compaction the index is indistinguishable from one whose
+      * batches went through [[append]] directly (spec-pinned). Cost ∝
+      * tail rows + one file per touched cell.
+      *
+      * Crash contract: before the journal lands the tail files are
+      * untouched (stage dir is invisible and dropped by the next
+      * writer); after it, replay (here, [[IvfIndex.load]], or the next
+      * scrub/compact) completes the move idempotently. A crash between
+      * replay and the manifest save leaves counts that lag the moved
+      * rows until the next checkpoint — [[append]]'s existing cadence
+      * contract, with membership correctness unaffected (searches list
+      * or census the real files either way).
+      *
+      * @return rows compacted out of the tail
+      */
+    def compactTail(spark: SparkSession): Long = {
+      import org.apache.hadoop.fs.Path
+      val rootPath = new Path(path)
+      val fs = rootPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      IvfIndex.completeScrubIfPending(spark, path)
+      deletesNow0 = null // the replay may have been a scrub's
+      if (!tailPresent(spark)) return 0L
+      val rootUriPath = fs.makeQualified(rootPath).toUri.getPath
+      def relativize(p: Path): String = {
+        val s = fs.makeQualified(p).toUri.getPath
+        require(s.startsWith(rootUriPath + "/"),
+          s"compact file $s outside index root $rootUriPath")
+        s.substring(rootUriPath.length + 1)
+      }
+      val stage = new Path(rootPath, IvfIndex.ScrubStageDir)
+      if (fs.exists(stage)) { fs.delete(stage, true); () }
+      val tailDir = new Path(rootPath, s"__cluster=${VectorSearch.TailCell}")
+      val tailFiles: Seq[String] =
+        if (!fs.exists(tailDir)) Seq.empty
+        else fs.listStatus(tailDir).toSeq
+          .filter { st =>
+            val nm = st.getPath.getName
+            st.isFile && !nm.startsWith("_") && !nm.startsWith(".")
+          }
+          .map(st => relativize(st.getPath))
+      if (tailFiles.isEmpty) return 0L
+      // epoch bump BEFORE any file motion (append/scrub discipline)
+      val newEpoch = {
+        import org.apache.spark.sql.graft.CensusIndex
+        val e = CensusIndex.readEpoch(spark, path).getOrElse(0L) + 1L
+        CensusIndex.writeEpoch(spark, path, e)
+        e
+      }
+      def vecExpr: Column =
+        if (quantized) graft.operators.Quantize.dequantize(
+          col("__codes"), col("__qmin"), col("__qmax"))
+        else col("__vec")
+      val absTail = tailFiles.map(f => s"$path/$f")
+      val assigned = spark.read.option("basePath", path)
+        .parquet(absTail: _*)
+        .drop("__cluster")
+        .withColumn("__cluster", appendKernels._1(vecExpr))
+        .withColumn("__newdist",
+          centroid_dist_at(vecExpr, col("__cluster"), centroids))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        val stats = assigned.select(col("__cluster").as("__c"),
+            col("__newdist").as("__d"))
+          .groupBy(col("__c"))
+          .agg(count(lit(1)).as("__n"), sum(col("__d")).as("__s"),
+            max(col("__d")).as("__m")).collect()
+        val moved = stats.iterator.map(_.getLong(1)).sum
+        val presentCols = assigned.columns.toSet
+        val occCols = occupancyNow.keySet.filter(presentCols).toSeq.sorted
+        val occAdd: Map[String, Map[(Int, String), Long]] =
+          occCols.iterator.map { oc =>
+            oc -> assigned.filter(col(oc).isNotNull)
+              .groupBy(col("__cluster"), col(oc).cast("string").as("__v"))
+              .agg(count(lit(1)).as("__n")).collect()
+              .map(r => (r.getInt(0), r.getString(1)) -> r.getLong(2)).toMap
+          }.toMap
+        val toWrite =
+          (if (hasDistColumn) assigned.withColumn("__dist", col("__newdist"))
+           else assigned).drop("__newdist")
+        toWrite
+          .sortWithinPartitions(col("__cluster"))
+          .write.mode("append").option("compression", "snappy")
+          .partitionBy("__cluster").parquet(stage.toString)
+        val moves: Seq[(Int, String, String, Long, Long)] =
+          if (!fs.exists(stage)) Seq.empty
+          else fs.listStatus(stage).toSeq.filter(_.isDirectory)
+            .filter(_.getPath.getName.startsWith("__cluster="))
+            .flatMap { d =>
+              val c = d.getPath.getName.stripPrefix("__cluster=").toInt
+              fs.listStatus(d.getPath).toSeq
+                .filter { st =>
+                  val nm = st.getPath.getName
+                  st.isFile && !nm.startsWith("_") && !nm.startsWith(".")
+                }
+                .map { st =>
+                  val nm = st.getPath.getName
+                  (c, relativize(st.getPath),
+                    s"__cluster=$c/compact-$newEpoch-$nm",
+                    st.getLen, st.getModificationTime)
+                }
+            }
+        // commit point: rebalance header keeps any tombstone set
+        val lines =
+          Seq(IvfIndex.RebalanceJournalHeader) ++
+            moves.map(m => s"MOV\t${m._2}\t${m._3}") ++
+            tailFiles.map(f => s"OLD\t$f")
+        val tmp = new Path(rootPath, IvfIndex.ScrubJournal + ".tmp")
+        val out = fs.create(tmp, true)
+        try out.write(lines.mkString("\n").getBytes("UTF-8"))
+        finally out.close()
+        require(fs.rename(tmp, new Path(rootPath, IvfIndex.ScrubJournal)),
+          "could not commit compaction journal")
+        if (failAfterJournal)
+          throw new RuntimeException(
+            "injected crash after compaction journal commit (test hook)")
+        IvfIndex.replayScrub(fs, rootPath)
+        // fold the deferred stats — append()'s folds, from this pass
+        stats.foreach { r =>
+          val c = r.getInt(0)
+          val n = r.getLong(1); val s = r.getDouble(2); val m = r.getDouble(3)
+          if (c >= 0 && c < radii.length)
+            radii(c) = math.max(radii(c), math.sqrt(m))
+          if (c >= 0 && c < rmsRadii.length && c < cellCounts.length) {
+            val n0 = cellCounts(c)
+            val meanSq = (rmsRadii(c) * rmsRadii(c) * n0 + s) /
+              math.max(n0 + n, 1L)
+            rmsRadii(c) = math.sqrt(meanSq)
+            cellCounts(c) = n0 + n
+          }
+        }
+        occupancyNow = occupancyNow.map { case (oc, table) =>
+          occAdd.get(oc) match {
+            case None => oc -> table
+            case Some(add) =>
+              oc -> add.foldLeft(table) { case (t, (k2, n)) =>
+                t.updated(k2, t.getOrElse(k2, 0L) + n)
+              }
+          }
+        }
+        tailRowsKnown = java.lang.Long.valueOf(0L)
+        dfCache.clear(); countCache.clear()
+        filesPerCellCache = -1.0
+        cellTombsNow = null // epoch moved; recompute under tombstones
+        coarseRouterCache = null // radii folds above
+        censusNow0 = censusOpt match {
+          case Some((_, schema, files)) =>
+            val gone = tailFiles.toSet
+            val kept = files.filterNot(f => gone(f.relPath))
+            val added = moves.map { case (c, _, targetRel, len, mtime) =>
+              org.apache.spark.sql.graft.CensusIndex.CensusFile(
+                c, targetRel, len, mtime)
+            }
+            Some((newEpoch, schema, kept ++ added))
+          case None => None
+        }
+        saveManifest(spark)
+        appendsSinceCheckpoint = 0
+        moved
+      } finally { assigned.unpersist(blocking = false); () }
     }
 
     private def deletesDir: String = s"$path/${IvfIndex.DeletesDir}"
@@ -2118,16 +2476,27 @@ object VectorSearch {
         // 7. driver state: counts down-folded exactly, caches dropped,
         //    census folded (old files out, staged files in)
         perCell.foreach { case (c, n) =>
-          if (c < cellCounts.length)
+          if (c >= 0 && c < cellCounts.length)
             cellCounts(c) = math.max(0L, cellCounts(c) - n)
+        }
+        // tombstoned TAIL rows scrub like any others (their files group
+        // under the −1 partition); they were never in cellCounts or
+        // occupancy — only the tail size moves
+        perCell.get(VectorSearch.TailCell).foreach { n =>
+          val t = tailRowsKnown
+          if (t != null)
+            tailRowsKnown = java.lang.Long.valueOf(
+              math.max(0L, t.longValue() - n))
         }
         occupancyNow = occupancyNow.map { case (oc, table) =>
           occDeltas.get(oc) match {
             case None => oc -> table
             case Some(deltas) =>
-              oc -> deltas.foldLeft(table) { case (tb, (k2, n)) =>
-                val left = tb.getOrElse(k2, 0L) - n
-                if (left > 0L) tb.updated(k2, left) else tb.removed(k2)
+              oc -> deltas.foldLeft(table) {
+                case (tb, ((c, _), _)) if c < 0 => tb // tail: never folded in
+                case (tb, (k2, n)) =>
+                  val left = tb.getOrElse(k2, 0L) - n
+                  if (left > 0L) tb.updated(k2, left) else tb.removed(k2)
               }
           }
         }
@@ -2213,6 +2582,10 @@ object VectorSearch {
         centroids.headOption.map(_.length).getOrElse(0),
         maxTrainPerCell, maxTrainBytesPerCell)
       scrub(spark)
+      // fold any streaming TAIL first: hot-cell detection reads
+      // cellCounts, which only compaction updates — a skewed stream's
+      // rows otherwise sit invisible in the tail and nothing looks hot
+      compactTail(spark)
       if (cellCounts.isEmpty) return this
       val k0 = centroids.length
       val totalRows = cellCounts.sum
@@ -2597,8 +2970,12 @@ object VectorSearch {
           val rows = snap.flatMap { case (fk, m) =>
             // a genuinely-zero-match filter memoizes an EMPTY map —
             // persist it as a (-1, 0) sentinel so a fresh process keeps
-            // serving the zero without re-scanning
+            // serving the zero without re-scanning. Maps that carry a
+            // TAIL entry are NOT persisted: cluster −1 is the sentinel's
+            // key, and a tail count is transient anyway (compaction
+            // re-keys it; the epoch gate would discard it regardless)
             if (m.isEmpty) Seq(Row(fk, -1, 0L))
+            else if (m.contains(VectorSearch.TailCell)) Seq.empty
             else m.iterator.map { case (c, n) => Row(fk, c, n) }.toSeq
           }
           spark.createDataFrame(

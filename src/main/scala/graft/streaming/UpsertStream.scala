@@ -919,6 +919,9 @@ object UpsertStream {
     /** Inline rebalances that actually split a cell (diagnostic). */
     @volatile private[streaming] var rebalanceCount: Int = 0
     def rebalances: Int = rebalanceCount
+    /** Inline tail compactions run (diagnostic). */
+    @volatile private[streaming] var compactionCount: Int = 0
+    def compactions: Int = compactionCount
     @volatile private[streaming] var query: StreamingQuery = _
     def streamingQuery: StreamingQuery = query
     def processAllAvailable(): Unit =
@@ -927,17 +930,23 @@ object UpsertStream {
   }
 
   /** Streaming ANN-index ingest — the arc from the streaming layer into
-    * the vector index: each micro-batch APPENDS to an
-    * [[graft.operators.VectorSearch.IvfIndex]] (frozen-centroid
-    * assignment, cluster-partitioned file append — O(batch), per
-    * append's scaladoc), so searches through [[IndexIngest.index]] see
-    * new vectors at micro-batch latency, and the manifest checkpoints on
-    * append's own cadence — a crashed ingester resumes
-    * load()-consistent. foreachBatch replays AT-LEAST-ONCE from the last
-    * committed offset; the per-batch (checkpoint, batchId) marker fence
-    * (r17, below) makes the replay idempotent except for a crash landing
-    * exactly between an append and its marker write, which duplicates at
-    * most that one batch (documented at the fence).
+    * the vector index: each micro-batch lands in the index's TAIL
+    * segment ([[graft.operators.VectorSearch.IvfIndex.appendTail]] —
+    * ONE file per commit, no per-cell fan-out; searches through
+    * [[IndexIngest.index]] read `probed cells ∪ tail`, so new vectors
+    * are visible at micro-batch latency), and every `compactEvery`
+    * commits — or when the tail outgrows `compactMaxRows` — an inline
+    * [[graft.operators.VectorSearch.IvfIndex.compactTail]] migrates the
+    * tail into its real cells, restoring the pruned layout. This is the
+    * LSM shape the write path needs: the r16 design appended a file per
+    * touched cell per commit, and at single-object rates that fan-out
+    * measured ~2 s/commit — the whole p95 (BENCH_ingest_r17; the tail
+    * commit is one small write job). foreachBatch replays
+    * AT-LEAST-ONCE from the last committed offset; the per-batch
+    * (checkpoint, batchId) marker fence (r17, below) makes the replay
+    * idempotent except for a crash landing exactly between an append
+    * and its marker write, which duplicates at most that one batch
+    * (documented at the fence).
     *
     * Inline maintenance: every `rebalanceEvery` commits (0 = never) the
     * ingest runs [[graft.operators.VectorSearch.IvfIndex.rebalance]] in
@@ -966,7 +975,8 @@ object UpsertStream {
       maxCells: Int = 65536,
       localMap: Option[(Seq[Row] => Seq[Row],
         org.apache.spark.sql.types.StructType)] = None,
-      onCommit: (Long, Seq[Row]) => Unit = (_, _) => ()): IndexIngest = {
+      onCommit: (Long, Seq[Row]) => Unit = (_, _) => (),
+      compactEvery: Int = 64, compactMaxRows: Long = 262144L): IndexIngest = {
     val h = new IndexIngest(index0)
     // Replay fence (r17): foreachBatch is AT-LEAST-ONCE — after a crash
     // the stream re-offers the last batch whose side effect may already
@@ -1006,13 +1016,14 @@ object UpsertStream {
               val rows = f(batch.collect().toSeq)
               if (rows.nonEmpty) {
                 import scala.jdk.CollectionConverters._
-                idx.append(batch.sparkSession.createDataFrame(
+                idx.appendTail(batch.sparkSession.createDataFrame(
                   rows.asJava, schema), vecCol)
+                ()
               }
               (rows, rows.nonEmpty)
             case None =>
               if (batch.isEmpty) (Seq.empty[Row], false)
-              else { idx.append(batch, vecCol); (Seq.empty[Row], true) }
+              else { idx.appendTail(batch, vecCol); (Seq.empty[Row], true) }
           }
           if (appended) {
             IngestMarker.write(batch.sparkSession, idx.path, checkpoint,
@@ -1020,6 +1031,13 @@ object UpsertStream {
             fence = batchId
             h.commitCount += 1
             onCommit(batchId, applied)
+            // compaction cadence: bounded inline pause ∝ tail rows —
+            // the commit path itself never fans out per cell
+            if (compactEvery > 0 && (h.commitCount % compactEvery == 0 ||
+                idx.tailRowsNow(batch.sparkSession) > compactMaxRows)) {
+              idx.compactTail(batch.sparkSession)
+              h.compactionCount += 1
+            }
             if (rebalanceEvery > 0 && h.commitCount % rebalanceEvery == 0) {
               val next = idx.rebalance(batch.sparkSession, hotFactor,
                 maxCells)

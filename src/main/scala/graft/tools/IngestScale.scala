@@ -175,6 +175,9 @@ object IngestScale {
           mem.toDF().withColumnRenamed("value", "id"), ivf, "embedding",
           ckpt,
           trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(0),
+          // tail compactions land INSIDE the measured tiers (r17): the
+          // fold cost is part of the reported p95, not hidden after it
+          compactEvery = 16,
           rebalanceEvery = rebalanceEvery,
           localMap = Some((
             (rows: Seq[Row]) => rows.map(r => rowOf(gen(r.getLong(0)))),
@@ -224,6 +227,7 @@ object IngestScale {
         }
         results(s"${name}_commits_value") = ingest.commits.toDouble
         results(s"${name}_rebalances_value") = ingest.rebalances.toDouble
+        results(s"${name}_compactions_value") = ingest.compactions.toDouble
       } catch {
         case e: Throwable =>
           System.err.println(

@@ -114,10 +114,15 @@ class StreamingIndexIngestSpec extends SparkSpec {
         .map(r => (r.getLong(0), r.getDouble(1)))
         .sortBy(t => (-t._2, t._1)).toSeq
       assert(got == bruteTopK(q, 25, s"$dir/ivf"))
-      // the ingest keeps writing through the SWAPPED handle
+      // the ingest keeps writing through the SWAPPED handle — into the
+      // TAIL segment (r17): rows are visible immediately; cellCounts
+      // carries them only after the compaction cadence folds the tail
       mem.addData(mkData(20, 17).map { case (id, c, v) => (id + 5000L, c, v) }: _*)
       ingest.processAllAvailable()
       assert(spark.read.parquet(s"$dir/ivf").count() == 1020L)
+      assert(ingest.index.cellCounts.sum +
+        ingest.index.tailRowsNow(spark) == 1020L)
+      assert(ingest.index.compactTail(spark) == 20L)
       assert(ingest.index.cellCounts.sum == 1020L)
     } finally ingest.stop()
     FsUtil.deleteRecursively(java.nio.file.Paths.get(dir))
