@@ -307,6 +307,22 @@ object VectorSearch {
       */
     @transient @volatile private var tailRowsKnown: java.lang.Long = null
 
+    /** Serializes the WRITE-SIDE driver-state transitions — tail
+      * appends, and the commit sections of compaction/rebalance — so a
+      * background maintenance worker ([[graft.streaming.UpsertStream
+      * .runIndexIngest]]) can fold the tail or split a hot cell while
+      * the ingest keeps committing. The expensive maintenance phases
+      * (assignment, stage writes, sample collects) run OUTSIDE the
+      * lock against frozen file lists that concurrent tail appends
+      * never touch (appends only ADD `__cluster=-1` files; maintenance
+      * only MOVES the files it listed); the lock guards the sub-second
+      * parts: epoch/journal/replay, census + stats folds, manifest
+      * saves. Readers are lock-free (immutable snapshots via
+      * volatiles); a search in flight across a replay follows the
+      * scrub/vacuum retry contract.
+      */
+    @transient private lazy val maintLock = new Object
+
     /** Whether any tail files exist — jobless: the census answers from
       * driver memory; without one, a single directory probe.
       */
@@ -1112,6 +1128,19 @@ object VectorSearch {
         }
         dfCache.put(spark, df); df
       }
+    }
+
+    /** Drop ONLY the census + relation caches so the next read
+      * re-lists the directory and re-captures — the narrow form of
+      * [[refresh]] for a handle whose FILE LIST may lag (a rebalance's
+      * fresh handle that raced a tail append) but whose driver stats
+      * and occupancy are current. Keeps the occupancy pruning armed.
+      */
+    private[graft] def dropCensus(): Unit = maintLock.synchronized {
+      censusNow0 = None
+      dfCache.clear()
+      tailRowsKnown = null
+      filesPerCellCache = -1.0
     }
 
     /** Drop cached relations and memoized filtered-count maps so the next
@@ -1935,7 +1964,10 @@ object VectorSearch {
       *
       * @return rows appended
       */
-    def appendTail(updates: DataFrame, vecCol: String): Long = {
+    def appendTail(updates: DataFrame, vecCol: String): Long =
+      maintLock.synchronized { appendTail0(updates, vecCol) }
+
+    private def appendTail0(updates: DataFrame, vecCol: String): Long = {
       val spark = updates.sparkSession
       val priorCensus = censusOpt
       val newEpoch = {
@@ -2018,34 +2050,38 @@ object VectorSearch {
       import org.apache.hadoop.fs.Path
       val rootPath = new Path(path)
       val fs = rootPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      IvfIndex.completeScrubIfPending(spark, path)
-      deletesNow0 = null // the replay may have been a scrub's
-      if (!tailPresent(spark)) return 0L
-      val rootUriPath = fs.makeQualified(rootPath).toUri.getPath
-      def relativize(p: Path): String = {
-        val s = fs.makeQualified(p).toUri.getPath
-        require(s.startsWith(rootUriPath + "/"),
-          s"compact file $s outside index root $rootUriPath")
-        s.substring(rootUriPath.length + 1)
+      // phase 0 (locked, sub-second): pending-journal replay, stage
+      // cleanup, and a FROZEN tail file list — concurrent appendTail
+      // only ADDS tail files, and files added after this snapshot
+      // simply wait for the next compaction
+      val tailFiles: Seq[String] = maintLock.synchronized {
+        IvfIndex.completeScrubIfPending(spark, path)
+        deletesNow0 = null // the replay may have been a scrub's
+        if (!tailPresent(spark)) Seq.empty
+        else {
+          val stage = new Path(rootPath, IvfIndex.ScrubStageDir)
+          if (fs.exists(stage)) { fs.delete(stage, true); () }
+          val tailDir =
+            new Path(rootPath, s"__cluster=${VectorSearch.TailCell}")
+          if (!fs.exists(tailDir)) Seq.empty
+          else fs.listStatus(tailDir).toSeq
+            .filter { st =>
+              val nm = st.getPath.getName
+              st.isFile && !nm.startsWith("_") && !nm.startsWith(".")
+            }
+            .map(st => relativizeUnder(fs, rootPath, st.getPath, "compact"))
+        }
       }
-      val stage = new Path(rootPath, IvfIndex.ScrubStageDir)
-      if (fs.exists(stage)) { fs.delete(stage, true); () }
-      val tailDir = new Path(rootPath, s"__cluster=${VectorSearch.TailCell}")
-      val tailFiles: Seq[String] =
-        if (!fs.exists(tailDir)) Seq.empty
-        else fs.listStatus(tailDir).toSeq
-          .filter { st =>
-            val nm = st.getPath.getName
-            st.isFile && !nm.startsWith("_") && !nm.startsWith(".")
-          }
-          .map(st => relativize(st.getPath))
       if (tailFiles.isEmpty) return 0L
-      // epoch bump BEFORE any file motion (append/scrub discipline)
-      val newEpoch = {
+      val stage = new Path(rootPath, IvfIndex.ScrubStageDir)
+      // name token only (part-file UUIDs guarantee uniqueness); the
+      // REAL epoch bump happens in the locked commit section below,
+      // immediately before the journal — a crash during the unlocked
+      // stage phase then leaves the epoch untouched and every
+      // persisted census still valid
+      val nameToken = {
         import org.apache.spark.sql.graft.CensusIndex
-        val e = CensusIndex.readEpoch(spark, path).getOrElse(0L) + 1L
-        CensusIndex.writeEpoch(spark, path, e)
-        e
+        CensusIndex.readEpoch(spark, path).getOrElse(0L) + 1L
       }
       def vecExpr: Column =
         if (quantized) graft.operators.Quantize.dequantize(
@@ -2095,69 +2131,99 @@ object VectorSearch {
                 }
                 .map { st =>
                   val nm = st.getPath.getName
-                  (c, relativize(st.getPath),
-                    s"__cluster=$c/compact-$newEpoch-$nm",
+                  (c, relativizeUnder(fs, rootPath, st.getPath, "compact"),
+                    s"__cluster=$c/compact-$nameToken-$nm",
                     st.getLen, st.getModificationTime)
                 }
             }
-        // commit point: rebalance header keeps any tombstone set
-        val lines =
-          Seq(IvfIndex.RebalanceJournalHeader) ++
-            moves.map(m => s"MOV\t${m._2}\t${m._3}") ++
-            tailFiles.map(f => s"OLD\t$f")
-        val tmp = new Path(rootPath, IvfIndex.ScrubJournal + ".tmp")
-        val out = fs.create(tmp, true)
-        try out.write(lines.mkString("\n").getBytes("UTF-8"))
-        finally out.close()
-        require(fs.rename(tmp, new Path(rootPath, IvfIndex.ScrubJournal)),
-          "could not commit compaction journal")
-        if (failAfterJournal)
-          throw new RuntimeException(
-            "injected crash after compaction journal commit (test hook)")
-        IvfIndex.replayScrub(fs, rootPath)
-        // fold the deferred stats — append()'s folds, from this pass
-        stats.foreach { r =>
-          val c = r.getInt(0)
-          val n = r.getLong(1); val s = r.getDouble(2); val m = r.getDouble(3)
-          if (c >= 0 && c < radii.length)
-            radii(c) = math.max(radii(c), math.sqrt(m))
-          if (c >= 0 && c < rmsRadii.length && c < cellCounts.length) {
-            val n0 = cellCounts(c)
-            val meanSq = (rmsRadii(c) * rmsRadii(c) * n0 + s) /
-              math.max(n0 + n, 1L)
-            rmsRadii(c) = math.sqrt(meanSq)
-            cellCounts(c) = n0 + n
+        // commit section (locked, sub-second): epoch bump → journal →
+        // replay → driver folds → manifest. The bump immediately
+        // precedes the journal so a crash anywhere in the unlocked
+        // stage phase above leaves the epoch — and every persisted
+        // census — untouched; tail rows the ingest appended since the
+        // phase-0 snapshot are NOT in `tailFiles`/`moves` and survive
+        // in the tail for the next cadence.
+        maintLock.synchronized {
+          val newEpoch = {
+            import org.apache.spark.sql.graft.CensusIndex
+            val e = CensusIndex.readEpoch(spark, path).getOrElse(0L) + 1L
+            CensusIndex.writeEpoch(spark, path, e)
+            e
           }
-        }
-        occupancyNow = occupancyNow.map { case (oc, table) =>
-          occAdd.get(oc) match {
-            case None => oc -> table
-            case Some(add) =>
-              oc -> add.foldLeft(table) { case (t, (k2, n)) =>
-                t.updated(k2, t.getOrElse(k2, 0L) + n)
-              }
-          }
-        }
-        tailRowsKnown = java.lang.Long.valueOf(0L)
-        dfCache.clear(); countCache.clear()
-        filesPerCellCache = -1.0
-        cellTombsNow = null // epoch moved; recompute under tombstones
-        coarseRouterCache = null // radii folds above
-        censusNow0 = censusOpt match {
-          case Some((_, schema, files)) =>
-            val gone = tailFiles.toSet
-            val kept = files.filterNot(f => gone(f.relPath))
-            val added = moves.map { case (c, _, targetRel, len, mtime) =>
-              org.apache.spark.sql.graft.CensusIndex.CensusFile(
-                c, targetRel, len, mtime)
+          // commit point: rebalance header keeps any tombstone set
+          val lines =
+            Seq(IvfIndex.RebalanceJournalHeader) ++
+              moves.map(m => s"MOV\t${m._2}\t${m._3}") ++
+              tailFiles.map(f => s"OLD\t$f")
+          val tmp = new Path(rootPath, IvfIndex.ScrubJournal + ".tmp")
+          val out = fs.create(tmp, true)
+          try out.write(lines.mkString("\n").getBytes("UTF-8"))
+          finally out.close()
+          require(fs.rename(tmp, new Path(rootPath, IvfIndex.ScrubJournal)),
+            "could not commit compaction journal")
+          if (failAfterJournal)
+            throw new RuntimeException(
+              "injected crash after compaction journal commit (test hook)")
+          IvfIndex.replayScrub(fs, rootPath)
+          // fold the deferred stats — append()'s folds, from this pass
+          stats.foreach { r =>
+            val c = r.getInt(0)
+            val n = r.getLong(1); val s = r.getDouble(2); val m = r.getDouble(3)
+            if (c >= 0 && c < radii.length)
+              radii(c) = math.max(radii(c), math.sqrt(m))
+            if (c >= 0 && c < rmsRadii.length && c < cellCounts.length) {
+              val n0 = cellCounts(c)
+              val meanSq = (rmsRadii(c) * rmsRadii(c) * n0 + s) /
+                math.max(n0 + n, 1L)
+              rmsRadii(c) = math.sqrt(meanSq)
+              cellCounts(c) = n0 + n
             }
-            Some((newEpoch, schema, kept ++ added))
-          case None => None
+          }
+          occupancyNow = occupancyNow.map { case (oc, table) =>
+            occAdd.get(oc) match {
+              case None => oc -> table
+              case Some(add) =>
+                oc -> add.foldLeft(table) { case (t, (k2, n)) =>
+                  t.updated(k2, t.getOrElse(k2, 0L) + n)
+                }
+            }
+          }
+          val before = tailRowsKnown
+          tailRowsKnown =
+            if (before == null) null // unknown stays unknown; recount
+            else java.lang.Long.valueOf(
+              math.max(0L, before.longValue() - moved))
+          dfCache.clear(); countCache.clear()
+          filesPerCellCache = -1.0
+          cellTombsNow = null // epoch moved; recompute under tombstones
+          coarseRouterCache = null // radii folds above
+          censusNow0 = censusOpt match {
+            case Some((_, schema, files)) =>
+              val gone = tailFiles.toSet
+              val kept = files.filterNot(f => gone(f.relPath))
+              val added = moves.map { case (c, _, targetRel, len, mtime) =>
+                org.apache.spark.sql.graft.CensusIndex.CensusFile(
+                  c, targetRel, len, mtime)
+              }
+              Some((newEpoch, schema, kept ++ added))
+            case None => None
+          }
+          saveManifest(spark)
+          appendsSinceCheckpoint = 0
         }
-        saveManifest(spark)
-        appendsSinceCheckpoint = 0
         moved
       } finally { assigned.unpersist(blocking = false); () }
+    }
+
+    /** Root-relative path of `p`, with containment enforced. */
+    private def relativizeUnder(fs: org.apache.hadoop.fs.FileSystem,
+        root: org.apache.hadoop.fs.Path, p: org.apache.hadoop.fs.Path,
+        op: String): String = {
+      val rootUriPath = fs.makeQualified(root).toUri.getPath
+      val s = fs.makeQualified(p).toUri.getPath
+      require(s.startsWith(rootUriPath + "/"),
+        s"$op file $s outside index root $rootUriPath")
+      s.substring(rootUriPath.length + 1)
     }
 
     private def deletesDir: String = s"$path/${IvfIndex.DeletesDir}"
@@ -2425,8 +2491,10 @@ object VectorSearch {
           }.toMap
         // 2. epoch bump BEFORE any file changes (append's discipline):
         //    a crash leaves epoch ≠ any persisted census, so load()
-        //    falls back to a real listing
-        val newEpoch = {
+        //    falls back to a real listing. Under the maintenance lock:
+        //    a background-worker scrub's bump must not lose a
+        //    concurrent tail append's (read-inc-write on one counter).
+        val newEpoch = maintLock.synchronized {
           import org.apache.spark.sql.graft.CensusIndex
           val e = CensusIndex.readEpoch(spark, path).getOrElse(0L) + 1L
           CensusIndex.writeEpoch(spark, path, e)
@@ -2460,6 +2528,10 @@ object VectorSearch {
                     s"__cluster=$c/scrub-$newEpoch-$n")
                 }
             }
+        // 5–7 run under the maintenance lock: a background-worker scrub
+        // must not interleave its replay/census/manifest transition
+        // with a concurrent tail append's census fold
+        maintLock.synchronized {
         // 5. the commit point: journal written via create-then-rename
         val lines =
           Seq(IvfIndex.ScrubJournalHeader) ++
@@ -2525,6 +2597,7 @@ object VectorSearch {
           case None => None
         }
         saveManifest(spark)
+        } // maintLock
         removed
       } finally { flagged.unpersist(blocking = false); () }
     }
@@ -2648,12 +2721,13 @@ object VectorSearch {
         var i = 0
         while (i < subs.length) { newCents(gids(i)) = subs(i); i += 1 }
       }
-      // epoch bump BEFORE any file motion (append/scrub discipline)
-      val newEpoch = {
+      // stage-name token only; the REAL epoch bump moved into the
+      // locked commit section (compactTail's discipline): a crash in
+      // the unlocked fit/stage phases leaves the epoch — and every
+      // persisted census — untouched
+      val nameToken = {
         import org.apache.spark.sql.graft.CensusIndex
-        val e = CensusIndex.readEpoch(spark, path).getOrElse(0L) + 1L
-        CensusIndex.writeEpoch(spark, path, e)
-        e
+        CensusIndex.readEpoch(spark, path).getOrElse(0L) + 1L
       }
       // one unioned re-assignment frame over every hot cell: a row only
       // competes among ITS OWN cell's subcentroids — that is what makes
@@ -2722,7 +2796,7 @@ object VectorSearch {
                 .map { st =>
                   val n = st.getPath.getName
                   (c, relativize(st.getPath),
-                    s"__cluster=$c/rebal-$newEpoch-$n",
+                    s"__cluster=$c/rebal-$nameToken-$n",
                     st.getLen, st.getModificationTime)
                 }
             }
@@ -2787,48 +2861,65 @@ object VectorSearch {
         // the scrub above guarantees no tombstones survive into the
         // split — spare the fresh handle the first-search probe
         fresh.deletesNow0 = None
-        // census fold: hot cells' old files out, staged moves in (stage
-        // listing stats — the files exist at their targets only after
-        // the replay below, which is exactly why the manifest commits
-        // THROUGH the journal)
-        fresh.censusNow0 = censusOpt match {
-          case Some((_, schema, files)) =>
-            val gone = oldFiles.toSet
-            val kept = files.filterNot(f => gone(f.relPath))
-            val added = moves.map { case (c, _, targetRel, len, mtime) =>
-              org.apache.spark.sql.graft.CensusIndex.CensusFile(
-                c, targetRel, len, mtime)
-            }
-            Some((newEpoch, schema, kept ++ added))
-          case None => None
+        // commit section (locked, sub-second): a background-worker
+        // rebalance must not interleave its epoch/census/manifest
+        // transition with concurrent tail appends — the census snapshot
+        // below is taken INSIDE the lock so tail files appended during
+        // the fit/stage phases are carried into the fresh handle
+        maintLock.synchronized {
+          val newEpoch = {
+            import org.apache.spark.sql.graft.CensusIndex
+            val e = CensusIndex.readEpoch(spark, path).getOrElse(0L) + 1L
+            CensusIndex.writeEpoch(spark, path, e)
+            e
+          }
+          // the tail survives a split untouched (its files are not in
+          // any hot cell's dir) — the fresh handle keeps serving it
+          fresh.tailRowsKnown = tailRowsKnown
+          // census fold: hot cells' old files out, staged moves in
+          // (stage listing stats — the files exist at their targets
+          // only after the replay below, which is exactly why the
+          // manifest commits THROUGH the journal)
+          fresh.censusNow0 = censusOpt match {
+            case Some((_, schema, files)) =>
+              val gone = oldFiles.toSet
+              val kept = files.filterNot(f => gone(f.relPath))
+              val added = moves.map { case (c, _, targetRel, len, mtime) =>
+                org.apache.spark.sql.graft.CensusIndex.CensusFile(
+                  c, targetRel, len, mtime)
+              }
+              Some((newEpoch, schema, kept ++ added))
+            case None => None
+          }
+          // the new manifest is FULLY WRITTEN but uncommitted: its
+          // commit marker is a journal step, so the centroid-table
+          // growth and the file moves land atomically — a crash
+          // anywhere leaves load() either the old manifest over the old
+          // layout or, after replay, the new manifest over the new
+          // layout; never a manifest that doesn't know cells the data
+          // files use
+          val vdir = fresh.saveManifest(spark, commit = false)
+          val lines =
+            Seq(IvfIndex.RebalanceJournalHeader) ++
+              moves.map(m => s"MOV\t${m._2}\t${m._3}") ++
+              oldFiles.map(f => s"OLD\t$f") ++
+              Seq(s"CMT\t${relativize(new Path(vdir))}/" +
+                graft.operators.ManifestLayout.CommitMarker)
+          val tmp = new Path(rootPath, IvfIndex.ScrubJournal + ".tmp")
+          val out0 = fs.create(tmp, true)
+          try out0.write(lines.mkString("\n").getBytes("UTF-8"))
+          finally out0.close()
+          require(fs.rename(tmp, new Path(rootPath, IvfIndex.ScrubJournal)),
+            "could not commit rebalance journal")
+          if (failAfterJournal)
+            throw new RuntimeException(
+              "injected crash after rebalance journal commit (test hook)")
+          IvfIndex.replayScrub(fs, rootPath)
+          // this handle's centroid table is now stale — poison its
+          // caches so accidental reads at least re-list current files
+          dfCache.clear(); countCache.clear()
+          censusNow0 = None; filesPerCellCache = -1.0
         }
-        // the new manifest is FULLY WRITTEN but uncommitted: its commit
-        // marker is a journal step, so the centroid-table growth and the
-        // file moves land atomically — a crash anywhere leaves load()
-        // either the old manifest over the old layout or, after replay,
-        // the new manifest over the new layout; never a manifest that
-        // doesn't know cells the data files use
-        val vdir = fresh.saveManifest(spark, commit = false)
-        val lines =
-          Seq(IvfIndex.RebalanceJournalHeader) ++
-            moves.map(m => s"MOV\t${m._2}\t${m._3}") ++
-            oldFiles.map(f => s"OLD\t$f") ++
-            Seq(s"CMT\t${relativize(new Path(vdir))}/" +
-              graft.operators.ManifestLayout.CommitMarker)
-        val tmp = new Path(rootPath, IvfIndex.ScrubJournal + ".tmp")
-        val out0 = fs.create(tmp, true)
-        try out0.write(lines.mkString("\n").getBytes("UTF-8"))
-        finally out0.close()
-        require(fs.rename(tmp, new Path(rootPath, IvfIndex.ScrubJournal)),
-          "could not commit rebalance journal")
-        if (failAfterJournal)
-          throw new RuntimeException(
-            "injected crash after rebalance journal commit (test hook)")
-        IvfIndex.replayScrub(fs, rootPath)
-        // this handle's centroid table is now stale — poison its caches
-        // so accidental reads at least re-list current files
-        dfCache.clear(); countCache.clear()
-        censusNow0 = None; filesPerCellCache = -1.0
         fresh
       } finally { assigned.unpersist(blocking = false); () }
     }

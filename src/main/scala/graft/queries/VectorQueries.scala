@@ -1262,6 +1262,69 @@ object VectorQueries {
         SELECT vec_id, round(${sqlDot("e.embedding", "q.qv")}, 4) + 0 AS score
         FROM embeddings e CROSS JOIN q
         WHERE vec_id % 33 = 0
-        ORDER BY ${sqlDot("e.embedding", "q.qv")} DESC, vec_id LIMIT 8"""))
+        ORDER BY ${sqlDot("e.embedding", "q.qv")} DESC, vec_id LIMIT 8""")),
+
+    // ---- streaming TAIL segment (r17): micro-batches land as ONE file
+    //      under the `__cluster=-1` partition (appendTail — no per-cell
+    //      fan-out, the open-loop p95 fix measured in BENCH_ingest_r17)
+    //      and every plan reads `probed cells ∪ tail` until compactTail
+    //      migrates the rows through the crash-atomic journal. Pinned
+    //      here end-to-end: the index is built WITHOUT the %5==0 slice,
+    //      which arrives via appendTail; a filter matching ONLY tail
+    //      rows is served from a 1-probe plan (the occupancy zero-match
+    //      path must not fire over a live tail); compaction then moves
+    //      every row and the full-probe filtered search hash-matches
+    //      DuckDB's exact top-k over the WHOLE table — identical to the
+    //      pre-compaction answer ----
+    QueryDef(
+      "q127_tail_compact",
+      (s, d) => {
+        val e = Tables.embeddings(s, d)
+        val root = java.nio.file.Files.createTempDirectory("q127_tail")
+        try {
+          val tailPred = col("vec_id") % 5 === 0
+          VectorSearch.buildIvf(e.filter(!tailPred), "embedding", 8,
+            s"$root/ivf", sampleFraction = 1.0)
+          val ivf = VectorSearch.IvfIndex.load(s, s"$root/ivf")
+          ivf.exactScanFraction = 2.0 // pin the probe read
+          val tail = e.filter(tailPred)
+          val expected = tail.count()
+          require(ivf.appendTail(tail, "embedding") == expected,
+            "appendTail did not land the full batch")
+          require(ivf.tailRowsNow(s) == expected,
+            "tail row accounting diverged from the batch size")
+          // tail-only filter at nprobe=1: no base cell holds a match,
+          // so the answer exists ONLY because the plan reads the tail
+          val tailOnly = ivf.search(s, e.filter(col("vec_id") === 10)
+              .select(col("embedding")).head().getSeq[Float](0).toArray,
+            12, nprobe = 1, Some(tailPred)).collect()
+          require(tailOnly.nonEmpty,
+            "a live tail's matches were not served — membership bug")
+          val qv = e.filter(col("vec_id") === 10).select(col("embedding"))
+            .head().getSeq[Float](0).toArray
+          val pred = col("vec_id") % 2 === 0
+          def full() = ivf.search(s, qv, 12,
+              nprobe = ivf.centroids.length, Some(pred))
+            .select(col("vec_id"), col("score")).collect()
+            .map(r => (r.getLong(0), r.getDouble(1)))
+            .sortBy(t => (-t._2, t._1)).toSeq
+          val pre = full()
+          require(ivf.compactTail(s) == expected,
+            "compaction did not move every tail row")
+          require(ivf.tailRowsNow(s) == 0L, "tail must be empty after compact")
+          val post = full()
+          require(post == pre,
+            "compaction changed a full-probe answer — fold bug")
+          import s.implicits._
+          post.toDF("vec_id", "score_raw")
+            .select(col("vec_id"),
+              (round(col("score_raw"), 4) + 0.0).as("score"))
+        } finally graft.FsUtil.deleteRecursively(root)
+      },
+      Some(s"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 10)
+        SELECT vec_id, round(${sqlDot("e.embedding", "q.qv")}, 4) + 0 AS score
+        FROM embeddings e CROSS JOIN q
+        WHERE vec_id % 2 = 0
+        ORDER BY ${sqlDot("e.embedding", "q.qv")} DESC, vec_id LIMIT 12"""))
   )
 }

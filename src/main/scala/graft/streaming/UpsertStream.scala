@@ -922,11 +922,42 @@ object UpsertStream {
     /** Inline tail compactions run (diagnostic). */
     @volatile private[streaming] var compactionCount: Int = 0
     def compactions: Int = compactionCount
+    /** Single BACKGROUND maintenance worker (r17): compactions and
+      * rebalances run here, off the commit path — the ingest keeps
+      * committing tail files while a fold or split is in flight (the
+      * write-side transitions serialize on the index's maintenance
+      * lock; see IvfIndex.maintLock). At most one maintenance op runs
+      * at a time; cadence hits during a run are skipped (the next
+      * cadence catches up — maintenance is idempotent housekeeping).
+      */
+    private[streaming] val maintExec =
+      java.util.concurrent.Executors.newSingleThreadExecutor(r => {
+        val t = new Thread(r, "graft-index-maint")
+        t.setDaemon(true)
+        t
+      })
+    @volatile private[streaming] var maintBusy: Boolean = false
+    /** Block until any in-flight background maintenance completes —
+      * test/measurement hook for deterministic post-stream state.
+      */
+    def awaitMaintenance(): Unit = {
+      val f = maintExec.submit(new Runnable { def run(): Unit = () })
+      try { f.get(300, java.util.concurrent.TimeUnit.SECONDS); () }
+      catch { case _: Exception => () }
+    }
     @volatile private[streaming] var query: StreamingQuery = _
     def streamingQuery: StreamingQuery = query
     def processAllAvailable(): Unit =
       if (query != null) query.processAllAvailable()
-    def stop(): Unit = if (query != null) query.stop()
+    def stop(): Unit = {
+      if (query != null) query.stop()
+      maintExec.shutdown()
+      try {
+        maintExec.awaitTermination(300,
+          java.util.concurrent.TimeUnit.SECONDS)
+        ()
+      } catch { case _: InterruptedException => () }
+    }
   }
 
   /** Streaming ANN-index ingest — the arc from the streaming layer into
@@ -1031,20 +1062,47 @@ object UpsertStream {
             fence = batchId
             h.commitCount += 1
             onCommit(batchId, applied)
-            // compaction cadence: bounded inline pause ∝ tail rows —
-            // the commit path itself never fans out per cell
-            if (compactEvery > 0 && (h.commitCount % compactEvery == 0 ||
-                idx.tailRowsNow(batch.sparkSession) > compactMaxRows)) {
-              idx.compactTail(batch.sparkSession)
-              h.compactionCount += 1
-            }
-            if (rebalanceEvery > 0 && h.commitCount % rebalanceEvery == 0) {
-              val next = idx.rebalance(batch.sparkSession, hotFactor,
-                maxCells)
-              if (next ne idx) {
-                h.update(next)
-                h.rebalanceCount += 1
-              }
+            // maintenance cadence — dispatched to the BACKGROUND worker
+            // so neither a tail fold nor a hot-cell split ever blocks a
+            // commit (the LSM contract: writers pay O(1), housekeeping
+            // runs behind). One op in flight at a time; a cadence hit
+            // during a run is skipped, the next one catches up.
+            val wantCompact = compactEvery > 0 &&
+              (h.commitCount % compactEvery == 0 ||
+                idx.tailRowsNow(batch.sparkSession) > compactMaxRows)
+            val wantRebalance = rebalanceEvery > 0 &&
+              h.commitCount % rebalanceEvery == 0
+            if ((wantCompact || wantRebalance) && !h.maintBusy) {
+              h.maintBusy = true
+              val spark = batch.sparkSession
+              h.maintExec.submit(new Runnable {
+                def run(): Unit = try {
+                  val cur = h.index
+                  if (wantRebalance) {
+                    // rebalance scrubs + compacts first (its hot-cell
+                    // detection needs the tail folded into cellCounts)
+                    val next = cur.rebalance(spark, hotFactor, maxCells)
+                    h.compactionCount += 1
+                    if (next ne cur) {
+                      h.update(next)
+                      h.rebalanceCount += 1
+                      // commits that raced the swap appended through the
+                      // OLD handle — their tail files are on disk but
+                      // not in the fresh handle's census snapshot; drop
+                      // it so the next read re-lists and re-captures
+                      next.dropCensus()
+                    }
+                  } else if (cur.compactTail(spark) > 0L) {
+                    h.compactionCount += 1
+                  }
+                } catch {
+                  case e: Throwable =>
+                    System.err.println(
+                      s"[graft] background index maintenance failed: " +
+                        s"${e.getClass.getName}: ${e.getMessage}")
+                } finally h.maintBusy = false
+              })
+              ()
             }
           }
           ()

@@ -106,6 +106,12 @@ object IngestScale {
       .mapPartitions(_.map(rowTuple(_, dims)))
       .toDF("parent_asin", "main_category", "embedding")
     var ivf: VectorSearch.IvfIndex = null
+    // exchange-write the base layout (~one file per cell): the serving
+    // index a stream appends into should be the compacted shape — a
+    // 32-task × 1024-cell direct write leaves 32k files and makes every
+    // census fold / manifest save / relation rebuild on the commit path
+    // O(32k) (measured: the r17 pre-exchange run's p95s)
+    VectorSearch.writeExchangeMinFiles = 4096L
     timed("ingest_index_build") {
       ivf = VectorSearch.buildIvf(sourceDs, "embedding", cells, idxPath,
         sampleFraction = math.min(1.0, 400000.0 / nRows),

@@ -100,6 +100,7 @@ class StreamingIndexIngestSpec extends SparkSpec {
       ingest.processAllAvailable()
       mem.addData(skewRows(400, 2000L, 15): _*)
       ingest.processAllAvailable()
+      ingest.awaitMaintenance() // rebalance runs on the background worker
       assert(ingest.commits == 2)
       assert(ingest.rebalances == 1, "cadence commit must have split")
       val fresh = ingest.index
