@@ -1255,18 +1255,17 @@ object VectorSearch {
       // instead of silently returning zero search results
       //
       // TAIL rows (appendTail's deferred-fold segment) are outside the
-      // occupancy table; the jobless path stays jobless by carrying
-      // them as pseudo-cell −1 with the TAIL SIZE as the match count —
-      // an upper bound (tail matches ≤ tail rows) that keeps the
-      // zero-match fast path sound (a filter whose only matches sit in
-      // the tail can't be served an empty answer) and makes planning
-      // probe the tail, which is read in full anyway. The count-scan
-      // path below counts the tail's matches exactly (its rows group
-      // under the −1 partition value).
-      occupancyCounts(f).filter(_.valuesIterator.sum > 0L).map { m =>
-        val tr = tailRowsNow(spark)
-        if (tr > 0L) m.updated(VectorSearch.TailCell, tr) else m
-      }.getOrElse {
+      // occupancy table, and the jobless path does NOT guess at them:
+      // a tail match-count upper bound folded into the map would
+      // suppress the thin-support classification for exactly the
+      // ultra-selective filters it exists for (total ≤ thinFactor·k
+      // compares against it). Instead the map carries a −1 entry ONLY
+      // when it is EXACT — the count-scan path counts tail matches
+      // (and marks a match-free tail with an explicit 0) — and
+      // [[probePlan]] falls back to "tail present ⇒ read it" when the
+      // entry is absent (the occupancy path). Membership is safe
+      // either way: the tail is read whenever it may hold matches.
+      occupancyCounts(f).filter(_.valuesIterator.sum > 0L).getOrElse {
         // stable across calls for the same predicate (repeated searches
         // hit the memo) and type-faithful (lit(1) vs lit("1") cannot
         // alias one entry) — see Bridge.stableKey
@@ -1319,9 +1318,17 @@ object VectorSearch {
               indexDf(spark).filter(col("__cluster").isin(withTail: _*))
             case _ => indexDf(spark)
           }
-          val counts = scanDf.filter(f)
+          val counts0 = scanDf.filter(f)
             .groupBy(col("__cluster")).agg(count(lit(1)).as("__n"))
             .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+          // the scan's tail count is EXACT — mark a match-free tail
+          // with an explicit 0 so probePlan can skip reading it (the
+          // jobless zero-match contract survives a live tail)
+          val counts =
+            if (!counts0.contains(VectorSearch.TailCell) &&
+                tailRowsNow(spark) > 0L)
+              counts0.updated(VectorSearch.TailCell, 0L)
+            else counts0
           countCache.put(key, counts)
           counts
         }
@@ -1445,9 +1452,16 @@ object VectorSearch {
         // tail rows were never assigned, so no ranked cell accounts for
         // them — the plan's membership claim (no live-match region
         // dropped) requires reading the tail until compaction folds it.
+        // A −1 entry in counts is EXACT (count-scan path; 0 = scanned,
+        // no matches ⇒ skip the tail, the jobless zero-match path
+        // survives); no entry means the jobless occupancy path, which
+        // cannot see tail rows ⇒ read the tail whenever one exists.
         // Never counted toward the ≥ k widening (a plan widens as if
         // the tail held nothing — the conservative direction).
-        val tailPlan = counts.getOrElse(VectorSearch.TailCell, 0L) > 0L
+        val tailPlan = counts.get(VectorSearch.TailCell) match {
+          case Some(_) => liveAt(VectorSearch.TailCell) > 0L
+          case None => tailRowsNow(spark) > 0L
+        }
         queries.map { q =>
           val ranked = nearestClusters(q, centroids.length)
             .filter(c => counts.getOrElse(c, 0L) > 0L)
@@ -2373,8 +2387,17 @@ object VectorSearch {
           s"index already holds tombstones on '$pc' — one id column per " +
             s"index (got '$idCol')")
       }
+      // canonicalize through the INDEX column's type first: the serving
+      // exclusion matches on cast(idCol as string), so an ids frame of
+      // a different type (double 3.0 → "3.0", string "0003") would
+      // otherwise tombstone renders no row ever casts to — a delete
+      // that reports success and excludes nothing. Casting to the
+      // column's type first makes both sides share one rendering by
+      // construction; an id that cannot BE the column's type fails
+      // loudly under ANSI instead of matching nothing silently.
       val strs = ids
-        .select(col(ids.columns.head).cast("string").as("id"))
+        .select(col(ids.columns.head).cast(schema(idCol).dataType)
+          .cast("string").as("id"))
         .filter(col("id").isNotNull).distinct()
       val freshDf = prior match {
         case Some(_) =>
@@ -2447,13 +2470,8 @@ object VectorSearch {
       // commit point: its files were never visible — drop and restart
       val stage = new Path(rootPath, IvfIndex.ScrubStageDir)
       if (fs.exists(stage)) { fs.delete(stage, true); () }
-      val rootUriPath = fs.makeQualified(rootPath).toUri.getPath
-      def relativize(p: Path): String = {
-        val s = fs.makeQualified(p).toUri.getPath
-        require(s.startsWith(rootUriPath + "/"),
-          s"scrub file $s outside index root $rootUriPath")
-        s.substring(rootUriPath.length + 1)
-      }
+      def relativize(p: Path): String =
+        relativizeUnder(fs, rootPath, p, "scrub")
       // 1. affected files + exact removal counts, one pruned scan over
       //    (file, cluster, id [, occupancy columns])
       val presentCols = indexDf(spark).columns.toSet
@@ -2489,16 +2507,19 @@ object VectorSearch {
               .agg(count(lit(1)).as("__n")).collect()
               .map(r => (r.getInt(0), r.getString(1)) -> r.getLong(2)).toMap
           }.toMap
-        // 2. epoch bump BEFORE any file changes (append's discipline):
-        //    a crash leaves epoch ≠ any persisted census, so load()
-        //    falls back to a real listing. Under the maintenance lock:
-        //    a background-worker scrub's bump must not lose a
-        //    concurrent tail append's (read-inc-write on one counter).
-        val newEpoch = maintLock.synchronized {
+        // 2. stage-name token only — the REAL epoch bump happens in the
+        //    locked commit section (compactTail/rebalance's r17
+        //    discipline). Bumping here would not cover a concurrent
+        //    tail append's manifest checkpoint: the append (locked)
+        //    could bump PAST this value and persist a census that
+        //    still lists the originals scrub is about to delete —
+        //    valid-looking under its own epoch after a crash between
+        //    scrub's replay and scrub's saveManifest. With the bump
+        //    adjacent to the journal, every epoch a concurrent writer
+        //    persists predates the file motion.
+        val nameToken = {
           import org.apache.spark.sql.graft.CensusIndex
-          val e = CensusIndex.readEpoch(spark, path).getOrElse(0L) + 1L
-          CensusIndex.writeEpoch(spark, path, e)
-          e
+          CensusIndex.readEpoch(spark, path).getOrElse(0L) + 1L
         }
         // 3. survivors → invisible staging dir (same schema incl. the
         //    __cluster partition column via basePath; snappy like the
@@ -2525,13 +2546,23 @@ object VectorSearch {
                 .map { st =>
                   val n = st.getPath.getName
                   (c, relativize(st.getPath),
-                    s"__cluster=$c/scrub-$newEpoch-$n")
+                    s"__cluster=$c/scrub-$nameToken-$n")
                 }
             }
         // 5–7 run under the maintenance lock: a background-worker scrub
         // must not interleave its replay/census/manifest transition
         // with a concurrent tail append's census fold
         maintLock.synchronized {
+        // epoch bump immediately before the journal (see the nameToken
+        // comment at step 2): from here to saveManifest no concurrent
+        // writer can persist a census, and anything persisted earlier
+        // is invalidated by this bump
+        val newEpoch = {
+          import org.apache.spark.sql.graft.CensusIndex
+          val e = CensusIndex.readEpoch(spark, path).getOrElse(0L) + 1L
+          CensusIndex.writeEpoch(spark, path, e)
+          e
+        }
         // 5. the commit point: journal written via create-then-rename
         val lines =
           Seq(IvfIndex.ScrubJournalHeader) ++
@@ -2680,13 +2711,8 @@ object VectorSearch {
       import org.apache.hadoop.fs.Path
       val rootPath = new Path(path)
       val fs = rootPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      val rootUriPath = fs.makeQualified(rootPath).toUri.getPath
-      def relativize(p: Path): String = {
-        val s = fs.makeQualified(p).toUri.getPath
-        require(s.startsWith(rootUriPath + "/"),
-          s"rebalance file $s outside index root $rootUriPath")
-        s.substring(rootUriPath.length + 1)
-      }
+      def relativize(p: Path): String =
+        relativizeUnder(fs, rootPath, p, "rebalance")
       val stage = new Path(rootPath, IvfIndex.ScrubStageDir)
       if (fs.exists(stage)) { fs.delete(stage, true); () }
       // the stored representation probes score — what the re-fit and the
@@ -2855,6 +2881,7 @@ object VectorSearch {
         fresh.thinReadFraction = thinReadFraction
         fresh.pqOverfetch = pqOverfetch
         fresh.deleteInSetMaxIds = deleteInSetMaxIds
+        fresh.maxTombstoneIds = maxTombstoneIds
         fresh.manifestCheckpointEvery = manifestCheckpointEvery
         fresh.builtWithHierarchicalFit = builtWithHierarchicalFit
         fresh.builtWithGroupedAssign = builtWithGroupedAssign

@@ -1061,6 +1061,15 @@ object UpsertStream {
               batchId)
             fence = batchId
             h.commitCount += 1
+            // a background rebalance may have swapped the handle while
+            // this batch appended through the OLD one — the fresh
+            // handle's census/tail snapshot then predates this batch's
+            // tail file. Detected deterministically here (the file is
+            // on disk by now): drop the fresh handle's census so its
+            // next read re-lists and re-counts. Without this, a reader
+            // could memoize tailRows=0 in the gap and serve searches
+            // blind to rows whose onCommit already fired.
+            if (h.index ne idx) h.index.dropCensus()
             onCommit(batchId, applied)
             // maintenance cadence — dispatched to the BACKGROUND worker
             // so neither a tail fold nor a hot-cell split ever blocks a

@@ -475,6 +475,23 @@ class IndexDeleteSpec extends SparkSpec {
       .select(col("vec_id")).collect().map(_.getDouble(0)).toSet
     assert(servedIds.size == 58 && !servedIds(3.0) && !servedIds(10.0))
     FsUtil.deleteRecursively(java.nio.file.Paths.get(dir2))
+    // CROSS-type ids frame (r17 review find): a DOUBLE ids frame
+    // against a LONG id column would tombstone "3.0" while serving
+    // matches "3" — the overload must canonicalize through the INDEX
+    // column's type so both sides share one rendering
+    val dir3 = java.nio.file.Files.createTempDirectory("del_gate3").toString
+    val data3 = mkData(60, 75)
+    val ivf3 = VectorSearch.buildIvf(data3, "embedding", 2, dir3,
+      sampleFraction = 1.0)
+    ivf3.exactScanFraction = 2.0
+    assert(ivf3.delete(spark, "vec_id",
+      Seq(3.0, 10.0).toDF("id")) == 2L)
+    val q3 = queryVec(data3, 7)
+    val served3 = ivf3.search(spark, q3, 60, nprobe = 2)
+      .select(col("vec_id")).collect().map(_.getLong(0)).toSet
+    assert(served3.size == 58 && !served3(3L) && !served3(10L),
+      "a cross-type ids frame must still exclude the rows")
+    FsUtil.deleteRecursively(java.nio.file.Paths.get(dir3))
   }
 
   test("delete(DataFrame): a 1M-id distributed delete, dedup across batches, budget gate") {

@@ -222,6 +222,41 @@ class TailSegmentSpec extends SparkSpec {
     FsUtil.deleteRecursively(java.nio.file.Paths.get(dir))
   }
 
+  test("a live tail does not suppress the thin-support classification") {
+    // the review-found regression: an occupancy-path tail UPPER BOUND
+    // folded into totalMatches pushed ultra-selective filters past the
+    // thinFactor·k bar whenever a tail was live. The fix keeps the
+    // jobless path blind to the tail (membership still reads it) —
+    // thin must fire on the REAL support with a big tail present.
+    val dir = java.nio.file.Files.createTempDirectory("tail_thin").toString
+    val base = mkData(240, 91)
+      .withColumn("cat",
+        when(col("vec_id").isin(11L, 57L, 103L), "cat-rare")
+          .otherwise(col("cat")))
+    val ivf = VectorSearch.buildIvf(base, "embedding", 4, dir,
+      sampleFraction = 1.0, occupancyCols = Seq("cat"))
+    ivf.exactScanFraction = 2.0
+    ivf.thinReadFraction = 1.0 // open the cost gate on this tiny fixture
+    // a tail far past thinFactor·k (16·2 = 32): 120 rows, one of them
+    // matching the rare category
+    val tail = mkData(120, 92).withColumn("vec_id", col("vec_id") + 1000L)
+      .withColumn("cat",
+        when(col("vec_id") === 1007L, "cat-rare").otherwise(col("cat")))
+    ivf.appendTail(tail, "embedding")
+    val all = asRows(base) ++ asRows(tail)
+    val rare = Set(11L, 57L, 103L, 1007L)
+    val q = all.find(_._1 == 11L).get._2
+    val thin0 = ivf.thinSupportPlanCount
+    val got = gotIds(ivf.search(spark, q, 2, nprobe = 1,
+      Some(col("cat") === "cat-rare")))
+    assert(ivf.thinSupportPlanCount > thin0,
+      "thin-support must fire on the real (occupancy) support — the " +
+        "tail upper bound may not enter totalMatches")
+    val want = bruteTopK(all.filter(r => rare(r._1)), q, 2)
+    assert(got == want, "thin plan + tail must serve the exact answer")
+    FsUtil.deleteRecursively(java.nio.file.Paths.get(dir))
+  }
+
   test("a fresh load() serves a live tail") {
     val dir = java.nio.file.Files.createTempDirectory("tail_load").toString
     val base = mkData(160, 81)
