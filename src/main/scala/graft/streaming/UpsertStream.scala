@@ -1086,6 +1086,21 @@ object UpsertStream {
               val spark = batch.sparkSession
               h.maintExec.submit(new Runnable {
                 def run(): Unit = try {
+                  // the worker thread INHERITS the streaming query's
+                  // job group (InheritableThreadLocal, copied at thread
+                  // creation from the foreachBatch thread) — without
+                  // re-grouping, query.stop() at stream shutdown
+                  // cancels in-flight maintenance jobs mid-stage
+                  // (observed: rebalance stage writes killed with
+                  // SPARK_JOB_CANCELLED at tier stop). Maintenance is
+                  // crash-safe against that (journal discipline), but
+                  // it must not be COUPLED to the stream's lifecycle:
+                  // it owns its own group, and stop() awaits it.
+                  spark.sparkContext.setJobGroup("graft-index-maint",
+                    "background index maintenance (compact/rebalance)",
+                    interruptOnCancel = false)
+                  spark.sparkContext
+                    .setLocalProperty("spark.sql.execution.id", null)
                   val cur = h.index
                   if (wantRebalance) {
                     // rebalance scrubs + compacts first (its hot-cell

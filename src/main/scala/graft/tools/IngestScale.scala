@@ -231,9 +231,6 @@ object IngestScale {
           }
           ingest.processAllAvailable()
         }
-        results(s"${name}_commits_value") = ingest.commits.toDouble
-        results(s"${name}_rebalances_value") = ingest.rebalances.toDouble
-        results(s"${name}_compactions_value") = ingest.compactions.toDouble
       } catch {
         case e: Throwable =>
           System.err.println(
@@ -241,9 +238,17 @@ object IngestScale {
               e.getMessage)
           if (!results.contains(name)) results(name) = -1.0
       } finally {
+        // stop() awaits in-flight background maintenance — counters
+        // read AFTER it so a rebalance still staging at drain time is
+        // counted (and its handle swap observed), not torn
         if (ingest != null) { try ingest.stop() catch { case _: Throwable => () } }
         reading = false
         reader.join(10000)
+      }
+      if (ingest != null) {
+        results(s"${name}_commits_value") = ingest.commits.toDouble
+        results(s"${name}_rebalances_value") = ingest.rebalances.toDouble
+        results(s"${name}_compactions_value") = ingest.compactions.toDouble
       }
       def p95(q: java.util.concurrent.ConcurrentLinkedQueue[java.lang.Double])
           : Option[Double] = {
