@@ -3006,56 +3006,90 @@ object VectorSearch {
       val versions = IvfIndex.manifestVersions(fs, root)
       val next = ManifestLayout.nextVersion(versions)
       val vdir = ManifestLayout.versionDir(dir, next)
-      val cellSchema = StructType(Seq(
+      // r17 combined layout: ONE parquet dataset `$vdir/manifest` holds
+      // every section (cells, occupancy, predicate-count memo, meta, pq
+      // codebooks, file census), tagged by a `section` column over a
+      // union schema. The legacy writer issued one parquet write JOB per
+      // section (4–6 jobs of committer overhead per checkpoint — ~0.35 s
+      // of a 2 s fixture build) and load() mirrored them with one
+      // listing + schema probe + collect per section; the combined
+      // dataset is one write job and one typed collect, and on an
+      // object store one metadata round-trip instead of six. Sections
+      // append in bounded slices (cap-sized manifests never build one
+      // giant Seq), which still lands a single job for every manifest
+      // below ~4096 cells. load() keeps the per-section reader for
+      // pre-r17 manifests.
+      val mSchema = StructType(Seq(
+        StructField("section", StringType, nullable = false),
         StructField("cluster", IntegerType, nullable = false),
-        StructField("centroid", ArrayType(FloatType, containsNull = false),
-          nullable = false),
+        StructField("vec", ArrayType(FloatType, containsNull = false),
+          nullable = true),
         StructField("radius", DoubleType, nullable = false),
         StructField("rms", DoubleType, nullable = false),
-        StructField("n", LongType, nullable = false)))
-      val slice = 4096
-      var lo = 0
-      while (lo < centroids.length) {
-        val hi = math.min(lo + slice, centroids.length)
-        val rows = (lo until hi).map { c =>
-          Row(c, centroids(c).toIndexedSeq,
-            if (c < radii.length) radii(c) else 0.0,
-            if (c < rmsRadii.length) rmsRadii(c) else 0.0,
-            if (c < cellCounts.length) cellCounts(c) else 0L)
-        }
-        spark.createDataFrame(spark.sparkContext.parallelize(rows, 1),
-            cellSchema)
-          .write.mode("append").parquet(s"$vdir/cells")
-        lo = hi
-      }
-      val occSchema = StructType(Seq(
-        StructField("col", StringType, nullable = false),
-        StructField("cluster", IntegerType, nullable = false),
-        StructField("value", StringType, nullable = false),
         StructField("n", LongType, nullable = false),
-        // the registered column's Spark type rides on every row (tiny
-        // table): load() needs it to re-arm the literal-type gate
-        StructField("coltype", StringType, nullable = false)))
-      // occupancy rows are narrow (strings + longs) but their count is
-      // cells × distinct values — slice on the same principle as cells
-      var occRowsWritten = 0L
-      occupancyNow.toSeq.flatMap { case (oc, t) =>
-        val ct = occupancyTypes.getOrElse(oc, "string")
-        t.iterator.map { case ((c, v), n) => Row(oc, c, v, n, ct) }
-      }.grouped(262144).foreach { rows =>
-        occRowsWritten += rows.length
-        spark.createDataFrame(spark.sparkContext.parallelize(rows, 1),
-            occSchema)
-          .write.mode("append").parquet(s"$vdir/occupancy")
+        StructField("col", StringType, nullable = true),
+        StructField("value", StringType, nullable = true),
+        // the registered column's Spark type rides on every occ row
+        // (tiny table): load() needs it to re-arm the literal-type gate
+        StructField("coltype", StringType, nullable = true),
+        StructField("fkey", StringType, nullable = true),
+        StructField("baselineDist", DoubleType, nullable = false),
+        StructField("censusEpoch", LongType, nullable = false),
+        StructField("dataSchemaJson", StringType, nullable = true),
+        StructField("pqIdCol", StringType, nullable = true),
+        StructField("subspace", IntegerType, nullable = false),
+        StructField("pqcent", IntegerType, nullable = false),
+        StructField("relpath", StringType, nullable = true),
+        StructField("length", LongType, nullable = false),
+        StructField("mtime", LongType, nullable = false)))
+      def mRow(section: String, cluster: Int = -1, vec: Seq[Float] = null,
+          radius: Double = 0.0, rms: Double = 0.0, n: Long = 0L,
+          col: String = null, value: String = null, coltype: String = null,
+          fkey: String = null, baselineDist: Double = Double.NaN,
+          censusEpoch: Long = Long.MinValue, dataSchemaJson: String = null,
+          pqIdCol: String = null, subspace: Int = -1, pqcent: Int = -1,
+          relpath: String = null, length: Long = 0L,
+          mtime: Long = 0L): Row =
+        Row(section, cluster, vec, radius, rms, n, col, value, coltype,
+          fkey, baselineDist, censusEpoch, dataSchemaJson, pqIdCol,
+          subspace, pqcent, relpath, length, mtime)
+      val sectionRows = scala.collection.mutable.ArrayBuffer.empty[Row]
+      var firstWrite = true
+      var sliceBytes = 0L
+      // byte-budget slicer: cell rows are fat (the centroid array),
+      // occ/cnt/file rows ~100 B — one slice ≈ the legacy writer's
+      // bounds (4096 cells × 2688 dims ≈ 44 MB; 262144 narrow rows)
+      val sliceBudget = 48L << 20
+      def addRow(r: Row, estBytes: Long): Unit = {
+        sectionRows += r
+        sliceBytes += estBytes
+        if (sliceBytes >= sliceBudget) flush(force = true)
       }
-      // gate on rows actually WRITTEN, not on occupancyNow.isEmpty: a
-      // registered column whose inner tables are all empty (every value
-      // null at build) yields zero rows above, and a version missing
-      // $vdir/occupancy entirely would make load() throw forever
-      if (occRowsWritten == 0L)
-        spark.createDataFrame(
-            spark.sparkContext.emptyRDD[Row], occSchema)
-          .write.mode("append").parquet(s"$vdir/occupancy")
+      def flush(force: Boolean): Unit = {
+        if (force && (sectionRows.nonEmpty || firstWrite)) {
+          spark.createDataFrame(
+              spark.sparkContext.parallelize(sectionRows.toSeq, 1), mSchema)
+            .write.mode("append").parquet(s"$vdir/manifest")
+          sectionRows.clear()
+          sliceBytes = 0L
+          firstWrite = false
+        }
+      }
+      (0 until centroids.length).foreach { c =>
+        addRow(mRow("cell", cluster = c,
+          vec = centroids(c).toIndexedSeq,
+          radius = if (c < radii.length) radii(c) else 0.0,
+          rms = if (c < rmsRadii.length) rmsRadii(c) else 0.0,
+          n = if (c < cellCounts.length) cellCounts(c) else 0L),
+          4L * centroids(c).length + 48)
+      }
+      occupancyNow.toSeq.foreach { case (oc, t) =>
+        val ct = occupancyTypes.getOrElse(oc, "string")
+        t.iterator.foreach { case ((c, v), n) =>
+          addRow(mRow("occ", cluster = c, col = oc, value = v,
+            coltype = ct, n = n), 100L)
+        }
+      }
       // Persisted predicate-count memo (r16): the per-(filter, cluster)
       // EXACT match counts this handle has computed — the cold half of
       // a fresh process's first conjunction-filtered probe plan (the
@@ -3076,29 +3110,26 @@ object VectorSearch {
       // set, so load() admits them under the same epoch gate as the
       // census. Cleared by append()/refresh() like the in-memory memo.
       locally {
-        val countsSchema = StructType(Seq(
-          StructField("fkey", StringType, nullable = false),
-          StructField("cluster", IntegerType, nullable = false),
-          StructField("n", LongType, nullable = false)))
         val snap = {
           import scala.jdk.CollectionConverters._
           countCache.asScala.toSeq.take(256)
         }
         if (snap.nonEmpty && censusOpt.isDefined) {
-          val rows = snap.flatMap { case (fk, m) =>
+          snap.foreach { case (fk, m) =>
             // a genuinely-zero-match filter memoizes an EMPTY map —
             // persist it as a (-1, 0) sentinel so a fresh process keeps
             // serving the zero without re-scanning. Maps that carry a
             // TAIL entry are NOT persisted: cluster −1 is the sentinel's
             // key, and a tail count is transient anyway (compaction
             // re-keys it; the epoch gate would discard it regardless)
-            if (m.isEmpty) Seq(Row(fk, -1, 0L))
-            else if (m.contains(VectorSearch.TailCell)) Seq.empty
-            else m.iterator.map { case (c, n) => Row(fk, c, n) }.toSeq
+            if (m.isEmpty) {
+              addRow(mRow("cnt", fkey = fk, cluster = -1, n = 0L), 100L)
+            } else if (!m.contains(VectorSearch.TailCell)) {
+              m.iterator.foreach { case (c, n) =>
+                addRow(mRow("cnt", fkey = fk, cluster = c, n = n), 100L)
+              }
+            }
           }
-          spark.createDataFrame(
-              spark.sparkContext.parallelize(rows, 1), countsSchema)
-            .write.mode("append").parquet(s"$vdir/counts")
         }
       }
       // meta (r15 adds the census fields; r16 decouples them): the data
@@ -3108,55 +3139,35 @@ object VectorSearch {
       // a fresh load() (the r15 append-then-load ADVICE bug)
       val cn = censusOpt
       val ds = dataSchemaOpt
-      val metaSchema = StructType(Seq(
-        StructField("baselineDist", DoubleType, nullable = true),
-        StructField("censusEpoch", LongType, nullable = true),
-        StructField("dataSchemaJson", StringType, nullable = true),
-        // r16 pq: the id column the two serving phases join on; the
-        // codebooks themselves ride in $vdir/pq (frozen, like centroids)
-        StructField("pqIdCol", StringType, nullable = true)))
-      spark.createDataFrame(
-          spark.sparkContext.parallelize(Seq(Row(
-            if (baselineDist.isNaN) null else java.lang.Double.valueOf(baselineDist),
-            cn.map(c => java.lang.Long.valueOf(c._1)).orNull,
-            ds.map(_.json).orNull,
-            pqIdColNow)), 1),
-          metaSchema)
-        .write.mode("append").parquet(s"$vdir/meta")
+      // meta (NaN / Long.MinValue encode "absent" in the non-null union
+      // schema); r16 pq: the id column the two serving phases join on
+      addRow(mRow("meta",
+        baselineDist = baselineDist,
+        censusEpoch = cn.map(_._1).getOrElse(Long.MinValue),
+        dataSchemaJson = ds.map(_.json).orNull,
+        pqIdCol = pqIdColNow), 1024L)
       // PQ codebooks: m × ksub narrow rows (≤ ~25k at m=96) — frozen
       // for the index's lifetime, persisted with every version like the
       // centroid table
       if (pqCodebooksNow != null) {
-        val pqSchema = StructType(Seq(
-          StructField("subspace", IntegerType, nullable = false),
-          StructField("centroid", IntegerType, nullable = false),
-          StructField("vec", ArrayType(FloatType, containsNull = false),
-            nullable = false)))
-        val rows = for {
+        for {
           j <- pqCodebooksNow.indices
           c <- pqCodebooksNow(j).indices
-        } yield Row(j, c, pqCodebooksNow(j)(c).toIndexedSeq)
-        spark.createDataFrame(
-            spark.sparkContext.parallelize(rows, 1), pqSchema)
-          .write.mode("append").parquet(s"$vdir/pq")
-      }
-      // the file census itself: one narrow row per data file, sliced on
-      // the occupancy principle (a 65536-cell exchange layout is ~65k
-      // rows — driver-trivial, but never one giant Seq)
-      cn.foreach { case (_, _, files) =>
-        val fileSchema = StructType(Seq(
-          StructField("cluster", IntegerType, nullable = false),
-          StructField("relpath", StringType, nullable = false),
-          StructField("length", LongType, nullable = false),
-          StructField("mtime", LongType, nullable = false)))
-        files.grouped(262144).foreach { g =>
-          spark.createDataFrame(
-              spark.sparkContext.parallelize(
-                g.map(f => Row(f.cluster, f.relPath, f.length, f.modTime)), 1),
-              fileSchema)
-            .write.mode("append").parquet(s"$vdir/files")
+        } {
+          addRow(mRow("pq", subspace = j, pqcent = c,
+            vec = pqCodebooksNow(j)(c).toIndexedSeq),
+            4L * pqCodebooksNow(j)(c).length + 48)
         }
       }
+      // the file census itself: one narrow row per data file
+      cn.foreach { case (_, _, files) =>
+        files.foreach { f =>
+          addRow(mRow("file", cluster = f.cluster,
+            relpath = f.relPath, length = f.length, mtime = f.modTime),
+            100L + f.relPath.length)
+        }
+      }
+      flush(force = true)
       // commit marker LAST — the version is invisible to load() until
       // this file exists, which is the whole atomicity argument — then
       // vacuum to the two newest committed versions (shared layout)
@@ -3622,7 +3633,8 @@ object VectorSearch {
           // this manifest's centroid table to be servable).
           val p = new Path(root, l.split("\t")(1))
           if (!fs.exists(p)) {
-            require(fs.exists(new Path(p.getParent, "cells")),
+            require(fs.exists(new Path(p.getParent, "cells")) ||
+              fs.exists(new Path(p.getParent, "manifest")),
               s"scrub replay: manifest payload ${p.getParent} is gone " +
                 "(vacuumed after a crashed rebalance?) — refusing to " +
                 "commit an empty version; restore the manifest or " +
@@ -3652,6 +3664,11 @@ object VectorSearch {
       val committed = manifestVersions(mfs, rootPath).filter(_._2).map(_._1)
       val dir =
         if (committed.nonEmpty) f"$mroot/v${committed.max}%08d" else mroot
+      // r17 combined layout first: one dataset, one typed collect (see
+      // saveManifest) — the per-section reader below stays for pre-r17
+      // manifests
+      if (mfs.exists(new org.apache.hadoop.fs.Path(s"$dir/manifest")))
+        return loadCombined(spark, path, dir)
       // typed collect, not Row collect: the Row form boxes every float
       // (~4× the payload — a cap-sized 65536×2688 manifest OOMed a 4 GB
       // driver heap through it; ManifestBench pins the envelope), while
@@ -3798,6 +3815,113 @@ object VectorSearch {
       }
       idx
     }
+
+    /** Reader for the r17 combined manifest layout (see saveManifest):
+      * one parquet dataset, one TYPED collect (primitive float arrays —
+      * no Row boxing), then driver-side section splits. Semantics match
+      * the legacy per-section reader exactly: same validation, same
+      * degrade paths (corrupt pq → sq8 serving; stale epoch → listing
+      * fallback), same count-memo sentinel handling.
+      */
+    private def loadCombined(spark: SparkSession, path: String,
+        dir: String): IvfIndex = {
+      import spark.implicits._
+      val all = spark.read.parquet(s"$dir/manifest")
+        .select(col("section"), col("cluster"), col("vec"), col("radius"),
+          col("rms"), col("n"), col("col"), col("value"), col("coltype"),
+          col("fkey"), col("baselineDist"), col("censusEpoch"),
+          col("dataSchemaJson"), col("pqIdCol"), col("subspace"),
+          col("pqcent"), col("relpath"), col("length"), col("mtime"))
+        .as[(String, Int, Array[Float], Double, Double, Long, String,
+          String, String, String, Double, Long, String, String, Int, Int,
+          String, Long, Long)]
+        .collect()
+      val bySection = all.groupBy(_._1)
+      val cells = bySection.getOrElse("cell", Array.empty)
+      require(cells.nonEmpty, s"empty IVF manifest at $dir")
+      val k = cells.length
+      val cents = new Array[Array[Float]](k)
+      val radii = new Array[Double](k)
+      val rms = new Array[Double](k)
+      val ns = new Array[Long](k)
+      cells.foreach { r =>
+        val c = r._2
+        require(c >= 0 && c < k, s"manifest cluster id $c out of [0, $k)")
+        cents(c) = r._3
+        radii(c) = r._4
+        rms(c) = r._5
+        ns(c) = r._6
+      }
+      val occRows = bySection.getOrElse("occ", Array.empty).groupBy(_._7)
+      val occ = occRows.map { case (oc, rows) =>
+        oc -> rows.map(r => (r._2, r._8) -> r._6).toMap
+      }
+      val occTypes = occRows.map { case (oc, rows) => oc -> rows.head._9 }
+      val meta = bySection.getOrElse("meta", Array.empty).headOption
+      val baseline = meta.map(_._11).getOrElse(Double.NaN)
+      val idx = IvfIndex(path, cents, baseline, radii, rms, ns, occ,
+        occTypes)
+      val dataSchema: Option[org.apache.spark.sql.types.StructType] =
+        meta.flatMap(m => Option(m._13)).flatMap { sj =>
+          try Some(org.apache.spark.sql.types.DataType.fromJson(sj)
+            .asInstanceOf[org.apache.spark.sql.types.StructType])
+          catch { case _: Exception => None }
+        }
+      dataSchema.foreach { ds =>
+        idx.dataSchemaNow = ds
+        idx.hasDistColumn = ds.fieldNames.contains("__dist")
+      }
+      meta.flatMap(m => Option(m._14)).foreach(idx.pqIdColNow = _)
+      try {
+        val pqRows = bySection.getOrElse("pq", Array.empty)
+        if (pqRows.nonEmpty) {
+          val m = pqRows.iterator.map(_._15).max + 1
+          val cbs = new Array[Array[Array[Float]]](m)
+          pqRows.groupBy(_._15).foreach { case (j, g) =>
+            val ks = g.iterator.map(_._16).max + 1
+            val cb = new Array[Array[Float]](ks)
+            g.foreach(r => cb(r._16) = r._3)
+            cbs(j) = cb
+          }
+          require(cbs.forall(cb => cb != null && cb.forall(_ != null)),
+            "pq table has holes")
+          idx.pqCodebooksNow = cbs
+        }
+      } catch {
+        case e: Exception =>
+          System.err.println(
+            s"[graft] pq re-arm failed for $path (sq8 serving path): " +
+              e.getMessage)
+      }
+      val savedEpoch = meta.map(_._12).getOrElse(Long.MinValue)
+      if (savedEpoch != Long.MinValue && dataSchema.isDefined) {
+        val current = org.apache.spark.sql.graft.CensusIndex
+          .readEpoch(spark, path)
+        if (current.contains(savedEpoch)) {
+          val cntRows = bySection.getOrElse("cnt", Array.empty)
+          if (cntRows.nonEmpty) {
+            val loaded = cntRows.groupBy(_._10).map { case (fk, rows) =>
+              fk -> rows.iterator
+                .filter(_._2 >= 0) // drop the empty-map sentinel
+                .map(r => r._2 -> r._6).toMap
+            }
+            idx.prefillCounts(loaded)
+          }
+          try {
+            val files = bySection.getOrElse("file", Array.empty)
+              .map(r => org.apache.spark.sql.graft.CensusIndex
+                .CensusFile(r._2, r._17, r._18, r._19)).toSeq
+            idx.censusNow0 = Some((savedEpoch, dataSchema.get, files))
+          } catch {
+            case e: Exception =>
+              System.err.println(
+                s"[graft] census re-arm failed for $path (listing " +
+                  s"fallback): ${e.getMessage}")
+          }
+        }
+      }
+      idx
+    }
   }
 
   /** True when a literal of `v`'s JVM type renders (toString) identically
@@ -3872,6 +3996,28 @@ object VectorSearch {
     */
   @volatile private[graft] var hierarchicalFitMinK: Int = 512
 
+  /** Small-sample flat-fit fast path (r17): when the training sample fits
+    * one bounded collect, the flat Lloyd runs on the DRIVER via
+    * [[localLloyd]] instead of MLlib KMeans. MLlib's distributed fit costs
+    * one scheduler round-trip per Lloyd iteration plus the init sample job
+    * (~12 jobs); at fixture/bench sample sizes (≤ a few thousand rows)
+    * that is pure overhead — measured 0.65 s of a 2 s index build at
+    * 2000 × 384, vs ~0.1 s for collect + driver Lloyd. The gate is a
+    * probe-collect of at most [[smallFitMaxRows]]+1 rows (bounded bytes:
+    * 16384 × 2688 dims × 4 B ≈ 176 MB, well under the pinned heap): if the
+    * whole sample came back AND the Lloyd flop count k·n·d·iters is under
+    * [[smallFitMaxFlops]] (so the driver pass stays sub-second on 32
+    * threads), fit locally; otherwise fall through to the distributed
+    * MLlib path unchanged. 0 disables the fast path entirely (A/B hook).
+    * Scale shape: a 100 TB build's training sample (256·k rows, k ≥ 4096)
+    * blows both gates and keeps the distributed fit; only
+    * genuinely-driver-sized fits take this path.
+    */
+  @volatile private[graft] var smallFitMaxRows: Int = 16384
+
+  /** Flop ceiling for [[smallFitMaxRows]]'s driver Lloyd (k·n·d·iters). */
+  @volatile private[graft] var smallFitMaxFlops: Double = 4e9
+
   /** Coarse-group count for the two-level fit; 0 derives ~2√k. The
     * refinement's cost is Σ_g rows_g·k_g ∝ Σ_g rows_g² — QUADRATIC in
     * group mass — so more, smaller groups beat the flop-optimal √k
@@ -3944,7 +4090,8 @@ object VectorSearch {
     * when no assignment changes.
     */
   private[graft] def localLloyd(points: Array[Array[Float]], k: Int,
-      seed: Long, maxIter: Int, parallel: Boolean = false): Array[Array[Float]] = {
+      seed: Long, maxIter: Int, parallel: Boolean = false,
+      farthestInit: Boolean = false): Array[Array[Float]] = {
     if (k <= 0 || points.isEmpty) return Array.empty
     val n = points.length
     if (k >= n) return points.map(_.clone())
@@ -3958,8 +4105,51 @@ object VectorSearch {
       }
       h
     }
-    val init = Array.tabulate(n)(i => (contentHash(points(i)), i))
-      .sortBy(_._1).take(k).map(_._2)
+    // Two deterministic seedings: content-hash order (the historical
+    // default — cheap, order-independent) and farthest-first traversal
+    // (r17, for the small-flat-fit path): hash seeds can all land in one
+    // true cluster on tiny well-separated fixtures, leaving Lloyd in a
+    // merged-cluster local optimum that random init escapes by luck;
+    // farthest-first guarantees separated seeds at O(k·n·d) — trivial
+    // against the Lloyd iterations that follow.
+    val init: Array[Int] =
+      if (!farthestInit)
+        Array.tabulate(n)(i => (contentHash(points(i)), i))
+          .sortBy(_._1).take(k).map(_._2)
+      else {
+        val chosen = new Array[Int](k)
+        var first = 0
+        var firstH = Long.MaxValue
+        var i0 = 0
+        while (i0 < n) {
+          val h = contentHash(points(i0))
+          if (h < firstH) { firstH = h; first = i0 }
+          i0 += 1
+        }
+        chosen(0) = first
+        val minD = Array.fill(n)(Double.MaxValue)
+        var j = 1
+        while (j < k) {
+          val last = points(chosen(j - 1))
+          var far = -1
+          var farD = -1.0
+          var i = 0
+          while (i < n) {
+            val p = points(i)
+            var s = 0.0
+            var t = 0
+            while (t < d) {
+              val dv = p(t).toDouble - last(t); s += dv * dv; t += 1
+            }
+            if (s < minD(i)) minD(i) = s
+            if (minD(i) > farD) { farD = minD(i); far = i }
+            i += 1
+          }
+          chosen(j) = far
+          j += 1
+        }
+        chosen
+      }
     val cents = Array.tabulate(k)(j => points(init(j)).map(_.toDouble))
     val cn = new Array[Double](k) // ||c||²
     val pn = Array.tabulate(n) { i => // ||p||², for the reseed compare
@@ -4410,29 +4600,57 @@ object VectorSearch {
         try hierarchicalFit(df.sparkSession, tf, k, seed, ivfDbg)
         finally tf.unpersist(blocking = false)
       } else ivfStep("fit_flat") {
-        // Pin the training sample: k-means|| init plus every Lloyd
-        // iteration is a separate job, and without an explicit persist
-        // each one re-reads and re-decodes the FULL source parquet just
-        // to re-draw the sample. The sample is bounded (fraction /
-        // maxTrainVectors), so this is the one copy that belongs in
-        // memory.
-        val trainDf = sampled.select(
-            array_to_vector(col(vecCol).cast("array<double>")).as("__mlvec"))
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        // 10 Lloyd iterations: a coarse quantizer's recall is governed
-        // by the probe count, not centroid convergence past the first
-        // few rounds. Same reasoning for random init over k-means||: the
-        // parallel init runs several extra distributed passes to seed
-        // marginally better centroids, which Lloyd + nprobe sweeping
-        // makes irrelevant here — measured 2× of the whole fit.
-        val model =
-          try new KMeans()
-            .setK(k).setSeed(seed).setFeaturesCol("__mlvec")
-            .setPredictionCol("__cluster").setMaxIter(10)
-            .setInitMode("random")
-            .fit(trainDf)
-          finally trainDf.unpersist(blocking = false)
-        model.clusterCenters.map(_.toArray.map(_.toFloat))
+        // Driver fast path first (see [[smallFitMaxRows]]): one bounded
+        // collect replaces MLlib's ~12 scheduler round-trips when the
+        // sample is fixture/bench sized. The probe limit bounds the
+        // collect's bytes; a truncated probe (sample larger than the
+        // gate) falls through to the distributed fit below.
+        val probeRows = smallFitMaxRows
+        val smallPts: Array[Array[Float]] =
+          if (probeRows <= 0) null
+          else {
+            val got = sampled.select(col(vecCol).cast("array<float>"))
+              .limit(probeRows + 1).collect()
+            if (got.length > probeRows) null
+            else {
+              val pts = got.map(_.getSeq[Float](0).toArray)
+              val d = if (pts.isEmpty) 0 else pts(0).length
+              if (pts.nonEmpty &&
+                  k.toDouble * pts.length * d * 10 <= smallFitMaxFlops) pts
+              else null
+            }
+          }
+        if (smallPts != null) {
+          // deterministic farthest-first init + 10 Lloyd rounds on the
+          // driver (32-thread assignment above 4096 points) — the same
+          // kernel the hierarchical fit's refinement tasks run
+          localLloyd(smallPts, k, seed, 10, parallel = true,
+            farthestInit = true)
+        } else {
+          // Pin the training sample: k-means|| init plus every Lloyd
+          // iteration is a separate job, and without an explicit persist
+          // each one re-reads and re-decodes the FULL source parquet just
+          // to re-draw the sample. The sample is bounded (fraction /
+          // maxTrainVectors), so this is the one copy that belongs in
+          // memory.
+          val trainDf = sampled.select(
+              array_to_vector(col(vecCol).cast("array<double>")).as("__mlvec"))
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          // 10 Lloyd iterations: a coarse quantizer's recall is governed
+          // by the probe count, not centroid convergence past the first
+          // few rounds. Same reasoning for random init over k-means||: the
+          // parallel init runs several extra distributed passes to seed
+          // marginally better centroids, which Lloyd + nprobe sweeping
+          // makes irrelevant here — measured 2× of the whole fit.
+          val model =
+            try new KMeans()
+              .setK(k).setSeed(seed).setFeaturesCol("__mlvec")
+              .setPredictionCol("__cluster").setMaxIter(10)
+              .setInitMode("random")
+              .fit(trainDf)
+            finally trainDf.unpersist(blocking = false)
+          model.clusterCenters.map(_.toArray.map(_.toFloat))
+        }
       }
     // Assignment stays in whole-stage codegen: the fused nearest_centroid
     // kernel (one primitive copy of the row vector, tight loops over all
@@ -4607,7 +4825,7 @@ object VectorSearch {
     // the index is a durable artifact, not a session object: persist the
     // driver-side state so IvfIndex.load reopens it in a fresh process
     // (manifest ≪ data files — see saveManifest scaladoc)
-    idx.saveManifest(df.sparkSession)
+    ivfStep("manifest") { idx.saveManifest(df.sparkSession) }
     idx
   }
 

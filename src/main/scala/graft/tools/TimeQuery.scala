@@ -34,6 +34,19 @@ object TimeQuery {
       // strategies — the post-AQE truth (`explain()` on an unexecuted
       // frame shows pre-adaptive placeholders). Rerun-free: reads the
       // last rep's executedPlan.
+      // SPARK_GRAFT_PLAN_DIR=<dir> (r17): dump the query's
+      // explain("formatted") to <dir>/<name>_<SPARK_GRAFT_PLAN_TAG>.txt —
+      // the committed before/after plan evidence for optimization rounds.
+      sys.env.get("SPARK_GRAFT_PLAN_DIR").foreach { dir =>
+        val tag = sys.env.getOrElse("SPARK_GRAFT_PLAN_TAG", "before")
+        val df = q.run(spark, sfDir)
+        val txt = df.queryExecution.explainString(
+          org.apache.spark.sql.execution.FormattedMode)
+        val p = java.nio.file.Paths.get(dir, s"${name}_$tag.txt")
+        java.nio.file.Files.createDirectories(p.getParent)
+        java.nio.file.Files.write(p, txt.getBytes("UTF-8"))
+        println(s"[timequery] $name plan -> $p")
+      }
       if (sys.env.get("SPARK_GRAFT_EXPLAIN").contains("1") && lastDf != null) {
         // the noop writes above ran their own QueryExecutions — AQE
         // finalizes per-execution, so drive THIS frame's before reading
