@@ -1786,10 +1786,27 @@ object Dedup {
       k: Int = 5, minDocs: Int = 2): DataFrame = {
     require(minDocs >= 2, s"minDocs must be >= 2, got $minDocs")
     val g = windowGrams(df, textCol, idCol, k)
-    val dup = g.groupBy(col("gh"))
-      .agg(countDistinct(col(idCol)).as("__nd"), min(col(idCol)).as("keeper"))
-      .filter(col("__nd") >= minDocs)
-      .select(col("gh"), col("keeper"))
+    // minDocs == 2 (the operator default, and the only threshold the Lee
+    // et al. semantics need): "appears in >= 2 distinct docs" is exactly
+    // min(id) != max(id), which aggregates in ONE exchange with plain
+    // map-side combine — countDistinct plans a two-round aggregate
+    // (expand on (gh, id), then re-shuffle) whose first exchange carries
+    // every distinct (gh, id) pair. Same skew story (hot window hashes
+    // still collapse map-side), half the exchanges, strictly equal
+    // results: both classify a hash as duplicated iff its non-null doc
+    // ids contain at least two distinct values, and keeper = min(id)
+    // either way. minDocs > 2 keeps the countDistinct plan.
+    val dup =
+      if (minDocs == 2)
+        g.groupBy(col("gh"))
+          .agg(min(col(idCol)).as("keeper"), max(col(idCol)).as("__mx"))
+          .filter(col("__mx") =!= col("keeper"))
+          .select(col("gh"), col("keeper"))
+      else
+        g.groupBy(col("gh"))
+          .agg(countDistinct(col(idCol)).as("__nd"), min(col(idCol)).as("keeper"))
+          .filter(col("__nd") >= minDocs)
+          .select(col("gh"), col("keeper"))
     g.join(dup, "gh").select(col(idCol), col("pos"), col("gh"), col("keeper"))
   }
 

@@ -56,6 +56,17 @@ object Percentiles {
     */
   private[graft] def globalRanks(df: DataFrame, groupCol: String,
       valueCol: String, numPartitions: Int): (DataFrame, DataFrame) = {
+    val (localRanked, parted, cnts) = rankParts(df, groupCol, valueCol,
+      numPartitions)
+    (joinOffsets(localRanked, distributedOffsets(cnts)), parted)
+  }
+
+  /** Shared first half of the rank pipeline: the cached range-partitioned
+    * projection, its per-chunk local ranks, and the per-(partition, group)
+    * count table the offsets derive from.
+    */
+  private def rankParts(df: DataFrame, groupCol: String, valueCol: String,
+      numPartitions: Int): (DataFrame, DataFrame, DataFrame) = {
     val nParts =
       if (numPartitions > 0) numPartitions
       else df.sparkSession.sessionState.conf.numShufflePartitions
@@ -73,17 +84,73 @@ object Percentiles {
 
     val cnts = parted.groupBy(col("__pid"), col("__gk"))
       .agg(count(lit(1)).as("__c"))
+    (localRanked, parted, cnts)
+  }
+
+  /** Offsets as a lazy window over the count table — self-consistent under
+    * recomputation (the offsets subplan re-derives from the same in-plan
+    * data even if the cache is gone and the range exchange resamples), so
+    * it is the only safe shape for rank frames that OUTLIVE the pinned
+    * cache (the lazy return path, and [[globalRanks]]' callers).
+    */
+  private def distributedOffsets(cnts: DataFrame): DataFrame = {
     val byGroup = Window.partitionBy(col("__gk"))
-    val offsets = cnts.select(col("__pid"), col("__gk"),
+    cnts.select(col("__pid"), col("__gk"),
       (sum(col("__c")).over(byGroup.orderBy(col("__pid"))) - col("__c"))
         .as("__off"),
       sum(col("__c")).over(byGroup).as("__n"))
-
-    val ranked = localRanked
-      .join(broadcast(offsets), Seq("__pid", "__gk"))
-      .withColumn("__rn", (col("__off") + col("__lrn")).cast("double"))
-    (ranked, parted)
   }
+
+  private def joinOffsets(localRanked: DataFrame,
+      offsets: DataFrame): DataFrame =
+    localRanked.join(broadcast(offsets), Seq("__pid", "__gk"))
+      .withColumn("__rn", (col("__off") + col("__lrn")).cast("double"))
+
+  /** Driver-side offsets: the count table is `partitions × groups` rows and
+    * ends up broadcast into the rank join either way, so collecting it and
+    * computing the cumulative offsets (plus the group count) on the driver
+    * costs no extra pass — the previous shape ran a window over the count
+    * table inside the broadcast subplan AND a separate
+    * approx_count_distinct scan of the cache just to decide result
+    * materialization. ONLY valid while the cache stays pinned (the frozen
+    * pid assignment): eager consumption inside [[grouped]], never the lazy
+    * return path. Returns None past [[maxDriverOffsetRows]] rows — the
+    * caller falls back to [[distributedOffsets]].
+    */
+  private def driverOffsets(spark: org.apache.spark.sql.SparkSession,
+      cnts: DataFrame): Option[(DataFrame, Long)] = {
+    val probe = cnts.limit(maxDriverOffsetRows + 1).collect()
+    if (probe.length > maxDriverOffsetRows) return None
+    val gkType = cnts.schema("__gk").dataType
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("__pid",
+        org.apache.spark.sql.types.IntegerType, nullable = false),
+      org.apache.spark.sql.types.StructField("__gk", gkType,
+        nullable = false),
+      org.apache.spark.sql.types.StructField("__off",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("__n",
+        org.apache.spark.sql.types.LongType, nullable = false)))
+    val rows = probe.groupBy(_.get(1)).iterator.flatMap { case (_, g) =>
+      val ordered = g.sortBy(_.getInt(0))
+      val total = ordered.iterator.map(_.getLong(2)).sum
+      var off = 0L
+      ordered.iterator.map { r =>
+        val o = off
+        off += r.getLong(2)
+        Row(r.getInt(0), r.get(1), o, total)
+      }
+    }.toSeq
+    Some((spark.createDataFrame(rows.asJava, schema),
+      probe.iterator.map(_.get(1)).toSet.size.toLong))
+  }
+
+  /** Bound on the per-(partition, group) count rows computed driver-side in
+    * [[driverOffsets]] — above it the offsets stay distributed. The table
+    * is broadcast into the rank join regardless, so this bound is the same
+    * order as what the broadcast already implies.
+    */
+  private val maxDriverOffsetRows: Int = 1 << 20
 
   /** One output row per group: the requested percentiles of `valueCol` as
     * columns named per `names` (defaults p0, p1, …). `numPartitions` sizes
@@ -97,7 +164,8 @@ object Percentiles {
       if (names.nonEmpty) { require(names.length == ps.length); names }
       else ps.indices.map(i => s"p$i")
 
-    val (ranked, cached) = globalRanks(df, groupCol, valueCol, numPartitions)
+    val (localRanked, cached, cnts) = rankParts(df, groupCol, valueCol,
+      numPartitions)
     val aggs = ps.zip(outNames).map { case (p, name) =>
       val pos = (col("__n") - 1).cast("double") * lit(p)
       val lo = floor(pos)
@@ -109,23 +177,30 @@ object Percentiles {
           .when(col("__rn") === hi, col("__v") * frac)
           .otherwise(lit(0.0))).as(name)
     }
-    val result = ranked.groupBy(col("__gk"))
-      .agg(aggs.head, aggs.tail: _*)
-      .select(col(s"__gk.$groupCol").as(groupCol) +: outNames.map(col): _*)
+    def result(offsets: DataFrame): DataFrame =
+      joinOffsets(localRanked, offsets).groupBy(col("__gk"))
+        .agg(aggs.head, aggs.tail: _*)
+        .select(col(s"__gk.$groupCol").as(groupCol) +: outNames.map(col): _*)
+    // The driver-side offsets probe doubles as the group-count check (one
+    // count-table collect instead of a window subplan plus a separate
+    // approx_count_distinct pass over the cache).
+    //
     // Intended regime: few, huge groups → one row per group is tiny, so
     // materialize the result and release the cache deterministically. A
     // high-cardinality groupCol would make that collect a driver OOM —
-    // return the lazy cache-backed frame instead (the cache must outlive
-    // consumption, because the offset join is only valid against the
-    // pinned partition assignment; ContextCleaner releases it when the
-    // frame is dropped).
-    val nGroups =
-      cached.select(approx_count_distinct(col("__gk"))).head().getLong(0)
-    if (nGroups > maxCollectGroups) return result
-    val rows = result.collect()
-    val schema = result.schema
-    cached.unpersist(blocking = false)
-    df.sparkSession.createDataFrame(rows.toSeq.asJava, schema)
+    // return the lazy cache-backed frame instead, built on the
+    // DISTRIBUTED offsets (self-consistent if the cache is released and
+    // the range exchange resamples; driver-frozen offsets would go stale).
+    driverOffsets(df.sparkSession, cnts) match {
+      case Some((offsets, nGroups)) if nGroups <= maxCollectGroups =>
+        val r = result(offsets)
+        val rows = r.collect()
+        val schema = r.schema
+        cached.unpersist(blocking = false)
+        df.sparkSession.createDataFrame(rows.toSeq.asJava, schema)
+      case _ =>
+        result(distributedOffsets(cnts))
+    }
   }
 
   /** Winsorization: clamp `valueCol` into its per-group [pLo, pHi]

@@ -437,15 +437,27 @@ object Profile {
   def fkAudit(edges: Seq[(String, DataFrame, String, DataFrame, String)])
       : DataFrame = {
     require(edges.nonEmpty)
+    // Each edge aggregates the child by fk FIRST (one exchange whose
+    // map-side combine collapses repeated keys), so the parent join and
+    // the final roll-up run over distinct fks, not child rows:
+    //   n_child    = Σ per-fk counts (null fk group included)
+    //   orphans    = Σ counts of fk groups with no parent match (a null
+    //                fk never equi-matches, same as the row-level join)
+    //   distinct_fk = count of non-null fk groups
+    // Equivalent to the previous row-level left join + countDistinct
+    // (which planned a two-round aggregate and shuffled every child row
+    // through the join), and the per-edge eager localCheckpoint of the
+    // parent key set is gone — the edges now plan into one lazy union
+    // instead of 6 blocking driver-sequenced materializations.
     edges.map { case (name, child, fk, parent, pk) =>
       val parents = parent.select(col(pk).as("__pk"))
         .filter(col("__pk").isNotNull).distinct()
-        .localCheckpoint(true)
-      child.select(col(fk))
+      child.select(col(fk)).groupBy(col(fk)).agg(count(lit(1)).as("__cnt"))
         .join(parents, col(fk) === col("__pk"), "left")
-        .agg(count(lit(1)).as("n_child"),
-          coalesce(sum(col("__pk").isNull.cast("long")), lit(0L)).as("orphans"),
-          countDistinct(col(fk)).as("distinct_fk"))
+        .agg(coalesce(sum(col("__cnt")), lit(0L)).as("n_child"),
+          coalesce(sum(when(col("__pk").isNull, col("__cnt"))), lit(0L))
+            .as("orphans"),
+          count(col(fk)).as("distinct_fk"))
         .crossJoin(broadcast(parents.agg(count(lit(1)).as("n_parent"))))
         .select(lit(name).as("edge"), col("n_child"), col("orphans"),
           col("distinct_fk"), col("n_parent"))
