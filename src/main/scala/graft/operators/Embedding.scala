@@ -354,31 +354,42 @@ object Embedding {
     var epoch = 0
     while (epoch < iterations) {
       val alpha = 1.0 - epoch.toDouble / iterations
-      i = 0
-      while (i < n) { grad(i)(0) = 0.0; grad(i)(1) = 0.0; i += 1 }
-      i = 0
-      while (i < n) {
-        var j = i + 1
-        while (j < n) {
-          val dx = y(i)(0) - y(j)(0)
-          val dy = y(i)(1) - y(j)(1)
-          val d2 = dx * dx + dy * dy
-          val wij = sym(i)(j)
-          // attractive: w * dCE/dd of the a,b kernel; repulsive: (1-w)
-          val attr =
-            if (wij > 0.0 && d2 > 0.0)
-              wij * (-2.0 * a * b * math.pow(d2, b - 1.0)) /
-                (1.0 + a * math.pow(d2, b))
-            else 0.0
-          val rep = (1.0 - wij) * (2.0 * b) /
-            ((0.001 + d2) * (1.0 + a * math.pow(d2, b)))
-          val gx = clip(attr * dx) + clip(rep * dx)
-          val gy = clip(attr * dy) + clip(rep * dy)
-          grad(i)(0) += gx; grad(i)(1) += gy
-          grad(j)(0) -= gx; grad(j)(1) -= gy
-          j += 1
+      // Per-point gradients over ALL partners, parallel over point chunks.
+      // Bit-identical to the previous pair-at-a-time accumulation: that
+      // shape added point p's contributions in ascending-partner order too
+      // (outer loops i < p contribute while ascending, then i = p covers
+      // j > p), and the (j, p) pair's term is exactly the negation of the
+      // (p, j) term — dx flips sign exactly, d2/attr/rep are unchanged, and
+      // clip is odd (clip(-v) = -clip(v)), so the summands match to the
+      // last bit. Twice the flops, divided over every core: the epoch loop
+      // at 500 points × 200 epochs was ~1.3 s of single-threaded pow().
+      parRanges(n) { (lo, hi) =>
+        var p = lo
+        while (p < hi) {
+          var g0 = 0.0; var g1 = 0.0
+          var j = 0
+          while (j < n) {
+            if (j != p) {
+              val dx = y(p)(0) - y(j)(0)
+              val dy = y(p)(1) - y(j)(1)
+              val d2 = dx * dx + dy * dy
+              val wij = sym(p)(j)
+              // attractive: w * dCE/dd of the a,b kernel; repulsive: (1-w)
+              val attr =
+                if (wij > 0.0 && d2 > 0.0)
+                  wij * (-2.0 * a * b * math.pow(d2, b - 1.0)) /
+                    (1.0 + a * math.pow(d2, b))
+                else 0.0
+              val rep = (1.0 - wij) * (2.0 * b) /
+                ((0.001 + d2) * (1.0 + a * math.pow(d2, b)))
+              g0 += clip(attr * dx) + clip(rep * dx)
+              g1 += clip(attr * dy) + clip(rep * dy)
+            }
+            j += 1
+          }
+          grad(p)(0) = g0; grad(p)(1) = g1
+          p += 1
         }
-        i += 1
       }
       // full-batch: each point accumulates O(n) clipped pair interactions,
       // so normalize by n to keep the per-epoch step in umap-learn's
@@ -429,20 +440,43 @@ object Embedding {
       x: Array[Array[Double]]): Array[Array[Double]] = {
     val n = x.length
     val d2 = Array.ofDim[Double](n, n)
-    var i = 0
-    while (i < n) {
-      var j = i + 1
-      while (j < n) {
-        val a = x(i); val b = x(j)
-        var s = 0.0; var k = 0
-        while (k < a.length) { val t = a(k) - b(k); s += t * t; k += 1 }
-        d2(i)(j) = s; d2(j)(i) = s
-        j += 1
+    // parallel over row chunks (the localLloyd idiom): each (i, j > i)
+    // pair is owned by exactly one i-chunk and writes two distinct cells,
+    // no cell is read — bit-identical to the sequential fill, and at the
+    // profile figures' 500 × 2688 sample this pass dominated both
+    // projection fits (O(n²·d) ≈ 0.9 s single-threaded).
+    parRanges(n) { (lo, hi) =>
+      var i = lo
+      while (i < hi) {
+        var j = i + 1
+        while (j < n) {
+          val a = x(i); val b = x(j)
+          var s = 0.0; var k = 0
+          while (k < a.length) { val t = a(k) - b(k); s += t * t; k += 1 }
+          d2(i)(j) = s; d2(j)(i) = s
+          j += 1
+        }
+        i += 1
       }
-      i += 1
     }
     d2
   }
+
+  /** Chunked parallel driver loop over [0, n) (the localLloyd idiom).
+    * Callers write disjoint per-index outputs and read only state that is
+    * constant for the duration of the call, so the result is bit-identical
+    * to the sequential run — chunking only reorders WHICH independent
+    * index runs when, never the arithmetic inside one index. Small inputs
+    * run sequentially (pool handoff costs more than the work).
+    */
+  private def parRanges(n: Int, minN: Int = 64)(f: (Int, Int) => Unit): Unit =
+    if (n < minN) f(0, n)
+    else {
+      val chunk =
+        math.max(16, n / (Runtime.getRuntime.availableProcessors * 4))
+      java.util.stream.IntStream.rangeClosed(0, (n - 1) / chunk).parallel()
+        .forEach(b => f(b * chunk, math.min(n, (b + 1) * chunk)))
+    }
 
   /** Deterministic bounded sample for the projection operators: the
     * `sampleN` LOWEST ids, collected in two phases so the driver-bound
@@ -672,19 +706,28 @@ object Embedding {
         i += 1
       }
       if (z < 1e-300) z = 1e-300
-      i = 0
-      while (i < n) {
-        grad(i)(0) = 0.0; grad(i)(1) = 0.0
-        var j = 0
-        while (j < n) {
-          if (j != i) {
-            val mult = (exag * pSym(i)(j) - num(i)(j) / z) * num(i)(j) * 4.0
-            grad(i)(0) += mult * (y(i)(0) - y(j)(0))
-            grad(i)(1) += mult * (y(i)(1) - y(j)(1))
+      // already per-point over all partners — parallel over point chunks is
+      // bit-identical (grad(i) is the only write; pSym/num/z/y are constant
+      // for the pass). The kernel pass above stays sequential: z is one
+      // global sum whose addition order must not change, and it is O(n²)
+      // cheap next to this O(n²)-with-divides gradient.
+      val zc = z
+      parRanges(n) { (lo, hi) =>
+        var p = lo
+        while (p < hi) {
+          var g0 = 0.0; var g1 = 0.0
+          var j = 0
+          while (j < n) {
+            if (j != p) {
+              val mult = (exag * pSym(p)(j) - num(p)(j) / zc) * num(p)(j) * 4.0
+              g0 += mult * (y(p)(0) - y(j)(0))
+              g1 += mult * (y(p)(1) - y(j)(1))
+            }
+            j += 1
           }
-          j += 1
+          grad(p)(0) = g0; grad(p)(1) = g1
+          p += 1
         }
-        i += 1
       }
       var my0 = 0.0; var my1 = 0.0
       i = 0

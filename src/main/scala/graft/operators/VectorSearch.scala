@@ -4003,20 +4003,31 @@ object VectorSearch {
     * (~12 jobs); at fixture/bench sample sizes (≤ a few thousand rows)
     * that is pure overhead — measured 0.65 s of a 2 s index build at
     * 2000 × 384, vs ~0.1 s for collect + driver Lloyd. The gate is a
-    * probe-collect of at most [[smallFitMaxRows]]+1 rows (bounded bytes:
-    * 16384 × 2688 dims × 4 B ≈ 176 MB, well under the pinned heap): if the
-    * whole sample came back AND the Lloyd flop count k·n·d·iters is under
-    * [[smallFitMaxFlops]] (so the driver pass stays sub-second on 32
-    * threads), fit locally; otherwise fall through to the distributed
-    * MLlib path unchanged. 0 disables the fast path entirely (A/B hook).
+    * bounded probe-collect: [[smallFitMaxRows]] is a BYTE budget expressed
+    * as rows of 2688-dim vectors (16384 × 2688 × 4 B ≈ 176 MB, well under
+    * the pinned heap), scaled to the actual dimension by a single-row
+    * probe, intersected with the flop ceiling [[smallFitMaxFlops]] (rows
+    * such that k·n·d·iters stays under it — the driver pass stays
+    * sub-second on 32 threads) and an absolute 2M-row object cap. If the
+    * whole sample fits the budget, fit locally; otherwise fall through to
+    * the distributed MLlib path unchanged. 0 disables the fast path
+    * entirely (A/B hook).
     * Scale shape: a 100 TB build's training sample (256·k rows, k ≥ 4096)
     * blows both gates and keeps the distributed fit; only
     * genuinely-driver-sized fits take this path.
     */
   @volatile private[graft] var smallFitMaxRows: Int = 16384
 
-  /** Flop ceiling for [[smallFitMaxRows]]'s driver Lloyd (k·n·d·iters). */
-  @volatile private[graft] var smallFitMaxFlops: Double = 4e9
+  /** Flop ceiling for [[smallFitMaxRows]]'s driver Lloyd (k·n·d·iters).
+    * 2e10 ≈ 0.6 s of 32-thread mul-adds at the cap — set by the bench's
+    * own shape: ivf_products_build fits 16 cells over a 10k × 2688 sample
+    * (4.3e9 flops), which the original 4e9 ceiling pushed onto the MLlib
+    * path at ~10 s of scheduler round-trips where the driver pass is
+    * sub-second ([ivf] fit_flat attribution, r17). The rows gate is
+    * unchanged, so the collect stays ≤ 176 MB and genuinely large fits
+    * (k ≥ 4096 ⇒ 256·k-row samples) still go distributed.
+    */
+  @volatile private[graft] var smallFitMaxFlops: Double = 2e10
 
   /** Coarse-group count for the two-level fit; 0 derives ~2√k. The
     * refinement's cost is Σ_g rows_g·k_g ∝ Σ_g rows_g² — QUADRATIC in
@@ -4605,19 +4616,35 @@ object VectorSearch {
         // sample is fixture/bench sized. The probe limit bounds the
         // collect's bytes; a truncated probe (sample larger than the
         // gate) falls through to the distributed fit below.
-        val probeRows = smallFitMaxRows
         val smallPts: Array[Array[Float]] =
-          if (probeRows <= 0) null
+          if (smallFitMaxRows <= 0) null
           else {
-            val got = sampled.select(col(vecCol).cast("array<float>"))
-              .limit(probeRows + 1).collect()
-            if (got.length > probeRows) null
+            import df.sparkSession.implicits._
+            // Price the row budget in the ACTUAL dimension (one single-row
+            // probe fetches d): the rows gate exists to bound collect
+            // BYTES, so [[smallFitMaxRows]] is interpreted as rows OF
+            // 2688-dim vectors (~168 MB) and narrow vectors admit
+            // proportionally more — the bench's 64-dim ivf_build sample
+            // (50k rows, 13 MB) was pushed onto the 10-job MLlib path by
+            // the flat row count alone. The flop gate still caps the
+            // driver Lloyd's work, and an absolute 2M-row cap bounds the
+            // per-array object count.
+            val dHead = sampled.select(size(col(vecCol)).cast("int"))
+              .limit(1).as[Int].collect().headOption.getOrElse(0)
+            val probeRows: Long =
+              if (dHead <= 0) 0L
+              else math.min(math.min(
+                smallFitMaxRows.toLong * 2688L / dHead,
+                (smallFitMaxFlops / (k.toDouble * dHead * 10)).toLong),
+                2L << 20)
+            if (probeRows <= 0) null
             else {
-              val pts = got.map(_.getSeq[Float](0).toArray)
-              val d = if (pts.isEmpty) 0 else pts(0).length
-              if (pts.nonEmpty &&
-                  k.toDouble * pts.length * d * 10 <= smallFitMaxFlops) pts
-              else null
+              // typed collect: primitive float arrays straight from the
+              // columnar batch — the Row form boxes every element (~4× the
+              // payload; the manifest loader documents the same trap)
+              val got = sampled.select(col(vecCol).cast("array<float>"))
+                .limit(probeRows.toInt + 1).as[Array[Float]].collect()
+              if (got.length > probeRows || got.isEmpty) null else got
             }
           }
         if (smallPts != null) {
