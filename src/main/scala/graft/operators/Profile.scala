@@ -240,18 +240,86 @@ object Profile {
         if (row.isNullAt(row.fieldIndex(s"${c}__lmax"))) 0L
         else row.getAs[Long](s"${c}__lmax"))
     }
-    // pass 2: all categorical distincts in one multi-agg job
-    val distincts =
-      if (catCols.isEmpty) Map.empty[String, Long]
+    // pass 2 (r17): every categorical column's distinct count AND top-k in
+    // ONE job over ONE scan. The r16 shape ran a multi-distinct Expand job
+    // (pass 2) plus one partial-agg + TakeOrdered job PER categorical
+    // column (pass 3) — N+1 jobs and N+1 scans of the (cached) projection.
+    // Here the columns melt into (colIdx, value) cells — the same
+    // rows × #catCols flow the Expand already paid — one hash aggregation
+    // produces the exact global count per distinct cell, and a bounded
+    // mapPartitions pass over THOSE aggregated rows (cardinality = distinct
+    // values, never input rows) emits each task's per-column top-k
+    // candidates plus a per-column distinct-count partial. The driver
+    // merges: the global top-k is a subset of the union of per-task top-ks
+    // because each (col, value) row already carries its exact global count,
+    // and the partials sum to the exact distinct count. No single-task
+    // sort of a high-cardinality column (an id-like categorical keeps its
+    // ranking distributed), driver traffic ≤ tasks × #cols × (topK + 1)
+    // rows. Ordering matches categoricalTopK exactly: count desc, value
+    // asc under Spark's UTF8 binary collation (UTF8String.compareTo, NOT
+    // java.lang.String order — they diverge past the BMP).
+    val categorical =
+      if (catCols.isEmpty) Seq.empty[CategoricalStats]
       else {
-        val drow = df.agg(
-          countDistinct(col(catCols.head)).as(catCols.head),
-          catCols.tail.map(c => countDistinct(col(c)).as(c)): _*).head()
-        catCols.map(c => c -> drow.getAs[Long](c)).toMap
+        import org.apache.spark.unsafe.types.UTF8String
+        val spark = df.sparkSession
+        import spark.implicits._
+        val cells = df
+          .select(explode(array(catCols.zipWithIndex.map { case (c, i) =>
+            struct(lit(i).as("i"), col(c).as("v")) }: _*)).as("c"))
+          .select(col("c.i").as("__i"), col("c.v").as("__v"))
+          .filter(col("__v").isNotNull)
+          .groupBy(col("__i"), col("__v"))
+          .agg(count(lit(1)).as("__n"))
+        // candidate is BETTER than the kept worst when count is higher, or
+        // equal-count and binary-lower value
+        def better(a: (Long, String), b: (Long, String)): Boolean =
+          a._1 > b._1 || (a._1 == b._1 &&
+            UTF8String.fromString(a._2).compareTo(UTF8String.fromString(b._2)) < 0)
+        val k = topK
+        val merged = cells.toDF("_1", "_2", "_3")
+          .as[(Int, String, Long)].mapPartitions { it =>
+          // max-heap keyed "worst first" so head is the eviction candidate
+          val worstFirst = new Ordering[(Long, String)] {
+            def compare(a: (Long, String), b: (Long, String)): Int = {
+              val c = java.lang.Long.compare(b._1, a._1)
+              if (c != 0) c
+              else UTF8String.fromString(a._2)
+                .compareTo(UTF8String.fromString(b._2))
+            }
+          }
+          val heaps = scala.collection.mutable.Map
+            .empty[Int, scala.collection.mutable.PriorityQueue[(Long, String)]]
+          val dist = scala.collection.mutable.Map.empty[Int, Long]
+          it.foreach { case (i, v, n) =>
+            dist.update(i, dist.getOrElse(i, 0L) + 1L)
+            val h = heaps.getOrElseUpdate(i,
+              scala.collection.mutable.PriorityQueue.empty(worstFirst))
+            if (h.size < k) h.enqueue((n, v))
+            else if (better((n, v), h.head)) { h.dequeue(); h.enqueue((n, v)) }
+          }
+          heaps.iterator.flatMap { case (i, h) =>
+            h.iterator.map { case (n, v) => (i, v, n) }
+          } ++ dist.iterator.map { case (i, d0) => (i, null: String, d0) }
+        }.collect()
+        val distByCol = merged.iterator.filter(_._2 == null)
+          .toSeq.groupBy(_._1).map { case (i, rs) => i -> rs.map(_._3).sum }
+        val candsByCol = merged.iterator.filter(_._2 != null)
+          .toSeq.groupBy(_._1)
+        // percentage identical to the Spark round(x, 2) the per-column
+        // TakeOrdered computed: BigDecimal.valueOf + HALF_UP
+        def pct(n: Long): Double =
+          if (total == 0) Double.NaN
+          else java.math.BigDecimal.valueOf(n * 100.0 / total)
+            .setScale(2, java.math.RoundingMode.HALF_UP).doubleValue()
+        catCols.zipWithIndex.map { case (c, i) =>
+          val top = candsByCol.getOrElse(i, Seq.empty)
+            .map { case (_, v, n) => (n, v) }
+            .sortWith(better).take(k)
+            .map { case (n, v) => (v, n, pct(n)) }
+          CategoricalStats(c, top, distByCol.getOrElse(i, 0L))
+        }
       }
-    // pass 3: one TakeOrdered top-k per categorical column
-    val categorical = catCols.map(c =>
-      CategoricalStats(c, categoricalTopK(df, c, topK, total), distincts(c)))
     TableProfile(rows = total, nulls = nulls, numeric = numeric,
       categorical = categorical, text = text)
   }

@@ -101,19 +101,38 @@ object ProfilePipeline {
         "Null values by column", dir.resolve("null_analysis.png").toString,
         yLabel = "nulls")
     }
-    p.numeric.filter(s => s.max > s.min).take(3).foreach { s =>
-      val h = step(s"hist_${s.column}")(
-        Profile.histogram(statsDf, s.column, s.min, s.max, 30))
-      Plots.histogram(h.lo, h.hi, h.counts,
-        s"${s.column} distribution", s.column,
-        dir.resolve(s"${s.column}_hist.png").toString)
-    }
+    // The three numeric histograms and the correlation matrix fuse into ONE
+    // global-aggregate job (r17): each histogram bin is a conditional count
+    // over the SAME bucket expression Profile.histogram groups by (so the
+    // counts are bit-identical), and the corr() terms ride the same pass —
+    // 4 scans + 3 exchanges of the (cached) stats projection become one
+    // exchange-free scan (guide §2.4).
+    val histCols = p.numeric.filter(s => s.max > s.min).take(3)
     val corrCols = p.numeric.filter(s => s.max > s.min).map(_.column).take(4)
-    if (corrCols.length >= 2) {
-      val pairs = for (a <- corrCols; b <- corrCols if a < b) yield (a, b)
-      val row = step("corr_scan")(statsDf.select(pairs.map { case (a, b) =>
-        corr(col(a), col(b)).as(s"${a}__$b") }: _*).head())
-      val byPair = pairs.zipWithIndex.map { case ((a, b), i) =>
+    val pairs = for (a <- corrCols; b <- corrCols if a < b) yield (a, b)
+    val bins = 30
+    val figureAggs =
+      histCols.flatMap { s =>
+        val width = (s.max - s.min) / bins
+        val bucket = least(greatest(
+          floor((col(s.column) - s.min) / width).cast("int"), lit(0)),
+          lit(bins - 1))
+        (0 until bins).map(b =>
+          count(when(bucket === b, 1)).as(s"__h_${s.column}_$b"))
+      } ++ pairs.map { case (a, b) => corr(col(a), col(b)).as(s"__c_${a}__$b") }
+    if (figureAggs.nonEmpty) {
+      val row = step("stats_figures_scan")(
+        statsDf.agg(figureAggs.head, figureAggs.tail: _*).head())
+      histCols.foreach { s =>
+        val counts = (0 until bins).map(b =>
+          row.getAs[Long](s"__h_${s.column}_$b"))
+        Plots.histogram(s.min, s.max, counts,
+          s"${s.column} distribution", s.column,
+          dir.resolve(s"${s.column}_hist.png").toString)
+      }
+      if (corrCols.length >= 2) {
+      val byPair = pairs.map { case (a, b) =>
+        val i = row.fieldIndex(s"__c_${a}__$b")
         (a, b) -> (if (row.isNullAt(i)) 0.0 else row.getDouble(i)) }.toMap
       val m = corrCols.map(a => corrCols.map { b =>
         if (a == b) 1.0
@@ -121,6 +140,7 @@ object ProfilePipeline {
       })
       Plots.heatmap(m, corrCols, "Correlation matrix — numerical features",
         dir.resolve("correlation_analysis.png").toString)
+      }
     }
     // Embedding figures compute over ONE bounded sample, collected once —
     // the reference's exact shape (`gbr.py:423-520` loads `sample_size`

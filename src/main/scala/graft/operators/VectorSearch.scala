@@ -4029,6 +4029,22 @@ object VectorSearch {
     */
   @volatile private[graft] var smallFitMaxFlops: Double = 2e10
 
+  /** Cell-count ceiling under which [[buildIvf]] folds the per-cell stats
+    * (count / Σ__dist / max __dist) into the assign_write job itself as
+    * conditional aggregates on a [[org.apache.spark.sql.Observation]] —
+    * the post-write listing + narrow rescan + collect job disappears
+    * (guide §1.2 step 1: one fewer pass; §2.4: one fewer job). 3 agg
+    * expressions per cell, so the ceiling bounds codegen size; above it
+    * the r15 distributed `__dist` scan runs unchanged (at 4096+ cells
+    * that scan is seconds against a multi-minute build and 12k conditional
+    * aggs would be the wrong trade). 0 disables (A/B hook). Values match
+    * the scan path by construction: both aggregate the same `__dist`
+    * column the write materializes (FP addition order differs — both
+    * orders are partition-dependent already, and no oracled output
+    * depends on radii beyond probe-plan ORDERING).
+    */
+  @volatile private[graft] var statsObserveMaxCells: Int = 64
+
   /** Coarse-group count for the two-level fit; 0 derives ~2√k. The
     * refinement's cost is Σ_g rows_g·k_g ∝ Σ_g rows_g² — QUADRATIC in
     * group mass — so more, smaller groups beat the flop-optimal √k
@@ -4725,6 +4741,12 @@ object VectorSearch {
     // bucketed store: init 4.2 s snappy vs 16.6 s zstd, selective read
     // 0.9 s vs 2.6 s) — the hot-path codec is snappy; reserve zstd for
     // cold archival tiers.
+    // r17: at ≤ statsObserveMaxCells the per-cell stats ride the write job
+    // as observed conditional aggregates — see the knob's scaladoc
+    val statsObs =
+      if (centroids.length <= statsObserveMaxCells && statsObserveMaxCells > 0)
+        Some(org.apache.spark.sql.Observation(s"ivf_stats_${System.nanoTime()}"))
+      else None
     ivfStep("assign_write") {
       val inParts = assigned.rdd.getNumPartitions
       // SQ8: quantize BEFORE any exchange so the shuffle moves 1-byte
@@ -4758,7 +4780,16 @@ object VectorSearch {
         if (sq8) laid
         else laid.withColumn("__dist",
           centroid_dist_at(col("__vec"), col("__cluster"), centroids))
-      toWrite
+      val observed = statsObs match {
+        case Some(obs) =>
+          val aggs = (0 until centroids.length).flatMap { c => Seq(
+            count(when(col("__cluster") === c, 1)).as(s"n$c"),
+            sum(when(col("__cluster") === c, col("__dist"))).as(s"s$c"),
+            max(when(col("__cluster") === c, col("__dist"))).as(s"m$c")) }
+          toWrite.observe(obs, aggs.head, aggs.tail: _*)
+        case None => toWrite
+      }
+      observed
         .write.mode("overwrite").option("compression", "snappy")
         .partitionBy("__cluster").parquet(path)
     }
@@ -4779,25 +4810,38 @@ object VectorSearch {
     // files (see CensusIndex.readEpoch for the freshness contract)
     org.apache.spark.sql.graft.CensusIndex.writeEpoch(df.sparkSession, path, 0L)
     val written = df.sparkSession.read.parquet(path)
-    val stats = ivfStep("stats") {
-      written
-        .groupBy(col("__cluster").as("__c"))
-        .agg(count(lit(1)).as("__n"), sum(col("__dist")).as("__s"),
-          max(col("__dist")).as("__m"))
-        .collect()
+    // (cell, n, Σdist, max dist) — from the write job's observed metrics
+    // when armed, else the r15 narrow `__dist` rescan
+    val stats: Array[(Int, Long, Double, Double)] = statsObs match {
+      case Some(obs) => ivfStep("stats") {
+        val m = obs.get
+        def d(v: Any): Double = v match {
+          case null => 0.0
+          case x: java.lang.Number => x.doubleValue()
+        }
+        (0 until centroids.length).iterator.map { c =>
+          (c, m(s"n$c").asInstanceOf[Long], d(m(s"s$c")), d(m(s"m$c")))
+        }.filter(_._2 > 0).toArray
+      }
+      case None => ivfStep("stats") {
+        written
+          .groupBy(col("__cluster").as("__c"))
+          .agg(count(lit(1)).as("__n"), sum(col("__dist")).as("__s"),
+            max(col("__dist")).as("__m"))
+          .collect()
+          .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+      }
     }
-    val totalN = stats.map(_.getLong(1)).sum
+    val totalN = stats.map(_._2).sum
     val baseline =
-      if (totalN == 0) Double.NaN else stats.map(_.getDouble(2)).sum / totalN
+      if (totalN == 0) Double.NaN else stats.map(_._3).sum / totalN
     val radii = new Array[Double](centroids.length)
     val rmsRadii = new Array[Double](centroids.length)
     val cellN = new Array[Long](centroids.length)
-    stats.foreach { r =>
-      val c = r.getInt(0)
-      val n = r.getLong(1)
-      radii(c) = math.sqrt(r.getDouble(3))
+    stats.foreach { case (c, n, s, mx) =>
+      radii(c) = math.sqrt(mx)
       if (n > 0) {
-        rmsRadii(c) = math.sqrt(r.getDouble(2) / n)
+        rmsRadii(c) = math.sqrt(s / n)
         cellN(c) = n
       }
     }
