@@ -1791,10 +1791,50 @@ object Dedup {
     * millions of docs, because the hot key collapses map-side), then an
     * equi-join back on `gh`. The corpus text never shuffles.
     */
+  /** When true (default), [[duplicatedWindows]] persists the narrow
+    * (id, pos, gh) gram projection (MEMORY_AND_DISK_SER, ~20 B per token
+    * position) so the corpus tokenize+posexplode+hash pass runs ONCE: the
+    * frame feeds both the dup aggregate and the join probe side, and
+    * without the persist the whole gram derivation executes twice per
+    * query (guide §5 — recompute was the r17 shape; the r18 paired A/B at
+    * sf0.1 and the 10× corpus adjudicates the trade). The plan shape
+    * (map-side-combined aggregate + broadcast join back, no gram shuffle)
+    * is unchanged, so the hot-key skew story is untouched. `false`
+    * restores recompute (the A/B hook; env `SPARK_GRAFT_GRAM_PERSIST=0`
+    * sets the session default for paired measurements / plan dumps of the
+    * recompute shape).
+    */
+  @volatile private[graft] var gramPersist: Boolean =
+    sys.env.get("SPARK_GRAFT_GRAM_PERSIST").forall(_ != "0")
+
+  /** The previous [[duplicatedWindows]] gram cache. Each call unpersists
+    * it BEFORE registering its own: repeated constructions (bench min-of-N
+    * reps rebuild the query per rep) therefore always recompute from the
+    * source — the cache never outlives one constructed query per session,
+    * and memory holds at most one gram table. (Unpersisting first also
+    * keeps the CacheManager from matching the new, canonically-identical
+    * plan against the stale entry.)
+    */
+  private val lastGramCache =
+    new java.util.concurrent.atomic.AtomicReference[DataFrame](null)
+
   def duplicatedWindows(df: DataFrame, textCol: String, idCol: String,
       k: Int = 5, minDocs: Int = 2): DataFrame = {
     require(minDocs >= 2, s"minDocs must be >= 2, got $minDocs")
-    val g = windowGrams(df, textCol, idCol, k)
+    val g0 = windowGrams(df, textCol, idCol, k)
+    // drop the previous construction's cache in BOTH modes: a recompute-mode
+    // call must not be silently served by a stale registration either (the
+    // CacheManager substitutes any canonically-identical plan)
+    Option(lastGramCache.getAndSet(null))
+      .foreach(_.unpersist(blocking = false))
+    val g =
+      if (!gramPersist) g0
+      else {
+        val cached = g0.persist(
+          org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+        lastGramCache.set(cached)
+        cached
+      }
     // minDocs == 2 (the operator default, and the only threshold the Lee
     // et al. semantics need): "appears in >= 2 distinct docs" is exactly
     // min(id) != max(id), which aggregates in ONE exchange with plain

@@ -293,10 +293,15 @@ object Profile {
           val dist = scala.collection.mutable.Map.empty[Int, Long]
           it.foreach { case (i, v, n) =>
             dist.update(i, dist.getOrElse(i, 0L) + 1L)
-            val h = heaps.getOrElseUpdate(i,
-              scala.collection.mutable.PriorityQueue.empty(worstFirst))
-            if (h.size < k) h.enqueue((n, v))
-            else if (better((n, v), h.head)) { h.dequeue(); h.enqueue((n, v)) }
+            // k <= 0 keeps the top list empty (the pre-r17 limit(topK)
+            // semantics); without the guard the else branch reads h.head
+            // off an empty heap
+            if (k > 0) {
+              val h = heaps.getOrElseUpdate(i,
+                scala.collection.mutable.PriorityQueue.empty(worstFirst))
+              if (h.size < k) h.enqueue((n, v))
+              else if (better((n, v), h.head)) { h.dequeue(); h.enqueue((n, v)) }
+            }
           }
           heaps.iterator.flatMap { case (i, h) =>
             h.iterator.map { case (n, v) => (i, v, n) }

@@ -615,6 +615,46 @@ class DedupSpec extends SparkSpec {
     assert(st == 300L * 5)
   }
 
+  test("duplicatedWindows: gram persist mode is result-identical and " +
+      "releases the previous cache on the next call") {
+    val docs = Seq(
+      (0L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (1L, "intro alpha beta gamma delta epsilon tail words"),
+      (2L, "a clean document sharing no five token window at all"))
+      .toDF("doc_id", "text")
+    val saved = Dedup.gramPersist
+    try {
+      Dedup.gramPersist = false
+      val off = Dedup.duplicatedWindows(docs, "text", "doc_id", k = 5)
+        .orderBy("doc_id", "pos").collect().toSeq
+      Dedup.gramPersist = true
+      val onDf = Dedup.duplicatedWindows(docs, "text", "doc_id", k = 5)
+      val on = onDf.orderBy("doc_id", "pos").collect().toSeq
+      assert(off == on)
+      // persist mode reads the gram projection through the cache (one
+      // tokenize pass); recompute mode must not
+      assert(onDf.queryExecution.executedPlan.toString
+        .contains("InMemoryTableScan"))
+      // the NEXT construction unpersists the previous query's cache before
+      // registering its own: a fresh construction still computes the same
+      // results from source (a bench rep is never served by the previous
+      // rep's materialization), and its own plan re-caches
+      val onDf2 = Dedup.duplicatedWindows(docs, "text", "doc_id", k = 5)
+      assert(onDf2.orderBy("doc_id", "pos").collect().toSeq == off)
+      // drop onDf2's registration first: the CacheManager substitutes any
+      // canonically-identical plan, which would mask the off-mode shape
+      spark.catalog.clearCache()
+      Dedup.gramPersist = false
+      val offDf = Dedup.duplicatedWindows(docs, "text", "doc_id", k = 5)
+      offDf.collect()
+      assert(!offDf.queryExecution.executedPlan.toString
+        .contains("InMemoryTableScan"))
+    } finally {
+      Dedup.gramPersist = saved
+      spark.catalog.clearCache()
+    }
+  }
+
   test("NearDupIndex save/load: reload parity in a fresh session, both modes") {
     // The crawl-dedup index must survive a pipeline restart: save() writes
     // the versioned ManifestLayout artifact, load() reopens it, and a
