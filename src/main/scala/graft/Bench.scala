@@ -329,6 +329,11 @@ object Bench {
         if (suiteFailed > 0) -1.0 else suiteQ.map(_._2).sum
       suiteQ.sortBy(-_._2).take(3).zipWithIndex.foreach { case ((k, v), i) =>
         results(s"suite_slowest${i + 1}_${k}_value") = v
+        // r18 (additive): the same wall under a STABLE key — the dynamic
+        // key embeds the query name, so the per-round PERF diff reports
+        // label rotation as dropped/new rows; the rank key diffs cleanly
+        // (the name stays discoverable from the per-query entries)
+        results(s"suite_rank${i + 1}_sec_value") = v
       }
       // fresh context for the workload section: the suite leaves shuffle
       // files, broadcast blocks and codegen caches behind that distort the
@@ -847,20 +852,34 @@ object Bench {
       }
     }
     timedMin("ann_recall_filtered_eval") {
-      // one scan per (tier) for the exact baselines and one scan per
-      // (tier, nprobe) for the IVF side — all 3 query vectors scored
-      // together (topKMulti / searchMulti) instead of 3 sequential
-      // searches each; the exact baselines also share one cached narrow
-      // projection instead of rescanning (filter, embedding) 12×
+      // all 3 query vectors scored together per scan (topKMultiTiered /
+      // searchMulti) instead of 3 sequential searches each
       val evalCols = products.select(col("parent_asin"),
           col("average_rating"), col("rating_number"),
           col("main_category"), col("embedding"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val queryVecs = evalCols.select(col("embedding")).head(3)
         .map(_.getSeq[Float](0).toArray).toSeq
-      selPreds.foreach { case (selName, pred) =>
-        val exactSets = idSets(VectorSearch.topKMulti(
-          evalCols, "embedding", queryVecs, 100, "parent_asin", Some(pred)))
+      // r18: ALL four tiers' exact baselines in ONE scan (topKMultiTiered)
+      // — the tiers nest, so the r17 per-tier passes re-scored shared
+      // rows' 2688-dim dots up to 4x and re-read the projection 4x; the
+      // fused pass computes each row's 3 dots once and fans out to
+      // matching tiers. With ONE exact scan left, the r17 persist of the
+      // projection became a net loss (materializing a 1.6 GB cache that
+      // one pass reads — the 3-mode EvalAb A/B: pertier-cached 2.53 s,
+      // fused-cached 2.37 s, fused-uncached 1.72 s min-of-3 paired) and
+      // is dropped. Per-(tier, query) results are identical to the
+      // per-tier calls (same (score, id) set into the same bounded heap —
+      // VectorSearchSpec parity test; EvalAb asserts equal recall/nprobe
+      // outputs across all three shapes), so recall/nprobe values are
+      // bit-identical to the r17 methodology.
+      val exactByTier = VectorSearch.topKMultiTiered(evalCols, "embedding",
+          queryVecs, 100, "parent_asin", selPreds.map(_._2))
+        .collect().groupBy(_.getInt(0)).map { case (t, rows) =>
+          t -> rows.groupBy(_.getInt(1)).map { case (q, rs) =>
+            q -> rs.map(_.getString(4)).toSet }
+        }
+      selPreds.zipWithIndex.foreach { case ((selName, pred), tierIdx) =>
+        val exactSets = exactByTier.getOrElse(tierIdx, Map.empty[Int, Set[String]])
         var rec = 0.0
         var np = 0
         val nprobes = Iterator(4, 8, 16)
@@ -878,7 +897,6 @@ object Bench {
         results(s"ann_recall_${selName.stripPrefix("read_")}_value") = rec
         results(s"ann_nprobe_${selName.stripPrefix("read_")}_value") = np
       }
-      evalCols.unpersist(blocking = false)
     }
 
     // near-dup dedup pipeline over documents

@@ -227,6 +227,44 @@ object VectorSearch {
       .withColumnRenamed("__score", "score")
   }
 
+  /** [[topKMulti]] for MULTIPLE predicate tiers in ONE scan — the
+    * eval-harness shape (r18, guide §2.4/§6): T separate `topKMulti(pred)`
+    * calls scan the table T times and re-score every query dot against
+    * rows that several tiers share (the recall tiers nest: a row matching
+    * the thinnest tier pays its Q dots in every pass). This scores each
+    * row's Q dots ONCE, fans the (score, row) pairs out to exactly the
+    * tiers whose predicate the row satisfies, and keeps one bounded heap
+    * per (tier, query) — same per-group results and tie order as the
+    * per-tier calls (the heap sees the same (score, id) set either way),
+    * one scan instead of T.
+    *
+    * Returns (`tier_id` = index into `preds`, `query_id`, `rank`, `score`,
+    * `idCol` as string).
+    */
+  def topKMultiTiered(df: DataFrame, vecCol: String,
+      queries: Seq[Array[Float]], k: Int, idCol: String,
+      preds: Seq[Column]): DataFrame = {
+    require(queries.nonEmpty && preds.nonEmpty)
+    val nq = queries.length
+    // tier ids this row belongs to; rows matching none are dropped before
+    // any dot is computed
+    val tierArr = array(preds.zipWithIndex.map { case (p, i) =>
+      when(p, lit(i)).otherwise(lit(-1)) }: _*)
+    val scores = array(queries.map(q => vec_dot(col(vecCol), typedLit(q))): _*)
+    val exploded = df
+      .filter(preds.reduce(_ || _))
+      .select(col(idCol), scores.as("__s"),
+        explode(array_remove(tierArr, -1)).as("__tier"))
+      .select(col(idCol), col("__tier"),
+        posexplode(col("__s")).as(Seq("__qid", "__score")))
+      .select(col(idCol),
+        (col("__tier") * nq + col("__qid")).as("__grp"), col("__score"))
+    graft.functions.GroupTopK.perGroupStr(exploded, "__grp", "__score", idCol, k)
+      .select((col("__grp") / nq).cast("int").as("tier_id"),
+        (col("__grp") % nq).cast("int").as("query_id"),
+        col("rank"), col("__score").as("score"), col(idCol))
+  }
+
   /** Exact top-k by cosine similarity. */
   def topKCosine(df: DataFrame, vecCol: String, query: Array[Float], k: Int,
       filter: Option[Column] = None): DataFrame = {
@@ -4018,16 +4056,41 @@ object VectorSearch {
     */
   @volatile private[graft] var smallFitMaxRows: Int = 16384
 
-  /** Flop ceiling for [[smallFitMaxRows]]'s driver Lloyd (k·n·d·iters).
-    * 2e10 ≈ 0.6 s of 32-thread mul-adds at the cap — set by the bench's
-    * own shape: ivf_products_build fits 16 cells over a 10k × 2688 sample
-    * (4.3e9 flops), which the original 4e9 ceiling pushed onto the MLlib
-    * path at ~10 s of scheduler round-trips where the driver pass is
-    * sub-second ([ivf] fit_flat attribution, r17). The rows gate is
-    * unchanged, so the collect stays ≤ 176 MB and genuinely large fits
-    * (k ≥ 4096 ⇒ 256·k-row samples) still go distributed.
+  /** Flop ceiling for [[smallFitMaxRows]]'s driver Lloyd (k·n·d·iters,
+    * iters priced at 10 — the worst case; early convergence only shortens
+    * it). r18: derived from a MEASURED cost model instead of the bench's
+    * own shapes (r17 verdict task 5). `graft.tools.LloydCal` times
+    * [[localLloyd]] at four (n, d, k) points on this driver: sustained
+    * 4.2–9.6 GFLOP/s (slowest in the wide-dim regime that large fits live
+    * in: 4.2e9/s at 10k × 2688 × 16; 4.6e9/s at 16384 × 2688 × 45;
+    * geomean 5.5e9/s). Budget: the driver pass must stay well under the
+    * ~10 s distributed-MLlib floor it replaces (measured r17 [ivf]
+    * fit_flat) — 1e10 flops caps the worst case at ≈ 2.4 s at the slowest
+    * measured rate (≈ 1 s typical), a ≥ 4× margin. The bench's real fits
+    * stay admitted (products 16 × 10k × 2688 = 4.3e9; embeddings
+    * 16 × 50k × 64 = 0.5e9) and genuinely large fits (k ≥ 4096 ⇒ 256·k-row
+    * samples) still blow the gate at every dimension — both pinned in
+    * VectorSearchSpec's smallFitProbeRows test.
     */
-  @volatile private[graft] var smallFitMaxFlops: Double = 2e10
+  @volatile private[graft] var smallFitMaxFlops: Double = 1e10
+
+  /** The driver small-fit admission rule as a pure function: the largest
+    * training-sample row count the flat fit may collect to the driver at
+    * dimension `d` and cell count `k` — the byte budget
+    * ([[smallFitMaxRows]] priced in 2688-dim rows), the flop ceiling
+    * ([[smallFitMaxFlops]] over k·n·d·10), and the absolute 2M-row object
+    * cap, minimized. A sample larger than this falls through to the
+    * distributed MLlib fit (the probe collects `+1` row to detect it).
+    * Pinned by VectorSearchSpec: a 256·k sample at k = 4096 exceeds the
+    * rule at every dimension, so genuinely large fits always stay
+    * distributed.
+    */
+  private[graft] def smallFitProbeRows(d: Int, k: Int): Long =
+    if (d <= 0 || smallFitMaxRows <= 0) 0L
+    else math.min(math.min(
+      smallFitMaxRows.toLong * 2688L / d,
+      (smallFitMaxFlops / (k.toDouble * d * 10)).toLong),
+      2L << 20)
 
   /** Cell-count ceiling under which [[buildIvf]] folds the per-cell stats
     * (count / Σ__dist / max __dist) into the assign_write job itself as
@@ -4044,6 +4107,27 @@ object VectorSearch {
     * depends on radii beyond probe-plan ORDERING).
     */
   @volatile private[graft] var statsObserveMaxCells: Int = 64
+
+  /** Whether [[buildIvf]] may source the per-cell stats from the write
+    * job's [[org.apache.spark.sql.Observation]] (r18, closing the r17
+    * verdict's retry/speculation concern). Attempt-accounting contract:
+    * observe metrics merge only SUCCESSFUL task attempts (failed and
+    * retried attempts are dropped — `countFailedValues` is false for
+    * collected metrics), and a second write attempt of the same partition
+    * cannot both commit (the commit protocol denies it → TaskCommitDenied
+    * → not a success), so plain task retries cannot skew the stats
+    * (IvfStatsSpec injects one and asserts parity with the scan path).
+    * The one genuine double-count hole is SPECULATIVE execution — two
+    * attempts of one partition can both complete successfully (the
+    * loser's result is ignored but its accumulator update still merges) —
+    * so a session with `spark.speculation=true` falls back to the r15
+    * `__dist` rescan unconditionally.
+    */
+  private[graft] def statsObserveArmed(
+      spark: org.apache.spark.sql.SparkSession, cells: Int): Boolean =
+    statsObserveMaxCells > 0 && cells <= statsObserveMaxCells &&
+      !spark.sparkContext.getConf.getBoolean("spark.speculation",
+        defaultValue = false)
 
   /** Coarse-group count for the two-level fit; 0 derives ~2√k. The
     * refinement's cost is Σ_g rows_g·k_g ∝ Σ_g rows_g² — QUADRATIC in
@@ -4647,12 +4731,7 @@ object VectorSearch {
             // per-array object count.
             val dHead = sampled.select(size(col(vecCol)).cast("int"))
               .limit(1).as[Int].collect().headOption.getOrElse(0)
-            val probeRows: Long =
-              if (dHead <= 0) 0L
-              else math.min(math.min(
-                smallFitMaxRows.toLong * 2688L / dHead,
-                (smallFitMaxFlops / (k.toDouble * dHead * 10)).toLong),
-                2L << 20)
+            val probeRows: Long = smallFitProbeRows(dHead, k)
             if (probeRows <= 0) null
             else {
               // typed collect: primitive float arrays straight from the
@@ -4744,7 +4823,7 @@ object VectorSearch {
     // r17: at ≤ statsObserveMaxCells the per-cell stats ride the write job
     // as observed conditional aggregates — see the knob's scaladoc
     val statsObs =
-      if (centroids.length <= statsObserveMaxCells && statsObserveMaxCells > 0)
+      if (statsObserveArmed(df.sparkSession, centroids.length))
         Some(org.apache.spark.sql.Observation(s"ivf_stats_${System.nanoTime()}"))
       else None
     ivfStep("assign_write") {

@@ -707,6 +707,61 @@ class VectorSearchSpec extends SparkSpec {
     }
   }
 
+  test("topKMultiTiered: one scan reproduces per-tier topKMulti exactly, " +
+      "overlapping tiers included") {
+    val queries = Seq(Array.fill(8)(5.0f), Array.fill(8)(-5.0f),
+      Array.tabulate(8)(i => if (i % 2 == 0) 5.0f else -5.0f))
+    // nested + partial-overlap tiers, like the bench's selectivity preds
+    val preds = Seq(
+      col("true_cluster") === 0,
+      col("true_cluster").isin(0, 1),
+      col("true_cluster") =!= 1)
+    val tiered = VectorSearch.topKMultiTiered(
+        clustered, "embedding", queries, 5, "vec_id", preds)
+      .collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getLong(2)) ->
+        ((r.getDouble(3), r.getString(4))))
+      .toMap
+    preds.zipWithIndex.foreach { case (p, t) =>
+      val per = VectorSearch.topKMulti(
+          clustered, "embedding", queries, 5, "vec_id", Some(p))
+        .collect()
+        .map(r => (t, r.getInt(0), r.getLong(1)) ->
+          ((r.getDouble(2), r.getString(3))))
+        .toMap
+      per.foreach { case (key, v) =>
+        assert(tiered.get(key).contains(v), s"mismatch at $key")
+      }
+      assert(tiered.count(_._1._1 == t) == per.size, s"tier $t cardinality")
+    }
+  }
+
+  test("smallFitProbeRows: large fits always stay distributed, " +
+      "driver-sized fits are admitted") {
+    // scale shape: a k-cell build trains on ~256*k rows; at k = 4096 that
+    // sample must exceed the admission rule at EVERY dimension, so the
+    // fit goes to the distributed path (and at k >= 512 the hierarchical
+    // fit takes over before this gate is even consulted)
+    val bigSample = 256L * 4096L
+    Seq(16, 64, 384, 2688, 8192).foreach { d =>
+      assert(VectorSearch.smallFitProbeRows(d, 4096) < bigSample,
+        s"k=4096 d=$d must stay distributed")
+    }
+    // the bench's own flat fits stay admitted: 16 cells over 10k x 2688
+    // and over 50k x 64 (byte-normalized rows gate)
+    assert(VectorSearch.smallFitProbeRows(2688, 16) >= 10000L)
+    assert(VectorSearch.smallFitProbeRows(64, 16) >= 50000L)
+    // flop ceiling binds before the byte budget as k grows at fixed d
+    assert(VectorSearch.smallFitProbeRows(2688, 256) <
+      VectorSearch.smallFitProbeRows(2688, 16))
+    // disabled hook
+    val saved = VectorSearch.smallFitMaxRows
+    try {
+      VectorSearch.smallFitMaxRows = 0
+      assert(VectorSearch.smallFitProbeRows(2688, 16) == 0L)
+    } finally VectorSearch.smallFitMaxRows = saved
+  }
+
   test("searchMulti: union probe masked per query matches per-query search") {
     val dir = java.nio.file.Files.createTempDirectory("ivf_multi").toString
     val idx = VectorSearch.buildIvf(clustered, "embedding", 3, dir)
